@@ -1,0 +1,211 @@
+"""RefluxEngine — the reference's persistence + query surface, Spark-first.
+
+Maps the reference's components onto one partitioned lake table:
+
+=====================================  =====================================
+reference (per-series sled + GlueSQL)  here (Spark)
+=====================================  =====================================
+one sled db per series                 one parquet/delta table partitioned
+(``persistence.rs:21-23``)             by ``series`` (+ ``day``)
+registry HashMap (``persistence.rs:    the table's partition values
+43-47``)
+``save_measurement`` SQL-string        columnar append via DataFrame write
+INSERT (``persistence.rs:99-143``)
+``query_measurements`` (``persistence  validate (gateway) -> temp views ->
+.rs:146-163``)                         ``spark.sql`` -> Catalyst
+``get_measurement_range``              partition-pruned time-between scan
+(``persistence.rs:164-196``)
+``list_timeseries`` (``persistence.    DISTINCT over partition column
+rs:59-68``)
+=====================================  =====================================
+
+Compat flags (quirk register, SURVEY §7):
+- ``strict_compat``: empty result raises NoDataError (Q5,
+  ``utils/db.rs:15-17``) and the substring blocklist runs (Q3).
+- ``server_time_mode``: reproduce Q1 (client timestamp discarded;
+  ``time`` = arrival time). Default stores event time in ``time`` and
+  arrival time in ``created_at``.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from refluxdb_spark.errors import NoDataError, TableNotFoundError, ValidationError
+from refluxdb_spark.gateway import validate_query
+from refluxdb_spark.schema import MEASUREMENT_COLUMNS, MEASUREMENTS_SCHEMA
+from refluxdb_spark.sources.lineprotocol import explode_fields, parse_lines_df
+
+_TABLE = "measurements"
+
+
+class RefluxEngine:
+    """Importable engine: ``write_lines`` / ``query`` / ``range`` /
+    ``list_series`` — the reference's four endpoints as functions
+    (``handlers.rs``: ``GET /`` ``POST /write`` ``POST /query``
+    ``GET /range/{ts}``). Server processes are optional frontends.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        strict_compat: bool = False,
+        server_time_mode: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.warehouse = warehouse
+        self.strict_compat = strict_compat
+        self.server_time_mode = server_time_mode
+        self._path = os.path.join(warehouse, _TABLE)
+        self._views: set[str] = set()
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ------------------------------------------------------------- ingest
+    def write_lines(self, lines: list[str]) -> tuple[int, list[str]]:
+        """Parse + append line-protocol lines. Returns (rows_written,
+        dead_letter_lines).
+
+        The whole path is column expressions + one columnar append — the
+        Spark shape of the reference's per-datagram loop
+        (``udpserver.rs:33-49`` / ``handlers.rs:112-134``), without the
+        global mutex (``main.rs:23``).
+        """
+        if not lines:
+            return 0, []
+        raw = self.spark.createDataFrame([(ln,) for ln in lines], "value string")
+        parsed = parse_lines_df(raw).cache()
+        try:
+            dlq = [r.raw for r in parsed.filter(F.col("error").isNotNull()).collect()]
+            rows = explode_fields(parsed)
+            out = self._finalize_rows(rows)
+            n = out.count()
+            if n:
+                (
+                    out.repartition("series")
+                    .write.mode("append")
+                    .partitionBy("series", "day")
+                    .parquet(self._path)
+                )
+                self._views.clear()  # refresh views on next query
+            return n, dlq
+        finally:
+            parsed.unpersist()
+
+    def write_dataframe(self, rows: DataFrame) -> None:
+        """Append pre-shaped rows (series, tags, ts, name, value) — the
+        bulk/streaming ingest entry (used by streaming.foreachBatch)."""
+        out = self._finalize_rows(rows)
+        out.write.mode("append").partitionBy("series", "day").parquet(self._path)
+        self._views.clear()
+
+    def _finalize_rows(self, rows: DataFrame) -> DataFrame:
+        # Reference semantics: id = fresh UUIDv4 per row (persistence.rs:110),
+        # created_at = server now (persistence.rs:111-120). Event time from
+        # the line-protocol ts (ns epoch) unless server_time_mode (Q1).
+        event_time = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        now = F.current_timestamp()
+        time_col = now if self.server_time_mode else F.coalesce(event_time, now)
+        return rows.select(
+            "series",
+            F.expr("uuid()").alias("id"),
+            time_col.alias("time"),
+            now.alias("created_at"),
+            "name",
+            F.col("value").cast("double").alias("value"),
+            "tags",
+        ).withColumn("day", F.to_date("time"))
+
+    # -------------------------------------------------------------- reads
+    def _table(self) -> DataFrame:
+        if not os.path.exists(self._path):
+            return self.spark.createDataFrame([], MEASUREMENTS_SCHEMA)
+        return self.spark.read.parquet(self._path)
+
+    def list_series(self) -> list[str]:
+        """``GET /`` (``handlers.rs:24-32`` / ``persistence.rs:59-68``):
+        names of all series = distinct partition values."""
+        return sorted(
+            r.series for r in self._table().select("series").distinct().collect()
+        )
+
+    def series_exists(self, name: str) -> bool:
+        """``timeseries_exists`` (``persistence.rs:70-72``)."""
+        return self._table().filter(F.col("series") == name).limit(1).count() > 0
+
+    def _ensure_views(self, tables: list[str]) -> None:
+        known = set(self.list_series())
+        for t in tables:
+            base = t.split(".")[-1]
+            if base not in known:
+                # Q12 fix: unknown table is a clean error, not a panic
+                # (reference .unwrap()s the registry lookup, persistence.rs:199).
+                raise TableNotFoundError(f"table not found: {base}")
+            if base not in self._views:
+                self._table().filter(F.col("series") == base).drop(
+                    "series", "day"
+                ).createOrReplaceTempView(base)
+                self._views.add(base)
+
+    def query(self, q: str) -> DataFrame:
+        """``POST /query`` (``handlers.rs:70-93`` /
+        ``persistence.rs:146-163``): validate, route ``FROM <series>``
+        through per-series temp views, run through Catalyst.
+
+        Returns the DataFrame (lazy); ``query_rows`` materializes with
+        the reference's decoder semantics.
+        """
+        tables = validate_query(q, strict_compat=self.strict_compat)
+        self._ensure_views(tables)
+        return self.spark.sql(q)
+
+    def query_rows(self, q: str) -> list[dict]:
+        """Materialized query with reference decoder semantics
+        (``utils/db.rs:8-56``): in strict-compat mode an empty result is
+        an error (Q5) and the projection must be the full 6-column shape
+        (Q2); default mode returns whatever the query projected, tags
+        included (Q7 fix — the reference always decodes tags as empty).
+        """
+        df = self.query(q)
+        if self.strict_compat and [c.lower() for c in df.columns] != MEASUREMENT_COLUMNS:
+            raise ValidationError(
+                "strict-compat decoder requires projection "
+                f"{MEASUREMENT_COLUMNS} (utils/db.rs:33-49)"
+            )
+        rows = [r.asDict(recursive=True) for r in df.collect()]
+        if self.strict_compat and not rows:
+            raise NoDataError("No data found for query")  # utils/db.rs:15-17
+        return rows
+
+    def range(self, series: str, start: str | datetime, end: str | datetime) -> DataFrame:
+        """``GET /range/{ts}?start&end`` (``handlers.rs:34-66``): the
+        *intended* semantics of ``get_measurement_range``
+        (``persistence.rs:164-196``) — inclusive ``time BETWEEN`` on one
+        series. (As written the reference queries a nonexistent ``key``
+        column, Q4; and panics on malformed datetimes, Q13 — we raise
+        ValidationError instead.)
+        """
+        start_ts = _parse_rfc3339(start)
+        end_ts = _parse_rfc3339(end)
+        if not self.series_exists(series):
+            raise TableNotFoundError(f"table not found: {series}")  # 404 path
+        return (
+            self._table()
+            .filter(F.col("series") == series)
+            .filter(F.col("time").between(F.lit(start_ts), F.lit(end_ts)))
+            .select(*MEASUREMENT_COLUMNS)
+        )
+
+
+def _parse_rfc3339(v: str | datetime) -> datetime:
+    if isinstance(v, datetime):
+        return v if v.tzinfo else v.replace(tzinfo=timezone.utc)
+    try:
+        return datetime.fromisoformat(v.replace("Z", "+00:00"))
+    except ValueError as exc:
+        # Q13 fix: reference .unwrap()s and panics (handlers.rs:41-42).
+        raise ValidationError(f"malformed datetime: {v!r}") from exc

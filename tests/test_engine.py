@@ -1,0 +1,105 @@
+"""End-to-end engine tests: the README demo flow (BASELINE.md functional
+baseline) — ingest line protocol, query it back, range scan, listing."""
+
+import pytest
+
+from refluxdb_spark.engine import RefluxEngine
+from refluxdb_spark.errors import NoDataError, TableNotFoundError, ValidationError
+
+LINES = [
+    "test,host=server,region=us-east1 value=0.80 1234567890000000000",
+    "test,host=server,region=us-east1 value=0.90 1234567891000000000",
+    "cpu,host=a usage=0.5,temp=60.0 1700000000000000000",
+    "cpu,host=b usage=0.7 1700000060000000000",
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    eng = RefluxEngine(spark, str(tmp_path_factory.mktemp("warehouse")))
+    n, dlq = eng.write_lines(LINES)
+    assert n == 5  # cpu multi-field line explodes to 2 rows
+    assert dlq == []
+    return eng
+
+
+def test_readme_select_star(engine):
+    # README.md:23 — SELECT * from test
+    rows = engine.query_rows("SELECT * FROM test")
+    assert len(rows) == 2
+    assert {r["value"] for r in rows} == {0.80, 0.90}
+    assert all(r["name"] == "value" for r in rows)
+    assert all(r["tags"] == {"host": "server", "region": "us-east1"} for r in rows)  # Q7 fix
+
+
+def test_field_explosion_names(engine):
+    rows = engine.query_rows("SELECT name, value FROM cpu ORDER BY name")
+    assert [(r["name"], r["value"]) for r in rows] == [
+        ("temp", 60.0),
+        ("usage", 0.5),
+        ("usage", 0.7),
+    ]
+
+
+def test_event_time_stored(engine):
+    # Q1 fix: client timestamp (ns) becomes `time`
+    rows = engine.query_rows("SELECT time FROM test ORDER BY time")
+    assert rows[0]["time"].year == 2009  # 1234567890 epoch secs ≈ 2009-02-13
+
+
+def test_list_series(engine):
+    assert engine.list_series() == ["cpu", "test"]
+
+
+def test_series_exists(engine):
+    assert engine.series_exists("cpu")
+    assert not engine.series_exists("nope")
+
+
+def test_unknown_table_clean_error(engine):  # Q12 fix
+    with pytest.raises(TableNotFoundError):
+        engine.query("SELECT * FROM nope")
+
+
+def test_range_scan(engine):
+    df = engine.range("cpu", "2023-11-14T00:00:00Z", "2023-11-15T00:00:00Z")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sorted(r.name for r in rows) == ["temp", "usage", "usage"]
+
+
+def test_range_unknown_series_404(engine):
+    with pytest.raises(TableNotFoundError):
+        engine.range("nope", "2020-01-01T00:00:00Z", "2020-01-02T00:00:00Z")
+
+
+def test_range_bad_datetime(engine):  # Q13 fix
+    with pytest.raises(ValidationError, match="malformed"):
+        engine.range("cpu", "not-a-date", "2020-01-02T00:00:00Z")
+
+
+def test_dead_letter_rows(spark, tmp_path):
+    eng = RefluxEngine(spark, str(tmp_path / "wh"))
+    n, dlq = eng.write_lines(["good x=1 1000", "bad x=notanumber 1000"])
+    assert n == 1
+    assert dlq == ["bad x=notanumber 1000"]
+
+
+def test_strict_compat_empty_result_errors(spark, tmp_path):  # Q5
+    eng = RefluxEngine(spark, str(tmp_path / "wh2"), strict_compat=True)
+    eng.write_lines(["t x=1 1000"])
+    # Note: in strict compat you cannot even *name* created_at (Q3), so
+    # the full decoder shape is only reachable via SELECT * — faithful.
+    with pytest.raises(NoDataError):
+        eng.query_rows("SELECT * FROM t WHERE value > 99")
+
+
+def test_aggregates_beyond_reference(engine):
+    # GROUP BY breaks the reference's decoder (O16) — first-class here.
+    rows = engine.query_rows(
+        "SELECT name, count(*) AS n, avg(value) AS avg_value FROM cpu GROUP BY name ORDER BY name"
+    )
+    assert rows == [
+        {"name": "temp", "n": 1, "avg_value": 60.0},
+        {"name": "usage", "n": 2, "avg_value": pytest.approx(0.6)},
+    ]
