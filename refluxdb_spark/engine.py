@@ -107,7 +107,9 @@ class RefluxEngine:
         # Reference semantics: id = fresh UUIDv4 per row (persistence.rs:110),
         # created_at = server now (persistence.rs:111-120). Event time from
         # the line-protocol ts (ns epoch) unless server_time_mode (Q1).
-        event_time = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        # integer `div`, not `/`: ns epochs (~1.7e18) lose precision in
+        # double arithmetic
+        event_time = F.expr("timestamp_micros(ts div 1000)")
         now = F.current_timestamp()
         time_col = now if self.server_time_mode else F.coalesce(event_time, now)
         return rows.select(

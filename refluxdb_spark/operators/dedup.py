@@ -1,0 +1,285 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Beyond the reference's surface (it has only row-level immutability,
+``persistence.rs:24``), these are the dedup primitives a training-data
+pipeline needs, each designed around ONE key question: what shuffles?
+
+- ``exact_dedup``: hash-groupBy on a fingerprint — one shuffle on the
+  hash, map-side partial aggregation; never materializes texts twice.
+- ``word_jaccard_pairs``: exact Jaccard over word sets via an inverted
+  index (posting-list self-join) — shuffles (doc, token) pairs, never
+  the O(n^2) pair matrix; blocking keys bound posting-list length.
+- ``minhash_lsh``: MinHash signatures + banded LSH bucketing — candidate
+  generation cost ∝ documents x bands, not pairs. Hashes are md5-based
+  (deterministic across engines/runs — no seed drift between runs on
+  different clusters).
+- ``simhash``: 64-bit SimHash fingerprints; near-dup = small Hamming
+  distance within LSH-style chunk buckets.
+
+All are pure column expressions (codegen, no Python row path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 32-bit deterministic hash of a string with a seed, as a SQL expression
+# over column {col}: first 8 hex chars of md5(seed || col). Identical in
+# any engine with md5 — the cross-engine property our oracles rely on.
+_H32 = "cast(conv(substring(md5(concat('{seed}', {col})), 1, 8), 16, 10) as bigint)"
+
+
+def normalize_text(col: str = "text") -> F.Column:
+    """Canonical text normalization used by all fingerprints: lowercase,
+    strip non-alphanumerics to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"[^a-z0-9]+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-text md5: keep the min-id doc per
+    fingerprint. Returns (fingerprint, keep_id, dup_count).
+
+    Scale: group key is the 32-char digest (fixed width), map-side
+    combine collapses duplicates before the shuffle."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token) pairs: distinct words of the normalized text."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def shingle_tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 3
+) -> DataFrame:
+    """(id, token) pairs where token is a distinct w-word shingle.
+
+    Shingling (w=3 default) is what makes MinHash discriminative on
+    natural text: unigram sets collide for any two documents sharing a
+    vocabulary, while w-gram sets only collide on shared *phrases*.
+    Documents with fewer than w words produce no shingles (and thus
+    never become dedup candidates — by design)."""
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    parts = ", ".join(f"element_at(_toks, i + {k})" for k in range(w))
+    sh = (
+        f"CASE WHEN size(_toks) >= {w} THEN "
+        f"transform(sequence(1, size(_toks) - {w - 1}), i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return base.select(
+        "id", F.explode(F.array_distinct(F.expr(sh))).alias("token")
+    )
+
+
+def _token_source(
+    df: DataFrame, text_col: str, id_col: str, shingle: int
+) -> DataFrame:
+    return (
+        shingle_tokens(df, text_col, id_col, shingle)
+        if shingle > 1
+        else tokenize(df, text_col, id_col)
+    )
+
+
+def word_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact word-set Jaccard similarity for all pairs >= threshold.
+
+    Inverted-index formulation: explode to (id, token), self-join on
+    token to count intersections, then |A ∪ B| = |A| + |B| - |A ∩ B|.
+    With ``block_col`` (e.g. language) the index is additionally keyed
+    by block, bounding posting lists. The pair matrix is never built —
+    only co-occurring pairs reach the aggregation.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b; ``jaccard`` is a
+    DOUBLE from an exact integer division (deterministic)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(text_col).alias("_norm"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    toks = base.select(
+        "id",
+        *([F.col("_blk")] if block_col else []),
+        F.explode(F.array_distinct(F.split("_norm", " "))).alias("token"),
+    ).filter(F.col("token") != "")
+
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    join_keys = ["token"] + (["_blk"] if block_col else [])
+    a = toks.select(*join_keys, F.col("id").alias("id_a"))
+    b = toks.select(*join_keys, F.col("id").alias("id_b"))
+    inter = (
+        a.join(b, on=join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """MinHash signature per document over its word set.
+
+    h_i(doc) = min over tokens of md5-hash32(seed_i || token). md5 makes
+    signatures identical across engines and runs — no RNG, no seed
+    drift. Returns (id, sig ARRAY<BIGINT>[num_hashes]).
+
+    Scale: explode to (id, shingle), compute all num_hashes hashes per
+    shingle in one projection, aggregate mins — one shuffle on id."""
+    toks = _token_source(df, text_col, id_col, shingle)
+    mins = [
+        F.min(F.expr(_H32.format(seed=f"s{i}:", col="token"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = toks.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split signatures into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs sharing any band hash are candidates.
+
+    Returns distinct (id_a, id_b), id_a < id_b. Cost ∝ docs x bands
+    (band-bucket shuffle), never the pair matrix; a hot bucket is a
+    data-quality signal (boilerplate), cap with a bucket-size filter
+    upstream at production scale."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+            )
+        ).alias("bucket")
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bucket")
+    ).distinct()
+    a = buckets.select("bucket", F.col("id").alias("id_a"))
+    b = buckets.select("bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    shingle: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: LSH candidates verified with
+    exact shingle-Jaccard (only candidate pairs pay the verification
+    cost). Returns (id_a, id_b, jaccard >= threshold)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle)
+    toks = _token_source(df, text_col, id_col, shingle)
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(toks.withColumnRenamed("id", "id_a"), "id_a")
+        .join(toks.withColumnRenamed("id", "id_b"), ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document (deterministic, md5-based).
+
+    Each distinct token votes +1/-1 on each bit according to its md5;
+    the fingerprint sets bit i when the vote sum is positive. Two
+    near-identical documents differ in few bits (small Hamming
+    distance). Returns (id, simhash BIGINT).
+
+    Implementation: tokens -> two 32-bit md5 halves -> per-bit votes via
+    bitwise ops aggregated with sum() — all integer arithmetic, exact
+    and engine-portable."""
+    toks = tokenize(df, text_col, id_col)
+    h_lo = F.expr(_H32.format(seed="sim0:", col="token"))
+    h_hi = F.expr(_H32.format(seed="sim1:", col="token"))
+    toks = toks.select("id", h_lo.alias("_lo"), h_hi.alias("_hi"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_lo" if i < 32 else "_hi"), i % 32) % 2 == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    agged = toks.groupBy("id").agg(*votes)
+    # bits <= 62 packs into a BIGINT (portable across engines); a full
+    # 64-bit fingerprint needs decimal to hold the sign bit.
+    num_t = "bigint" if bits <= 62 else "decimal(38,0)"
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"_v{i}") > 0, F.lit(2 ** i).cast(num_t)).otherwise(
+            F.lit(0).cast(num_t)
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    out_t = "bigint" if bits <= 62 else "decimal(20,0)"
+    return agged.select("id", fingerprint.cast(out_t).alias("simhash"))

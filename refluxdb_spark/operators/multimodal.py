@@ -1,0 +1,148 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Contract: media rides in a ``binary`` column with a metadata struct
+(mime, width/height/duration, …). Decode / feature-extract / resize /
+frame-sample run as Arrow-batched pandas functions over ``mapInPandas``
+— the right shape for CPU-heavy per-item work at 100 TB (one pass,
+no shuffle, batch-size-controlled memory).
+
+The actual codec calls are STUBBED (image/audio libraries are not in
+this container): ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic fake decoder so the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def attach_media(
+    df: DataFrame, payload_col: str, mime: str, out: str = "media"
+) -> DataFrame:
+    """Wrap a binary column into the standard media struct
+    (payload + metadata). Metadata fields beyond mime start null and are
+    filled by decoders."""
+    return df.withColumn(
+        out,
+        F.struct(
+            F.col(payload_col).alias("payload"),
+            F.struct(
+                F.lit(mime).alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ).alias("meta"),
+        ),
+    )
+
+
+_IMAGE_FEATURE_SCHEMA = "id bigint, n_bytes bigint, sha256 string, width int, height int, mean_luma double"
+
+
+def image_features(
+    df: DataFrame, id_col: str = "id", media_col: str = "media", fake: bool = False
+) -> DataFrame:
+    """Per-image features via mapInPandas (Arrow batches, no shuffle).
+
+    Real decode is stubbed: with ``fake=False`` raises
+    NotImplementedError at execution; ``fake=True`` derives
+    deterministic pseudo-features from the payload bytes (hash-based) so
+    the pipeline shape is exercised end-to-end.
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image decoding requires Pillow/libvips (not in this "
+                    "container); pass fake=True for the deterministic stub"
+                )
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(b).hexdigest()
+                h = int(digest[:8], 16)
+                rows.append(
+                    {
+                        "id": rid,
+                        "n_bytes": len(b),
+                        "sha256": digest,
+                        "width": 64 + h % 512,  # fake decode: deterministic dims
+                        "height": 64 + (h >> 9) % 512,
+                        "mean_luma": (h % 1000) / 1000.0,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["id", "n_bytes", "sha256", "width", "height", "mean_luma"])
+
+    return src.mapInPandas(_batches, _IMAGE_FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    every_ms: int = 1000,
+    fake: bool = False,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame
+    (id, frame_idx, frame_ts_ms, frame sha256). Stubbed decode; the fake
+    mode emits ceil(payload_len/1024) pseudo-frames so the fan-out shape
+    (mapInPandas producing >1 row per input) is real."""
+    src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "video decoding requires ffmpeg (not in this container); "
+                    "pass fake=True for the deterministic stub"
+                )
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = max(1, (len(b) + 1023) // 1024)
+                for i in range(n_frames):
+                    chunk = b[i * 1024 : (i + 1) * 1024]
+                    rows.append(
+                        {
+                            "id": rid,
+                            "frame_idx": i,
+                            "frame_ts_ms": i * every_ms,
+                            "frame_sha256": hashlib.sha256(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_ts_ms", "frame_sha256"])
+
+    return src.mapInPandas(_batches, "id bigint, frame_idx int, frame_ts_ms bigint, frame_sha256 string")
+
+
+def media_summary(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Pure-column media stats (no decode): byte length + sha256 of the
+    payload, mime from metadata. This path never leaves the JVM."""
+    return df.select(
+        "*",
+        F.octet_length(F.col(f"{media_col}.payload")).cast("bigint").alias("media_bytes"),
+        F.lower(F.sha2(F.col(f"{media_col}.payload"), 256)).alias("media_sha256"),
+        F.col(f"{media_col}.meta.mime").alias("media_mime"),
+    )

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the scale plan:
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Query side must be small (it is broadcast); corpus side streams
+  through one shuffle-free scan + a per-query top-k aggregation. Cost
+  O(|corpus| x |queries|) — right up to a few thousand queries at 100 TB
+  corpus scale, since the corpus is read once.
+- ``ivf_topk``: IVF-style pruned search — corpus vectors are assigned to
+  the nearest of C deterministic centroids at index-build time; a query
+  probes only the ``nprobe`` nearest centroid partitions. Recall < 1 by
+  design; the candidate scan shrinks ~C/nprobe-fold.
+- ``cosine_dup_pairs``: all corpus pairs above a cosine threshold via
+  the same LSH-free blocked self-join used at modest scale (or feed
+  MinHash-style banding upstream for web scale).
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` in index order —
+built-in, codegen'd, deterministic summation order (important for the
+cross-engine oracle), no UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Sequential-order dot product of two float arrays, in double."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+def _norm(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """Add a cosine-similarity column between two array columns."""
+    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector by cosine.
+
+    Plan shape: broadcast(queries) x corpus scan -> per-(query,corpus)
+    cosine -> row_number window per query. No shuffle of the corpus;
+    the only exchange is the window's partition-by-query (rows ∝
+    |queries| x |corpus| pre-filter, so keep queries small or pre-prune
+    with ``ivf_topk``). Ranking uses the rounded score with id tiebreak
+    so results are reproducible run-to-run and engine-to-engine.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    sim = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot("_qvec", "_cvec") / (_norm("_qvec") * _norm("_cvec")))
+    )
+    if round_digits is not None:
+        sim = sim.withColumn("cosine", F.round("cosine", round_digits))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+def build_ivf_index(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: pick C deterministic seed vectors (lowest ids —
+    deterministic without RNG; swap in k-means at production scale) as
+    centroids, assign every corpus vector to its nearest centroid.
+
+    Returns (centroids(centroid_id, cvec), assigned(corpus + centroid_id)).
+    The assignment is ONE broadcast join — corpus scanned once. At 100 TB
+    the assigned table is written bucketed by centroid_id so probes are
+    partition-pruned scans."""
+    centroids = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_centvec")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", _dot("_v", "_centvec") / (_norm("_v") * _norm("_centvec")))
+    )
+
+    w = Window.partitionBy("cid").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("cid").alias(id_col), F.col("_v").alias(vec_col), "centroid_id")
+    )
+    return centroids, assigned
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` nearest centroid
+    buckets per query, then exact cosine within candidates. The scan
+    shrinks ~num_centroids/nprobe-fold vs brute force; recall < 1."""
+    centroids, assigned = build_ivf_index(corpus, num_centroids, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", _dot("_qvec", "_centvec") / (_norm("_qvec") * _norm("_centvec")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qvec", "centroid_id")
+    )
+    cand = F.broadcast(probes).join(assigned, "centroid_id")
+    sim = cand.filter(F.col("query_id") != F.col(id_col)).withColumn(
+        "cosine", F.round(_dot("_qvec", vec_col) / (_norm("_qvec") * _norm(vec_col)), 6)
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
+
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a, b), a < b with cosine >=
+    threshold. Blocked by IVF centroid (near-dups share a centroid with
+    high probability) so the self-join is per-bucket, not global.
+    Returns (id_a, id_b, cosine)."""
+    _, assigned = build_ivf_index(corpus, num_centroids=16, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(_dot("_va", "_vb") / (_norm("_va") * _norm("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

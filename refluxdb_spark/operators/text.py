@@ -1,0 +1,120 @@
+"""Text analysis operators for document pipelines.
+
+Language ID (stopword-marker heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting —
+all as built-in column expressions (JVM-side, codegen; no Python in the
+hot path), so a 100 TB documents table pays one scan and zero shuffles
+for per-document scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from refluxdb_spark.operators.dedup import normalize_text
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small + explicit: deterministic, explainable, and easily
+# re-expressed in the SQL oracle. (A production system would swap in
+# fastText/CLD3 behind the same column contract.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "with"],
+    "de": ["der", "die", "und", "das", "ist", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "avec"],
+    "es": ["el", "los", "las", "es", "con", "una"],
+    "zh": ["de5", "shi4", "zai4", "he2", "le5", "you3"],
+}
+
+
+def _count_markers(tokens: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Predict language by marker-token counts; highest count wins
+    (ties broken by language code order), 'und' if no marker hits."""
+    tokens = F.split(normalize_text(text_col), " ")
+    scores = [
+        _count_markers(tokens, m).alias(f"_score_{lang}") for lang, m in LANG_MARKERS.items()
+    ]
+    scored = df.select("*", *scores)
+    best = F.greatest(*[F.col(f"_score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("und")
+    # iterate reversed so earlier language codes win ties via later override
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when((F.col(f"_score_{lang}") == best) & (best > 0), lang).otherwise(pred)
+    return scored.withColumn(out, pred).drop(*[f"_score_{lang}" for lang in LANG_MARKERS])
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-counting columns:
+
+    - ``ws_tokens``: whitespace-split count (the cheap estimator),
+    - ``bpe_tokens``: BPE-ish subword estimate — alphanumeric runs
+      contribute ceil(len/4) subwords (the ~4-chars-per-token rule),
+      each punctuation char is one token,
+    - ``n_chars_m``: character length.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    alnum_runs = F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != "")
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]+", ""))
+    bpe = F.aggregate(
+        alnum_runs,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("bigint"),
+    ) + punct.cast("bigint")
+    return df.select(
+        "*",
+        F.size(words).cast("bigint").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length(c).cast("bigint").alias("n_chars_m"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1]:
+
+    - ``mean_word_len``: avg alphanumeric-run length (garbage text runs
+      long or tiny),
+    - ``punct_ratio``: punctuation chars / all chars,
+    - ``stopword_ratio``: English-marker tokens / all tokens,
+    - ``quality``: product of three clamped sub-scores (word length in
+      [3,10], punct < 20%, some stopwords) — the C4/Gopher-rule shape.
+
+    All ratios are exact integer-count divisions in double — left
+    unrounded deliberately: an integer/integer division in IEEE double
+    is bit-identical in every engine, while rounding would introduce
+    half-up vs half-even boundary differences.
+    """
+    c = F.col(text_col)
+    tokens = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    n_tok = F.size(tokens)
+    total_len = F.aggregate(
+        tokens, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t).cast("bigint")
+    )
+    mean_word_len = F.when(n_tok > 0, total_len / n_tok).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]+", ""))
+    punct_ratio = F.when(F.length(c) > 0, punct / F.length(c)).otherwise(F.lit(0.0))
+    stop = _count_markers(tokens, LANG_MARKERS["en"])
+    stopword_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+
+    s_len = F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    s_punct = F.when(punct_ratio < 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    s_stop = F.when(stopword_ratio > 0, F.lit(1.0)).otherwise(F.lit(0.7))
+    return df.select(
+        "*",
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        (s_len * s_punct * s_stop).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text —
+    the blocking key for exact dedup and shard-stable sampling
+    (``operators/dedup.exact_dedup`` groups on exactly this)."""
+    return df.withColumn(out, F.md5(normalize_text(text_col)))

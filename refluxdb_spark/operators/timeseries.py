@@ -1,0 +1,225 @@
+"""Time-series analytics operators.
+
+The reference's own TODO list ("Pre-calculated stats for each series",
+``persistence.rs:40``, ``README.md:58``) plus the standard TSDB surface
+its data model implies: bucketed rollups, resampling with gap-fill,
+as-of joins, moving-window stats, sessionization, top-k per group.
+
+All operators are pure DataFrame compositions — no UDFs, no driver
+loops — so Catalyst plans them with pushdown/pruning and they scale by
+partitioning alone:
+
+- rollup/moving/topk shuffle once on their natural key;
+- ``asof_join`` is the union+window formulation (single shuffle on the
+  join key; no range-explosion, no broadcast requirement — works even
+  when both sides are 100 TB-scale);
+- ``resample`` builds its time grid from ``sequence()`` (rows ∝ buckets,
+  not input rows) and broadcast-joins the small grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(
+    df: DataFrame,
+    ts_col: str,
+    bucket: str = "1 hour",
+    by: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Tumbling-window rollup (batch twin of the streaming pre-agg).
+
+    Uses ``F.window`` so the same expression works under Structured
+    Streaming with a watermark. Output ``bucket_start`` is the window
+    start; grouping keys are preserved.
+    """
+    by = by or []
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    return (
+        df.groupBy(F.window(F.col(ts_col), bucket).alias("_w"), *by)
+        .agg(*aggs)
+        .withColumn("bucket_start", F.col("_w.start"))
+        .drop("_w")
+    )
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    bucket_expr: str,
+    step: str,
+    by: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    fill: dict[str, float] | None = None,
+) -> DataFrame:
+    """Resample to a fixed grid with gap-fill.
+
+    ``bucket_expr`` is a SQL expression truncating ``ts_col`` to the
+    bucket (e.g. ``date_trunc('hour', ts)``); ``step`` is an interval
+    literal (e.g. ``'1 hour'``). The dense grid = sequence(min..max)
+    cross-joined with the distinct group keys, left-joined with the
+    aggregated data; missing buckets get ``fill`` values (or null).
+
+    Scale shape: the grid has (buckets x groups) rows — tiny next to the
+    input — and both the grid build and the cross join stay broadcast.
+    """
+    by = by or []
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+
+    bucketed = df.withColumn("bucket", F.expr(bucket_expr.format(ts=ts_col)))
+    agged = bucketed.groupBy("bucket", *by).agg(*aggs)
+
+    bounds = bucketed.select(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.expr(f"sequence(lo, hi, interval {step})")).alias("bucket")
+    )
+    if by:
+        keys = df.select(*by).distinct()
+        grid = F.broadcast(grid).crossJoin(keys)
+
+    out = F.broadcast(grid).join(agged, on=["bucket", *by], how="left")
+    if fill:
+        out = out.fillna(fill)
+    return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` (direction='backward') sharing the ``on``
+    keys; 'forward' takes the next right row instead.
+
+    Spark-first formulation: union both sides tagged, one window sort
+    per key, ``last(..., ignorenulls)`` carries the right values onto
+    left rows. ONE shuffle on ``on`` — no range join explosion, no
+    per-row subquery, both sides may be arbitrarily large. (This is the
+    operator the reference's narrow schema would need for tag-aligned
+    series joins; GlueSQL 0.9 has nothing comparable — SURVEY §2.2.)
+    """
+    lcols = [c for c in left.columns]
+    tagged_l = left.select(
+        *on,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in value_cols],
+        F.struct(*lcols).alias("_lrow"),
+    )
+    tagged_r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(v).alias(f"_r_{v}") for v in value_cols],
+        F.lit(None).cast(tagged_l.schema["_lrow"].dataType).alias("_lrow"),
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts => "<=" semantics
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [
+            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
+            for v in value_cols
+        ]
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = [
+            F.first(f"_r_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
+            for v in value_cols
+        ]
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    return (
+        unioned.select("*", *carried)
+        .filter(F.col("_is_left") == 1)
+        .select("_lrow.*", *[f"asof_{v}" for v in value_cols])
+    )
+
+
+def moving_agg(
+    df: DataFrame,
+    ts_col: str,
+    by: list[str],
+    value_col: str,
+    window_rows: int = 10,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Row-based moving aggregates (avg/min/max/sum over the last N rows
+    per key, ordered by time). The reference's 'pre-calculated stats'
+    TODO, generalized."""
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    v = F.col(value_col)
+    return df.select(
+        "*",
+        F.avg(v).over(w).alias("mov_avg"),
+        F.min(v).over(w).alias("mov_min"),
+        F.max(v).over(w).alias("mov_max"),
+        F.count(v).over(w).alias("mov_n"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    by: list[str],
+    order: list[Column],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group via row_number — single shuffle; AQE handles
+    skewed groups. ``order`` must be a deterministic total order (add a
+    unique tiebreak column) or ranks are not reproducible."""
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    by: list[str],
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap from the
+    previous event (per key) exceeds ``gap_seconds``. Classic lag+cumsum
+    — one shuffle on the key; the streaming twin is session_window in
+    streaming/ingest.py. Gap compared at microsecond precision."""
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*by).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    new_sess = (prev.isNull() | (us - prev > gap_seconds * 1_000_000)).cast("int")
+    return (
+        df.withColumn("_new_session", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("_new_session")
+    )

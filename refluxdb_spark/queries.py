@@ -1,0 +1,1178 @@
+"""Query registry: every operator exposed through the driver contract.
+
+Each entry pairs a Spark implementation (a callable ``(spark, sf_dir) ->
+DataFrame`` built from the package's operators) with an ANSI-SQL oracle
+that DuckDB runs on the same parquet tables. The driver hash-compares
+the two at sf=0.01 — this file IS the correctness surface (SURVEY §2
+inventory + the large-scale pipeline operators).
+
+Cross-engine determinism rules used throughout (why results hash-match
+bit-for-bit):
+
+- **Sums of doubles are banned.** Shuffle order varies run to run, so
+  double accumulation is not reproducible even within Spark. Every sum
+  goes through DECIMAL (exact, order-independent) and is cast back to
+  DOUBLE: ``CAST(SUM(CAST(x AS DECIMAL(p,2))) AS DOUBLE)``. Decimal
+  intermediates are sized so products stay exact (no scale truncation).
+- **Averages** are ``CAST(sum_dec AS DOUBLE) / count`` — double
+  division of identical operands is bit-exact everywhere.
+- **Ratios** (quality scores etc.) are int/int divisions in double —
+  bit-exact, left unrounded.
+- **Rank orders** always carry a unique tiebreak column; floating
+  scores used for ranking are rounded first (cosine) so both engines
+  rank identical values.
+- **Hashes** are md5-based (identical in any engine), never
+  engine-native ``hash()``.
+- **LIMIT** only ever follows a deterministic total ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from refluxdb_spark.operators import dedup as D
+from refluxdb_spark.operators import multimodal as M
+from refluxdb_spark.operators import similarity as S
+from refluxdb_spark.operators import text as X
+from refluxdb_spark.operators import timeseries as TS
+from refluxdb_spark.streaming.ingest import stream_rollup
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), read as BIGINT nanos
+        # (session conf nanosAsLong); truncate to micros with integer
+        # division — `div`, not `/`, so no double precision loss at
+        # 1e18-scale epochs. Oracles CAST(ts AS TIMESTAMP) to match.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def _dsum(col, p: int = 18) -> F.Column:
+    """Order-independent sum of a 2-decimal double column, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({p},2)")).cast("double")
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# =====================================================================
+# A. refluxdb query surface (SURVEY §2.2 effective surface, on `events`
+#    as the timeseries stand-in: ts=time, event_type=series, value)
+# =====================================================================
+
+@register(
+    "reflux_select_filter_project",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+    FROM events
+    WHERE value > 150 AND event_type = 'error'
+    """,
+)
+def reflux_select_filter_project(spark, sf_dir):
+    """O11/O16: SELECT + WHERE over the series table (persistence.rs:146-163)."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter((F.col("value") > 150) & (F.col("event_type") == "error"))
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "reflux_range_scan",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP)
+          BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
+    """,
+)
+def reflux_range_scan(spark, sf_dir):
+    """O14: time-range scan, intended semantics of get_measurement_range
+    (persistence.rs:164-196; Q4 fixed — `time BETWEEN`, inclusive)."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").between("2024-01-05 00:00:00", "2024-01-10 00:00:00"))
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "reflux_list_series",
+    "SELECT DISTINCT event_type AS series FROM events",
+)
+def reflux_list_series(spark, sf_dir):
+    """O9: list_timeseries (persistence.rs:59-68) — distinct series."""
+    return load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series")
+    ).distinct()
+
+
+@register(
+    "reflux_series_stats",
+    """
+    SELECT event_type AS series,
+           count(*) AS n,
+           min(CAST(ts AS TIMESTAMP)) AS first_ts,
+           max(CAST(ts AS TIMESTAMP)) AS last_ts,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def reflux_series_stats(spark, sf_dir):
+    """The reference's unbuilt TODO (persistence.rs:40): per-series
+    pre-calculated stats. Partial aggregation map-side; one shuffle."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("series"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+            _dsum("value").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "reflux_limit_offset",
+    """
+    SELECT event_id, value FROM events
+    ORDER BY event_id LIMIT 100 OFFSET 50
+    """,
+)
+def reflux_limit_offset(spark, sf_dir):
+    """LIMIT/OFFSET after a deterministic total order (SURVEY §2.2)."""
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .orderBy("event_id")
+        .offset(50)
+        .limit(100)
+    )
+
+
+@register(
+    "reflux_scalar_functions",
+    """
+    SELECT event_id,
+           upper(event_type) AS type_upper,
+           lower(event_type) AS type_lower,
+           CAST(ceil(value) AS DOUBLE) AS value_ceil,
+           CAST(floor(value) AS DOUBLE) AS value_floor,
+           abs(value) AS value_abs,
+           length(event_type) AS type_len,
+           substr(event_type, 1, 3) AS type_prefix,
+           concat(event_type, '-', CAST(event_id AS VARCHAR)) AS type_id
+    FROM events WHERE event_id < 1000
+    """,
+)
+def reflux_scalar_functions(spark, sf_dir):
+    """Scalar-function surface (GlueSQL 0.9's small set, superseded —
+    SURVEY §2.2): string + math functions in a projection."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.lower("event_type").alias("type_lower"),
+        F.ceil("value").cast("double").alias("value_ceil"),
+        F.floor("value").cast("double").alias("value_floor"),
+        F.abs("value").alias("value_abs"),
+        F.length("event_type").alias("type_len"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.concat(F.col("event_type"), F.lit("-"), F.col("event_id").cast("string")).alias("type_id"),
+    )
+
+
+@register(
+    "reflux_props_extract",
+    """
+    SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k
+    FROM events WHERE event_id < 2000
+    """,
+)
+def reflux_props_extract(spark, sf_dir):
+    """Tag/props access (the reference's tags MAP column, Q7 fixed):
+    extract the numeric prop from the JSON-ish props string."""
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.regexp_extract("props", "[0-9]+", 0).cast("bigint").alias("prop_k"),
+        )
+    )
+
+
+# =====================================================================
+# B. SQL dialect surface (joins/aggregates/subqueries/set ops — the
+#    GlueSQL-delegated surface re-expressed on the star schema)
+# =====================================================================
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical scan->filter->partial-agg->shuffle
+    pipeline. Decimal sums (order-independent) cast back to double."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-09-01 00:00:00"
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+        (F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> broadcast joins -> agg ->
+    top-k. customer/orders sides are broadcast-sized after filtering;
+    only lineitem shuffles (for the final groupBy)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15 00:00:00"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15 00:00:00"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: star join with every dim broadcast; the fact
+    table never shuffles before aggregation."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q6_revenue_forecast",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter+agg — the pushdown showcase (all
+    predicates reach the parquet scan)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast("decimal(4,2)")
+    return li.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "join_left_outer_order_counts",
+    """
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer_order_counts(spark, sf_dir):
+    """LEFT OUTER JOIN (GlueSQL 0.9 nominally supports it; unreachable
+    through the reference — SURVEY §2.2). Customers with zero orders
+    survive with n_orders=0, total_spent NULL."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _dsum("o_totalprice", 12).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "subquery_in_filter",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+)
+def subquery_in_filter(spark, sf_dir):
+    """IN-subquery (Catalyst plans it as a left-semi broadcast join)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "union_all_sources",
+    """
+    SELECT o_orderkey AS id, 'order' AS src, o_totalprice AS amount
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT event_id AS id, 'event' AS src, value AS amount
+    FROM events WHERE value > 190
+    """,
+)
+def union_all_sources(spark, sf_dir):
+    """UNION ALL across heterogeneous sources (rejected by the
+    reference's validator O13 — body must be a plain Select)."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.lit("order").alias("src"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value") > 190)
+        .select(
+            F.col("event_id").alias("id"),
+            F.lit("event").alias("src"),
+            F.col("value").alias("amount"),
+        )
+    )
+    return o.unionByName(e)
+
+
+@register(
+    "having_active_customers",
+    """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 3
+    """,
+)
+def having_active_customers(spark, sf_dir):
+    """GROUP BY + HAVING (parses in GlueSQL but breaks the reference's
+    decoder O16 — first-class here)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@register(
+    "distinct_count_parts_per_supplier",
+    """
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def distinct_count_parts_per_supplier(spark, sf_dir):
+    """COUNT(DISTINCT) — expand+two-phase agg under AQE."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# =====================================================================
+# C. Window / time-series analytics (SURVEY §2.3 + M4: the reference's
+#    pre-agg TODO and the TSDB operator set GlueSQL 0.9 lacks entirely)
+# =====================================================================
+
+@register(
+    "ts_window_moving_avg",
+    """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           avg(value) OVER w AS mov_avg,
+           min(value) OVER w AS mov_min,
+           max(value) OVER w AS mov_max,
+           count(value) OVER w AS mov_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_window_moving_avg(spark, sf_dir):
+    """Moving-window stats per series key (operators.timeseries.moving_agg).
+    10-row windows: the in-window double sum is sequential in both
+    engines, hence bit-exact."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return TS.moving_agg(
+        e, ts_col="ts", by=["user_id"], value_col="value",
+        window_rows=10, tiebreak="event_id",
+    )
+
+
+@register(
+    "ts_topk_per_series",
+    """
+    SELECT event_id, event_type, value, rank_in_group FROM (
+        SELECT event_id, event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rank_in_group
+        FROM events
+    ) WHERE rank_in_group <= 5
+    """,
+)
+def ts_topk_per_series(spark, sf_dir):
+    """Top-k per group (operators.timeseries.topk_per_group) with a
+    deterministic tiebreak."""
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return TS.topk_per_group(
+        e, by=["event_type"],
+        order=[F.col("value").desc(), F.col("event_id").asc()], k=5,
+    )
+
+
+@register(
+    "ts_time_bucket_rollup",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_time_bucket_rollup(spark, sf_dir):
+    """Tumbling-window rollup (operators.timeseries.time_bucket = the
+    batch twin of the streaming pre-agg)."""
+    e = load(spark, sf_dir, "events")
+    return TS.time_bucket(
+        e, ts_col="ts", bucket="1 hour", by=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        ],
+    ).select("bucket_start", "event_type", "n", "sum_value")
+
+
+@register(
+    "ts_resample_gapfill",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS lo,
+               date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket FROM bounds
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    agged AS (
+        SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.bucket, k.event_type, COALESCE(a.n, 0) AS n
+    FROM grid g CROSS JOIN keys k
+    LEFT JOIN agged a ON a.bucket = g.bucket AND a.event_type = k.event_type
+    """,
+)
+def ts_resample_gapfill(spark, sf_dir):
+    """Resample to a dense daily grid with zero-fill
+    (operators.timeseries.resample): sequence()-built grid broadcast
+    against the aggregate — grid rows ∝ buckets x keys, not input."""
+    e = load(spark, sf_dir, "events")
+    out = TS.resample(
+        e, ts_col="ts", bucket_expr="date_trunc('day', {ts})", step="1 day",
+        by=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+        fill={"n": 0},
+    )
+    return out.select("bucket", "event_type", "n")
+
+
+@register(
+    "ts_asof_join",
+    """
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+           (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS asof_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def ts_asof_join(spark, sf_dir):
+    """As-of join (operators.timeseries.asof_join): each purchase gets
+    the latest click at-or-before it per user — union+window, ONE
+    shuffle, no correlated per-row scan (which is what the SQL oracle
+    spells, and what GlueSQL could never plan)."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = TS.asof_join(
+        purchases, clicks.withColumnRenamed("click_ts", "r_ts"),
+        on=["user_id"], left_ts="ts", right_ts="r_ts",
+        value_cols=["r_ts"], direction="backward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value", F.col("asof_r_ts").alias("asof_ts")
+    )
+
+
+@register(
+    "ts_sessionize",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def ts_sessionize(spark, sf_dir):
+    """Sessionization (operators.timeseries.sessionize): 30-min-gap
+    sessions per user, reported as per-user session counts."""
+    e = load(spark, sf_dir, "events")
+    sess = TS.sessionize(
+        e, ts_col="ts", by=["user_id"], gap_seconds=1800, tiebreak="event_id"
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_seq").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "ts_first_last_per_series",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ),
+    ranked AS (
+        SELECT user_id, ts, value, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_first,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_last
+        FROM ev
+    )
+    SELECT user_id,
+           min(CASE WHEN rn_first = 1 THEN value END) AS first_value,
+           min(CASE WHEN rn_last = 1 THEN value END) AS last_value
+    FROM ranked GROUP BY user_id
+    """,
+)
+def ts_first_last_per_series(spark, sf_dir):
+    """First/last observation per series key — the gauge-style read the
+    reference's narrow model needs for 'current value' queries."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w_f = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_l = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = e.select(
+        "user_id", "value",
+        F.row_number().over(w_f).alias("rn_first"),
+        F.row_number().over(w_l).alias("rn_last"),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.min(F.when(F.col("rn_first") == 1, F.col("value"))).alias("first_value"),
+        F.min(F.when(F.col("rn_last") == 1, F.col("value"))).alias("last_value"),
+    )
+
+
+@register(
+    "ts_streaming_rollup",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_streaming_rollup(spark, sf_dir):
+    """Structured Streaming pre-aggregation (streaming.ingest.
+    stream_rollup): the SAME rollup as ts_time_bucket_rollup computed
+    through readStream + watermark + window + availableNow — proving the
+    streaming path is semantically identical to batch (and letting the
+    oracle check a streaming operator)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as BIGINT nanos
+    src = (
+        spark.readStream.schema(raw_schema)
+        # FileStreamSource requires a directory; glob to the one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    out = stream_rollup(
+        spark, src, ts_col="ts", bucket="1 hour", by=["event_type"],
+        watermark="365 days",
+    )
+    return out.select("bucket_start", "event_type", "n", "sum_value")
+
+
+# =====================================================================
+# D. Large-scale pipeline operators (dedup / similarity / text /
+#    multimodal) — first-class components per BASELINE.json north star
+# =====================================================================
+
+_NORM_SQL = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+_TOKENS_SQL = f"string_split({_NORM_SQL.format(col='text')}, ' ')"
+# duckdb 32-bit md5 hash (= Spark conv(substring(md5(..),1,8),16,10))
+_H32_SQL = "CAST(concat('0x', substr(md5(concat('{seed}', {col})), 1, 8)) AS BIGINT)"
+
+# 3-word shingle token CTE (duckdb): mirrors operators.dedup.shingle_tokens
+_SHINGLE_CTE = """WITH base AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS toks
+        FROM documents
+    ),
+    toks2 AS (
+        SELECT DISTINCT id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS token
+        FROM base WHERE len(toks) >= 3
+    )"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL.format(col='text')}) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text md5 (operators.dedup.exact_dedup):
+    hash-groupBy, map-side combine, fixed-width shuffle key."""
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id AS id, lang AS blk, unnest({_TOKENS_SQL}) AS token
+        FROM documents
+    ),
+    toks2 AS (SELECT * FROM toks WHERE token != ''),
+    sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        FROM toks2 a JOIN toks2 b ON a.token = b.token AND a.blk = b.blk
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact word-set Jaccard >= 0.5, language-blocked inverted-index
+    self-join (operators.dedup.word_jaccard_pairs) — (doc, token) pairs
+    shuffle; the pair matrix is never materialized."""
+    return D.word_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5, block_col="lang"
+    )
+
+
+def _minhash_oracle(num_hashes: int = 8) -> str:
+    mins = ",\n           ".join(
+        f"min({_H32_SQL.format(seed=f's{i}:', col='token')}) AS sig{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+    {_SHINGLE_CTE}
+    SELECT id, {mins}
+    FROM toks2 GROUP BY id
+    """
+
+
+@register("dedup_minhash_signatures", _minhash_oracle(8))
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (operators.dedup.minhash_signatures) over
+    3-word shingles, 8 md5-derived hash functions — deterministic
+    across engines, one column per signature row for the oracle."""
+    sig = D.minhash_signatures(
+        load(spark, sf_dir, "documents"), num_hashes=8, shingle=3
+    )
+    return sig.select(
+        "id", *[F.col("sig")[i].alias(f"sig{i}") for i in range(8)]
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    None,  # probabilistic candidate generation exercised rows-only is
+           # NOT acceptable here: banding is deterministic, so we spell
+           # the full pipeline in SQL below instead. (set after def)
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline (operators.dedup.
+    minhash_dedup_pairs): 3-word shingles -> 16 hashes, 4 bands ->
+    candidate pairs -> exact shingle-Jaccard verification >= 0.8.
+    Candidate cost ∝ docs x bands, never the pair matrix."""
+    return D.minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=16, bands=4,
+        threshold=0.8, shingle=3,
+    )
+
+
+def _lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    rpb = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min({_H32_SQL.format(seed=f's{i}:', col='token')}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_exprs = ",\n               ".join(
+        "md5(concat_ws(',', '%d', %s)) AS b%d"
+        % (b, ", ".join(f"h{b * rpb + r}" for r in range(rpb)), b)
+        for b in range(bands)
+    )
+    band_cols = ", ".join(f"b{b}" for b in range(bands))
+    return f"""
+    {_SHINGLE_CTE},
+    sig AS (
+        SELECT id, {mins}
+        FROM toks2 GROUP BY id
+    ),
+    bandhash AS (
+        SELECT id, {band_exprs}
+        FROM sig
+    ),
+    buckets AS (
+        SELECT DISTINCT id, bucket
+        FROM (SELECT id, unnest([{band_cols}]) AS bucket FROM bandhash)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+        WHERE a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN toks2 ta ON ta.id = c.id_a
+        JOIN toks2 tb ON tb.id = c.id_b AND tb.token = ta.token
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    """
+
+
+ORACLES["dedup_minhash_lsh_pairs"] = _lsh_oracle(16, 4)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    lo = _H32_SQL.format(seed="sim0:", col="token")
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id AS id, unnest({_TOKENS_SQL}) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT id, {lo} AS h FROM toks WHERE token != ''
+    ),
+    votes AS (
+        SELECT id, {votes}
+        FROM hashed GROUP BY id
+    )
+    SELECT id, CAST({packed} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@register("dedup_simhash", _simhash_oracle(32))
+def dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints (operators.dedup.simhash), 32-bit md5-based
+    voting — integer arithmetic end to end."""
+    return D.simhash(load(spark, sf_dir, "documents"), bits=32)
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter({_TOKENS_SQL}, t -> t != '') AS toks,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS punct
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               len(toks) AS n_tok,
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len,
+               punct,
+               length(text) AS n_chars_t,
+               len(list_filter(toks, t -> list_contains(['the','and','of','to','is','with'], t))) AS stop
+        FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN n_tok > 0 THEN CAST(total_len AS DOUBLE) / n_tok ELSE 0.0 END AS mean_word_len,
+           CASE WHEN n_chars_t > 0 THEN CAST(punct AS DOUBLE) / n_chars_t ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE) / n_tok ELSE 0.0 END AS stopword_ratio,
+           CAST((CASE WHEN (CASE WHEN n_tok > 0 THEN CAST(total_len AS DOUBLE) / n_tok ELSE 0.0 END) BETWEEN 3 AND 10 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END)
+         * (CASE WHEN (CASE WHEN n_chars_t > 0 THEN CAST(punct AS DOUBLE) / n_chars_t ELSE 0.0 END) < 0.2 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END)
+         * (CASE WHEN stop > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.7 AS DOUBLE) END) AS DOUBLE) AS quality
+    FROM feat
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Quality scoring (operators.text.quality_score): Gopher/C4-style
+    heuristics as pure column expressions; ratios are exact int/int
+    double divisions."""
+    out = X.quality_score(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "mean_word_len", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+def _langid_oracle() -> str:
+    from refluxdb_spark.operators.text import LANG_MARKERS
+
+    score_cols = ",\n           ".join(
+        "len(list_filter(toks, t -> list_contains([%s], t))) AS score_%s"
+        % (", ".join(f"'{m}'" for m in markers), lang)
+        for lang, markers in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {pred} END"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, list_filter({_TOKENS_SQL}, t -> t != '') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, {score_cols}
+        FROM base
+    )
+    SELECT doc_id, lang, {pred} AS lang_pred FROM scored
+    """
+
+
+@register("text_lang_id", _langid_oracle())
+def text_lang_id(spark, sf_dir):
+    """Language ID (operators.text.lang_id): stopword-marker counts,
+    greatest-count-wins with deterministic tiebreak."""
+    out = X.lang_id(load(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "text_token_stats",
+    """
+    WITH base AS (
+        SELECT doc_id, source, text,
+               list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS words,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '') AS runs,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]+', '', 'g')) AS punct
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(len(words) AS BIGINT) AS ws_tokens,
+           CAST(list_sum(list_transform(runs, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) + punct AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_m
+    FROM base
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (operators.text.token_stats): whitespace count +
+    BPE-ish ceil(run/4) estimate + punctuation tokens."""
+    out = X.token_stats(load(spark, sf_dir, "documents"))
+    return out.select("doc_id", "source", "ws_tokens", "bpe_tokens", "n_chars_m")
+
+
+@register(
+    "text_fingerprint_stats",
+    f"""
+    SELECT source, count(DISTINCT md5({_NORM_SQL.format(col='text')})) AS n_fingerprints,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def text_fingerprint_stats(spark, sf_dir):
+    """Document fingerprinting (operators.text.fingerprint) rolled up
+    per source — the shard-level dedup-rate report."""
+    fp = X.fingerprint(load(spark, sf_dir, "documents"))
+    return fp.groupBy("source").agg(
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "sim_cosine_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+        FROM q CROSS JOIN c
+        WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (operators.similarity.cosine_topk):
+    broadcast queries x corpus scan, ranked on rounded scores with id
+    tiebreak."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, round_digits=6
+    )
+
+
+@register(
+    "sim_cosine_dup_pairs",
+    None,  # IVF-blocked — blocking is deterministic but assignment uses
+           # unrounded scores; checked rows-only (see sim_cosine_topk
+           # for the oracle-checked exact path).
+)
+def sim_cosine_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs within IVF blocks (operators.similarity.
+    cosine_dup_pairs) — the scale path where the global self-join is
+    replaced by per-centroid blocks. Threshold 0.35 sits in the top
+    tail of this dataset's cosine distribution (max pairwise ≈ 0.51;
+    there are no true near-dups in the synthetic embeddings)."""
+    return S.cosine_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@register("sim_ivf_topk", None)  # approximate by construction: rows-only
+def sim_ivf_topk(spark, sf_dir):
+    """IVF-pruned approximate top-k (operators.similarity.ivf_topk):
+    nprobe/num_centroids of the corpus scanned per query."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=4
+    )
+
+
+@register(
+    "mm_media_summary",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+           sha256(text) AS media_sha256,
+           'text/plain' AS media_mime
+    FROM documents
+    """,
+)
+def mm_media_summary(spark, sf_dir):
+    """Multimodal plumbing, JVM-only path (operators.multimodal.
+    media_summary): documents' text bytes standing in for opaque media
+    payloads — byte length + sha256 + mime, no decode."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = M.attach_media(docs, "payload", "text/plain")
+    return M.media_summary(media).select(
+        "doc_id", "media_bytes", "media_sha256", "media_mime"
+    )
+
+
+@register(
+    "mm_image_features",
+    """
+    WITH h AS (
+        SELECT doc_id AS id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha256,
+               CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) AS hv
+        FROM documents
+    )
+    SELECT id, n_bytes, sha256,
+           CAST(64 + hv % 512 AS INT) AS width,
+           CAST(64 + (hv >> 9) % 512 AS INT) AS height,
+           CAST(hv % 1000 AS DOUBLE) / 1000.0 AS mean_luma
+    FROM h
+    """,
+)
+def mm_image_features(spark, sf_dir):
+    """Arrow-batched decode pipeline (operators.multimodal.
+    image_features over mapInPandas) with the deterministic fake
+    decoder — schema, batching, and fan-in are the real plumbing; the
+    oracle reproduces the fake decode arithmetic in SQL."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = M.attach_media(docs, "payload", "image/png")
+    return M.image_features(media, id_col="doc_id", fake=True)
+
+
+@register("mm_frame_sample", None)  # fan-out stub: rows-only
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling fan-out (operators.multimodal.frame_sample,
+    mapInPandas producing multiple rows per input) with fake decode."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = M.attach_media(docs, "payload", "video/mp4")
+    return M.frame_sample(media, id_col="doc_id", fake=True)

@@ -48,7 +48,13 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
+        # testdata events.parquet carries TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as BIGINT nanos and convert
+        # explicitly (queries.load) — exact integer arithmetic, no
+        # double round-trip.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
