@@ -48,6 +48,13 @@ def main() -> None:
     spark = get_spark(app_name="refluxdb_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up: JIT/classloading + parquet footer reads, so timings
+    # reflect steady-state query cost, not first-query JVM spin-up.
+    from refluxdb_spark.queries import TABLES, load
+
+    for t in TABLES:
+        load(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]

@@ -1176,3 +1176,266 @@ def mm_frame_sample(spark, sf_dir):
     )
     media = M.attach_media(docs, "payload", "video/mp4")
     return M.frame_sample(media, id_col="doc_id", fake=True)
+
+
+# =====================================================================
+# E. Extended SQL dialect (Spark-SQL superset of GlueSQL 0.9 —
+#    SURVEY §2.2 rows marked "support regardless")
+# =====================================================================
+
+@register(
+    "agg_rollup_region_nation",
+    """
+    SELECT r_name, n_name, count(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup_region_nation(spark, sf_dir):
+    """GROUP BY ROLLUP (subtotals + grand total) — no GlueSQL analog."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            _dsum("s_acctbal", 12).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "setop_except_inactive_customers",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def setop_except_inactive_customers(spark, sf_dir):
+    """EXCEPT (distinct) — customers with no high-value order."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.exceptAll(o.distinct()).distinct()
+
+
+@register(
+    "setop_intersect_buyers_clickers",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def setop_intersect_buyers_clickers(spark, sf_dir):
+    """INTERSECT (distinct) — users appearing in two event classes."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("user_id")
+    c = e.filter(F.col("event_type") == "click").select("user_id")
+    return p.intersect(c)
+
+
+@register(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+)
+def join_anti_customers_without_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS) — customers with no high-value order,
+    planned as a broadcast anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return c.join(
+        F.broadcast(o), c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "scalar_subquery_above_avg_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        FROM orders
+    )
+    """,
+)
+def scalar_subquery_above_avg_orders(spark, sf_dir):
+    """Scalar subquery: orders above the global average price. The
+    threshold is a decimal-routed average (order-independent), computed
+    once and broadcast."""
+    o = load(spark, sf_dir, "orders")
+    avg_df = o.agg(
+        (_dsum("o_totalprice", 12) / F.count(F.lit(1))).alias("_avg")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "pivot_daily_event_counts",
+    """
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_daily_event_counts(spark, sf_dir):
+    """PIVOT: one column per series (explicit value list keeps the
+    output schema deterministic — never let pivot scan for values at
+    scale)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .fillna(0)
+    )
+
+
+@register(
+    "agg_median_per_series",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS median_value,
+           quantile_cont(value, 0.95) AS p95_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_median_per_series(spark, sf_dir):
+    """Exact interpolated percentiles (median + p95) per series — the
+    reference's TODO 'given percentile' stat (persistence.rs:40 area).
+    Spark `percentile` and duckdb `quantile_cont` both interpolate
+    linearly over the sorted values — identical arithmetic."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median_value"),
+        F.expr("percentile(value, 0.95)").alias("p95_value"),
+    )
+
+
+@register(
+    "date_parts_extraction",
+    """
+    SELECT event_id,
+           CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS y,
+           CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS m,
+           CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS d,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date
+    FROM events WHERE event_id < 500
+    """,
+)
+def date_parts_extraction(spark, sf_dir):
+    """Calendar decomposition of event time."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.to_date("ts").alias("event_date"),
+    )
+
+
+@register(
+    "case_when_value_buckets",
+    """
+    SELECT CASE WHEN value < 50 THEN 'low'
+                WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n,
+           CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def case_when_value_buckets(spark, sf_dir):
+    """CASE WHEN bucketing + aggregation."""
+    e = load(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+    )
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "string_like_filter",
+    """
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%gold%' OR p_brand = 'Brand#13'
+    """,
+)
+def string_like_filter(spark, sf_dir):
+    """LIKE predicates (GlueSQL 0.9's WHERE surface) pushed to scan."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%gold%") | (F.col("p_brand") == "Brand#13")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "ts_delta_encode",
+    """
+    SELECT event_id, user_id,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS delta,
+           epoch_us(CAST(ts AS TIMESTAMP)) -
+           lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+    FROM events
+    """,
+)
+def ts_delta_encode(spark, sf_dir):
+    """Per-series delta encoding (value diffs + inter-arrival gaps via
+    lag) — the building block for rate()/increase() style TSDB
+    queries. Double subtraction of identical operands is bit-exact."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )

@@ -1,0 +1,253 @@
+"""Unit tests for the operator layer on small handcrafted inputs where
+expected outputs are computable by hand."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from refluxdb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    shingle_tokens,
+    simhash,
+    word_jaccard_pairs,
+)
+from refluxdb_spark.operators.similarity import cosine_topk, ivf_topk, with_cosine
+from refluxdb_spark.operators.text import lang_id, quality_score, token_stats
+from refluxdb_spark.operators.timeseries import (
+    asof_join,
+    moving_agg,
+    resample,
+    sessionize,
+    time_bucket,
+    topk_per_group,
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+# ------------------------------------------------------------ timeseries
+@pytest.fixture(scope="module")
+def series_df(spark):
+    rows = [
+        ("cpu", ts("2024-01-01T00:05:00"), 1.0),
+        ("cpu", ts("2024-01-01T00:55:00"), 2.0),
+        ("cpu", ts("2024-01-01T01:10:00"), 3.0),
+        # gap: hour 2 empty
+        ("cpu", ts("2024-01-01T03:10:00"), 4.0),
+        ("mem", ts("2024-01-01T00:30:00"), 10.0),
+    ]
+    return spark.createDataFrame(rows, "series string, t timestamp, v double")
+
+
+def test_time_bucket(series_df):
+    out = time_bucket(
+        series_df, "t", "1 hour", by=["series"],
+        aggs=[F.count(F.lit(1)).alias("n"), F.min("v").alias("lo")],
+    )
+    got = {(r.series, r.bucket_start.hour): (r.n, r.lo) for r in out.collect()}
+    assert got[("cpu", 0)] == (2, 1.0)
+    assert got[("cpu", 1)] == (1, 3.0)
+    assert got[("cpu", 3)] == (1, 4.0)
+    assert got[("mem", 0)] == (1, 10.0)
+    assert ("cpu", 2) not in got
+
+
+def test_resample_gapfill(series_df):
+    out = resample(
+        series_df, "t", "date_trunc('hour', {ts})", "1 hour",
+        by=["series"], aggs=[F.count(F.lit(1)).alias("n")], fill={"n": 0},
+    )
+    got = {(r.series, r.bucket.hour): r.n for r in out.collect()}
+    # dense grid 0..3 for BOTH series, zero-filled
+    assert got[("cpu", 2)] == 0
+    assert got[("mem", 1)] == 0 and got[("mem", 3)] == 0
+    assert got[("cpu", 0)] == 2
+    assert len(got) == 8  # 4 hours x 2 series
+
+
+def test_asof_join_backward_and_forward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 100.0), ("A", 5, 105.0), ("A", 9, 109.0), ("B", 4, 50.0)],
+        "sym string, qt long, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 0), ("A", 5), ("A", 7), ("B", 3), ("B", 10)],
+        "sym string, tt long",
+    )
+    back = asof_join(
+        trades, quotes, on=["sym"], left_ts="tt", right_ts="qt",
+        value_cols=["px"], direction="backward",
+    )
+    got = {(r.sym, r.tt): r.asof_px for r in back.collect()}
+    assert got == {
+        ("A", 0): None,     # no quote yet
+        ("A", 5): 105.0,    # equal ts counts (<=)
+        ("A", 7): 105.0,
+        ("B", 3): None,
+        ("B", 10): 50.0,
+    }
+    fwd = asof_join(
+        trades, quotes, on=["sym"], left_ts="tt", right_ts="qt",
+        value_cols=["px"], direction="forward",
+    )
+    got_f = {(r.sym, r.tt): r.asof_px for r in fwd.collect()}
+    assert got_f[("A", 0)] == 100.0
+    assert got_f[("A", 5)] == 105.0  # >= semantics at equal ts
+    assert got_f[("A", 7)] == 109.0
+    assert got_f[("B", 10)] is None
+
+
+def test_moving_agg_window(spark):
+    df = spark.createDataFrame(
+        [("k", i, float(i)) for i in range(5)], "g string, t long, v double"
+    )
+    out = moving_agg(df, "t", ["g"], "v", window_rows=3).orderBy("t").collect()
+    assert [r.mov_avg for r in out] == [0.0, 0.5, 1.0, 2.0, 3.0]
+    assert [r.mov_n for r in out] == [1, 2, 3, 3, 3]
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [
+            ("u", ts("2024-01-01T00:00:00")),
+            ("u", ts("2024-01-01T00:10:00")),   # same session
+            ("u", ts("2024-01-01T01:00:00")),   # 50 min gap -> new
+            ("u", ts("2024-01-01T01:20:00")),
+            ("v", ts("2024-01-01T00:00:00")),
+        ],
+        "user string, t timestamp",
+    )
+    out = sessionize(df, "t", ["user"], gap_seconds=1800)
+    got = sorted((r.user, r.t.isoformat(), r.session_seq) for r in out.collect())
+    assert [g[2] for g in got] == [1, 1, 2, 2, 1]
+
+
+def test_topk_per_group_deterministic(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(100 - i % 3)) for i in range(10)], "g string, id long, v double"
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id").asc()], 3)
+    assert [(r.id, r.v) for r in out.orderBy("rank_in_group").collect()] == [
+        (0, 100.0), (3, 100.0), (6, 100.0)
+    ]
+
+
+# ------------------------------------------------------------ dedup
+def test_exact_dedup_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = {r.keep_id: r.dup_count for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}  # 1 and 2 normalize identically
+
+
+def test_shingle_tokens_short_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b")], "doc_id long, text string"
+    )
+    toks = shingle_tokens(df, w=3).collect()
+    assert {(r.id, r.token) for r in toks} == {(1, "a b c"), (1, "b c d")}
+
+
+def test_word_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    out = word_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.jaccard == pytest.approx(3 / 5)  # |∩|=3, |∪|=5
+
+
+def test_minhash_catches_planted_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tonight"), (3, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_dedup_pairs(df, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark makes distributed data processing simple and fast"),
+            (2, "spark makes distributed data processing simple and quick"),
+            (3, "completely different topic about cooking pasta tonight"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r.simhash for r in simhash(df, bits=32).collect()}
+    ham_12 = bin(got[1] ^ got[2]).count("1")
+    ham_13 = bin(got[1] ^ got[3]).count("1")
+    assert ham_12 < ham_13
+
+
+# ------------------------------------------------------------ similarity
+def test_with_cosine_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 0.0], [2.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [r.cosine for r in with_cosine(df, "a", "b").collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+
+
+def test_cosine_topk_orders_neighbors(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got == [(3, 1), (1, 2)]
+
+
+def test_ivf_topk_subset_of_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, q, k=5)
+    approx = ivf_topk(emb, q, k=5, num_centroids=8, nprobe=8)  # nprobe=all => exact
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert a == e  # probing every centroid must equal brute force
+
+
+# ------------------------------------------------------------ text
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"), (2, "der hund und die katze ist da"),
+         (3, "qqq zzz xxx")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_token_stats_counts(spark):
+    df = spark.createDataFrame([(1, "hello world, it's fine!")], "doc_id long, text string")
+    r = token_stats(df).collect()[0]
+    assert r.ws_tokens == 4
+    # runs: hello(2) world(2) it(1) s(1) fine(1) = 7 subwords; punct: , ' ! = 3
+    assert r.bpe_tokens == 7 + 3
+    assert r.n_chars_m == len("hello world, it's fine!")
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is here with style"), (2, "!!! ??? ...")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in quality_score(df).collect()}
+    assert got[1].quality == 1.0
+    assert got[2].quality < 1.0
+    assert got[2].punct_ratio > 0.5

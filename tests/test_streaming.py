@@ -1,0 +1,72 @@
+"""Structured Streaming ingest tests: file-stream line protocol ->
+measurements table; streaming rollup == batch rollup."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from refluxdb_spark.engine import RefluxEngine
+from refluxdb_spark.operators.timeseries import time_bucket
+from refluxdb_spark.streaming.ingest import stream_ingest_lines, stream_rollup
+
+
+def test_stream_ingest_lines(spark, tmp_path):
+    lines_dir = tmp_path / "lines"
+    lines_dir.mkdir()
+    (lines_dir / "batch1.txt").write_text(
+        "cpu,host=a usage=0.5 1700000000000000000\n"
+        "cpu,host=b usage=0.7,temp=55.0 1700000060000000000\n"
+    )
+    (lines_dir / "batch2.txt").write_text(
+        "mem,host=a used=0.9 1700000120000000000\n"
+    )
+    eng = RefluxEngine(spark, str(tmp_path / "wh"))
+    q = stream_ingest_lines(
+        eng, str(lines_dir), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination()
+    assert eng.list_series() == ["cpu", "mem"]
+    rows = eng.query_rows("SELECT name, value FROM cpu ORDER BY name, value")
+    assert [(r["name"], r["value"]) for r in rows] == [
+        ("temp", 55.0), ("usage", 0.5), ("usage", 0.7),
+    ]
+
+    # restart with same checkpoint: no new files -> no duplicate rows
+    q2 = stream_ingest_lines(
+        eng, str(lines_dir), str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination()
+    assert len(eng.query_rows("SELECT * FROM cpu")) == 3
+
+
+def test_stream_rollup_equals_batch(spark, sf_dir):
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    streamed = stream_rollup(
+        spark, src, ts_col="ts", bucket="1 hour", by=["event_type"],
+        watermark="365 days",
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    expected = time_bucket(
+        batch, "ts", "1 hour", by=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        ],
+    ).select(F.col("bucket_start"), "event_type", "n", "sum_value")
+
+    got = {tuple(r) for r in streamed.select("bucket_start", "event_type", "n", "sum_value").collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
