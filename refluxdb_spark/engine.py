@@ -126,7 +126,13 @@ class RefluxEngine:
     def _table(self) -> DataFrame:
         if not os.path.exists(self._path):
             return self.spark.createDataFrame([], MEASUREMENTS_SCHEMA)
-        return self.spark.read.parquet(self._path)
+        try:
+            return self.spark.read.parquet(self._path)
+        except Exception:
+            # path exists but holds no committed parquet footers yet
+            # (first write in flight, or only _temporary dirs): behave
+            # as an empty table instead of leaking UNABLE_TO_INFER_SCHEMA
+            return self.spark.createDataFrame([], MEASUREMENTS_SCHEMA)
 
     def list_series(self) -> list[str]:
         """``GET /`` (``handlers.rs:24-32`` / ``persistence.rs:59-68``):

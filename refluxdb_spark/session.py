@@ -49,6 +49,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # don't truncate PushedFilters/ReadSchema in explain output —
+        # plan tests assert on them
+        .config("spark.sql.maxMetadataStringLength", "2000")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
         # testdata events.parquet carries TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as BIGINT nanos and convert

@@ -1,0 +1,105 @@
+"""End-to-end server tests over real sockets: the README demo flows
+(nc -u ingest, curl /query) against the HTTP+UDP frontends."""
+
+import json
+import socket
+import time
+import urllib.request
+
+import pytest
+
+from refluxdb_spark.engine import RefluxEngine
+from refluxdb_spark.server import UDPLineServer, send_udp_line, serve_http
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    eng = RefluxEngine(spark, str(tmp_path_factory.mktemp("wh_srv")))
+    httpd = serve_http(eng, port=0)  # ephemeral port
+    http_port = httpd.server_address[1]
+    udp = UDPLineServer(eng, port=0, echo=True).start()
+    yield eng, http_port, udp
+    udp.stop()
+    httpd.shutdown()
+
+
+def _http(method, port, path, body=None, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=body.encode() if body else None,
+        method=method,
+        headers=headers or {},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_write_query_roundtrip(served):
+    eng, port, _ = served
+    code, out = _http(
+        "POST", port, "/write",
+        "test,host=server,region=us-east1 value=0.80 1234567890000000000",
+    )
+    assert code == 200 and out["written"] == 1 and out["rejected"] == []
+
+    code, rows = _http("POST", port, "/query", "q=SELECT * FROM test")
+    assert code == 200 and len(rows) == 1
+    assert rows[0]["value"] == 0.8
+    assert rows[0]["tags"] == {"host": "server", "region": "us-east1"}
+
+    code, series = _http("GET", port, "/")
+    assert code == 200 and "test" in series
+
+
+def test_write_rejects_bad_lines(served):
+    _, port, _ = served
+    code, out = _http("POST", port, "/write", "bad x=notanumber 1000")
+    assert code == 400 and out["rejected"] == ["bad x=notanumber 1000"]
+
+
+def test_query_validation_errors(served):
+    _, port, _ = served
+    code, out = _http("POST", port, "/query", "q=DROP TABLE test")
+    assert code == 400 and "SELECT" in out["error"]
+    code, out = _http("POST", port, "/query", "q=SELECT * FROM missing_series")
+    assert code == 404 and "table not found" in out["error"]
+
+
+def test_range_endpoint(served):
+    _, port, _ = served
+    code, rows = _http(
+        "GET", port,
+        "/range/test?start=2009-02-13T00:00:00Z&end=2009-02-14T00:00:00Z",
+    )
+    assert code == 200 and len(rows) == 1  # 1234567890 epoch ≈ 2009-02-13
+    code, out = _http("GET", port, "/range/nope?start=2009-01-01T00:00:00Z&end=2009-01-02T00:00:00Z")
+    assert code == 404
+    code, out = _http("GET", port, "/range/test?start=garbage&end=2009-01-02T00:00:00Z")
+    assert code == 400 and "malformed" in out["error"]
+
+
+def test_udp_ingest_and_echo(served):
+    eng, _, udp = served
+    with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+        s.settimeout(5)
+        s.sendto(b"udpseries,host=u value=1.5 1700000000000000000\n", ("127.0.0.1", udp.port))
+        echoed, _ = s.recvfrom(1024)  # echo mode serializes back (O4)
+    assert b"udpseries,host=u value=1.5" in echoed
+    deadline = time.time() + 5
+    while time.time() < deadline and not udp._buf:
+        time.sleep(0.05)
+    udp.flush()
+    rows = eng.query_rows("SELECT name, value FROM udpseries")
+    assert [(r["name"], r["value"]) for r in rows] == [("value", 1.5)]
+
+
+def test_udp_bad_line_echoes_error(served):
+    _, _, udp = served
+    with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+        s.settimeout(5)
+        s.sendto(b"bad x=oops 1000\n", ("127.0.0.1", udp.port))
+        echoed, _ = s.recvfrom(1024)
+    assert echoed.startswith(b"error:")
