@@ -6,6 +6,7 @@ from refluxdb_spark.operators.dedup import (
     simhash,
     word_jaccard_pairs,
 )
+from refluxdb_spark.operators.skew import heavy_hitters, salted_join
 from refluxdb_spark.operators.similarity import (
     cosine_dup_pairs,
     cosine_topk,
@@ -33,6 +34,7 @@ __all__ = [
     "cosine_topk",
     "exact_dedup",
     "fingerprint",
+    "heavy_hitters",
     "ivf_topk",
     "lang_id",
     "minhash_dedup_pairs",
@@ -41,6 +43,7 @@ __all__ = [
     "moving_agg",
     "quality_score",
     "resample",
+    "salted_join",
     "sessionize",
     "simhash",
     "time_bucket",

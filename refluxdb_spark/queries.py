@@ -816,15 +816,26 @@ def dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+# Kirsch-Mitzenmacher hash family over one md5 (mirrors
+# operators.dedup.minhash_signatures): h1, h2 = 32-bit md5 halves,
+# hash_i = (h1 + i*h2) mod 2^32.
+_KM_HASHED = """hashed AS (
+        SELECT id,
+               CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(token), 9, 8)) AS BIGINT) AS h2
+        FROM toks2
+    )"""
+
+
 def _minhash_oracle(num_hashes: int = 8) -> str:
     mins = ",\n           ".join(
-        f"min({_H32_SQL.format(seed=f's{i}:', col='token')}) AS sig{i}"
-        for i in range(num_hashes)
+        f"min((h1 + {i} * h2) % 4294967296) AS sig{i}" for i in range(num_hashes)
     )
     return f"""
-    {_SHINGLE_CTE}
+    {_SHINGLE_CTE},
+    {_KM_HASHED}
     SELECT id, {mins}
-    FROM toks2 GROUP BY id
+    FROM hashed GROUP BY id
     """
 
 
@@ -861,8 +872,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 def _lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     rpb = num_hashes // bands
     mins = ",\n               ".join(
-        f"min({_H32_SQL.format(seed=f's{i}:', col='token')}) AS h{i}"
-        for i in range(num_hashes)
+        f"min((h1 + {i} * h2) % 4294967296) AS h{i}" for i in range(num_hashes)
     )
     band_exprs = ",\n               ".join(
         "md5(concat_ws(',', '%d', %s)) AS b%d"
@@ -872,9 +882,10 @@ def _lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     band_cols = ", ".join(f"b{b}" for b in range(bands))
     return f"""
     {_SHINGLE_CTE},
+    {_KM_HASHED},
     sig AS (
         SELECT id, {mins}
-        FROM toks2 GROUP BY id
+        FROM hashed GROUP BY id
     ),
     bandhash AS (
         SELECT id, {band_exprs}
@@ -1438,4 +1449,63 @@ def ts_delta_encode(spark, sf_dir):
         "user_id",
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
         (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "ts_streaming_sessions",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id
+    """,
+)
+def ts_streaming_sessions(spark, sf_dir):
+    """Stateful streaming sessionization: ``F.session_window`` (gap-
+    merged event-time windows) under availableNow — the streaming twin
+    of operators.timeseries.sessionize, checked against the same
+    lag+cumsum SQL oracle. (Boundary note: session_window treats an
+    event at exactly gap distance as a new session via its half-open
+    [start, start+gap) window; the lag rule uses strict >. Identical on
+    this data — event times are random microseconds.)"""
+    import uuid as _uuid
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+            "user_id",
+        )
+    )
+    sessions = (
+        src.withWatermark("ts", "365 days")
+        .groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .count()
+    )
+    sink = f"sessions_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
     )

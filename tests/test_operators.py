@@ -251,3 +251,28 @@ def test_quality_score_ranges(spark):
     assert got[1].quality == 1.0
     assert got[2].quality < 1.0
     assert got[2].punct_ratio > 0.5
+
+
+# ------------------------------------------------------------ skew
+def test_salted_join_equals_plain_join(spark):
+    from refluxdb_spark.operators.skew import heavy_hitters, salted_join
+
+    # heavily skewed left: one key owns 90% of rows
+    left = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k long, payload long"
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k long, label string")
+
+    hh = {r.k: r.n_rows for r in heavy_hitters(left, ["k"], 500).collect()}
+    assert hh == {1: 900}
+
+    plain = {(r.k, r.payload, r.label) for r in left.join(right, ["k"]).collect()}
+    salted = {(r.k, r.payload, r.label) for r in salted_join(left, right, ["k"], salt=4).collect()}
+    assert salted == plain
+
+    l_plain = {(r.k, r.payload, r.label) for r in left.join(right.filter("k=1"), ["k"], "left").collect()}
+    l_salted = {
+        (r.k, r.payload, r.label)
+        for r in salted_join(left, right.filter("k=1"), ["k"], salt=4, how="left").collect()
+    }
+    assert l_salted == l_plain
