@@ -62,6 +62,7 @@ class RefluxEngine:
         self.strict_compat = strict_compat
         self.server_time_mode = server_time_mode
         self._path = os.path.join(warehouse, _TABLE)
+        self._dlq_path = os.path.join(warehouse, "dead_letters")
         self._views: set[str] = set()
         os.makedirs(warehouse, exist_ok=True)
 
@@ -80,7 +81,10 @@ class RefluxEngine:
         raw = self.spark.createDataFrame([(ln,) for ln in lines], "value string")
         parsed = parse_lines_df(raw).cache()
         try:
-            dlq = [r.raw for r in parsed.filter(F.col("error").isNotNull()).collect()]
+            bad = parsed.filter(F.col("error").isNotNull())
+            dlq = [r.raw for r in bad.collect()]
+            if dlq:
+                self.write_dead_letters(bad)
             rows = explode_fields(parsed)
             out = self._finalize_rows(rows)
             n = out.count()
@@ -98,9 +102,65 @@ class RefluxEngine:
 
     def write_dataframe(self, rows: DataFrame) -> None:
         """Append pre-shaped rows (series, tags, ts, name, value) — the
-        bulk/streaming ingest entry (used by streaming.foreachBatch)."""
+        bulk/streaming ingest entry (used by streaming.foreachBatch).
+
+        Rows are sorted by time within each output partition so parquet
+        row-group min/max stats make later time-range scans skip pages
+        — the lake-table equivalent of the reference's per-series
+        B-tree time locality."""
         out = self._finalize_rows(rows)
-        out.write.mode("append").partitionBy("series", "day").parquet(self._path)
+        (
+            out.sortWithinPartitions("series", "time")
+            .write.mode("append")
+            .partitionBy("series", "day")
+            .parquet(self._path)
+        )
+        self._views.clear()
+
+    def write_dead_letters(self, bad: DataFrame) -> None:
+        """Persist rejected lines (error + raw) to the dead-letter
+        table — inputs the reference would have panicked on (Q6) are
+        kept auditable instead of dropped."""
+        bad.select("error", "raw").withColumn(
+            "rejected_at", F.current_timestamp()
+        ).write.mode("append").parquet(self._dlq_path)
+
+    def dead_letters(self) -> DataFrame:
+        if not os.path.exists(self._dlq_path):
+            return self.spark.createDataFrame(
+                [], "error string, raw string, rejected_at timestamp"
+            )
+        return self.spark.read.parquet(self._dlq_path)
+
+    def compact(self, target_file_mb: int = 128) -> None:
+        """Rewrite the measurements table into ~target-size files per
+        (series, day) partition — streaming appends produce one small
+        file per micro-batch, and scan cost at 100 TB is dominated by
+        file count. Time-sorts within files (restores range-scan
+        locality) and preserves all rows."""
+        df = self._table()
+        if df.rdd.isEmpty():
+            return
+        tmp = self._path + ".compact"
+        n_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(self._path)
+            for f in files
+        )
+        n_files = max(1, n_bytes // (target_file_mb * 1024 * 1024))
+        (
+            df.repartition(int(n_files), "series")
+            .sortWithinPartitions("series", "time")
+            .write.mode("overwrite")
+            .partitionBy("series", "day")
+            .parquet(tmp)
+        )
+        import shutil
+
+        backup = self._path + ".pre_compact"
+        os.rename(self._path, backup)
+        os.rename(tmp, self._path)
+        shutil.rmtree(backup)
         self._views.clear()
 
     def _finalize_rows(self, rows: DataFrame) -> DataFrame:

@@ -41,10 +41,17 @@ def stream_ingest_lines(
     """Stream line-protocol text files from ``lines_dir`` into the
     engine's measurements table via foreachBatch append."""
     raw = engine.spark.readStream.format("text").load(lines_dir)
-    parsed = explode_fields(parse_lines_df(raw))
+    parsed = parse_lines_df(raw)
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
-        engine.write_dataframe(batch_df)
+        batch_df = batch_df.cache()
+        try:
+            engine.write_dataframe(explode_fields(batch_df))
+            bad = batch_df.filter(batch_df.error.isNotNull())
+            if not bad.rdd.isEmpty():
+                engine.write_dead_letters(bad)
+        finally:
+            batch_df.unpersist()
 
     writer = (
         parsed.writeStream.foreachBatch(_append)

@@ -103,3 +103,28 @@ def test_aggregates_beyond_reference(engine):
         {"name": "temp", "n": 1, "avg_value": 60.0},
         {"name": "usage", "n": 2, "avg_value": pytest.approx(0.6)},
     ]
+
+
+def test_dead_letter_table_persisted(spark, tmp_path):
+    eng = RefluxEngine(spark, str(tmp_path / "wh3"))
+    eng.write_lines(["good x=1 1000", "bad x=oops 1000", "worse 2000"])
+    dlq = {(r.error, r.raw) for r in eng.dead_letters().collect()}
+    assert dlq == {
+        ("non-numeric field value", "bad x=oops 1000"),
+        ("missing fieldset", "worse 2000"),
+    }
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    eng = RefluxEngine(spark, str(tmp_path / "wh4"))
+    for i in range(5):  # five appends -> many small files
+        eng.write_lines([f"s v={i}.0 {1700000000000000000 + i * 10**9}"])
+    before_rows = len(eng.query_rows("SELECT * FROM s"))
+    before_files = len(glob.glob(str(tmp_path / "wh4/measurements/**/*.parquet"), recursive=True))
+    eng.compact()
+    after_rows = len(eng.query_rows("SELECT * FROM s"))
+    after_files = len(glob.glob(str(tmp_path / "wh4/measurements/**/*.parquet"), recursive=True))
+    assert after_rows == before_rows == 5
+    assert after_files < before_files

@@ -93,3 +93,20 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """Bucketing both sides on the join key removes every exchange —
+    the co-located-join contract for recurring 100 TB joins."""
+    import uuid
+
+    from refluxdb_spark.sources.bucketed import bucketed_join, materialize_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    materialize_bucketed(orders, f"orders_b_{suffix}", ["o_orderkey"], 8)
+    materialize_bucketed(lineitem, f"lineitem_b_{suffix}", ["o_orderkey"], 8)
+    joined = bucketed_join(spark, f"orders_b_{suffix}", f"lineitem_b_{suffix}", ["o_orderkey"])
+    assert count_exchanges(joined) == 0
+    assert joined.count() == lineitem.count()  # FK join preserves fact rows

@@ -1,0 +1,76 @@
+"""Stateful streaming EMA: state must carry across micro-batches AND
+across query restarts (checkpoint recovery), matching a driver-side
+EMA fold over the full, ordered input."""
+
+import time
+
+from refluxdb_spark.streaming.stateful import stream_ema
+
+ALPHA = 0.3
+
+
+def _run_once(spark, lines_dir, ckpt, out_dir):
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema("series string, ts long, value double")
+        .option("maxFilesPerTrigger", "1")  # force multiple micro-batches
+        .json(str(lines_dir))
+    )
+    out = stream_ema(src, alpha=ALPHA)
+
+    def _sink(batch_df, batch_id):
+        # memory sink can't recover from checkpoints; parquet via
+        # foreachBatch can
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(str(out_dir))
+
+    q = (
+        out.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(str(out_dir)).collect()
+    # update mode emits the latest value per key per batch; the row with
+    # the highest n_obs per key is the final state
+    final = {}
+    for r in sorted(rows, key=lambda r: r.n_obs):
+        final[r.series] = (r.ema, r.n_obs)
+    return final
+
+
+def _expected_ema(values):
+    ema = None
+    for v in values:
+        ema = v if ema is None else ALPHA * v + (1 - ALPHA) * ema
+    return ema
+
+
+def test_ema_state_across_batches_and_restart(spark, tmp_path):
+    lines_dir = tmp_path / "ema_in"
+    lines_dir.mkdir()
+    ckpt = tmp_path / "ema_ck"
+
+    (lines_dir / "b1.json").write_text(
+        '{"series":"cpu","ts":1,"value":10.0}\n'
+        '{"series":"cpu","ts":2,"value":20.0}\n'
+        '{"series":"mem","ts":1,"value":5.0}\n'
+    )
+    time.sleep(0.01)
+    (lines_dir / "b2.json").write_text('{"series":"cpu","ts":3,"value":30.0}\n')
+
+    final = _run_once(spark, lines_dir, ckpt, tmp_path / "ema_out")
+    assert final["cpu"][1] == 3
+    assert final["cpu"][0] == _expected_ema([10.0, 20.0, 30.0])
+    assert final["mem"] == (5.0, 1)
+
+    # restart with a NEW file — state must resume from the checkpoint,
+    # not refold the old rows
+    (lines_dir / "b3.json").write_text('{"series":"cpu","ts":4,"value":40.0}\n')
+    final2 = _run_once(spark, lines_dir, ckpt, tmp_path / "ema_out2")
+    assert final2["cpu"][1] == 4
+    assert final2["cpu"][0] == _expected_ema([10.0, 20.0, 30.0, 40.0])

@@ -70,3 +70,17 @@ def test_stream_rollup_equals_batch(spark, sf_dir):
     got = {tuple(r) for r in streamed.select("bucket_start", "event_type", "n", "sum_value").collect()}
     want = {tuple(r) for r in expected.collect()}
     assert got == want
+
+
+def test_stream_ingest_routes_dead_letters(spark, tmp_path):
+    lines_dir = tmp_path / "lines_dlq"
+    lines_dir.mkdir()
+    (lines_dir / "mix.txt").write_text(
+        "ok v=1.0 1700000000000000000\nnope v=abc 1700000000000000000\n"
+    )
+    eng = RefluxEngine(spark, str(tmp_path / "wh_dlq"))
+    q = stream_ingest_lines(eng, str(lines_dir), str(tmp_path / "ck_dlq"))
+    q.awaitTermination()
+    assert len(eng.query_rows("SELECT * FROM ok")) == 1
+    dlq = eng.dead_letters().collect()
+    assert len(dlq) == 1 and dlq[0].raw.startswith("nope")
