@@ -1509,3 +1509,83 @@ def ts_streaming_sessions(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
     )
+
+
+@register(
+    "ts_date_bin_15min",
+    """
+    SELECT make_timestamp(
+             epoch_us(CAST(ts AS TIMESTAMP)) -
+             epoch_us(CAST(ts AS TIMESTAMP)) % CAST(900000000 AS BIGINT)
+           ) AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def ts_date_bin_15min(spark, sf_dir):
+    """Arbitrary-width binning (functions.tsdb.date_bin): 15-minute
+    buckets via exact epoch integer arithmetic."""
+    from refluxdb_spark.functions.tsdb import date_bin
+
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(date_bin("ts", 900).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "ts_rate_per_series",
+    """
+    WITH ev AS (
+        SELECT user_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               make_timestamp(epoch_us(CAST(ts AS TIMESTAMP)) -
+                              epoch_us(CAST(ts AS TIMESTAMP)) % CAST(21600000000 AS BIGINT)) AS bucket
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, bucket, us, value,
+               row_number() OVER (PARTITION BY user_id, bucket ORDER BY us, value) AS rn_f,
+               row_number() OVER (PARTITION BY user_id, bucket ORDER BY us DESC, value DESC) AS rn_l,
+               count(*) OVER (PARTITION BY user_id, bucket) AS n_samples
+        FROM ev
+    ),
+    firsts AS (SELECT user_id, bucket, n_samples, us AS f_us, value AS f_v FROM ranked WHERE rn_f = 1),
+    lasts  AS (SELECT user_id, bucket, us AS l_us, value AS l_v FROM ranked WHERE rn_l = 1)
+    SELECT f.user_id, f.bucket, f.n_samples,
+           f.f_v AS first_value, l.l_v AS last_value,
+           CASE WHEN l.l_us - f.f_us > 0
+                THEN (l.l_v - f.f_v) / ((l.l_us - f.f_us) / 1000000.0) END AS rate_per_sec
+    FROM firsts f JOIN lasts l ON f.user_id = l.user_id AND f.bucket = l.bucket
+    """,
+)
+def ts_rate_per_series(spark, sf_dir):
+    """Counter-rate estimator (functions.tsdb.rate_per_series):
+    (last-first)/span per series per 6h bucket."""
+    from refluxdb_spark.functions.tsdb import rate_per_series
+
+    e = load(spark, sf_dir, "events")
+    return rate_per_series(
+        e, ts_col="ts", by=["user_id"], value_col="value", bucket_seconds=21600
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT event_type, user_id % 10 AS user_band, count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_band), (event_type, user_band))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (beyond rollup): explicit multi-granularity
+    aggregation in one pass."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "user_band", F.col("user_id") % 10
+    )
+    return e.groupingSets(
+        [["event_type"], ["user_band"], ["event_type", "user_band"]],
+        "event_type",
+        "user_band",
+    ).agg(F.count(F.lit(1)).alias("n"))
