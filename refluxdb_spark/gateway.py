@@ -108,6 +108,14 @@ def validate_query(query: str, strict_compat: bool = False) -> list[str]:
                 raise ValidationError(f"query contains blocked keyword {kw}")
 
     clean = _strip_strings_and_comments(query)
+    # EXTRACT(x FROM y) / SUBSTRING(x FROM n) / TRIM(... FROM x) /
+    # POSITION(a IN b) use FROM/IN inside an argument list — blank those
+    # bodies so table extraction doesn't mistake a column for a table.
+    clean = re.sub(
+        r"(?i)\b(extract|substring|trim|position|overlay)\s*\(([^()]*)\)",
+        lambda m: m.group(1) + "(" + " " * len(m.group(2)) + ")",
+        clean,
+    )
 
     statements = [s for s in clean.split(";") if s.strip()]
     if len(statements) > 1:

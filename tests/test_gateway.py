@@ -67,3 +67,13 @@ def test_non_select_rejected():
 def test_cte_allowed_and_not_a_table():
     q = "WITH x AS (SELECT * FROM base) SELECT * FROM x"
     assert validate_query(q) == ["base"]
+
+
+def test_extract_from_not_a_table():
+    q = "SELECT EXTRACT(YEAR FROM time) AS y FROM cpu"
+    assert validate_query(q) == ["cpu"]
+
+
+def test_substring_from_and_trim_from():
+    q = "SELECT SUBSTRING(name FROM 1 FOR 2), TRIM(LEADING 'x' FROM name) FROM cpu"
+    assert validate_query(q) == ["cpu"]

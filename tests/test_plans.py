@@ -110,3 +110,20 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
     joined = bucketed_join(spark, f"orders_b_{suffix}", f"lineitem_b_{suffix}", ["o_orderkey"])
     assert count_exchanges(joined) == 0
     assert joined.count() == lineitem.count()  # FK join preserves fact rows
+
+
+def test_engine_range_scan_partition_pruned(spark, tmp_path_factory):
+    """`FROM <series>` routing over the single measurements table must
+    prune to the one series partition — the scan shape that replaces
+    the reference's per-series databases (SURVEY §1.5)."""
+    from refluxdb_spark.engine import RefluxEngine
+
+    eng = RefluxEngine(spark, str(tmp_path_factory.mktemp("wh_prune")))
+    eng.write_lines([
+        "alpha v=1.0 1700000000000000000",
+        "beta v=2.0 1700000000000000000",
+    ])
+    df = eng.query("SELECT * FROM alpha")
+    plan = explain_str(df, "formatted")
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "series" in pf[0] and "alpha" in pf[0], plan
