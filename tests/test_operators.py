@@ -276,3 +276,35 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_join(left, right.filter("k=1"), ["k"], salt=4, how="left").collect()
     }
     assert l_salted == l_plain
+
+
+def test_audio_features_fake_decode(spark):
+    from refluxdb_spark.operators.multimodal import attach_media, audio_features
+
+    df = spark.createDataFrame([(1, b"x" * 500), (2, b"")], "id long, payload binary")
+    media = attach_media(df, "payload", "audio/wav")
+    got = {r.id: r for r in audio_features(media, fake=True).collect()}
+    assert got[1].n_bytes == 500 and got[1].duration_ms == 500
+    assert got[1].sample_rate in (8000, 16000, 44100)
+    assert got[2].n_bytes == 0
+
+
+def test_ivf_index_persist_and_query(spark, sf_dir, tmp_path):
+    from refluxdb_spark.operators.similarity import (
+        ivf_topk,
+        load_ivf_topk,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 3")
+    save_ivf_index(emb, str(tmp_path / "ivf"), num_centroids=8)
+    from_disk = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in load_ivf_topk(spark, str(tmp_path / "ivf"), q, k=5, nprobe=4).collect()
+    }
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, q, k=5, num_centroids=8, nprobe=4).collect()
+    }
+    assert from_disk == inline  # saved index reproduces the inline plan
