@@ -249,6 +249,17 @@ class RefluxEngine:
             raise NoDataError("No data found for query")  # utils/db.rs:15-17
         return rows
 
+    def sql(self, q: str) -> DataFrame:
+        """Power-user surface: validated SELECT over the WHOLE lake
+        table as ``measurements`` (series as a column) — cross-series
+        joins and aggregations the reference's per-series storage could
+        never express (SURVEY §2.2 JOIN row). Same gateway validation;
+        the ``measurements`` name routes to the full table."""
+        tables = validate_query(q, strict_compat=self.strict_compat)
+        self._table().drop("day").createOrReplaceTempView(_TABLE)
+        self._ensure_views([t for t in tables if t.split(".")[-1] != _TABLE])
+        return self.spark.sql(q)
+
     def range(self, series: str, start: str | datetime, end: str | datetime) -> DataFrame:
         """``GET /range/{ts}?start&end`` (``handlers.rs:34-66``): the
         *intended* semantics of ``get_measurement_range``

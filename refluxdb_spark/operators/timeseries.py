@@ -96,10 +96,13 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the most recent right row with
     ``right_ts <= left_ts`` (direction='backward') sharing the ``on``
-    keys; 'forward' takes the next right row instead.
+    keys; 'forward' takes the next right row instead. With
+    ``tolerance_seconds`` a match farther than the tolerance is nulled
+    (pandas ``merge_asof(tolerance=...)`` semantics).
 
     Spark-first formulation: union both sides tagged, one window sort
     per key, ``last(..., ignorenulls)`` carries the right values onto
@@ -149,11 +152,28 @@ def asof_join(
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
-    return (
-        unioned.select("*", *carried)
-        .filter(F.col("_is_left") == 1)
-        .select("_lrow.*", *[f"asof_{v}" for v in value_cols])
-    )
+    out = unioned.select("*", *carried).filter(F.col("_is_left") == 1)
+    if tolerance_seconds is not None:
+        matched_ts = (
+            F.last(F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True)
+            if direction == "backward"
+            else F.first(F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True)
+        ).over(w)
+        gap = F.abs(
+            F.col("_ts").cast("double") - matched_ts.cast("double")
+        )
+        out = unioned.select(
+            "*", *carried, gap.alias("_gap")
+        ).filter(F.col("_is_left") == 1)
+        within = F.col("_gap") <= tolerance_seconds
+        return out.select(
+            "_lrow.*",
+            *[
+                F.when(within, F.col(f"asof_{v}")).alias(f"asof_{v}")
+                for v in value_cols
+            ],
+        )
+    return out.select("_lrow.*", *[f"asof_{v}" for v in value_cols])
 
 
 def moving_agg(

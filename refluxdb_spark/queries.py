@@ -299,9 +299,13 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         1 - F.col("l_discount").cast("decimal(4,2)")
     )
+    # no explicit broadcast hints: customer/orders grow with scale;
+    # Catalyst's size-based threshold broadcasts them while they fit
+    # (asserted in test_plans at test SF) and falls back to shuffle
+    # joins + AQE beyond — same code, correct at both ends.
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -342,11 +346,14 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         1 - F.col("l_discount").cast("decimal(4,2)")
     )
+    # broadcast only the bounded dims (region: 5 rows, nation: 25 —
+    # constant at any scale); scale-growing sides use the size
+    # threshold, as in q3.
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

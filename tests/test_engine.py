@@ -128,3 +128,17 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     after_files = len(glob.glob(str(tmp_path / "wh4/measurements/**/*.parquet"), recursive=True))
     assert after_rows == before_rows == 5
     assert after_files < before_files
+
+
+def test_engine_sql_cross_series(engine):
+    # cross-series aggregation over the single lake table — impossible
+    # in the reference (one database per series)
+    rows = engine.sql(
+        "SELECT series, count(*) AS n FROM measurements GROUP BY series ORDER BY series"
+    ).collect()
+    assert [(r.series, r.n) for r in rows] == [("cpu", 3), ("test", 2)]
+
+
+def test_engine_sql_still_validated(engine):
+    with pytest.raises(ValidationError):
+        engine.sql("DROP TABLE measurements")

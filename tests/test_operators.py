@@ -308,3 +308,16 @@ def test_ivf_index_persist_and_query(spark, sf_dir, tmp_path):
         for r in ivf_topk(emb, q, k=5, num_centroids=8, nprobe=4).collect()
     }
     assert from_disk == inline  # saved index reproduces the inline plan
+
+
+def test_asof_join_tolerance(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1, 100.0), ("A", 50, 150.0)], "sym string, qt long, px double"
+    )
+    trades = spark.createDataFrame([("A", 2), ("A", 90)], "sym string, tt long")
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tt", right_ts="qt",
+        value_cols=["px"], tolerance_seconds=10,
+    )
+    got = {r.tt: r.asof_px for r in out.collect()}
+    assert got == {2: 100.0, 90: None}  # 90-50=40 > tolerance -> nulled
