@@ -99,27 +99,24 @@ def word_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     block_col: str | None = None,
+    shingle: int = 1,
 ) -> DataFrame:
-    """Exact word-set Jaccard similarity for all pairs >= threshold.
+    """Exact Jaccard similarity over word sets (``shingle=1``) or
+    w-gram shingle sets (``shingle=w``) for all pairs >= threshold.
 
     Inverted-index formulation: explode to (id, token), self-join on
     token to count intersections, then |A ∪ B| = |A| + |B| - |A ∩ B|.
     With ``block_col`` (e.g. language) the index is additionally keyed
     by block, bounding posting lists. The pair matrix is never built —
-    only co-occurring pairs reach the aggregation.
+    only co-occurring pairs reach the aggregation. This is the exact
+    (recall=1) ground truth that ``minhash_dedup_pairs`` approximates.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b; ``jaccard`` is a
     DOUBLE from an exact integer division (deterministic)."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        normalize_text(text_col).alias("_norm"),
-        *([F.col(block_col).alias("_blk")] if block_col else []),
-    )
-    toks = base.select(
-        "id",
-        *([F.col("_blk")] if block_col else []),
-        F.explode(F.array_distinct(F.split("_norm", " "))).alias("token"),
-    ).filter(F.col("token") != "")
+    toks = _token_source(df, text_col, id_col, shingle)
+    if block_col:
+        blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("_blk"))
+        toks = toks.join(blocks, "id")
 
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 

@@ -321,3 +321,23 @@ def test_asof_join_tolerance(spark):
     )
     got = {r.tt: r.asof_px for r in out.collect()}
     assert got == {2: 100.0, 90: None}  # 90-50=40 > tolerance -> nulled
+
+
+def test_lsh_recall_against_exact_shingle_jaccard(spark, sf_dir):
+    """LSH candidates verified at >= 0.8 must recover (almost) all
+    exact shingle-Jaccard >= 0.8 pairs: with 16 hashes / 4 bands the
+    s-curve at s=0.8 gives ~88% per-pair candidate probability, and the
+    planted near-dups here sit at j~0.99 where it is ~1. Assert full
+    recall on this corpus and zero false positives (verification is
+    exact)."""
+    from refluxdb_spark.operators.dedup import minhash_dedup_pairs, word_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in word_jaccard_pairs(docs, threshold=0.8, shingle=3).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in minhash_dedup_pairs(docs, threshold=0.8).collect()}
+    assert lsh <= exact          # no false positives ever
+    assert len(exact) > 0        # planted dups exist in the corpus
+    assert len(lsh) / len(exact) == 1.0  # full recall on near-identical dups
