@@ -49,7 +49,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive session configuration: the driver may call queries()
+    with a vanilla SparkSession. These are runtime-settable and
+    required for correctness here:
+
+    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which the
+      parquet reader otherwise rejects outright;
+    - UTC session time: timestamp values must render identically to
+      the (naive, UTC) oracle side.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down — session.get_spark already set them
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), read as BIGINT nanos
@@ -733,6 +751,7 @@ def ts_streaming_rollup(spark, sf_dir):
     through readStream + watermark + window + availableNow — proving the
     streaming path is semantically identical to batch (and letting the
     oracle check a streaming operator)."""
+    _ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as BIGINT nanos
     src = (
         spark.readStream.schema(raw_schema)
@@ -1487,6 +1506,7 @@ def ts_streaming_sessions(spark, sf_dir):
     this data — event times are random microseconds.)"""
     import uuid as _uuid
 
+    _ensure_session_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
         spark.readStream.schema(raw_schema)
