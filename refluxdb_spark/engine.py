@@ -65,6 +65,11 @@ class RefluxEngine:
         self._dlq_path = os.path.join(warehouse, "dead_letters")
         self._views: set[str] = set()
         os.makedirs(warehouse, exist_ok=True)
+        # SQL-visible TSDB helpers (time_bucket_s, rate_per_second, …)
+        # available through the gateway — functions/sqlfuncs.py
+        from refluxdb_spark.functions.sqlfuncs import register_sql_functions
+
+        register_sql_functions(spark)
 
     # ------------------------------------------------------------- ingest
     def write_lines(self, lines: list[str]) -> tuple[int, list[str]]:
@@ -209,15 +214,20 @@ class RefluxEngine:
         known = set(self.list_series())
         for t in tables:
             base = t.split(".")[-1]
-            if base not in known:
+            if base in known:
+                # (re)create the series view if data changed since —
+                # the view pins a file listing, so writes invalidate it
+                if base not in self._views:
+                    self._table().filter(F.col("series") == base).drop(
+                        "series", "day"
+                    ).createOrReplaceTempView(base)
+                    self._views.add(base)
+            elif self.spark.catalog.tableExists(base):
+                continue  # separately-registered view (rollups etc.)
+            else:
                 # Q12 fix: unknown table is a clean error, not a panic
                 # (reference .unwrap()s the registry lookup, persistence.rs:199).
                 raise TableNotFoundError(f"table not found: {base}")
-            if base not in self._views:
-                self._table().filter(F.col("series") == base).drop(
-                    "series", "day"
-                ).createOrReplaceTempView(base)
-                self._views.add(base)
 
     def query(self, q: str) -> DataFrame:
         """``POST /query`` (``handlers.rs:70-93`` /
@@ -248,6 +258,50 @@ class RefluxEngine:
         if self.strict_compat and not rows:
             raise NoDataError("No data found for query")  # utils/db.rs:15-17
         return rows
+
+    def maintain_rollup(self, bucket: str = "1 hour", name: str = "rollup_1h") -> None:
+        """Materialize the per-series pre-aggregation table — the
+        reference's never-built TODO ('Pre-calculated stats for each
+        series', persistence.rs:40, README.md:58). Batch variant here;
+        ``streaming.ingest.stream_rollup`` maintains the same shape
+        incrementally. Queryable through the gateway under ``name``."""
+        from refluxdb_spark.operators.timeseries import time_bucket
+
+        df = time_bucket(
+            self._table(),
+            ts_col="time",
+            bucket=bucket,
+            by=["series", "name"],
+            aggs=[
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            ],
+        )
+        path = os.path.join(self.warehouse, name)
+        tmp = path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+    def wide(self, series: str) -> DataFrame:
+        """Wide view of one series: one row per (time, tags), one
+        column per field name — the reading shape for multi-field
+        lines the narrow model explodes on write (handlers.rs:112-134).
+        Field-name columns are discovered from the data; at scale pass
+        through ``pivot`` with an explicit value list instead."""
+        base = self._table().filter(F.col("series") == series)
+        names = sorted(r.name for r in base.select("name").distinct().collect())
+        return (
+            base.groupBy("time", "tags")
+            .pivot("name", names)
+            .agg(F.first("value"))
+        )
 
     def sql(self, q: str) -> DataFrame:
         """Power-user surface: validated SELECT over the WHOLE lake

@@ -142,3 +142,39 @@ def test_engine_sql_cross_series(engine):
 def test_engine_sql_still_validated(engine):
     with pytest.raises(ValidationError):
         engine.sql("DROP TABLE measurements")
+
+
+def test_maintain_rollup_and_query(spark, tmp_path):
+    eng = RefluxEngine(spark, str(tmp_path / "wh5"))
+    eng.write_lines([
+        "cpu usage=0.5 1700000000000000000",       # 22:13 UTC
+        "cpu usage=0.7 1700000060000000000",       # 22:14 UTC same hour
+        "cpu usage=0.9 1700010000000000000",       # next bucket
+    ])
+    eng.maintain_rollup()
+    rows = eng.sql(
+        "SELECT series, name, n, sum_value FROM rollup_1h ORDER BY n DESC"
+    ).collect()
+    assert (rows[0].series, rows[0].name, rows[0].n) == ("cpu", "usage", 2)
+    assert rows[0].sum_value == 1.2
+    assert len(rows) == 2
+
+
+def test_wide_view(spark, tmp_path):
+    eng = RefluxEngine(spark, str(tmp_path / "wh6"))
+    eng.write_lines(["m,host=a usage=0.5,temp=60.0 1700000000000000000"])
+    rows = eng.wide("m").collect()
+    assert len(rows) == 1
+    assert rows[0].usage == 0.5 and rows[0].temp == 60.0
+
+
+def test_sql_function_library_via_gateway(engine):
+    rows = engine.query_rows(
+        "SELECT time_bucket_s(time, 3600) AS bucket, name, "
+        "clamp(value, 0.0, 0.6) AS clamped, "
+        "ingest_lag_ms(time, created_at) AS lag_ms "
+        "FROM cpu ORDER BY name, clamped"
+    )
+    assert [r["clamped"] for r in rows] == [0.6, 0.5, 0.6]
+    assert all(r["bucket"].minute == 0 for r in rows)
+    assert all(r["lag_ms"] > 0 for r in rows)  # ingested long after 2023
