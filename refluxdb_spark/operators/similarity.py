@@ -185,6 +185,41 @@ def cosine_dup_pairs(
     )
 
 
+def blocked_cosine_pairs(
+    corpus: DataFrame,
+    block_col: str,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine pairs within user-supplied blocks: all (a, b), a < b
+    sharing ``block_col`` with cosine >= threshold.
+
+    The deterministic-blocking twin of ``cosine_dup_pairs``: when the
+    data already carries a natural shard key (cluster label, language,
+    tenant), blocking on it gives exact within-block recall with a
+    self-join that shuffles per block, never globally — pair cost is
+    sum(|block|^2), not |corpus|^2. Skewed blocks split under AQE.
+    Returns (id_a, id_b, cosine rounded to ``round_digits``)."""
+    a = corpus.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = corpus.select(
+        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot("_va", "_vb") / (_norm("_va") * _norm("_vb")), round_digits),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def save_ivf_index(
     corpus: DataFrame,
     path: str,

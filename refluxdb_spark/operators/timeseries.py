@@ -176,6 +176,54 @@ def asof_join(
     return out.select("_lrow.*", *[f"asof_{v}" for v in value_cols])
 
 
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    on: list[str],
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval (range) join: match each point row to every interval row
+    sharing the ``on`` keys with ``start <= ts < end``.
+
+    Naive range joins plan as broadcast-nested-loop (O(|L|x|R|) compares
+    — unusable at scale). This is the bucketed formulation: both sides
+    are keyed by coarse time bucket (``bucket_seconds`` should be >= the
+    typical interval length), intervals exploding to every bucket they
+    overlap via ``sequence()``, then an EQUI-join on (keys, bucket)
+    feeds the exact range predicate. Shuffle cost ∝ rows x buckets-per-
+    interval, never the cross product; Catalyst plans a plain
+    sort-merge/shuffled-hash join that AQE can split on skew.
+
+    Result: one row per (interval, contained point), interval columns
+    first. Deterministic — no dependence on partitioning.
+    """
+    us = 1_000_000 * bucket_seconds
+    # integer `div`, not `/`: bucket ids must be exact at 1e15-scale
+    # epoch micros (double division rounds near bucket boundaries)
+    ivals = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start_col}) div {us}"),
+                # end is exclusive: a zero-length tail at an exact bucket
+                # boundary must not claim the next bucket
+                F.expr(f"(unix_micros({end_col}) - 1) div {us}"),
+            )
+        ),
+    )
+    pts = points.withColumn("_bucket", F.expr(f"unix_micros({ts_col}) div {us}"))
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    return (
+        ivals.join(pts, on=[*on, "_bucket"], how=how)
+        .filter(cond)
+        .drop("_bucket")
+    )
+
+
 def moving_agg(
     df: DataFrame,
     ts_col: str,

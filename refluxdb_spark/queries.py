@@ -1643,3 +1643,319 @@ def mm_audio_features(spark, sf_dir):
     )
     media = M.attach_media(docs, "payload", "audio/wav")
     return M.audio_features(media, id_col="doc_id", fake=True)
+
+
+# =====================================================================
+# H. Extended SQL surface, round 2: the remaining expressible TPC-H
+#    shapes (EXISTS, disjunctive pushdown, having-subquery, conditional
+#    aggregation) + interval join + blocked exact similarity
+# =====================================================================
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to this schema's columns: 'a lineitem
+    shipped >30 days after ordering' stands in for commit<receipt):
+    EXISTS = LEFT SEMI join — each order emitted at most once however
+    many lineitems match, and the non-equi ship-lag predicate rides the
+    join. One shuffle on the join key."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-07-01 00:00:00")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue last quarter.
+    nation broadcast (constant-size dim); customer/orders broadcast
+    under the size threshold at test SF, shuffle joins + AQE beyond —
+    same code either way. Top-k with unique custkey tiebreak."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01 00:00:00")
+        & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12_priority_by_linestatus",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_by_linestatus(spark, sf_dir):
+    """TPC-H Q12 shape (l_linestatus stands in for the absent
+    l_shipmode): conditional aggregation — the CASE folds into the
+    aggregate so priority classification happens map-side, before the
+    single groupBy shuffle."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    WITH j AS (
+        SELECT p_type,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-06-01 00:00:00'
+    )
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    / CAST(SUM(rev) AS DOUBLE)) AS promo_pct
+    FROM j
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share. Part broadcast-joins to the
+    filtered lineitem; both conditional sums are decimal (exact) and the
+    percentage is a double division of two identical doubles — bit-exact
+    against the oracle without rounding."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01 00:00:00")
+        & (F.col("l_shipdate") < "1996-06-01 00:00:00")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_type", rev.alias("rev")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double")
+    total = F.sum("rev").cast("double")
+    return j.agg(
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        (F.lit(100.0) * (promo / total)).alias("promo_pct"),
+    )
+
+
+@register(
+    "tpch_q18_large_volume_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+    ) big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders. The HAVING pre-aggregation
+    runs FIRST and shrinks the fact side to the handful of big orders,
+    which then broadcast-joins to orders/customer — the
+    aggregate-then-join order is the whole optimization."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey", F.col("_sq").cast("double").alias("sum_qty"))
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_predicates",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def tpch_q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-table predicates. Catalyst
+    distributes the OR across the join: the single-table residues
+    (p_brand/p_size on part, l_quantity on lineitem) push into both
+    scans, the full disjunction re-checks after the join."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    b = F.col("p_brand")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#2") & sz.between(5, 25) & q.between(10, 40))
+        | ((b == "Brand#3") & sz.between(10, 40) & q.between(20, 50))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return j.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "ts_interval_join_error_clicks",
+    """
+    WITH w AS (
+        SELECT event_id AS win_id, user_id,
+               CAST(ts AS TIMESTAMP) AS win_start,
+               CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS win_end
+        FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT win_id,
+           count(*) AS n_clicks,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS click_value
+    FROM w JOIN p
+      ON p.user_id = w.user_id AND p.ts >= w.win_start AND p.ts < w.win_end
+    GROUP BY win_id
+    """,
+)
+def ts_interval_join_error_clicks(spark, sf_dir):
+    """Interval join (operators.timeseries.interval_join): clicks inside
+    the hour after each error, per user. The oracle is the naive range
+    join; the Spark plan is the bucketed equi-join formulation — same
+    rows, but shuffle-partitionable at any scale where the naive form
+    degenerates to a nested-loop."""
+    e = load(spark, sf_dir, "events")
+    w = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    p = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = TS.interval_join(
+        w, p,
+        on=["user_id"],
+        start_col="win_start",
+        end_col="win_end",
+        ts_col="ts",
+        bucket_seconds=3600,
+    )
+    return joined.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        _dsum("value", 12).alias("click_value"),
+    )
+
+
+@register(
+    "sim_blocked_cosine_pairs",
+    """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+)
+def sim_blocked_cosine_pairs(spark, sf_dir):
+    """Exact within-block cosine pairs (operators.similarity.
+    blocked_cosine_pairs) on the natural shard key `label` — the
+    deterministic, oracle-checkable counterpart of the IVF-blocked
+    near-dup pass: per-block self-join, pair cost sum(|block|^2)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.blocked_cosine_pairs(emb, block_col="label", threshold=0.3)

@@ -341,3 +341,64 @@ def test_lsh_recall_against_exact_shingle_jaccard(spark, sf_dir):
     assert lsh <= exact          # no false positives ever
     assert len(exact) > 0        # planted dups exist in the corpus
     assert len(lsh) / len(exact) == 1.0  # full recall on near-identical dups
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    """Bucketed interval join == naive range-predicate join, including
+    intervals spanning multiple buckets, empty intervals, and points on
+    exact bucket/interval boundaries."""
+    from refluxdb_spark.operators.timeseries import interval_join
+
+    ivals = spark.createDataFrame(
+        [
+            ("u1", 1, ts("2024-01-01T00:10:00"), ts("2024-01-01T02:30:00")),  # spans 3 buckets
+            ("u1", 2, ts("2024-01-01T01:00:00"), ts("2024-01-01T01:00:00")),  # empty
+            ("u2", 3, ts("2024-01-01T00:00:00"), ts("2024-01-01T01:00:00")),  # ends on boundary
+        ],
+        "uid string, win_id long, ws timestamp, we timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("u1", 10, ts("2024-01-01T00:10:00")),  # == start: in
+            ("u1", 11, ts("2024-01-01T02:29:59")),  # just inside the 3rd bucket
+            ("u1", 12, ts("2024-01-01T02:30:00")),  # == end: out
+            ("u2", 13, ts("2024-01-01T01:00:00")),  # == exclusive end on bucket edge: out
+            ("u2", 14, ts("2024-01-01T00:59:59")),  # in
+            ("u3", 15, ts("2024-01-01T00:30:00")),  # no interval for key
+        ],
+        "uid string, pid long, pt timestamp",
+    )
+    got = {
+        (r.win_id, r.pid)
+        for r in interval_join(
+            ivals, pts, on=["uid"], start_col="ws", end_col="we",
+            ts_col="pt", bucket_seconds=3600,
+        ).collect()
+    }
+    naive = {
+        (r.win_id, r.pid)
+        for r in ivals.join(
+            pts,
+            (ivals.uid == pts.uid) & (pts.pt >= ivals.ws) & (pts.pt < ivals.we),
+        ).collect()
+    }
+    assert got == naive == {(1, 10), (1, 11), (3, 14)}
+
+
+def test_blocked_cosine_pairs_exact_within_blocks(spark):
+    """Within-block pairs carry exact cosine; cross-block pairs never
+    appear even when their cosine clears the threshold."""
+    from refluxdb_spark.operators.similarity import blocked_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [1.0, 0.0], "a"),    # identical to 1, same block
+            (3, [0.0, 1.0], "a"),    # orthogonal
+            (4, [1.0, 0.0], "b"),    # identical to 1 but other block
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    rows = blocked_cosine_pairs(df, block_col="label", threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    assert rows[0].cosine == 1.0
