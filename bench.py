@@ -34,11 +34,15 @@ HEADLINE = [
     "ts_time_bucket_rollup",
     "ts_window_moving_avg",
     "ts_asof_join",
+    "ts_interval_join_error_clicks",
+    # SQL decision-support shapes
+    "tpch_q18_large_volume_orders",
     # pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "text_quality_scores",
     "sim_cosine_topk",
+    "sample_stratified_documents",
 ]
 
 

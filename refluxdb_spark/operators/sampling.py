@@ -1,0 +1,71 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent AND partition-dependent — the same
+seed yields different rows after a repartition, so a 100 TB corpus
+sampled on two cluster layouts produces two different datasets. These
+operators derive membership from row CONTENT (md5 of a key), making
+samples reproducible across runs, engines, partitionings, and scale —
+the property that lets a sample be re-materialized or audited later.
+
+Both are pure column expressions: a sample is a filter that pushes
+down next to the scan; no shuffle, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# md5-derived uniform value in [0, 1e6): the first 8 hex chars as an
+# integer, mod 1e6. Identical arithmetic is expressible in any engine
+# with md5 (DuckDB oracle: same expression), unlike xxhash64/rand.
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(key_col: str, seed: str) -> F.Column:
+    return F.expr(
+        f"cast(conv(substring(md5(concat('{seed}', cast({key_col} as string))), 1, 8), 16, 10) as bigint) % {_BUCKETS}"
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: str = "s0",
+) -> DataFrame:
+    """Keep rows whose md5-bucket of ``key_col`` falls under ``fraction``.
+
+    Content-derived Bernoulli sampling: membership depends only on
+    (seed, key) — stable under repartition, retry, engine, and scale.
+    Sampling by a KEY also gives consistent entity-level samples: every
+    row of a sampled user/doc survives together when keyed by that id.
+    """
+    return df.filter(_hash_bucket(key_col, seed) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each value of ``strata_col``
+    keeps its own fraction (e.g. downsample boilerplate sources, keep
+    all rare-language docs). Strata absent from ``fractions`` keep
+    ``default_fraction``.
+
+    The plan is scan -> filter (a CASE over the stratum column versus
+    the hash bucket): no shuffle, no per-stratum pass; at 100 TB this
+    costs exactly one read of the input.
+    """
+    bucket = _hash_bucket(key_col, seed)
+    expr = F.lit(int(default_fraction * _BUCKETS))
+    for value, frac in sorted(fractions.items(), reverse=True):
+        expr = (
+            F.when(F.col(strata_col) == value, F.lit(int(frac * _BUCKETS)))
+            .otherwise(expr)
+        )
+    return df.filter(bucket < expr)

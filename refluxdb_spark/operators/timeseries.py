@@ -267,6 +267,75 @@ def topk_per_group(
     )
 
 
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[tuple[str, Column]],
+) -> DataFrame:
+    """Ordered funnel: how many users completed step 1, steps 1-2 in
+    order, steps 1-2-3 in order, ... Min-timestamp semantics (the
+    standard funnel definition): a user counts for step k if the
+    earliest occurrence of each step is strictly later than the
+    earliest occurrence of the previous step.
+
+    ``steps`` is [(name, predicate_column), ...]. Returns one row with
+    a ``step{i}_{name}`` BIGINT column per step.
+
+    Scale shape: one groupBy(user) with all per-step min-timestamps as
+    conditional aggregates (map-side combined), then a global single-row
+    reduce — two exchanges total, no joins, no window."""
+    per_user = df.groupBy(user_col).agg(
+        *[
+            F.min(F.when(pred, F.col(ts_col))).alias(f"_t{i}")
+            for i, (_, pred) in enumerate(steps)
+        ]
+    )
+    counters = []
+    reached = None
+    for i, (name, _) in enumerate(steps):
+        t = F.col(f"_t{i}")
+        step_ok = t.isNotNull() if i == 0 else (t > F.col(f"_t{i-1}"))
+        reached = step_ok if reached is None else (reached & step_ok)
+        counters.append(
+            F.sum(F.when(reached, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"step{i + 1}_{name}")
+        )
+    return per_user.agg(*counters)
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Cohort retention: users grouped by the date of their first event
+    (cohort); for each (cohort, day_offset) the number of distinct
+    users active that many days after joining.
+
+    Returns (cohort DATE, day_offset INT, n_users BIGINT).
+
+    Scale shape: first-event groupBy(user), join back on user (co-
+    partitioned shuffle), distinct to (user, day), then the small
+    cohort-grid aggregation. All keys are user-or-date — no skew beyond
+    what AQE handles."""
+    firsts = df.groupBy(user_col).agg(F.min(ts_col).alias("_first"))
+    acts = (
+        df.join(firsts, user_col)
+        .select(
+            user_col,
+            F.to_date(F.col(ts_col)).alias("_d"),
+            F.to_date(F.col("_first")).alias("cohort"),
+        )
+        .distinct()
+    )
+    return (
+        acts.groupBy("cohort", F.datediff("_d", "cohort").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,

@@ -1959,3 +1959,129 @@ def sim_blocked_cosine_pairs(spark, sf_dir):
     near-dup pass: per-block self-join, pair cost sum(|block|^2)."""
     emb = load(spark, sf_dir, "embeddings")
     return S.blocked_cosine_pairs(emb, block_col="label", threshold=0.3)
+
+
+@register(
+    "sample_stratified_documents",
+    """
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(concat('s0', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000
+          < CASE WHEN source = 'src0' THEN 200000
+                 WHEN source = 'src1' THEN 800000
+                 ELSE 500000 END
+    """,
+)
+def sample_stratified_documents(spark, sf_dir):
+    """Deterministic stratified sampling (operators.sampling.
+    stratified_sample): per-source keep rates (downsample one source,
+    keep most of another) derived from md5(seed||doc_id) — membership
+    is content-defined, so the sample is identical across engines,
+    partitionings, and retries. Plan = scan + filter: zero shuffles."""
+    from refluxdb_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        key_col="doc_id",
+        strata_col="source",
+        fractions={"src0": 0.2, "src1": 0.8},
+        default_fraction=0.5,
+        seed="s0",
+    ).select("doc_id", "source", "lang")
+
+
+@register(
+    "skew_heavy_hitters_events",
+    """
+    SELECT user_id, event_type, count(*) AS n_rows
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING count(*) >= 20
+    """,
+)
+def skew_heavy_hitters_events(spark, sf_dir):
+    """Heavy-hitter detection (operators.skew.heavy_hitters): the skew
+    report that drives salting / bucket-cap decisions — keys owning
+    >= min_count rows, found in one map-side-combined aggregation."""
+    from refluxdb_spark.operators.skew import heavy_hitters
+
+    e = load(spark, sf_dir, "events")
+    return heavy_hitters(e, ["user_id", "event_type"], min_count=20)
+
+
+@register(
+    "events_funnel_signup_click_purchase",
+    """
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t0,
+               min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t1,
+               min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t2
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step1_signup,
+           CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END) AS BIGINT) AS step2_click,
+           CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase
+    FROM f
+    """,
+)
+def events_funnel_signup_click_purchase(spark, sf_dir):
+    """Ordered funnel (operators.timeseries.funnel): users who signed
+    up, then clicked after signing up, then purchased after clicking —
+    min-timestamp ordering, two exchanges, no joins or windows."""
+    e = load(spark, sf_dir, "events")
+    return TS.funnel(
+        e,
+        user_col="user_id",
+        ts_col="ts",
+        steps=[
+            ("signup", F.col("event_type") == "signup"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+        FROM events GROUP BY user_id
+    ),
+    acts AS (
+        SELECT DISTINCT e.user_id,
+               CAST(CAST(e.ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(f.first_ts AS DATE) AS cohort
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort,
+           CAST(date_diff('day', cohort, d) AS INTEGER) AS day_offset,
+           count(*) AS n_users
+    FROM acts GROUP BY cohort, day_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention (operators.timeseries.retention_cohorts):
+    distinct users active N days after their first event, per
+    first-event-date cohort."""
+    e = load(spark, sf_dir, "events")
+    return TS.retention_cohorts(e, user_col="user_id", ts_col="ts")
+
+
+@register(
+    "agg_cube_type_band",
+    """
+    SELECT event_type, CAST(user_id % 5 AS BIGINT) AS band, count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, band)
+    """,
+)
+def agg_cube_type_band(spark, sf_dir):
+    """CUBE: all 2^k grouping combinations in one pass (completes the
+    rollup / grouping-sets / cube trio)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "band", (F.col("user_id") % 5).cast("bigint")
+    )
+    return e.cube("event_type", "band").agg(F.count(F.lit(1)).alias("n"))

@@ -402,3 +402,77 @@ def test_blocked_cosine_pairs_exact_within_blocks(spark):
     rows = blocked_cosine_pairs(df, block_col="label", threshold=0.5).collect()
     assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
     assert rows[0].cosine == 1.0
+
+
+def test_hash_sample_partition_invariant(spark):
+    """Sample membership is content-derived: identical under
+    repartitioning (df.sample with a seed is NOT)."""
+    from refluxdb_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 0.3, seed="x").collect()}
+    b = {r.k for r in hash_sample(df.repartition(17), "k", 0.3, seed="x").collect()}
+    assert a == b
+    assert 0.25 < len(a) / 2000 < 0.35  # close to the nominal rate
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from refluxdb_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("s"),
+    )
+    out = stratified_sample(
+        df, key_col="k", strata_col="s",
+        fractions={"0": 1.0, "1": 0.0}, default_fraction=0.5,
+    )
+    by_stratum = {
+        r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_stratum.get("0") == 1000       # keep-all stratum intact
+    assert "1" not in by_stratum             # drop-all stratum gone
+    assert 400 < by_stratum.get("2", 0) < 600  # default rate stratum
+
+
+def test_funnel_ordering_semantics(spark):
+    """u1 completes all 3 steps in order; u2 clicked BEFORE signup (step
+    2 not in order); u3 only signed up; u4 never signed up."""
+    from refluxdb_spark.operators.timeseries import funnel
+
+    rows = [
+        ("u1", "signup", 1), ("u1", "click", 2), ("u1", "buy", 3),
+        ("u2", "click", 1), ("u2", "signup", 2), ("u2", "buy", 3),
+        ("u3", "signup", 5),
+        ("u4", "click", 1), ("u4", "buy", 2),
+    ]
+    df = spark.createDataFrame(rows, "u string, et string, t long")
+    out = funnel(
+        df, user_col="u", ts_col="t",
+        steps=[("signup", F.col("et") == "signup"),
+               ("click", F.col("et") == "click"),
+               ("buy", F.col("et") == "buy")],
+    ).collect()[0]
+    assert (out.step1_signup, out.step2_click, out.step3_buy) == (3, 1, 1)
+
+
+def test_retention_cohorts_counts(spark):
+    """Two users join day 0 (one returns day 1), one joins day 1."""
+    from refluxdb_spark.operators.timeseries import retention_cohorts
+
+    rows = [
+        ("a", ts("2024-01-01T10:00:00")),
+        ("a", ts("2024-01-02T09:00:00")),
+        ("b", ts("2024-01-01T23:00:00")),
+        ("c", ts("2024-01-02T01:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "u string, t timestamp")
+    got = {
+        (str(r.cohort), r.day_offset): r.n_users
+        for r in retention_cohorts(df, "u", "t").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # a, b on their join day
+        ("2024-01-01", 1): 1,   # a returned
+        ("2024-01-02", 0): 1,   # c
+    }

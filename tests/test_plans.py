@@ -127,3 +127,40 @@ def test_engine_range_scan_partition_pruned(spark, tmp_path_factory):
     plan = explain_str(df, "formatted")
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "series" in pf[0] and "alpha" in pf[0], plan
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs predicate must decompose: each table's residue
+    (brand/size on part, quantity on lineitem) reaches its own parquet
+    scan as a pushed filter — at 100 TB this is the difference between
+    reading slices of both tables and reading all of both."""
+    df = QUERIES["tpch_q19_disjunctive_predicates"](spark, sf_dir)
+    s = explain_str(df)
+    pushed = [seg[:400] for seg in s.split("PushedFilters:")[1:]]
+    assert any("p_brand" in seg and "Or(" in seg for seg in pushed)
+    assert any("l_quantity" in seg and "Or(" in seg for seg in pushed)
+
+
+def test_q18_aggregate_then_broadcast_join(spark, sf_dir):
+    """Q18's HAVING aggregation shrinks lineitem to the few big orders
+    BEFORE any join, so the join side broadcasts; only the aggregation
+    itself shuffles."""
+    df = QUERIES["tpch_q18_large_volume_orders"](spark, sf_dir)
+    assert_broadcast_join(df)
+    assert count_exchanges(df) <= 2
+
+
+def test_stratified_sample_zero_shuffle(spark, sf_dir):
+    """Sampling is a pure filter: scan -> filter, no exchange at any
+    scale (reads the corpus exactly once)."""
+    df = QUERIES["sample_stratified_documents"](spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_interval_join_no_nested_loop(spark, sf_dir):
+    """The bucketed interval join must never plan as a nested-loop
+    (cartesian) join — the whole point of the bucket equi-key."""
+    df = QUERIES["ts_interval_join_error_clicks"](spark, sf_dir)
+    s = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
