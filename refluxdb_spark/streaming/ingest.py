@@ -63,6 +63,44 @@ def stream_ingest_lines(
     return writer.start()
 
 
+def stream_dedup(
+    spark: SparkSession,
+    source: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+    sink_table: str | None = None,
+) -> DataFrame:
+    """Streaming deduplication: emit each key once, suppressing
+    re-deliveries that arrive within the watermark horizon.
+
+    This is the idempotent-ingest building block (at-least-once
+    transports — UDP redelivery, producer retries — become effectively
+    exactly-once per key). State is bounded: ``dropDuplicatesWithin
+    Watermark`` evicts a key's dedup record once the watermark passes
+    it, so state size ∝ keys-per-horizon, not stream history — the
+    property that keeps this runnable forever at 100 TB/day. Exact
+    global dedup over all time belongs to the batch layer
+    (``operators.dedup.exact_dedup``).
+
+    Processes everything currently available (availableNow) and
+    returns the deduplicated result table.
+    """
+    sink_table = sink_table or f"dedup_{uuid.uuid4().hex[:8]}"
+    deduped = source.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def stream_rollup(
     spark: SparkSession,
     source: DataFrame,

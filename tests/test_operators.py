@@ -476,3 +476,42 @@ def test_retention_cohorts_counts(spark):
         ("2024-01-01", 1): 1,   # a returned
         ("2024-01-02", 0): 1,   # c
     }
+
+
+def test_interval_join_randomized_equivalence(spark):
+    """Seeded randomized fuzz: bucketed interval join must equal the
+    naive range join on arbitrary interval lengths (zero to many
+    buckets) and boundary-heavy timestamps."""
+    import random
+
+    from refluxdb_spark.operators.timeseries import interval_join
+
+    rng = random.Random(1234)
+    base = 1_700_000_000
+    ivals, pts = [], []
+    for i in range(120):
+        start = base + rng.randrange(0, 7200)
+        ivals.append((f"k{rng.randrange(4)}", i, start, start + rng.choice([0, 1, 60, 3600, 9000])))
+    for j in range(300):
+        pts.append((f"k{rng.randrange(4)}", j, base + rng.randrange(0, 17000)))
+    iv = spark.createDataFrame(ivals, "key string, win_id long, s long, e long").select(
+        "key", "win_id",
+        F.timestamp_seconds("s").alias("ws"), F.timestamp_seconds("e").alias("we"),
+    )
+    pt = spark.createDataFrame(pts, "key string, pid long, t long").select(
+        "key", "pid", F.timestamp_seconds("t").alias("pt")
+    )
+    got = {
+        (r.win_id, r.pid)
+        for r in interval_join(
+            iv, pt, on=["key"], start_col="ws", end_col="we",
+            ts_col="pt", bucket_seconds=1800,
+        ).collect()
+    }
+    naive = {
+        (r.win_id, r.pid)
+        for r in iv.join(
+            pt, (iv.key == pt.key) & (pt.pt >= iv.ws) & (pt.pt < iv.we)
+        ).collect()
+    }
+    assert got == naive and len(naive) > 50

@@ -84,3 +84,31 @@ def test_stream_ingest_routes_dead_letters(spark, tmp_path):
     assert len(eng.query_rows("SELECT * FROM ok")) == 1
     dlq = eng.dead_letters().collect()
     assert len(dlq) == 1 and dlq[0].raw.startswith("nope")
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered keys across micro-batches are emitted exactly once
+    while inside the watermark horizon (idempotent at-least-once
+    ingest)."""
+    from refluxdb_spark.streaming.ingest import stream_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"k": "a", "ts": "2024-01-01T00:00:00", "v": 1}\n'
+        '{"k": "b", "ts": "2024-01-01T00:01:00", "v": 2}\n'
+        '{"k": "a", "ts": "2024-01-01T00:02:00", "v": 3}\n'  # dup in-batch
+    )
+    (src / "b2.json").write_text(
+        '{"k": "a", "ts": "2024-01-01T00:03:00", "v": 4}\n'  # dup cross-batch
+        '{"k": "c", "ts": "2024-01-01T00:04:00", "v": 5}\n'
+    )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = stream_dedup(spark, stream, key_cols=["k"], ts_col="ts", watermark="1 hour")
+    got = {r.k for r in out.collect()}
+    assert got == {"a", "b", "c"}
+    assert out.count() == 3  # each key exactly once
