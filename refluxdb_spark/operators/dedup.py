@@ -267,6 +267,70 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Duplicate-cluster resolution: given near-dup PAIRS, assign every
+    node the minimum id of its connected component — the canonical
+    representative a dedup pipeline keeps (pairs alone can't answer
+    "keep one per group" when dups chain a-b, b-c).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes. Rounds needed = graph diameter — near-dup clusters
+    are near-cliques, so 2-3 rounds in practice (``max_iter`` is a
+    safety bound; raises if not converged, rather than returning wrong
+    labels). Each round is one join + one groupBy on node id — no
+    driver-side graph, both sides arbitrarily large. For pathological
+    long-chain graphs swap in large-star/small-star; near-dup clusters
+    never look like that.
+
+    Returns (id, component) where component = min id in the component.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        # localCheckpoint: materialize + cut lineage each round (the
+        # iterative plan would otherwise grow by two joins per round)
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_nbr_min"), F.col("component")),
+                ).alias("component"),
+                (F.col("_nbr_min") < F.col("component")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.select("id", "component")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

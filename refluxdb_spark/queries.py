@@ -842,6 +842,56 @@ def dedup_jaccard_pairs(spark, sf_dir):
     )
 
 
+_CC_ORACLE = """WITH RECURSIVE base AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS toks
+        FROM documents
+    ),
+    toks2 AS (
+        SELECT DISTINCT id,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS token
+        FROM base WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        FROM toks2 a JOIN toks2 b ON a.token = b.token
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+    )
+SELECT node AS id, min(label) AS component FROM cc GROUP BY node
+"""
+
+
+@register("dedup_components", _CC_ORACLE)
+def dedup_components(spark, sf_dir):
+    """Duplicate-cluster resolution (operators.dedup.connected_
+    components): exact shingle-Jaccard >= 0.8 pairs chained into
+    components by iterative min-label propagation — the 'keep one doc
+    per near-dup GROUP' step pairs alone can't answer. Oracle is the
+    same reachability computed by a recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.word_jaccard_pairs(docs, threshold=0.8, shingle=3)
+    return D.connected_components(pairs)
+
+
 # Kirsch-Mitzenmacher hash family over one md5 (mirrors
 # operators.dedup.minhash_signatures): h1, h2 = 32-bit md5 halves,
 # hash_i = (h1 + i*h2) mod 2^32.

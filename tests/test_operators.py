@@ -515,3 +515,28 @@ def test_interval_join_randomized_equivalence(spark):
         ).collect()
     }
     assert got == naive and len(naive) > 50
+
+
+def test_connected_components_chains_and_singletons(spark):
+    """a-b, b-c chain into one component under min id; d-e separate;
+    isolated nodes (no pairs) are absent by contract."""
+    from refluxdb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds; the min
+    label must still reach the far end (convergence check, not a fixed
+    round count)."""
+    from refluxdb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(13)}
