@@ -102,11 +102,14 @@ def frame_sample(
     media_col: str = "media",
     every_ms: int = 1000,
     fake: bool = False,
+    chunk_bytes: int = 1024,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame
     (id, frame_idx, frame_ts_ms, frame sha256). Stubbed decode; the fake
-    mode emits ceil(payload_len/1024) pseudo-frames so the fan-out shape
-    (mapInPandas producing >1 row per input) is real."""
+    mode emits ceil(payload_len/chunk_bytes) pseudo-frames (sha256 of
+    each payload chunk) so the fan-out shape (mapInPandas producing >1
+    row per input) is real AND deterministic — the per-frame hashes are
+    reproducible by any engine that can chunk the same bytes."""
     src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -121,9 +124,9 @@ def frame_sample(
             rows = []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                n_frames = max(1, (len(b) + 1023) // 1024)
+                n_frames = max(1, (len(b) + chunk_bytes - 1) // chunk_bytes)
                 for i in range(n_frames):
-                    chunk = b[i * 1024 : (i + 1) * 1024]
+                    chunk = b[i * chunk_bytes : (i + 1) * chunk_bytes]
                     rows.append(
                         {
                             "id": rid,

@@ -87,31 +87,129 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
     )
 
-def build_ivf_index(
+def seed_centroids(
     corpus: DataFrame,
     num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """IVF index build: pick C deterministic seed vectors (lowest ids —
-    deterministic without RNG; swap in k-means at production scale) as
-    centroids, assign every corpus vector to its nearest centroid.
-
-    Returns (centroids(centroid_id, cvec), assigned(corpus + centroid_id)).
-    The assignment is ONE broadcast join — corpus scanned once. At 100 TB
-    the assigned table is written bucketed by centroid_id so probes are
-    partition-pruned scans."""
-    centroids = (
+) -> DataFrame:
+    """Deterministic centroid seeds: the ``num_centroids`` lowest-id
+    corpus vectors. No RNG — reproducible across runs, engines, and
+    partitionings (the property the cross-engine oracle needs)."""
+    return (
         corpus.orderBy(F.col(id_col).asc())
         .limit(num_centroids)
         .select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_centvec")
         )
     )
+
+
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) centroid training as DataFrame ops.
+
+    Init = deterministic lowest-id seeds; each round is ONE broadcast
+    join (assign every vector to its max-cosine centroid) + ONE groupBy
+    (element-wise mean via ``posexplode`` + re-``collect_list``), then
+    L2-normalize the mean (spherical k-means — the right objective for
+    cosine retrieval). Empty clusters keep their previous centroid.
+
+    Scale: per round the corpus is scanned once and shuffled once on
+    (centroid_id, position) — no pairwise distances, no driver-side
+    vectors. ``iters`` is small (3-5) because IVF only needs coarse
+    cells, not converged clusters. Float mean order varies with
+    partitioning, so TRAINED centroids are for recall, not for
+    cross-engine-oracled queries — use ``seed_centroids`` there.
+    """
+    centroids = seed_centroids(corpus, num_centroids, id_col, vec_col)
+    vecs = corpus.select(F.col(id_col).alias("_kid"), F.col(vec_col).alias("_kv"))
+    for _ in range(iters):
+        scored = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .withColumn("_sim", _dot("_kv", "_centvec") / (_norm("_kv") * _norm("_centvec")))
+        )
+        w = Window.partitionBy("_kid").orderBy(
+            F.col("_sim").desc(), F.col("centroid_id").asc()
+        )
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("centroid_id", "_kv")
+        )
+        # element-wise mean: explode to (centroid, pos, val), avg, re-pack
+        means = (
+            assigned.select("centroid_id", F.posexplode("_kv").alias("_pos", "_val"))
+            .groupBy("centroid_id", "_pos")
+            .agg(F.avg("_val").alias("_m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_m"))
+                ).alias("_pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("_pm"), lambda s: s["_m"].cast("float")).alias("_mean"),
+            )
+        )
+        new = means.withColumn(
+            "_centvec",
+            F.transform(F.col("_mean"), lambda x: (x / _norm("_mean")).cast("float")),
+        ).select("centroid_id", "_centvec")
+        # empty clusters keep their previous centroid
+        centroids = (
+            centroids.alias("old")
+            .join(new.alias("new"), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new._centvec"), F.col("old._centvec")).alias("_centvec"),
+            )
+            .localCheckpoint(eager=True)  # cut the per-round lineage growth
+        )
+    return centroids
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+    centroids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: pick centroids (``train_iters=0`` → deterministic
+    lowest-id seeds, oracle-able; ``train_iters>0`` → spherical k-means
+    via ``train_kmeans_centroids`` — better recall, float-mean order not
+    cross-engine-exact), assign every corpus vector to its nearest.
+
+    Assignment scores are ROUNDED to 6 digits before ranking (centroid-id
+    tiebreak), so the bucket of every vector is reproducible run-to-run
+    and engine-to-engine — what lets the IVF queries carry a full value
+    oracle rather than a rows-only check.
+
+    Returns (centroids(centroid_id, cvec), assigned(corpus + centroid_id)).
+    The assignment is ONE broadcast join — corpus scanned once. At 100 TB
+    the assigned table is written bucketed by centroid_id so probes are
+    partition-pruned scans."""
+    if centroids is None:
+        centroids = (
+            train_kmeans_centroids(corpus, num_centroids, train_iters, id_col, vec_col)
+            if train_iters > 0
+            else seed_centroids(corpus, num_centroids, id_col, vec_col)
+        )
     scored = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_v"))
         .crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", _dot("_v", "_centvec") / (_norm("_v") * _norm("_centvec")))
+        .withColumn(
+            "_sim",
+            F.round(_dot("_v", "_centvec") / (_norm("_v") * _norm("_centvec")), 6),
+        )
     )
 
     w = Window.partitionBy("cid").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
@@ -130,17 +228,26 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` nearest centroid
     buckets per query, then exact cosine within candidates. The scan
-    shrinks ~num_centroids/nprobe-fold vs brute force; recall < 1."""
-    centroids, assigned = build_ivf_index(corpus, num_centroids, id_col, vec_col)
+    shrinks ~num_centroids/nprobe-fold vs brute force; recall < 1.
+    With ``train_iters=0`` (seeded centroids + rounded scores) the whole
+    result is deterministic and cross-engine oracle-able; ``train_iters
+    > 0`` trades that for k-means recall."""
+    centroids, assigned = build_ivf_index(
+        corpus, num_centroids, id_col, vec_col, train_iters=train_iters
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
 
     qc = (
         F.broadcast(q)
         .crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", _dot("_qvec", "_centvec") / (_norm("_qvec") * _norm("_centvec")))
+        .withColumn(
+            "_sim",
+            F.round(_dot("_qvec", "_centvec") / (_norm("_qvec") * _norm("_centvec")), 6),
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
     probes = (
@@ -168,7 +275,8 @@ def cosine_dup_pairs(
     """Embedding near-duplicate pairs: all (a, b), a < b with cosine >=
     threshold. Blocked by IVF centroid (near-dups share a centroid with
     high probability) so the self-join is per-bucket, not global.
-    Returns (id_a, id_b, cosine)."""
+    Deterministic (seeded centroids, rounded assignment scores) — the
+    full pipeline carries a value oracle. Returns (id_a, id_b, cosine)."""
     _, assigned = build_ivf_index(corpus, num_centroids=16, id_col=id_col, vec_col=vec_col)
     a = assigned.select(
         F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
@@ -226,13 +334,17 @@ def save_ivf_index(
     num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 0,
 ) -> None:
     """Materialize the IVF index: centroid table + assignments written
     partitioned by centroid_id, so a probe reads only its buckets'
     files (partition pruning = the inverted-file property on a lake).
-    At production scale this is rebuilt periodically (k-means step)
-    while queries keep reading the previous snapshot."""
-    centroids, assigned = build_ivf_index(corpus, num_centroids, id_col, vec_col)
+    At production scale this is rebuilt periodically with
+    ``train_iters > 0`` (the k-means step) while queries keep reading
+    the previous snapshot."""
+    centroids, assigned = build_ivf_index(
+        corpus, num_centroids, id_col, vec_col, train_iters=train_iters
+    )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     (
         assigned.repartition("centroid_id")
@@ -260,7 +372,10 @@ def load_ivf_topk(
     qc = (
         F.broadcast(q)
         .crossJoin(centroids)
-        .withColumn("_sim", _dot("_qvec", "_centvec") / (_norm("_qvec") * _norm("_centvec")))
+        .withColumn(
+            "_sim",
+            F.round(_dot("_qvec", "_centvec") / (_norm("_qvec") * _norm("_centvec")), 6),
+        )
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
     probes = (
@@ -277,4 +392,35 @@ def load_ivf_topk(
         sim.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def topk_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact one. Both inputs are (query_id, neighbor_id, cosine, rank)
+    frames (``cosine_topk`` / ``ivf_topk`` shape).
+
+    recall@k = |approx-top-k ∩ exact-top-k| / k per query — THE quality
+    number an ANN index is judged by. One broadcast-able semi-join +
+    one groupBy on query_id; at scale both inputs are tiny (queries x k
+    rows) regardless of corpus size. Returns (query_id, hits, recall_at_k).
+    """
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = a.join(e, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    # left-join from the full query list so zero-hit queries report 0.0
+    qs = e.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(k)).alias("recall_at_k"),
+        )
     )

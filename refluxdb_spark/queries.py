@@ -1177,29 +1177,172 @@ def sim_cosine_topk(spark, sf_dir):
     )
 
 
+# Shared DuckDB CTE fragment reproducing the deterministic IVF build
+# (operators.similarity.build_ivf_index with seeded centroids): 16
+# lowest-id seed centroids; every vector assigned to its max-cosine
+# centroid on scores ROUNDED to 6 digits with centroid-id tiebreak —
+# the exact arithmetic the Spark side uses, so bucket membership (and
+# everything downstream of it) hash-matches across engines.
+_IVF_CTES = """
+    c AS (
+        SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    ascore AS (
+        SELECT v.vec_id, c.centroid_id,
+               round(list_dot_product(vv, cv) /
+                     (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+        FROM v CROSS JOIN c
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM ascore
+        ) WHERE rn = 1
+    )
+"""
+
+# IVF-pruned approximate top-k as CTEs on top of _IVF_CTES: probe the 4
+# nearest centroids per query (rounded scores, centroid-id tiebreak),
+# exact rounded cosine within candidate buckets, rank with id tiebreak.
+_IVF_TOPK_CTES = f"""
+    {_IVF_CTES},
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    pscore AS (
+        SELECT query_id, centroid_id,
+               round(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+        FROM q CROSS JOIN c
+    ),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT query_id, centroid_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM pscore
+        ) WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a USING (centroid_id)
+        WHERE p.query_id != a.vec_id
+    ),
+    cscore AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(q.qv, v.vv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.vv, v.vv))), 6) AS cosine
+        FROM cand
+        JOIN q ON cand.query_id = q.query_id
+        JOIN v ON cand.neighbor_id = v.vec_id
+    ),
+    ivf_ranked AS (
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM cscore
+        ) WHERE rank <= 5
+    )
+"""
+
+
 @register(
     "sim_cosine_dup_pairs",
-    None,  # IVF-blocked — blocking is deterministic but assignment uses
-           # unrounded scores; checked rows-only (see sim_cosine_topk
-           # for the oracle-checked exact path).
+    f"""
+    WITH {_IVF_CTES},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b USING (centroid_id)
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(va.vv, vb.vv) /
+                 (sqrt(list_dot_product(va.vv, va.vv)) * sqrt(list_dot_product(vb.vv, vb.vv))), 6) AS cosine
+    FROM pairs
+    JOIN v va ON pairs.id_a = va.vec_id
+    JOIN v vb ON pairs.id_b = vb.vec_id
+    WHERE cosine >= 0.35
+    """,
 )
 def sim_cosine_dup_pairs(spark, sf_dir):
     """Embedding near-dup pairs within IVF blocks (operators.similarity.
     cosine_dup_pairs) — the scale path where the global self-join is
     replaced by per-centroid blocks. Threshold 0.35 sits in the top
     tail of this dataset's cosine distribution (max pairwise ≈ 0.51;
-    there are no true near-dups in the synthetic embeddings)."""
+    there are no true near-dups in the synthetic embeddings). The full
+    pipeline — seeded centroids, rounded assignment, in-block pairs —
+    is deterministic, so the oracle replays it end to end."""
     return S.cosine_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
-@register("sim_ivf_topk", None)  # approximate by construction: rows-only
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH {_IVF_TOPK_CTES}
+    SELECT query_id, neighbor_id, cosine, rank FROM ivf_ranked
+    """,
+)
 def sim_ivf_topk(spark, sf_dir):
     """IVF-pruned approximate top-k (operators.similarity.ivf_topk):
-    nprobe/num_centroids of the corpus scanned per query."""
+    nprobe/num_centroids of the corpus scanned per query. Approximate
+    w.r.t. brute force but DETERMINISTIC in its own right (seeded
+    centroids + rounded scores + id tiebreaks), so the oracle replays
+    the whole index build + probe + rank pipeline in SQL."""
     emb = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=4
     )
+
+
+@register(
+    "sim_ivf_recall",
+    f"""
+    WITH {_IVF_TOPK_CTES},
+    exact_scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, v.vv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.vv, v.vv))), 6) AS cosine
+        FROM q CROSS JOIN v
+        WHERE q.query_id != v.vec_id
+    ),
+    exact_ranked AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM exact_scored
+        ) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT i.query_id, count(*) AS hits
+        FROM ivf_ranked i
+        JOIN exact_ranked e
+          ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+        GROUP BY i.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+           coalesce(hits.hits, 0) / 5.0 AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact_ranked) q
+    LEFT JOIN hits ON q.query_id = hits.query_id
+    """,
+)
+def sim_ivf_recall(spark, sf_dir):
+    """recall@5 of the IVF index against brute force, per query
+    (operators.similarity.topk_recall) — the ANN quality metric itself
+    as a first-class, fully-oracled query: both the exact and the
+    approximate pipelines are deterministic, hence so is their overlap."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, qs, k=5, round_digits=6)
+    approx = S.ivf_topk(emb, qs, k=5, num_centroids=16, nprobe=4)
+    return S.topk_recall(exact, approx, k=5)
 
 
 @register(
@@ -1254,15 +1397,37 @@ def mm_image_features(spark, sf_dir):
     return M.image_features(media, id_col="doc_id", fake=True)
 
 
-@register("mm_frame_sample", None)  # fan-out stub: rows-only
+@register(
+    "mm_frame_sample",
+    # The fake decoder is sha256 over fixed-size payload chunks, so the
+    # oracle replays it in SQL. DuckDB's sha256/substring are
+    # VARCHAR-only; documents.text is pure ASCII (verified: 0 rows where
+    # octet_length != length at every SF), so character chunking ==
+    # byte chunking and sha256(varchar) hashes the same UTF-8 bytes
+    # Python's hashlib sees.
+    """
+    WITH d AS (
+        SELECT doc_id AS id, text, octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+           sha256(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_sha256
+    FROM d, LATERAL (
+        SELECT unnest(range(CAST(greatest(1, ceil(n / 256.0)) AS BIGINT))) AS i
+    )
+    """,
+)
 def mm_frame_sample(spark, sf_dir):
     """Frame sampling fan-out (operators.multimodal.frame_sample,
-    mapInPandas producing multiple rows per input) with fake decode."""
+    mapInPandas producing multiple rows per input) with fake decode:
+    one frame per 256-byte payload chunk, sha256 per frame."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     media = M.attach_media(docs, "payload", "video/mp4")
-    return M.frame_sample(media, id_col="doc_id", fake=True)
+    return M.frame_sample(media, id_col="doc_id", fake=True, chunk_bytes=256)
 
 
 # =====================================================================

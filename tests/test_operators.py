@@ -222,6 +222,48 @@ def test_ivf_topk_subset_of_brute_force(spark, sf_dir):
     assert a == e  # probing every centroid must equal brute force
 
 
+def test_kmeans_centroids_unit_norm(spark, sf_dir):
+    from refluxdb_spark.operators.similarity import train_kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_kmeans_centroids(emb, num_centroids=8, iters=2).collect()
+    assert len(cents) == 8
+    for r in cents:
+        norm = sum(x * x for x in r._centvec) ** 0.5
+        assert norm == pytest.approx(1.0, abs=1e-4)  # spherical k-means
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """ANN quality gate at sf0.01 (VERDICT r01 item 3): recall@10 of the
+    IVF index against brute force, measured — not assumed.
+
+    Measured on this data (10 true clusters, heavy overlap):
+    seeded C=16/nprobe=4 = 0.805; k-means C=10/nprobe=3 = 0.755 vs
+    0.710 seeded (training helps when C matches the true cluster
+    count); nprobe=C is exact (recall 1.0) regardless of centroids.
+    Targets sit below measurements by a margin covering k-means
+    float-mean run-to-run jitter."""
+    from refluxdb_spark.operators.similarity import topk_recall, train_kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, qs, k=10).persist()
+
+    def recall(**kw):
+        approx = ivf_topk(emb, qs, k=10, **kw)
+        return topk_recall(exact, approx, k=10).agg(
+            F.avg("recall_at_k").alias("r")
+        ).collect()[0].r
+
+    assert recall(num_centroids=16, nprobe=4) >= 0.75  # seeded, the oracled config
+    trained = recall(num_centroids=10, nprobe=3, train_iters=3)
+    seeded = recall(num_centroids=10, nprobe=3)
+    assert trained >= 0.70
+    assert trained >= seeded - 0.05  # training never meaningfully hurts
+    assert recall(num_centroids=10, nprobe=10, train_iters=2) == pytest.approx(1.0)
+    exact.unpersist()
+
+
 # ------------------------------------------------------------ text
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
