@@ -72,9 +72,11 @@ class RefluxEngine:
         register_sql_functions(spark)
 
     # ------------------------------------------------------------- ingest
-    def write_lines(self, lines: list[str]) -> tuple[int, list[str]]:
+    def write_lines(self, lines: list[str]) -> tuple[int, int]:
         """Parse + append line-protocol lines. Returns (rows_written,
-        dead_letter_lines).
+        n_dead_letters); rejected payloads are persisted to the
+        dead-letter table (``dead_letters()``), never collected to the
+        driver — a poisoned bulk feed costs a count, not a driver OOM.
 
         The whole path is column expressions + one columnar append — the
         Spark shape of the reference's per-datagram loop
@@ -82,13 +84,13 @@ class RefluxEngine:
         global mutex (``main.rs:23``).
         """
         if not lines:
-            return 0, []
+            return 0, 0
         raw = self.spark.createDataFrame([(ln,) for ln in lines], "value string")
         parsed = parse_lines_df(raw).cache()
         try:
             bad = parsed.filter(F.col("error").isNotNull())
-            dlq = [r.raw for r in bad.collect()]
-            if dlq:
+            n_dead = bad.count()
+            if n_dead:
                 self.write_dead_letters(bad)
             rows = explode_fields(parsed)
             out = self._finalize_rows(rows)
@@ -101,7 +103,7 @@ class RefluxEngine:
                     .parquet(self._path)
                 )
                 self._views.clear()  # refresh views on next query
-            return n, dlq
+            return n, n_dead
         finally:
             parsed.unpersist()
 
@@ -144,7 +146,7 @@ class RefluxEngine:
         file count. Time-sorts within files (restores range-scan
         locality) and preserves all rows."""
         df = self._table()
-        if df.rdd.isEmpty():
+        if df.isEmpty():
             return
         tmp = self._path + ".compact"
         n_bytes = sum(
@@ -201,14 +203,27 @@ class RefluxEngine:
 
     def list_series(self) -> list[str]:
         """``GET /`` (``handlers.rs:24-32`` / ``persistence.rs:59-68``):
-        names of all series = distinct partition values."""
+        names of all series = the table's partition values, answered
+        from partition METADATA (directory listing of ``series=*``) —
+        O(#series), no data-file scan. At 100 TB a distinct over data
+        would read every footer; the catalog equivalent is
+        ``SHOW PARTITIONS``. Mirrors the reference's registry scan
+        (``utils/db.rs:74-86``), which likewise never opens the data."""
+        if not os.path.exists(self._path):
+            return []
         return sorted(
-            r.series for r in self._table().select("series").distinct().collect()
+            _unescape_partition_value(e[len("series="):])
+            for e in os.listdir(self._path)
+            if e.startswith("series=")
+            and os.path.isdir(os.path.join(self._path, e))
         )
 
     def series_exists(self, name: str) -> bool:
-        """``timeseries_exists`` (``persistence.rs:70-72``)."""
-        return self._table().filter(F.col("series") == name).limit(1).count() > 0
+        """``timeseries_exists`` (``persistence.rs:70-72``): partition-
+        directory existence check — one metadata lookup, zero scan."""
+        return os.path.isdir(
+            os.path.join(self._path, f"series={_escape_partition_value(name)}")
+        )
 
     def _ensure_views(self, tables: list[str]) -> None:
         known = set(self.list_series())
@@ -332,6 +347,32 @@ class RefluxEngine:
             .filter(F.col("time").between(F.lit(start_ts), F.lit(end_ts)))
             .select(*MEASUREMENT_COLUMNS)
         )
+
+
+# Hive/Spark escape special characters in partition directory names as
+# %XX (FileUtils.escapePathName — the layout spark's partitionBy writes).
+# These helpers mirror that scheme so metadata listing round-trips any
+# series name exactly as a data scan would report it.
+_HIVE_SPECIAL = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def _escape_partition_value(v: str) -> str:
+    return "".join(f"%{ord(c):02X}" if c in _HIVE_SPECIAL else c for c in v)
+
+
+def _unescape_partition_value(v: str) -> str:
+    out, i = [], 0
+    while i < len(v):
+        if v[i] == "%" and i + 3 <= len(v):
+            try:
+                out.append(chr(int(v[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(v[i])
+        i += 1
+    return "".join(out)
 
 
 def _parse_rfc3339(v: str | datetime) -> datetime:

@@ -21,7 +21,7 @@ All are pure column expressions (codegen, no Python row path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # 32-bit deterministic hash of a string with a seed, as a SQL expression
@@ -93,6 +93,46 @@ def _token_source(
     )
 
 
+def cap_document_frequency(
+    toks: DataFrame,
+    max_df: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Drop tokens whose document frequency exceeds ``max_df`` from an
+    (id, token) relation — the hot-key guard for inverted-index joins.
+
+    At 100 TB a boilerplate shingle appearing in even 1% of documents
+    makes one posting list quadratic in the self-join (df=10^6 docs →
+    10^12 pairs from ONE reducer). A df cap bounds every posting list:
+    pair cost ≤ max_df² per token, and the dropped tokens are exactly
+    the ones with no discriminative value (stop-shingles). One window
+    count over the token key — the same shuffle key the downstream join
+    uses. ``hot_tokens`` reports what a given cap would drop."""
+    w = Window.partitionBy(*(key_cols or ["token"]))
+    return (
+        toks.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+
+
+def hot_tokens(
+    toks: DataFrame,
+    max_df: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """The dropped-key report for ``cap_document_frequency``: tokens
+    with document frequency > ``max_df`` and their df — surfaced so a
+    pipeline can log/audit what a cap removed instead of silently
+    truncating. Returns (token [, key_cols...], df)."""
+    keys = key_cols or ["token"]
+    return (
+        toks.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+    )
+
+
 def word_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -100,6 +140,7 @@ def word_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     shingle: int = 1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word sets (``shingle=1``) or
     w-gram shingle sets (``shingle=w``) for all pairs >= threshold.
@@ -111,6 +152,14 @@ def word_jaccard_pairs(
     only co-occurring pairs reach the aggregation. This is the exact
     (recall=1) ground truth that ``minhash_dedup_pairs`` approximates.
 
+    ``max_df`` (None = off) drops tokens appearing in more than that
+    many documents BEFORE both the join and the set-size computation —
+    i.e. Jaccard is then exact over the df-filtered token space, the
+    standard stop-shingle semantics. Without it a single boilerplate
+    shingle is a quadratic reducer at corpus scale (see
+    ``cap_document_frequency``); ``hot_tokens`` reports what a cap
+    drops.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b; ``jaccard`` is a
     DOUBLE from an exact integer division (deterministic)."""
     toks = _token_source(df, text_col, id_col, shingle)
@@ -118,9 +167,11 @@ def word_jaccard_pairs(
         blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("_blk"))
         toks = toks.join(blocks, "id")
 
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-
     join_keys = ["token"] + (["_blk"] if block_col else [])
+    if max_df is not None:
+        toks = cap_document_frequency(toks, max_df, key_cols=join_keys)
+
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.select(*join_keys, F.col("id").alias("id_a"))
     b = toks.select(*join_keys, F.col("id").alias("id_b"))
     inter = (
@@ -187,21 +238,44 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split signatures into ``bands`` bands of
     ``num_hashes/bands`` rows; docs sharing any band hash are candidates.
 
     Returns distinct (id_a, id_b), id_a < id_b. Cost ∝ docs x bands
-    (band-bucket shuffle), never the pair matrix; a hot bucket is a
-    data-quality signal (boilerplate), cap with a bucket-size filter
-    upstream at production scale."""
+    (band-bucket shuffle), never the pair matrix. ``max_bucket`` (None
+    = off) skips buckets holding more than that many docs: a hot bucket
+    is boilerplate/templated text, and one bucket of B docs emits B²/2
+    pairs — the quadratic reducer at corpus scale. Pairs co-occurring
+    in a smaller bucket of another band still surface (banding is
+    redundant by construction); ``lsh_hot_buckets`` reports the drops."""
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
-    return _lsh_candidates_from_signatures(sig, num_hashes, bands)
+    return _lsh_candidates_from_signatures(sig, num_hashes, bands, max_bucket)
 
 
-def _lsh_candidates_from_signatures(
-    sig: DataFrame, num_hashes: int, bands: int
+def lsh_hot_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    max_bucket: int = 100,
 ) -> DataFrame:
+    """Dropped-bucket report for ``minhash_lsh_candidates(max_bucket=…)``:
+    band buckets holding more than ``max_bucket`` docs and their sizes
+    (bucket, n_docs) — the audit trail for what a cap skipped."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    buckets = _band_buckets(sig, num_hashes, bands)
+    return (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
@@ -213,9 +287,24 @@ def _lsh_candidates_from_signatures(
         ).alias("bucket")
         for b in range(bands)
     ]
-    buckets = sig.select(
+    return sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bucket")
     ).distinct()
+
+
+def _lsh_candidates_from_signatures(
+    sig: DataFrame, num_hashes: int, bands: int, max_bucket: int | None = None
+) -> DataFrame:
+    buckets = _band_buckets(sig, num_hashes, bands)
+    if max_bucket is not None:
+        # one window count on the bucket key (the join's own shuffle
+        # key); buckets above the cap never enter the self-join
+        w = Window.partitionBy("bucket")
+        buckets = (
+            buckets.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a = buckets.select("bucket", F.col("id").alias("id_a"))
     b = buckets.select("bucket", F.col("id").alias("id_b"))
     return (
@@ -235,6 +324,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     shingle: int = 3,
     cache_tokens: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: LSH candidates verified with
     exact shingle-Jaccard (only candidate pairs pay the verification
@@ -242,12 +332,14 @@ def minhash_dedup_pairs(
 
     ``cache_tokens`` persists the (id, shingle) relation, which both
     the signature pass and the verification pass consume (~30% faster;
-    at warehouse scale you'd materialize the token table instead)."""
+    at warehouse scale you'd materialize the token table instead).
+    ``max_bucket`` caps LSH bucket size (hot-bucket guard — see
+    ``minhash_lsh_candidates``); verification Jaccard is unaffected."""
     toks = _token_source(df, text_col, id_col, shingle)
     if cache_tokens:
         toks = toks.persist()
     sig = _signatures_from_tokens(toks, num_hashes)
-    cand = _lsh_candidates_from_signatures(sig, num_hashes, bands)
+    cand = _lsh_candidates_from_signatures(sig, num_hashes, bands, max_bucket)
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(toks.withColumnRenamed("id", "id_a"), "id_a")
@@ -294,6 +386,10 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # materialize once: every propagation round joins against edges,
+        # and without this the (possibly expensive) upstream pair
+        # generation re-evaluates per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))

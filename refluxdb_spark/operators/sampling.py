@@ -23,8 +23,18 @@ _BUCKETS = 1_000_000
 
 
 def _hash_bucket(key_col: str, seed: str) -> F.Column:
-    return F.expr(
-        f"cast(conv(substring(md5(concat('{seed}', cast({key_col} as string))), 1, 8), 16, 10) as bigint) % {_BUCKETS}"
+    # column functions, not an f-string SQL expr: a quote in the seed or
+    # a column needing backticks must not break (or inject into) the
+    # expression — seed rides as a literal, key_col through F.col
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BUCKETS
     )
 
 

@@ -200,7 +200,20 @@ def interval_join(
 
     Result: one row per (interval, contained point), interval columns
     first. Deterministic — no dependence on partitioning.
+
+    Only ``how='inner'`` is supported: the range predicate is applied
+    as a post-join filter, which would silently drop an outer join's
+    null-matched rows (collapsing it to inner) and duplicate unmatched
+    bucket-exploded intervals. Outer semantics need the predicate
+    folded into the join condition plus a dedup of exploded intervals
+    — implement that before widening this signature.
     """
+    if how != "inner":
+        raise ValueError(
+            "interval_join supports only how='inner'; outer joins would "
+            "need the range predicate inside the join condition and "
+            "dedup of bucket-exploded intervals"
+        )
     us = 1_000_000 * bucket_seconds
     # integer `div`, not `/`: bucket ids must be exact at 1e15-scale
     # epoch micros (double division rounds near bucket boundaries)

@@ -107,9 +107,11 @@ class _Handler(BaseHTTPRequestHandler):
             if url.path == "/write":
                 # POST /write (handlers.rs:100-145); body may hold many lines
                 lines = [ln for ln in body.splitlines() if ln.strip()]
-                n, dlq = self.engine.write_lines(lines)
-                code = 200 if not dlq else 400
-                self._send(code, {"written": n, "rejected": dlq})
+                # rejected = COUNT; payloads live in the dead-letter
+                # table (engine.dead_letters()), never on the driver
+                n, n_dead = self.engine.write_lines(lines)
+                code = 200 if not n_dead else 400
+                self._send(code, {"written": n, "rejected": n_dead})
             elif url.path == "/query":
                 # POST /query, form field q (handlers.rs:70-79)
                 q = parse_qs(body).get("q", [None])[0]

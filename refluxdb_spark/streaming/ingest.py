@@ -48,7 +48,9 @@ def stream_ingest_lines(
         try:
             engine.write_dataframe(explode_fields(batch_df))
             bad = batch_df.filter(batch_df.error.isNotNull())
-            if not bad.rdd.isEmpty():
+            # DataFrame isEmpty stays in the codegen path; .rdd.isEmpty()
+            # would deoptimize and launch an extra job per micro-batch
+            if not bad.isEmpty():
                 engine.write_dead_letters(bad)
         finally:
             batch_df.unpersist()
@@ -78,10 +80,16 @@ def stream_dedup(
     transports — UDP redelivery, producer retries — become effectively
     exactly-once per key). State is bounded: ``dropDuplicatesWithin
     Watermark`` evicts a key's dedup record once the watermark passes
-    it, so state size ∝ keys-per-horizon, not stream history — the
-    property that keeps this runnable forever at 100 TB/day. Exact
+    it, so state size ∝ keys-per-horizon, not stream history. Exact
     global dedup over all time belongs to the batch layer
     (``operators.dedup.exact_dedup``).
+
+    NOTE: this convenience wrapper writes to a MEMORY sink and returns
+    ``spark.table(...)`` — the deduplicated output lands in driver
+    memory, which is a test/demo harness, not the production shape. At
+    scale keep the ``dropDuplicatesWithinWatermark`` core (whose STATE
+    is the bounded part) but point ``writeStream`` at a durable sink
+    (parquet path / table / foreachBatch into the engine).
 
     Processes everything currently available (availableNow) and
     returns the deduplicated result table.

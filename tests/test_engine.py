@@ -17,9 +17,9 @@ LINES = [
 @pytest.fixture(scope="module")
 def engine(spark, tmp_path_factory):
     eng = RefluxEngine(spark, str(tmp_path_factory.mktemp("warehouse")))
-    n, dlq = eng.write_lines(LINES)
+    n, n_dead = eng.write_lines(LINES)
     assert n == 5  # cpu multi-field line explodes to 2 rows
-    assert dlq == []
+    assert n_dead == 0
     return eng
 
 
@@ -80,9 +80,13 @@ def test_range_bad_datetime(engine):  # Q13 fix
 
 def test_dead_letter_rows(spark, tmp_path):
     eng = RefluxEngine(spark, str(tmp_path / "wh"))
-    n, dlq = eng.write_lines(["good x=1 1000", "bad x=notanumber 1000"])
+    n, n_dead = eng.write_lines(["good x=1 1000", "bad x=notanumber 1000"])
     assert n == 1
-    assert dlq == ["bad x=notanumber 1000"]
+    assert n_dead == 1
+    # the payload is in the DLQ table, not returned through the driver
+    assert [r.raw for r in eng.dead_letters().collect()] == [
+        "bad x=notanumber 1000"
+    ]
 
 
 def test_strict_compat_empty_result_errors(spark, tmp_path):  # Q5
@@ -178,3 +182,31 @@ def test_sql_function_library_via_gateway(engine):
     assert [r["clamped"] for r in rows] == [0.6, 0.5, 0.6]
     assert all(r["bucket"].minute == 0 for r in rows)
     assert all(r["lag_ms"] > 0 for r in rows)  # ingested long after 2023
+
+
+def test_list_series_is_partition_metadata(spark, tmp_path):
+    """list_series/series_exists answer from partition directories (no
+    data scan) and round-trip Hive-escaped names exactly as Spark's
+    partitionBy writes them."""
+    eng = RefluxEngine(spark, str(tmp_path / "wh7"))
+    eng.write_lines(["plain v=1 1000"])
+    # measurement with a Hive-special char (escaped %3A in the dir name)
+    eng.write_lines(["svc:cpu v=2 1000"])
+    assert eng.list_series() == ["plain", "svc:cpu"]
+    assert eng.series_exists("svc:cpu") and not eng.series_exists("svc")
+    # metadata listing agrees with what a data scan reports
+    scanned = sorted(
+        r.series for r in eng._table().select("series").distinct().collect()
+    )
+    assert scanned == eng.list_series()
+
+
+def test_partition_value_escape_roundtrip():
+    from refluxdb_spark.engine import (
+        _escape_partition_value,
+        _unescape_partition_value,
+    )
+
+    for name in ["plain", "a:b", "x/y", "pct%20", "q?=#", "tab\tname"]:
+        assert _unescape_partition_value(_escape_partition_value(name)) == name
+    assert _escape_partition_value("a:b") == "a%3Ab"

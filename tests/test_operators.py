@@ -176,6 +176,56 @@ def test_minhash_catches_planted_dup(spark):
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
 
 
+def test_jaccard_max_df_caps_hot_token(spark):
+    """Hot-key cap (VERDICT r01 item 4): a stop-token in 100% of docs
+    must not force the quadratic all-pairs join when max_df is set."""
+    from refluxdb_spark.operators.dedup import hot_tokens, tokenize
+
+    # 20 docs, all sharing 'common'; docs 1/2 also share a real phrase
+    rows = [(1, "common alpha beta gamma"), (2, "common alpha beta delta")]
+    rows += [(i, f"common unique{i}a unique{i}b unique{i}c") for i in range(3, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = word_jaccard_pairs(df, threshold=0.01)
+    assert uncapped.count() == 20 * 19 // 2  # every pair via 'common'
+
+    capped = word_jaccard_pairs(df, threshold=0.01, max_df=5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert set(got) == {(1, 2)}  # only the genuinely-similar pair survives
+    # Jaccard is exact over the df-filtered token space: {alpha,beta,gamma}
+    # vs {alpha,beta,delta} → 2/4
+    assert got[(1, 2)] == pytest.approx(2 / 4)
+
+    dropped = hot_tokens(tokenize(df), max_df=5).collect()
+    assert [(r.token, r.df) for r in dropped] == [("common", 20)]
+
+
+def test_lsh_max_bucket_caps_hot_bucket(spark):
+    """One bucket of B identical docs emits B²/2 candidate pairs;
+    max_bucket skips it and reports it."""
+    from refluxdb_spark.operators.dedup import (
+        lsh_hot_buckets,
+        minhash_lsh_candidates,
+    )
+
+    boiler = "this exact boilerplate footer text repeats on every single page"
+    rows = [(i, boiler) for i in range(1, 31)]
+    # 31/32: identical docs — all bands collide, bucket of size 2
+    rows += [(31, "a genuinely unique document about gardening in spring time"),
+             (32, "a genuinely unique document about gardening in spring time")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_lsh_candidates(df)
+    assert uncapped.count() >= 30 * 29 // 2  # boilerplate bucket explodes
+
+    capped = minhash_lsh_candidates(df, max_bucket=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(31, 32)}  # hot bucket skipped, real near-dup kept
+
+    hot = lsh_hot_buckets(df, max_bucket=10).collect()
+    assert len(hot) > 0 and all(r.n_docs == 30 for r in hot)
+
+
 def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame(
         [
@@ -582,3 +632,31 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r.id: r.component for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(13)}
+
+
+def test_interval_join_rejects_outer(spark):
+    from refluxdb_spark.operators.timeseries import interval_join
+
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "k long, s string, e string",
+    ).select("k", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    pt = spark.createDataFrame([(1, "2024-01-01 00:30:00")], "k long, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    with pytest.raises(ValueError, match="inner"):
+        interval_join(iv, pt, on=["k"], start_col="s", end_col="e", ts_col="ts",
+                      bucket_seconds=3600, how="left")
+
+
+def test_hash_sample_hostile_seed_and_quotes(spark):
+    """Seeds/keys with quotes must neither break nor alter the
+    expression (sampling builds columns, not SQL strings)."""
+    from refluxdb_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(i, f"u{i}") for i in range(100)], "id long, user string")
+    out = hash_sample(df, "user", 0.5, seed="o'; drop --\"")
+    n = out.count()
+    assert 20 <= n <= 80  # a real sample, not an error or 0/all
+    # deterministic: same seed, same rows
+    assert out.collect() == hash_sample(df, "user", 0.5, seed="o'; drop --\"").collect()

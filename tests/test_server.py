@@ -43,7 +43,7 @@ def test_write_query_roundtrip(served):
         "POST", port, "/write",
         "test,host=server,region=us-east1 value=0.80 1234567890000000000",
     )
-    assert code == 200 and out["written"] == 1 and out["rejected"] == []
+    assert code == 200 and out["written"] == 1 and out["rejected"] == 0
 
     code, rows = _http("POST", port, "/query", "q=SELECT * FROM test")
     assert code == 200 and len(rows) == 1
@@ -57,7 +57,7 @@ def test_write_query_roundtrip(served):
 def test_write_rejects_bad_lines(served):
     _, port, _ = served
     code, out = _http("POST", port, "/write", "bad x=notanumber 1000")
-    assert code == 400 and out["rejected"] == ["bad x=notanumber 1000"]
+    assert code == 400 and out["rejected"] == 1
 
 
 def test_query_validation_errors(served):
