@@ -40,8 +40,11 @@ HEADLINE = [
     # pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_components",
     "text_quality_scores",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "sample_stratified_documents",
 ]
 

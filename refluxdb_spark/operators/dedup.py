@@ -160,6 +160,14 @@ def word_jaccard_pairs(
     ``cap_document_frequency``); ``hot_tokens`` reports what a cap
     drops.
 
+    Exactness-preserving prunes (no result changes):
+    - set sizes ride ON the token rows (one window count over id), so
+      the final Jaccard needs no extra joins against a sizes table;
+    - size-ratio filter directly after the probe: J(A,B) = |∩|/|∪| ≤
+      min(|A|,|B|)/max(|A|,|B|), so any pair whose size ratio is below
+      the threshold is dropped BEFORE the pair-count shuffle — the
+      shuffle that dominates at corpus scale.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b; ``jaccard`` is a
     DOUBLE from an exact integer division (deterministic)."""
     toks = _token_source(df, text_col, id_col, shingle)
@@ -171,26 +179,31 @@ def word_jaccard_pairs(
     if max_df is not None:
         toks = cap_document_frequency(toks, max_df, key_cols=join_keys)
 
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = toks.select(*join_keys, F.col("id").alias("id_a"))
-    b = toks.select(*join_keys, F.col("id").alias("id_b"))
+    toks = toks.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    a = toks.select(*join_keys, F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    b = toks.select(*join_keys, F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     inter = (
         a.join(b, on=join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("sz_a", "sz_b")
+            >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("sz_a").alias("sz_a"),  # constant within the group
+            F.max("sz_b").alias("sz_b"),
+        )
     )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
+    return (
+        inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(

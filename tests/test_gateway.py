@@ -77,3 +77,92 @@ def test_extract_from_not_a_table():
 def test_substring_from_and_trim_from():
     q = "SELECT SUBSTRING(name FROM 1 FOR 2), TRIM(LEADING 'x' FROM name) FROM cpu"
     assert validate_query(q) == ["cpu"]
+
+
+# ------------------------------------------------------------------
+# Property fuzzing (VERDICT r01 item 8): pin the token validator's
+# edges against generated SQL. Two invariants:
+#   1. NO mutation statement is ever accepted, however disguised
+#      (comments, case, string literals, trailing statements);
+#   2. generated SELECT shapes that Spark SQL itself parses — aliases,
+#      quoted identifiers, CTEs, joins, set-ops, keyword-bearing
+#      string literals — are accepted with the right tables extracted.
+# ------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TBL = st.sampled_from(["cpu", "mem", "test", "events_5m"])
+_COL = st.sampled_from(["value", "name", "time", "created_at", "tags"])
+_MUT = st.sampled_from(
+    ["INSERT INTO {t} VALUES (1)", "DELETE FROM {t}", "UPDATE {t} SET x=1",
+     "DROP TABLE {t}", "CREATE TABLE {t} (x INT)", "TRUNCATE TABLE {t}",
+     "ALTER TABLE {t} ADD COLUMN y INT", "MERGE INTO {t} USING u ON 1=1"]
+)
+_WS = st.sampled_from(["", " ", "\n", "\t", " /* c */ ", " -- c\n"])
+# literals deliberately stuffed with blocklist words / quote tricks
+_LIT = st.sampled_from(
+    ["'drop table x'", "'DELETE FROM y'", "'it''s; an insert'", "'update'"]
+)
+
+
+@given(ws=_WS, mut=_MUT, t=_TBL, case=st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_fuzz_mutations_never_accepted(ws, mut, t, case):
+    q = ws + mut.format(t=t)
+    if case:
+        q = q.lower()
+    with pytest.raises(ValidationError):
+        validate_query(q)
+
+
+@given(sel=_COL, t=_TBL, mut=_MUT, ws=_WS)
+@settings(max_examples=60, deadline=None)
+def test_fuzz_piggybacked_mutation_never_accepted(sel, t, mut, ws):
+    """A valid SELECT with a mutation smuggled behind it (the classic
+    injection the reference would EXECUTE after validating only the
+    first statement, quirk Q9) must be rejected."""
+    q = f"SELECT {sel} FROM {t};{ws}{mut.format(t=t)}"
+    with pytest.raises(ValidationError):
+        validate_query(q)
+
+
+@given(c1=_COL, c2=_COL, t=_TBL, lit=_LIT, ws=_WS, alias=st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_fuzz_selects_accepted_with_tables(c1, c2, t, lit, ws, alias):
+    a = " AS a1" if alias else ""
+    q = f"SELECT {c1}{a}, {c2} FROM {t}{ws} WHERE {c1} != {lit}"
+    assert validate_query(q) == [t]
+
+
+@given(t1=_TBL, t2=_TBL, c=_COL, ws=_WS)
+@settings(max_examples=40, deadline=None)
+def test_fuzz_join_and_cte_tables_extracted(t1, t2, c, ws):
+    q = (
+        f"WITH w AS (SELECT {c} FROM {t1}){ws} "
+        f"SELECT w.{c} FROM w JOIN {t2} ON w.{c} = {t2}.{c}"
+    )
+    got = validate_query(q)
+    assert t1 in got and t2 in got and "w" not in got
+
+
+@given(t1=_TBL, t2=_TBL, c=_COL, op=st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+@settings(max_examples=40, deadline=None)
+def test_fuzz_setops_accepted(t1, t2, c, op):
+    q = f"SELECT {c} FROM {t1} {op} SELECT {c} FROM {t2}"
+    got = validate_query(q)
+    assert set(got) == {t1, t2}
+
+
+def test_fuzzed_shapes_parse_in_spark(spark):
+    """The generator above only emits shapes Spark SQL itself accepts —
+    anchor that with a direct parse of each template family."""
+    spark.createDataFrame([(1.0, "a")], "value double, name string").createOrReplaceTempView("cpu")
+    spark.createDataFrame([(1.0, "a")], "value double, name string").createOrReplaceTempView("mem")
+    for q in [
+        "SELECT value AS a1, name FROM cpu WHERE name != 'drop table x'",
+        "WITH w AS (SELECT value FROM cpu) SELECT w.value FROM w JOIN mem ON w.value = mem.value",
+        "SELECT name FROM cpu UNION ALL SELECT name FROM mem",
+        "SELECT name FROM cpu INTERSECT SELECT name FROM mem",
+    ]:
+        assert validate_query(q)  # gateway accepts
+        spark.sql(q)  # and Spark parses/analyzes the same text
