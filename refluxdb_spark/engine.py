@@ -208,20 +208,49 @@ class RefluxEngine:
         O(#series), no data-file scan. At 100 TB a distinct over data
         would read every footer; the catalog equivalent is
         ``SHOW PARTITIONS``. Mirrors the reference's registry scan
-        (``utils/db.rs:74-86``), which likewise never opens the data."""
+        (``utils/db.rs:74-86``), which likewise never opens the data.
+
+        Constraints of the listing shortcut (deliberate, documented):
+        - assumes a POSIX-local warehouse path (the engine's contract;
+          on S3/HDFS route through the catalog / ``SHOW PARTITIONS``
+          on a catalog-registered table instead);
+        - ``__HIVE_DEFAULT_PARTITION__`` (a null series — impossible
+          through the line-protocol write path, which requires a
+          measurement name) is excluded;
+        - a partition dir holding only uncommitted ``_temporary``
+          content (aborted write) is excluded: we require at least one
+          committed data file before reporting the series as existing."""
         if not os.path.exists(self._path):
             return []
         return sorted(
             _unescape_partition_value(e[len("series="):])
             for e in os.listdir(self._path)
             if e.startswith("series=")
-            and os.path.isdir(os.path.join(self._path, e))
+            and e != "series=__HIVE_DEFAULT_PARTITION__"
+            and self._partition_committed(os.path.join(self._path, e))
         )
+
+    @staticmethod
+    def _partition_committed(part_dir: str) -> bool:
+        """True when the partition directory holds at least one
+        committed (non-hidden, non-_temporary) data file — one listdir
+        per series, still metadata-only."""
+        if not os.path.isdir(part_dir):
+            return False
+        try:
+            return any(
+                not name.startswith(("_", "."))
+                for name in os.listdir(part_dir)
+            )
+        except OSError:
+            return False
 
     def series_exists(self, name: str) -> bool:
         """``timeseries_exists`` (``persistence.rs:70-72``): partition-
-        directory existence check — one metadata lookup, zero scan."""
-        return os.path.isdir(
+        directory existence check — one metadata lookup, zero scan.
+        Same committed-data requirement as ``list_series`` so the two
+        can never disagree about a half-written partition."""
+        return self._partition_committed(
             os.path.join(self._path, f"series={_escape_partition_value(name)}")
         )
 

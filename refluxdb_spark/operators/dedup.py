@@ -185,9 +185,14 @@ def word_jaccard_pairs(
     inter = (
         a.join(b, on=join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
+        # division, not threshold*max: correctly-rounded division is
+        # monotone, so fl(min/max) >= fl(J) whenever min/max >= J in the
+        # reals — the prune provably never drops a pair the final
+        # jaccard >= threshold filter would keep (multiplying could:
+        # e.g. threshold=0.07, sizes 7/100, fl(0.07*100) > 7).
         .filter(
-            F.least("sz_a", "sz_b")
-            >= F.lit(threshold) * F.greatest("sz_a", "sz_b")
+            F.least("sz_a", "sz_b") / F.greatest("sz_a", "sz_b")
+            >= F.lit(threshold)
         )
         .groupBy("id_a", "id_b")
         .agg(

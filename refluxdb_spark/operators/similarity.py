@@ -158,9 +158,17 @@ def train_kmeans_centroids(
                 F.transform(F.col("_pm"), lambda s: s["_m"].cast("float")).alias("_mean"),
             )
         )
+        # zero-norm guard: a cluster whose vectors cancel to the zero
+        # vector would otherwise yield NaN elements (x/0.0), and NaN
+        # cosine scores sort as largest descending, poisoning the next
+        # assignment round. Null instead -> coalesce keeps the previous
+        # centroid, same as an empty cluster.
         new = means.withColumn(
             "_centvec",
-            F.transform(F.col("_mean"), lambda x: (x / _norm("_mean")).cast("float")),
+            F.when(
+                _norm("_mean") > 0,
+                F.transform(F.col("_mean"), lambda x: (x / _norm("_mean")).cast("float")),
+            ).otherwise(F.lit(None)),
         ).select("centroid_id", "_centvec")
         # empty clusters keep their previous centroid
         centroids = (
@@ -414,8 +422,15 @@ def topk_recall(
     hits = a.join(e, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("hits")
     )
-    # left-join from the full query list so zero-hit queries report 0.0
-    qs = e.select("query_id").distinct()
+    # left-join from the full query list so zero-hit queries report 0.0;
+    # the list is the UNION of exact and approx query ids — deriving it
+    # from exact alone silently omits a query with zero exact-top-k rows
+    # (empty corpus / k=0 edge) instead of reporting recall 0.0
+    qs = (
+        e.select("query_id")
+        .union(a.select("query_id"))
+        .distinct()
+    )
     return (
         qs.join(hits, "query_id", "left")
         .select(

@@ -660,3 +660,19 @@ def test_hash_sample_hostile_seed_and_quotes(spark):
     assert 20 <= n <= 80  # a real sample, not an error or 0/all
     # deterministic: same seed, same rows
     assert out.collect() == hash_sample(df, "user", 0.5, seed="o'; drop --\"").collect()
+
+
+def test_documents_text_is_ascii_precondition(spark, sf_dir):
+    """The mm_frame_sample oracle replays byte-chunked sha256 with
+    CHARACTER-based substring, which is only valid while documents.text
+    is pure ASCII (character chunks == 256-byte chunks). Enforce the
+    precondition loudly here instead of letting future non-ASCII test
+    data surface as a confusing oracle hash mismatch."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    non_ascii = docs.filter(
+        F.octet_length(F.col("text")) != F.length(F.col("text"))
+    ).count()
+    assert non_ascii == 0, (
+        "documents.text contains non-ASCII rows; the mm_frame_sample "
+        "oracle's character-chunking assumption no longer holds"
+    )
