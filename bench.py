@@ -40,7 +40,7 @@ HEADLINE = [
     # pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "dedup_jaccard_pairs",
+    "dedup_jaccard_pairs_capped",
     "dedup_components",
     "text_quality_scores",
     "sim_cosine_topk",

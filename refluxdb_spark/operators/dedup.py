@@ -52,18 +52,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def tokenize(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, token) pairs: distinct words of the normalized text."""
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, token [, carry...]) pairs: distinct words of the normalized
+    text. ``carry`` columns (e.g. a blocking key) ride along on the
+    exploded rows — carrying them through the narrow explode is free,
+    where joining them back on id later would cost a full shuffle of
+    the token relation."""
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias("token"),
+        *[F.col(c) for c in carry],
     ).filter(F.col("token") != "")
 
 
 def shingle_tokens(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, token) pairs where token is a distinct w-word shingle.
+    """(id, token [, carry...]) pairs where token is a distinct w-word
+    shingle.
 
     Shingling (w=3 default) is what makes MinHash discriminative on
     natural text: unigram sets collide for any two documents sharing a
@@ -71,7 +86,9 @@ def shingle_tokens(
     Documents with fewer than w words produce no shingles (and thus
     never become dedup candidates — by design)."""
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("_toks"), *[F.col(c) for c in carry]
+    )
     parts = ", ".join(f"element_at(_toks, i + {k})" for k in range(w))
     sh = (
         f"CASE WHEN size(_toks) >= {w} THEN "
@@ -79,17 +96,21 @@ def shingle_tokens(
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     return base.select(
-        "id", F.explode(F.array_distinct(F.expr(sh))).alias("token")
+        "id", F.explode(F.array_distinct(F.expr(sh))).alias("token"), *carry
     )
 
 
 def _token_source(
-    df: DataFrame, text_col: str, id_col: str, shingle: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     return (
-        shingle_tokens(df, text_col, id_col, shingle)
+        shingle_tokens(df, text_col, id_col, shingle, carry=carry)
         if shingle > 1
-        else tokenize(df, text_col, id_col)
+        else tokenize(df, text_col, id_col, carry=carry)
     )
 
 
@@ -170,15 +191,86 @@ def word_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b; ``jaccard`` is a
     DOUBLE from an exact integer division (deterministic)."""
-    toks = _token_source(df, text_col, id_col, shingle)
+    carry = (block_col,) if block_col else ()
+    toks = _token_source(df, text_col, id_col, shingle, carry=carry)
     if block_col:
-        blocks = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("_blk"))
-        toks = toks.join(blocks, "id")
-
+        # blocking key rides on the exploded rows (narrow) instead of a
+        # join-back on id (a full shuffle of the token relation)
+        toks = toks.withColumnRenamed(block_col, "_blk")
     join_keys = ["token"] + (["_blk"] if block_col else [])
-    if max_df is not None:
-        toks = cap_document_frequency(toks, max_df, key_cols=join_keys)
 
+    if max_df is not None:
+        # Capped path = posting lists, not a self-join.
+        # 1) df counts per (token[, blk]) — map-side partial agg, the
+        #    shuffle carries one record per distinct key per mapper,
+        #    not every token row like a window would;
+        # 2) hot keys (df > max_df) anti-joined away — a SMALL relation
+        #    by construction (≤ total_tokens/max_df keys), so AQE takes
+        #    the broadcast side;
+        # 3) ONE groupBy(token) builds sorted posting lists — bounded
+        #    by the cap (≤ max_df ids each), so no hot-reducer memory
+        #    risk — and pairs explode from each list in place:
+        #    per-token pair cost ≤ max_df², total shuffled pair rows
+        #    bounded, vs TWO full shuffles of the token relation for
+        #    the a×b self-join the uncapped path needs.
+        # toks feeds the count pass and the posting pass; posting feeds
+        # sizes and pairs — persist both (at warehouse scale these are
+        # materialized token/posting tables).
+        toks = toks.persist()
+        hot = (
+            toks.groupBy(*join_keys)
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select(*join_keys)
+        )
+        posting = (
+            toks.join(hot, join_keys, "left_anti")
+            .groupBy(*join_keys)
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .persist()
+        )
+        # doc size over the df-filtered token space: explode the lists
+        # back (narrow) + one small groupBy(id) with map-side combine
+        sizes = (
+            posting.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        # all i<j pairs within each (sorted) posting list, in place
+        pair_expr = F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        )
+        inter = (
+            posting.filter(F.size("ids") >= 2)
+            .select(pair_expr.alias("_p"))
+            .select("_p.id_a", "_p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        # sizes join AFTER pair aggregation: both joins touch the
+        # already-aggregated pair relation, never token rows
+        return (
+            inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # Uncapped path: no bound on posting-list fan-out, so set sizes ride
+    # ON the token rows and the size-ratio prune cuts pairs BEFORE the
+    # pair-count shuffle — the only structural protection available.
     toks = toks.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
     a = toks.select(*join_keys, F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     b = toks.select(*join_keys, F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))

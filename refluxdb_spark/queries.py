@@ -836,9 +836,69 @@ def dedup_exact(spark, sf_dir):
 def dedup_jaccard_pairs(spark, sf_dir):
     """Exact word-set Jaccard >= 0.5, language-blocked inverted-index
     self-join (operators.dedup.word_jaccard_pairs) — (doc, token) pairs
-    shuffle; the pair matrix is never materialized."""
+    shuffle; the pair matrix is never materialized.
+
+    CORRECTNESS-ONLY configuration: unigram tokens with no df cap give
+    recall=1 ground truth, but a corpus-frequent token ("the") makes one
+    posting list ∝ corpus size and its self-join quadratic. The benched
+    headline is ``dedup_jaccard_pairs_capped``; production near-dup is
+    ``dedup_minhash_lsh_pairs``."""
     return D.word_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=0.5, block_col="lang"
+    )
+
+
+@register(
+    "dedup_jaccard_pairs_capped",
+    """
+    WITH base AS (
+        SELECT doc_id AS id, lang AS blk,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS toks
+        FROM documents
+    ),
+    toks2 AS (
+        SELECT DISTINCT id, blk,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS token
+        FROM base WHERE len(toks) >= 3
+    ),
+    toks3 AS (
+        SELECT id, blk, token FROM (
+            SELECT id, blk, token,
+                   count(*) OVER (PARTITION BY token, blk) AS df
+            FROM toks2
+        ) WHERE df <= 50
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks3 GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        FROM toks3 a JOIN toks3 b ON a.token = b.token AND a.blk = b.blk
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def dedup_jaccard_pairs_capped(spark, sf_dir):
+    """The SCALE-SAFE exact-Jaccard headline: 3-word shingles,
+    language-blocked, and a document-frequency cap (``max_df=50``) that
+    drops stop-shingles BEFORE the posting-list self-join — every
+    posting list is bounded, so pair cost is ≤ max_df² per token at any
+    corpus size (the uncapped variant has a quadratic hot-token reducer
+    at 100 TB). Jaccard is exact over the df-filtered token space — the
+    standard stop-shingle semantics, mirrored by the oracle's window
+    df-filter."""
+    return D.word_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=0.5,
+        block_col="lang",
+        shingle=3,
+        max_df=50,
     )
 
 

@@ -676,3 +676,26 @@ def test_documents_text_is_ascii_precondition(spark, sf_dir):
         "documents.text contains non-ASCII rows; the mm_frame_sample "
         "oracle's character-chunking assumption no longer holds"
     )
+
+
+def test_capped_jaccard_equals_uncapped_below_cap(spark):
+    """The capped (posting-list) and uncapped (self-join) formulations
+    must agree exactly when no token exceeds the cap — same pairs, same
+    jaccard values."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a lazy dog"),
+        (3, "completely different text about spark engines"),
+        (4, "completely different text about spark planes"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in word_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in word_jaccard_pairs(df, threshold=0.3, max_df=100).collect()
+    }
+    assert capped == uncapped and len(capped) >= 2
