@@ -45,6 +45,7 @@ HEADLINE = [
     "text_quality_scores",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_ivf_persisted_topk",
     "sample_stratified_documents",
 ]
 

@@ -1361,6 +1361,35 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "sim_ivf_persisted_topk",
+    f"""
+    WITH {_IVF_TOPK_CTES}
+    SELECT query_id, neighbor_id, cosine, rank FROM ivf_ranked
+    """,
+)
+def sim_ivf_persisted_topk(spark, sf_dir):
+    """The PRODUCTION IVF shape: the index is materialized once
+    (operators.similarity.save_ivf_index — assignments written
+    partitioned by centroid_id), and the query probes the saved index
+    (load_ivf_topk), scanning only the nprobe chosen centroid
+    partitions (partition pruning = the inverted-file property on a
+    lake). Same deterministic build as ``sim_ivf_topk`` so the two
+    share an oracle; the difference is purely physical — build cost is
+    paid once, probes are pruned scans. The index is cached per
+    (sf_dir, embeddings mtime) so repeated runs measure the probe."""
+    import os as _os
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    mtime = int(_os.stat(emb_path).st_mtime)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    index_path = f"/tmp/refluxdb_spark_ivf/{tag}_{mtime}"
+    if not _os.path.exists(f"{index_path}/assigned/_SUCCESS"):
+        S.save_ivf_index(load(spark, sf_dir, "embeddings"), index_path, num_centroids=16)
+    queries = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return S.load_ivf_topk(spark, index_path, queries, k=5, nprobe=4)
+
+
+@register(
     "sim_ivf_recall",
     f"""
     WITH {_IVF_TOPK_CTES},

@@ -164,3 +164,19 @@ def test_interval_join_no_nested_loop(spark, sf_dir):
     s = explain_str(df)
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_ivf_persisted_probe_partition_pruned(spark, sf_dir):
+    """The saved-IVF probe must scan the assignment table with a
+    dynamic-partition-pruning filter on centroid_id (the inverted-file
+    property: only the nprobe probed buckets are read, not the corpus)."""
+    df = QUERIES["sim_ivf_persisted_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assigned_scan = [
+        l for l in plan.splitlines() if "FileScan" in l and "/assigned" in l
+    ]
+    assert assigned_scan, "no scan of the persisted assignment table found"
+    assert any("dynamicpruning" in l for l in assigned_scan), (
+        "assignment-table scan carries no dynamicpruning partition filter; "
+        f"got: {assigned_scan}"
+    )
