@@ -87,6 +87,20 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
     )
 
+def default_num_centroids(corpus_size: int) -> int:
+    """√N sizing rule for IVF centroid count.
+
+    Probe cost per query ≈ C (coarse scoring) + nprobe/C · N
+    (candidate scan); with nprobe fixed as a fraction of C both terms
+    balance at C ≈ √N, minimizing total work at ~2√N per query. The
+    toy fixed C=16 of the oracled queries is a determinism choice, not
+    a sizing choice — at 10^10 vectors (100 TB of embeddings) this
+    rule gives C ≈ 10^5, keeping every cell ~√N vectors. Floor of 16
+    so tiny corpora keep enough cells for nprobe pruning to mean
+    anything."""
+    return max(16, int(corpus_size ** 0.5))
+
+
 def seed_centroids(
     corpus: DataFrame,
     num_centroids: int = 16,
@@ -185,7 +199,7 @@ def train_kmeans_centroids(
 
 def build_ivf_index(
     corpus: DataFrame,
-    num_centroids: int = 16,
+    num_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 0,
@@ -205,6 +219,10 @@ def build_ivf_index(
     The assignment is ONE broadcast join — corpus scanned once. At 100 TB
     the assigned table is written bucketed by centroid_id so probes are
     partition-pruned scans."""
+    if num_centroids is None:
+        # √N sizing (see default_num_centroids); the count is one
+        # column-pruned job at index-BUILD time, amortized over probes
+        num_centroids = default_num_centroids(corpus.count())
     if centroids is None:
         centroids = (
             train_kmeans_centroids(corpus, num_centroids, train_iters, id_col, vec_col)
@@ -232,7 +250,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    num_centroids: int = 16,
+    num_centroids: int | None = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -339,7 +357,7 @@ def blocked_cosine_pairs(
 def save_ivf_index(
     corpus: DataFrame,
     path: str,
-    num_centroids: int = 16,
+    num_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 0,
