@@ -72,6 +72,8 @@ def stream_dedup(
     ts_col: str,
     watermark: str = "1 hour",
     sink_table: str | None = None,
+    sink_path: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Streaming deduplication: emit each key once, suppressing
     re-deliveries that arrive within the watermark horizon.
@@ -84,20 +86,36 @@ def stream_dedup(
     global dedup over all time belongs to the batch layer
     (``operators.dedup.exact_dedup``).
 
-    NOTE: this convenience wrapper writes to a MEMORY sink and returns
-    ``spark.table(...)`` — the deduplicated output lands in driver
-    memory, which is a test/demo harness, not the production shape. At
-    scale keep the ``dropDuplicatesWithinWatermark`` core (whose STATE
-    is the bounded part) but point ``writeStream`` at a durable sink
-    (parquet path / table / foreachBatch into the engine).
+    Sinks: with ``sink_path`` (durable mode, production shape) the
+    deduplicated append stream lands on plain parquet via
+    ``sinks.idempotent_append_sink`` — checkpointed, restartable, and
+    exactly-once on disk (a replayed micro-batch overwrites its own
+    ``_batch_id`` partition) — and the returned DataFrame re-reads the
+    path. Without it, a MEMORY sink returns driver-resident results —
+    a test/demo harness only.
 
     Processes everything currently available (availableNow) and
-    returns the deduplicated result table.
+    returns the deduplicated result.
     """
-    sink_table = sink_table or f"dedup_{uuid.uuid4().hex[:8]}"
     deduped = source.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+    if sink_path is not None:
+        from refluxdb_spark.streaming.sinks import idempotent_append_sink, read_sink
+
+        q = (
+            deduped.writeStream.foreachBatch(idempotent_append_sink(sink_path))
+            .option(
+                "checkpointLocation",
+                checkpoint_dir or f"{sink_path}_checkpoint",
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return read_sink(spark, sink_path)
+    sink_table = sink_table or f"dedup_{uuid.uuid4().hex[:8]}"
     q = (
         deduped.writeStream.format("memory")
         .queryName(sink_table)
@@ -118,17 +136,25 @@ def stream_rollup(
     watermark: str = "1 day",
     sink_table: str | None = None,
     available_now: bool = True,
+    sink_path: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window rollup of a *streaming* DataFrame.
 
     Aggregates: row count + sum(value as decimal cast back to double —
     order-independent, so results are deterministic under any partition
-    or trigger schedule). Returns the completed result table (memory
-    sink) when ``available_now``; otherwise the caller manages the
-    returned query via ``sink_table``.
+    or trigger schedule).
+
+    Sinks: with ``sink_path`` (durable mode, production shape) the
+    rollup runs in UPDATE output mode through ``sinks.upsert_sink`` —
+    each changed (bucket, group) lands as latest-value-per-key on
+    plain parquet (dynamic overwrite of its own key partition), so the
+    on-disk table refines as data arrives and its final state equals
+    the batch aggregation; checkpointed and restartable. Without it, a
+    MEMORY sink in complete mode returns driver-resident results — a
+    test/demo harness only.
     """
     by = by or []
-    sink_table = sink_table or f"rollup_{uuid.uuid4().hex[:8]}"
     agged = (
         source.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), bucket).alias("_w"), *by)
@@ -143,6 +169,24 @@ def stream_rollup(
             F.col("_sum_dec").cast("double").alias("sum_value"),
         )
     )
+    if sink_path is not None:
+        from refluxdb_spark.streaming.sinks import read_sink, upsert_sink
+
+        q = (
+            agged.writeStream.foreachBatch(
+                upsert_sink(sink_path, key_cols=["bucket_start", *by])
+            )
+            .option(
+                "checkpointLocation",
+                checkpoint_dir or f"{sink_path}_checkpoint",
+            )
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return read_sink(spark, sink_path)
+    sink_table = sink_table or f"rollup_{uuid.uuid4().hex[:8]}"
     q = (
         agged.writeStream.format("memory")
         .queryName(sink_table)

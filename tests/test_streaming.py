@@ -112,3 +112,91 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = {r.k for r in out.collect()}
     assert got == {"a", "b", "c"}
     assert out.count() == 3  # each key exactly once
+
+
+def test_stream_rollup_durable_sink_equals_batch(spark, sf_dir, tmp_path):
+    """Durable-mode rollup (update-mode upsert onto plain parquet) must
+    re-read from DISK equal to the batch aggregation — the production
+    shape next to the memory-sink harness."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+        .select(
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    out_path = str(tmp_path / "rollup_sink")
+    streamed = stream_rollup(
+        spark, src, ts_col="ts", bucket="1 hour", by=["event_type"],
+        watermark="365 days", sink_path=out_path,
+        checkpoint_dir=str(tmp_path / "ck_rollup"),
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    expected = time_bucket(
+        batch, "ts", "1 hour", by=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        ],
+    ).select("bucket_start", "event_type", "n", "sum_value")
+    got = {
+        tuple(r)
+        for r in streamed.select("bucket_start", "event_type", "n", "sum_value").collect()
+    }
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
+    # restart on the same checkpoint with no new data: disk state unchanged
+    streamed2 = stream_rollup(
+        spark, src, ts_col="ts", bucket="1 hour", by=["event_type"],
+        watermark="365 days", sink_path=out_path,
+        checkpoint_dir=str(tmp_path / "ck_rollup"),
+    )
+    got2 = {
+        tuple(r)
+        for r in streamed2.select("bucket_start", "event_type", "n", "sum_value").collect()
+    }
+    assert got2 == want
+
+
+def test_stream_dedup_durable_sink_idempotent(spark, tmp_path):
+    """Durable-mode dedup: exactly-once per key lands on plain parquet,
+    and a restart on the same checkpoint appends nothing."""
+    from refluxdb_spark.streaming.ingest import stream_dedup
+
+    src = tmp_path / "dedup_src_durable"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"k": "a", "ts": "2024-01-01T00:00:00", "v": 1}\n'
+        '{"k": "b", "ts": "2024-01-01T00:01:00", "v": 2}\n'
+        '{"k": "a", "ts": "2024-01-01T00:02:00", "v": 3}\n'
+    )
+    (src / "b2.json").write_text(
+        '{"k": "a", "ts": "2024-01-01T00:03:00", "v": 4}\n'
+        '{"k": "c", "ts": "2024-01-01T00:04:00", "v": 5}\n'
+    )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out_path = str(tmp_path / "dedup_sink")
+    ck = str(tmp_path / "ck_dedup")
+    out = stream_dedup(
+        spark, stream, key_cols=["k"], ts_col="ts", watermark="1 hour",
+        sink_path=out_path, checkpoint_dir=ck,
+    )
+    assert {r.k for r in out.collect()} == {"a", "b", "c"}
+    assert out.count() == 3
+    out2 = stream_dedup(
+        spark, stream, key_cols=["k"], ts_col="ts", watermark="1 hour",
+        sink_path=out_path, checkpoint_dir=ck,
+    )
+    assert out2.count() == 3
