@@ -61,7 +61,9 @@ class RefluxEngine:
         self.warehouse = warehouse
         self.strict_compat = strict_compat
         self.server_time_mode = server_time_mode
-        self._path = os.path.join(warehouse, _TABLE)
+        from refluxdb_spark.storage import VersionedPath
+
+        self._data = VersionedPath(os.path.join(warehouse, _TABLE))
         self._dlq_path = os.path.join(warehouse, "dead_letters")
         self._views: set[str] = set()
         os.makedirs(warehouse, exist_ok=True)
@@ -139,35 +141,44 @@ class RefluxEngine:
             )
         return self.spark.read.parquet(self._dlq_path)
 
+    @property
+    def _path(self) -> str:
+        """Live measurements directory, resolved through the version
+        pointer (``storage.VersionedPath``) — compaction swaps versions
+        with one pointer-file PUT, never a directory rename."""
+        return self._data.current()
+
     def compact(self, target_file_mb: int = 128) -> None:
         """Rewrite the measurements table into ~target-size files per
         (series, day) partition — streaming appends produce one small
         file per micro-batch, and scan cost at 100 TB is dominated by
         file count. Time-sorts within files (restores range-scan
-        locality) and preserves all rows."""
+        locality) and preserves all rows.
+
+        Object-store-safe: the compacted copy lands in a fresh version
+        directory and goes live via a single pointer-file write (see
+        ``storage.py``) — no directory rename anywhere, so the same
+        code is correct on S3/GCS, and a crash mid-compact leaves the
+        live table untouched."""
         df = self._table()
         if df.isEmpty():
             return
-        tmp = self._path + ".compact"
         n_bytes = sum(
             os.path.getsize(os.path.join(root, f))
             for root, _, files in os.walk(self._path)
             for f in files
         )
         n_files = max(1, n_bytes // (target_file_mb * 1024 * 1024))
+        new_dir, commit = self._data.begin_rewrite()
         (
             df.repartition(int(n_files), "series")
             .sortWithinPartitions("series", "time")
             .write.mode("overwrite")
             .partitionBy("series", "day")
-            .parquet(tmp)
+            .parquet(new_dir)
         )
-        import shutil
-
-        backup = self._path + ".pre_compact"
-        os.rename(self._path, backup)
-        os.rename(tmp, self._path)
-        shutil.rmtree(backup)
+        commit()
+        self._data.vacuum()
         self._views.clear()
 
     def _finalize_rows(self, rows: DataFrame) -> DataFrame:
@@ -323,15 +334,16 @@ class RefluxEngine:
                 F.max("value").alias("max_value"),
             ],
         )
-        path = os.path.join(self.warehouse, name)
-        tmp = path + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            import shutil
+        from refluxdb_spark.storage import VersionedPath
 
-            shutil.rmtree(path)
-        os.rename(tmp, path)
-        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        # same pointer-file commit as compact(): rewrite to a fresh
+        # version dir, go live with one small-file PUT, vacuum the old
+        vp = VersionedPath(os.path.join(self.warehouse, name))
+        new_dir, commit = vp.begin_rewrite()
+        df.write.mode("overwrite").parquet(new_dir)
+        commit()
+        vp.vacuum()
+        self.spark.read.parquet(vp.current()).createOrReplaceTempView(name)
 
     def wide(self, series: str) -> DataFrame:
         """Wide view of one series: one row per (time, tags), one

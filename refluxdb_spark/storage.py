@@ -1,0 +1,103 @@
+"""Object-store-safe table maintenance: versioned directories with a
+pointer-file commit.
+
+The reference swaps sled directories around freely because it owns a
+local filesystem (``persistence.rs:222-266``). A lake engine cannot:
+S3/GCS have no atomic directory rename, so ``os.rename``-based
+compaction swaps (the r2 design) are local-only. The portable scheme —
+the same one Delta/Iceberg build their logs on — is:
+
+1. rewritten table data goes to a FRESH versioned directory
+   (``<base>._v<N>``), never touching the live one;
+2. the commit is ONE small pointer-file write (``<base>._version``) —
+   a single-object PUT, which every object store performs atomically;
+3. readers resolve the pointer before listing data; old versions are
+   garbage, removed best-effort (``vacuum``) — safe because no new
+   reader can resolve to them.
+
+No directory is ever renamed or moved; the only mutations are
+"write new tree", "overwrite one small file", "delete old tree".
+A crash between (1) and (2) leaves an orphan version dir (vacuumed
+later) and the table untouched.
+
+Concurrent WRITERS during a rewrite still race (appends into the old
+version are dropped by the swap) — same contract as any OPTIMIZE-style
+operation without a transaction log; run compaction from the ingest
+owner. Readers are safe at every instant.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+class VersionedPath:
+    """A logical table directory whose physical location is resolved
+    through a pointer file. ``current()`` is the live data dir;
+    ``begin_rewrite()`` hands out the next version dir and a commit
+    callback."""
+
+    def __init__(self, base: str) -> None:
+        self.base = base
+        self._pointer = base + "._version"
+
+    # ------------------------------------------------------------ read
+    def current(self) -> str:
+        """The live data directory. With no pointer yet, the unsuffixed
+        base path (legacy/initial layout) is live."""
+        v = self._read_pointer()
+        return self.base if v is None else f"{self.base}._v{v}"
+
+    def _read_pointer(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                content = f.read().strip()
+            return int(content) if content else None
+        except (OSError, ValueError):
+            return None
+
+    # ----------------------------------------------------------- write
+    def begin_rewrite(self) -> tuple[str, "_Commit"]:
+        """Start a table rewrite: returns (new_dir, commit). Write the
+        full new table under ``new_dir``, then call ``commit()`` — one
+        pointer-file PUT makes it live for every subsequent reader."""
+        next_v = (self._read_pointer() or 0) + 1
+        new_dir = f"{self.base}._v{next_v}"
+        if os.path.exists(new_dir):  # crashed attempt left an orphan
+            shutil.rmtree(new_dir)
+        return new_dir, _Commit(self, next_v)
+
+    def _commit(self, version: int) -> None:
+        # Direct single-file write = the local stand-in for an object
+        # PUT. Deliberately NOT write-temp-then-rename: the whole point
+        # is to assume nothing beyond atomic single-object replace.
+        with open(self._pointer, "w") as f:
+            f.write(str(version))
+
+    def vacuum(self) -> None:
+        """Best-effort removal of non-live data (old version dirs and,
+        once versioned, the legacy unsuffixed dir). Never required for
+        correctness — only for space."""
+        live = self.current()
+        parent = os.path.dirname(self.base) or "."
+        prefix = os.path.basename(self.base)
+        try:
+            entries = os.listdir(parent)
+        except OSError:
+            return
+        for e in entries:
+            full = os.path.join(parent, e)
+            if full == live or not os.path.isdir(full):
+                continue
+            if e == prefix or e.startswith(prefix + "._v"):
+                shutil.rmtree(full, ignore_errors=True)
+
+
+class _Commit:
+    def __init__(self, vp: VersionedPath, version: int) -> None:
+        self._vp = vp
+        self._version = version
+
+    def __call__(self) -> None:
+        self._vp._commit(self._version)

@@ -1,6 +1,8 @@
 """End-to-end engine tests: the README demo flow (BASELINE.md functional
 baseline) — ingest line protocol, query it back, range scan, listing."""
 
+import os
+
 import pytest
 
 from refluxdb_spark.engine import RefluxEngine
@@ -126,12 +128,43 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     for i in range(5):  # five appends -> many small files
         eng.write_lines([f"s v={i}.0 {1700000000000000000 + i * 10**9}"])
     before_rows = len(eng.query_rows("SELECT * FROM s"))
-    before_files = len(glob.glob(str(tmp_path / "wh4/measurements/**/*.parquet"), recursive=True))
+    before_files = len(glob.glob(str(tmp_path / "wh4") + "/" + eng._path.split("/")[-1] + "/**/*.parquet", recursive=True))
     eng.compact()
     after_rows = len(eng.query_rows("SELECT * FROM s"))
-    after_files = len(glob.glob(str(tmp_path / "wh4/measurements/**/*.parquet"), recursive=True))
+    after_files = len(glob.glob(eng._path + "/**/*.parquet", recursive=True))
     assert after_rows == before_rows == 5
     assert after_files < before_files
+
+
+def test_compact_and_rollup_never_rename_directories(spark, tmp_path, monkeypatch):
+    """Object-store contract: table maintenance must not rely on
+    directory rename/move (S3/GCS have none) — only write-new-tree,
+    single pointer-file PUT, delete-old-tree. Renames are disabled
+    outright; compaction and rollup maintenance must still work and
+    preserve data."""
+    eng = RefluxEngine(spark, str(tmp_path / "wh_osafe"))
+    for i in range(4):
+        eng.write_lines([f"s v={i}.0 {1700000000000000000 + i * 10**9}"])
+
+    def _no_rename(*a, **k):
+        raise AssertionError("directory rename attempted — not object-store-safe")
+
+    import shutil as _shutil
+
+    monkeypatch.setattr(os, "rename", _no_rename)
+    monkeypatch.setattr(os, "renames", _no_rename)
+    monkeypatch.setattr(os, "replace", _no_rename)
+    monkeypatch.setattr(_shutil, "move", _no_rename)
+
+    eng.compact()
+    assert len(eng.query_rows("SELECT * FROM s")) == 4
+    eng.maintain_rollup(bucket="1 hour", name="rollup_osafe")
+    rows = eng.query("SELECT * FROM rollup_osafe").collect()
+    assert sum(r.n for r in rows) == 4
+    # a second compact cycles versions again, still rename-free
+    eng.compact()
+    assert len(eng.query_rows("SELECT * FROM s")) == 4
+    assert eng.list_series() == ["s"]
 
 
 def test_engine_sql_cross_series(engine):
