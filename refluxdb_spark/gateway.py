@@ -97,6 +97,13 @@ def validate_query(query: str, strict_compat: bool = False) -> list[str]:
     With ``strict_compat=True`` the reference's substring blocklist is
     reproduced verbatim (``persistence.rs:148``: uppercase + contains),
     including the Q3 misfeature of rejecting ``created_at``.
+
+    Deliberate conservative REJECTS of valid-to-Spark SQL (documented,
+    fuzz-pinned in ``tests/test_gateway.py``): a mutation keyword used
+    as a quoted/backticked IDENTIFIER (``SELECT * FROM "drop"``) is
+    still rejected — a token validator cannot prove it is a name, and
+    no series is ever legitimately called ``drop``; multi-statement
+    input is always rejected even when each piece is a SELECT.
     """
     if not query or not query.strip():
         raise ValidationError("empty query")
@@ -139,9 +146,16 @@ def validate_query(query: str, strict_compat: bool = False) -> list[str]:
     idents = list(_IDENT.finditer(statements[0]))
     for k, m in enumerate(idents):
         if m.group(0).lower() in _TABLE_INTRO and k + 1 < len(idents):
-            nxt = idents[k + 1].group(0)
+            j = k + 1
+            # JOIN LATERAL (SELECT …) x — LATERAL is a modifier, not a
+            # table; look through it at whatever follows
+            if idents[j].group(0).lower() == "lateral":
+                j += 1
+                if j >= len(idents):
+                    continue
+            nxt = idents[j].group(0)
             # skip subquery openers: "FROM (" has no ident right after
-            between = statements[0][m.end() : idents[k + 1].start()]
+            between = statements[0][m.end() : idents[j].start()]
             if "(" in between:
                 continue
             if nxt.lower() not in cte_names:

@@ -166,3 +166,62 @@ def test_fuzzed_shapes_parse_in_spark(spark):
     ]:
         assert validate_query(q)  # gateway accepts
         spark.sql(q)  # and Spark parses/analyzes the same text
+
+
+# --- r2 carry-over (VERDICT item 8): quoted/backticked identifiers and
+# --- derived-table / lateral shapes, plus the documented reject list.
+
+# Spark dialect: backticks quote identifiers; double quotes are
+# string literals (default ANSI off) — so only backticks fuzz here
+_QUOTE = st.sampled_from(["{t}", "`{t}`"])
+
+
+@given(t=_TBL, quote=_QUOTE, c=_COL)
+@settings(max_examples=40, deadline=None)
+def test_fuzz_quoted_table_identifiers_extracted(t, quote, c):
+    q = f"SELECT {c} FROM {quote.format(t=t)} WHERE {c} IS NOT NULL"
+    assert validate_query(q) == [t]
+
+
+@given(t=_TBL, c=_COL, alias=st.sampled_from(["d", "`d`"]), ws=_WS)
+@settings(max_examples=40, deadline=None)
+def test_fuzz_derived_table_alias_not_a_table(t, c, alias, ws):
+    q = f"SELECT {c} FROM{ws}(SELECT {c} FROM {t}) {alias}"
+    assert validate_query(q) == [t]
+
+
+@given(t1=_TBL, t2=_TBL, c=_COL)
+@settings(max_examples=40, deadline=None)
+def test_fuzz_lateral_subquery_join(t1, t2, c):
+    q = (
+        f"SELECT a.{c} FROM {t1} a JOIN LATERAL "
+        f"(SELECT {c} FROM {t2} WHERE {t2}.{c} = a.{c}) b"
+    )
+    got = validate_query(q)
+    assert set(got) == {t1, t2}
+
+
+@given(kw=st.sampled_from(["drop", "insert", "delete", "update", "create"]),
+       quote=st.sampled_from(['"{k}"', "`{k}`"]))
+@settings(max_examples=20, deadline=None)
+def test_fuzz_documented_reject_quoted_mutation_identifier(kw, quote):
+    """Documented conservative reject: a mutation keyword as a QUOTED
+    identifier is still refused — the token validator will not vouch
+    for it, and no legitimate series carries that name."""
+    q = f"SELECT * FROM {quote.format(k=kw)}"
+    with pytest.raises(ValidationError):
+        validate_query(q)
+
+
+def test_lateral_shapes_parse_in_spark(spark):
+    """Anchor: the lateral/derived/quoted shapes the fuzzers accept are
+    shapes Spark SQL itself parses."""
+    spark.createDataFrame([(1.0, "a")], "value double, name string").createOrReplaceTempView("cpu")
+    spark.createDataFrame([(1.0, "a")], "value double, name string").createOrReplaceTempView("mem")
+    for q in [
+        "SELECT name FROM `cpu` WHERE name IS NOT NULL",
+        "SELECT name FROM (SELECT name FROM cpu) d",
+        "SELECT a.name FROM cpu a JOIN LATERAL (SELECT value FROM mem WHERE mem.name = a.name) b",
+    ]:
+        assert validate_query(q)
+        spark.sql(q)
