@@ -2193,6 +2193,311 @@ def tpch_q19_disjunctive_predicates(spark, sf_dir):
     )
 
 
+# Money expression shared by the TPC-H shapes below: exact decimal
+# arithmetic (cast to double only at the very end) so Spark and the
+# DuckDB oracle agree bit-for-bit regardless of summation order.
+def _tpch_rev():
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    WITH j AS (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM j GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation dim joins twice under different roles (
+    supplier side / customer side) — both broadcast; the symmetric
+    nation-pair disjunction evaluates after, so only matching trade
+    lanes reach the aggregation."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_tpch_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    WITH allv AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM allv GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part trade
+    by order year. Seven-table snowflake — every dim broadcastable at
+    its own tier; the share is a conditional decimal sum over the same
+    rows as the total, so the division is exact-over-exact."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _tpch_rev()
+    allv = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double")
+    return allv.groupBy("o_year").agg(
+        (nation_vol / F.sum("volume").cast("double")).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: order-count distribution over customers,
+    INCLUDING zero-order customers — the left join is load-bearing
+    (count(o_orderkey) counts non-null keys, so no-order customers
+    contribute c_count=0, not 1). Two cascaded aggregations; the
+    second groups on the tiny distinct-count domain."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) achieving the quarter's maximum
+    revenue. The revenue CTE aggregates once and is consumed twice
+    (per-supplier rows + global max); the max comparison runs on EXACT
+    decimals — ties surface every winner, and the equality cannot be
+    perturbed by float summation order."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1996-04-01 00:00:00")
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_tpch_rev()).alias("total_rev"))
+        .persist()  # consumed twice: per-supplier rows + global max
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("_max_rev"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_rev") == F.col("_max_rev"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH qlim AS (
+        SELECT l_partkey AS qp,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)) AS lim
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN qlim ON qp = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < lim
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (p_brand filter alone; this schema has no
+    p_container): revenue locked in small-quantity orders — each
+    lineitem compares against 20% of its part's average quantity. The
+    correlated subquery is decorrelated into one per-part aggregate
+    joined back; the threshold is built from an exact decimal sum
+    divided by the count, so Spark and DuckDB compute the identical
+    double."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    qlim = li.groupBy(F.col("l_partkey").alias("qp")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("lim")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(qlim, F.col("qp") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS ab
+        FROM customer WHERE c_acctbal > 0.0 AND c_nationkey IN (1,2,3,4,5,6,7)
+    )
+    SELECT c_nationkey AS cntrycode,
+           count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1,2,3,4,5,6,7)
+      AND c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (c_nationkey stands in for the absent phone
+    country code): wealthy customers in target countries who never
+    ordered RECENTLY (this dataset's customers all have old orders, so
+    'no order since 2000' keeps the anti-join selective but non-empty).
+    Scalar subquery (positive-balance average, exact decimal sum /
+    count) broadcast against the filtered customers; NOT EXISTS = LEFT
+    ANTI join on the filtered orders."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7)
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01 00:00:00"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 @register(
     "ts_interval_join_error_clicks",
     """
