@@ -771,6 +771,56 @@ def ts_streaming_rollup(spark, sf_dir):
     return out.select("bucket_start", "event_type", "n", "sum_value")
 
 
+@register(
+    "ts_streaming_rollup_durable",
+    """
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_start,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_streaming_rollup_durable(spark, sf_dir):
+    """The PRODUCTION streaming rollup: same watermarked window
+    aggregation as ts_streaming_rollup, but through the durable
+    parquet upsert sink (streaming.sinks.upsert_sink — update-mode
+    foreachBatch, latest-value-per-key partitions) and RE-READ FROM
+    DISK. The oracle is identical to the memory-sink twin — proving
+    the durable path loses nothing."""
+    import shutil
+    import tempfile
+
+    _ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    work = tempfile.mkdtemp(prefix="reflux_rollup_durable_")
+    try:
+        out = stream_rollup(
+            spark, src, ts_col="ts", bucket="1 day", by=["event_type"],
+            watermark="365 days",
+            # DAY buckets: the upsert sink makes one partition per
+            # (bucket, group) key — daily granularity keeps that to
+            # dozens of dirs instead of thousands at hourly
+            sink_path=f"{work}/sink", checkpoint_dir=f"{work}/ckpt",
+        )
+        result = out.select("bucket_start", "event_type", "n", "sum_value")
+        # materialize off the temp dir before cleanup (localCheckpoint:
+        # result rows are small — one per (hour, event_type))
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # =====================================================================
 # D. Large-scale pipeline operators (dedup / similarity / text /
 #    multimodal) — first-class components per BASELINE.json north star
