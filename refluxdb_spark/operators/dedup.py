@@ -114,6 +114,35 @@ def _token_source(
     )
 
 
+def char_ngram_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, token [, carry...]) pairs where token is a distinct
+    character n-gram of the normalized text — the tokenization for
+    scripts without word boundaries (CJK) and for noisy text where
+    word splits are unreliable. Documents shorter than ``n``
+    characters produce no grams. Same narrow explode shape as the
+    word/shingle sources, so the whole Jaccard/MinHash machinery runs
+    unchanged on top."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(text_col).alias("_t"),
+        *[F.col(c) for c in carry],
+    )
+    grams = (
+        f"CASE WHEN length(_t) >= {n} THEN "
+        f"transform(sequence(1, length(_t) - {n - 1}), i -> substring(_t, i, {n})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return base.select(
+        "id", F.explode(F.array_distinct(F.expr(grams))).alias("token"), *carry
+    )
+
+
 def cap_document_frequency(
     toks: DataFrame,
     max_df: int,
@@ -193,6 +222,36 @@ def word_jaccard_pairs(
     DOUBLE from an exact integer division (deterministic)."""
     carry = (block_col,) if block_col else ()
     toks = _token_source(df, text_col, id_col, shingle, carry=carry)
+    return jaccard_pairs_from_tokens(toks, threshold, block_col, max_df)
+
+
+def char_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n: int = 5,
+    block_col: str | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over character n-gram sets — the dedup measure for
+    boundary-less scripts and noisy text (``char_ngram_tokens``). Same
+    guarantees and scale machinery as ``word_jaccard_pairs``; char
+    grams are far more collision-prone than word shingles, so a
+    ``max_df`` cap is strongly recommended at corpus scale."""
+    carry = (block_col,) if block_col else ()
+    toks = char_ngram_tokens(df, text_col, id_col, n, carry=carry)
+    return jaccard_pairs_from_tokens(toks, threshold, block_col, max_df)
+
+
+def jaccard_pairs_from_tokens(
+    toks: DataFrame,
+    threshold: float,
+    block_col: str | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shared pair machinery over any (id, token [, block]) relation —
+    see ``word_jaccard_pairs`` for the algorithm and scale notes."""
     if block_col:
         # blocking key rides on the exploded rows (narrow) instead of a
         # join-back on id (a full shuffle of the token relation)

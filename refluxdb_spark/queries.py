@@ -952,6 +952,56 @@ def dedup_jaccard_pairs_capped(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_char_ngram_pairs",
+    """
+    WITH base AS (
+        SELECT doc_id AS id, lang AS blk,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    toks2 AS (
+        SELECT DISTINCT id, blk, substring(t, CAST(i AS INT), 5) AS token
+        FROM base, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+        WHERE len(t) >= 5
+    ),
+    toks3 AS (
+        SELECT id, blk, token FROM (
+            SELECT id, blk, token,
+                   count(*) OVER (PARTITION BY token, blk) AS df
+            FROM toks2
+        ) WHERE df <= 50
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks3 GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        FROM toks3 a JOIN toks3 b ON a.token = b.token AND a.blk = b.blk
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.7
+    """,
+)
+def dedup_char_ngram_pairs(spark, sf_dir):
+    """Character 5-gram Jaccard near-dup pairs (operators.dedup.
+    char_jaccard_pairs) — the tokenization for boundary-less scripts
+    and noisy text, language-blocked with a df cap (char grams are far
+    more collision-prone than word shingles, so the stop-gram cap is
+    what keeps posting lists bounded at corpus scale)."""
+    return D.char_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=0.7,
+        n=5,
+        block_col="lang",
+        max_df=50,
+    )
+
+
 _CC_ORACLE = """WITH RECURSIVE base AS (
         SELECT doc_id AS id,
                list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS toks

@@ -739,3 +739,22 @@ def test_ivf_recall_curve_across_centroid_counts(spark):
 
     centroids, assigned = build_ivf_index(emb, num_centroids=None)
     assert centroids.count() == 44
+
+
+def test_char_ngram_tokens_by_hand(spark):
+    """3-grams of 'abcd e' (normalized 'abcd e'): positions 1..4 ->
+    {'abc','bcd','cd ','d e'}; short docs produce nothing."""
+    from refluxdb_spark.operators.dedup import char_jaccard_pairs, char_ngram_tokens
+
+    df = spark.createDataFrame(
+        [(1, "Abcd e"), (2, "ab")], "doc_id long, text string"
+    )
+    got = {(r.id, r.token) for r in char_ngram_tokens(df, n=3).collect()}
+    assert got == {(1, "abc"), (1, "bcd"), (1, "cd "), (1, "d e")}
+    # identical texts -> jaccard 1.0 through the full pair pipeline
+    df2 = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "entirely other")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in char_jaccard_pairs(df2, n=4).collect()}
+    assert pairs == {(1, 2): 1.0}
