@@ -528,6 +528,69 @@ def minhash_dedup_pairs(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: all (a, b), a < b whose ``bits``-bit
+    fingerprints differ in at most ``max_hamming`` bits.
+
+    Candidate generation is the classic chunk pigeonhole: split each
+    fingerprint into ``chunks`` equal bit-chunks; two fingerprints
+    within Hamming distance d < chunks MUST agree on at least one whole
+    chunk, so bucketing on (chunk_index, chunk_value) has recall 1 for
+    d <= chunks - 1 while the self-join stays per-bucket (cost ∝
+    bucket² summed, never the pair matrix — same shape as MinHash LSH).
+    Exact ``bit_count(xor)`` verification filters the candidates.
+    Requires ``max_hamming < chunks`` (raises otherwise — silent recall
+    loss is worse than an error). Returns (id_a, id_b, hamming).
+    """
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs chunks > max_hamming "
+            f"(got {chunks}) for the pigeonhole guarantee"
+        )
+    if bits % chunks:
+        raise ValueError(f"bits={bits} must divide evenly into {chunks} chunks")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sh = simhash(df, text_col, id_col, bits)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("v"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    buckets = sh.select(
+        F.col("id"), F.col("simhash"), F.explode(chunk_structs).alias("_ch")
+    ).select("id", "simhash", F.col("_ch.c").alias("c"), F.col("_ch.v").alias("v"))
+    a = buckets.select(
+        "c", "v", F.col("id").alias("id_a"), F.col("simhash").alias("_sa")
+    )
+    b = buckets.select(
+        "c", "v", F.col("id").alias("id_b"), F.col("simhash").alias("_sb")
+    )
+    cand = (
+        a.join(b, ["c", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",

@@ -1188,6 +1188,35 @@ def dedup_simhash(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH sh AS ({_simhash_oracle(32)}),
+    buckets AS (
+        SELECT id, simhash, c, (simhash >> (c * 8)) & 255 AS v
+        FROM (SELECT id, simhash, unnest([0, 1, 2, 3]) AS c FROM sh)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM buckets a JOIN buckets b ON a.c = b.c AND a.v = b.v
+        WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (operators.dedup.simhash_pairs): 32-bit
+    fingerprints, 4-chunk pigeonhole buckets (recall 1 for Hamming <=
+    3), exact bit_count(xor) verification — the integer-exact
+    counterpart of MinHash LSH, replayed end-to-end by the oracle."""
+    return D.simhash_pairs(
+        load(spark, sf_dir, "documents"), bits=32, chunks=4, max_hamming=3
+    )
+
+
+@register(
     "text_quality_scores",
     f"""
     WITH base AS (

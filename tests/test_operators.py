@@ -758,3 +758,24 @@ def test_char_ngram_tokens_by_hand(spark):
     )
     pairs = {(r.id_a, r.id_b): r.jaccard for r in char_jaccard_pairs(df2, n=4).collect()}
     assert pairs == {(1, 2): 1.0}
+
+
+def test_simhash_pairs_identical_and_unrelated(spark):
+    """Identical docs collide at Hamming 0; an unrelated doc pairs with
+    neither (deterministic: md5-based fingerprints). chunks must exceed
+    max_hamming for the pigeonhole guarantee."""
+    from refluxdb_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely unrelated text about database engines and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(df).collect()}
+    assert got.get((1, 2)) == 0
+    assert all({a, b} == {1, 2} for a, b in got)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, chunks=3, max_hamming=3)
