@@ -46,6 +46,56 @@ def time_bucket(
     )
 
 
+def ohlc(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str = "value",
+    bucket: str = "1 hour",
+    by: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """OHLC candles: open/high/low/close of ``value_col`` per tumbling
+    bucket (and optional group keys) — the canonical financial/TSDB
+    downsampling read.
+
+    Open/close are the first/last observation by (ts [, tiebreak]);
+    ``tiebreak_col`` makes them DETERMINISTIC when timestamps collide
+    (pass a unique id — without it, ties resolve arbitrarily per run).
+    One window pass over (bucket, by) ordered by time + one groupBy on
+    the same keys — the window's partitioning IS the aggregation's
+    shuffle key, so Catalyst reuses a single exchange.
+    """
+    by = by or []
+    order_f = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    order_l = [F.col(ts_col).desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col else []
+    )
+    bucketed = df.withColumn("_w", F.window(F.col(ts_col), bucket))
+    w_f = Window.partitionBy("_w", *by).orderBy(*order_f)
+    w_l = Window.partitionBy("_w", *by).orderBy(*order_l)
+    ranked = bucketed.select(
+        "_w",
+        *by,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w_f).alias("_rn_f"),
+        F.row_number().over(w_l).alias("_rn_l"),
+    )
+    return (
+        ranked.groupBy("_w", *by)
+        .agg(
+            F.min(F.when(F.col("_rn_f") == 1, F.col("_v"))).alias("open"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.min(F.when(F.col("_rn_l") == 1, F.col("_v"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("bucket_start", F.col("_w.start"))
+        .drop("_w")
+    )
+
+
 def resample(
     df: DataFrame,
     ts_col: str,

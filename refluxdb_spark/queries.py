@@ -737,6 +737,46 @@ def ts_first_last_per_series(spark, sf_dir):
 
 
 @register(
+    "ts_ohlc_candles",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_start,
+               value
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, bucket_start, value,
+               row_number() OVER (PARTITION BY user_id, bucket_start
+                                  ORDER BY ts, event_id) AS rn_f,
+               row_number() OVER (PARTITION BY user_id, bucket_start
+                                  ORDER BY ts DESC, event_id DESC) AS rn_l
+        FROM ev
+    )
+    SELECT user_id,
+           min(CASE WHEN rn_f = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rn_l = 1 THEN value END) AS close,
+           count(*) AS n,
+           bucket_start
+    FROM ranked GROUP BY user_id, bucket_start
+    """,
+)
+def ts_ohlc_candles(spark, sf_dir):
+    """OHLC downsampling (operators.timeseries.ohlc): hourly candles of
+    event value per user — open/close deterministic via the event_id
+    tiebreak (events share coarse timestamps, so the oracle orders by
+    the same unique key). One exchange: the first/last windows and the
+    groupBy share (bucket, user) partitioning."""
+    e = load(spark, sf_dir, "events")
+    return TS.ohlc(
+        e, ts_col="ts", value_col="value", bucket="1 hour",
+        by=["user_id"], tiebreak_col="event_id",
+    ).select("user_id", "open", "high", "low", "close", "n", "bucket_start")
+
+
+@register(
     "ts_streaming_rollup",
     """
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start, event_type,

@@ -779,3 +779,27 @@ def test_simhash_pairs_identical_and_unrelated(spark):
     assert all({a, b} == {1, 2} for a, b in got)
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(df, chunks=3, max_hamming=3)
+
+
+def test_ohlc_by_hand(spark):
+    """Candles on a hand-built series: open/close by time order with id
+    tiebreak, high/low exact."""
+    from refluxdb_spark.operators.timeseries import ohlc
+
+    rows = [
+        ("s", ts("2024-01-01T00:05:00"), 1, 10.0),
+        ("s", ts("2024-01-01T00:20:00"), 2, 30.0),
+        ("s", ts("2024-01-01T00:50:00"), 3, 5.0),
+        ("s", ts("2024-01-01T01:10:00"), 4, 7.0),
+        # same timestamp: id tiebreak decides open (id 5) and close (id 6)
+        ("t", ts("2024-01-01T00:00:00"), 5, 2.0),
+        ("t", ts("2024-01-01T00:00:00"), 6, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, value double")
+    got = {
+        (r.k, str(r.bucket_start)): (r.open, r.high, r.low, r.close, r.n)
+        for r in ohlc(df, "ts", by=["k"], tiebreak_col="id").collect()
+    }
+    assert got[("s", "2024-01-01 00:00:00")] == (10.0, 30.0, 5.0, 5.0, 3)
+    assert got[("s", "2024-01-01 01:00:00")] == (7.0, 7.0, 7.0, 7.0, 1)
+    assert got[("t", "2024-01-01 00:00:00")] == (2.0, 9.0, 2.0, 9.0, 2)
