@@ -737,6 +737,32 @@ def ts_first_last_per_series(spark, sf_dir):
 
 
 @register(
+    "ts_value_percentiles",
+    """
+    SELECT event_type AS series,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def ts_value_percentiles(spark, sf_dir):
+    """Exact per-series percentiles (p50/p95/p99) — the latency-SLO
+    read of a TSDB. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition and
+    match bit-for-bit (verified, not assumed). At 100 TB swap in
+    ``percentile_approx`` (t-digest, mergeable map-side) — same query
+    shape, bounded memory; the exact version is the oracle-able
+    ground truth."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.col("event_type").alias("series")).agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+@register(
     "ts_ohlc_candles",
     """
     WITH ev AS (
@@ -1193,6 +1219,39 @@ def _lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
 
 
 ORACLES["dedup_minhash_lsh_pairs"] = _lsh_oracle(16, 4)
+
+
+@register(
+    "dedup_components_minhash",
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM ({_lsh_oracle(16, 4)}) q
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+    )
+    SELECT node AS id, min(label) AS component FROM cc GROUP BY node
+    """,
+)
+def dedup_components_minhash(spark, sf_dir):
+    """The PRODUCTION dedup-cluster pipeline end to end: MinHash+LSH
+    candidate pairs (cost ∝ docs × bands) verified at Jaccard >= 0.8,
+    chained into connected components — what a 100 TB dedup actually
+    runs, where the exact-Jaccard twin (``dedup_components``) is the
+    small-scale ground truth. Oracle = the LSH pipeline replayed in
+    SQL + recursive-CTE reachability."""
+    pairs = D.minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=16, bands=4,
+        threshold=0.8, shingle=3,
+    )
+    return D.connected_components(pairs)
 
 
 def _simhash_oracle(bits: int = 32) -> str:
