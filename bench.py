@@ -37,9 +37,15 @@ HEADLINE = [
     "ts_interval_join_error_clicks",
     # SQL decision-support shapes
     "tpch_q18_large_volume_orders",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    # time-series reads
+    "ts_ohlc_candles",
+    "ts_value_percentiles",
     # pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
     "dedup_jaccard_pairs_capped",
     "dedup_components",
     "text_quality_scores",

@@ -89,6 +89,12 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "ts_window_moving_avg": 1,
         "ts_asof_join": 1,
         "dedup_exact": 1,
+        # r3 additions (budget = measured shape, the fence catches creep):
+        "ts_ohlc_candles": 1,       # first/last windows + agg share one exchange
+        "ts_value_percentiles": 1,  # single global agg shuffle
+        "tpch_q13_customer_distribution": 2,  # two cascaded aggs
+        "dedup_simhash_pairs": 2,   # signature agg + bucket self-join
+        "tpch_q15_top_supplier": 3, # revenue agg + max + supplier join
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
