@@ -79,3 +79,38 @@ def stratified_sample(
             .otherwise(expr)
         )
     return df.filter(bucket < expr)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "s0",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each row draws u from its CONTENT (md5 of
+    seed‖key, uniform in (0,1)) and scores u^(1/weight); the top-k
+    scores ARE a weighted sample — P(selection) ∝ weight, exactly the
+    reservoir semantics, but with no reservoir state: one window top-k
+    (optionally per ``by`` group), distributable at any scale and
+    reproducible across runs/engines/partitionings like every sampler
+    here. Rows with weight <= 0 never qualify. Scores are rounded to 9
+    digits with a key tiebreak so ranking is engine-stable.
+    Returns the sampled rows + ``_ws_score``."""
+    from pyspark.sql import Window
+
+    u = (_hash_bucket(key_col, seed) + 0.5) / float(_BUCKETS)
+    score = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    )
+    scored = df.filter(F.col(weight_col) > 0).withColumn("_ws_score", score)
+    w = Window.partitionBy(*(by or [F.lit(1)])).orderBy(
+        F.col("_ws_score").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("_ws_rank", F.row_number().over(w))
+        .filter(F.col("_ws_rank") <= k)
+        .drop("_ws_rank")
+    )

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from refluxdb_spark.operators import dedup as D
 from refluxdb_spark.operators import multimodal as M
+from refluxdb_spark.operators import sampling as Smp
 from refluxdb_spark.operators import similarity as S
 from refluxdb_spark.operators import text as X
 from refluxdb_spark.operators import timeseries as TS
@@ -2922,3 +2923,149 @@ def agg_cube_type_band(spark, sf_dir):
         "band", (F.col("user_id") % 5).cast("bigint")
     )
     return e.cube("event_type", "band").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "join_full_outer_daily_activity",
+    """
+    WITH clicks AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               count(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    purchases AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT coalesce(clicks.day, purchases.day) AS day,
+           CAST(coalesce(n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases
+    FROM clicks FULL OUTER JOIN purchases ON clicks.day = purchases.day
+    """,
+)
+def join_full_outer_daily_activity(spark, sf_dir):
+    """FULL OUTER join (completes the join-type coverage: inner/left/
+    semi/anti/full): daily click vs purchase counts where either side
+    may be absent — both aggregates are tiny post-groupBy relations, so
+    the full-outer join runs on pre-aggregated inputs, not raw events."""
+    e = load(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(day).agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(day).agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.join(purchases, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).cast("bigint").alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
+        )
+    )
+
+
+@register(
+    "setop_except_all_multiset",
+    """
+    SELECT user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    ) q
+    """,
+)
+def setop_except_all_multiset(spark, sf_dir):
+    """EXCEPT ALL (multiset semantics — each purchase CANCELS one click
+    occurrence instead of deleting the user entirely): the bag variant
+    the plain EXCEPT query can't express."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.exceptAll(purchases)
+
+
+@register(
+    "setop_intersect_all_multiset",
+    """
+    SELECT user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'error'
+    ) q
+    """,
+)
+def setop_intersect_all_multiset(spark, sf_dir):
+    """INTERSECT ALL: per-user multiplicity = min(click count, error
+    count) — the multiset intersection."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    errors = e.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.intersectAll(errors)
+
+
+@register(
+    "agg_filter_clause_counts",
+    """
+    SELECT user_id % 10 AS cohort,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+           count(*) FILTER (WHERE value > 100) AS n_high_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value
+    FROM events GROUP BY 1
+    """,
+)
+def agg_filter_clause_counts(spark, sf_dir):
+    """FILTER-clause aggregates (ANSI): several differently-filtered
+    aggregates in ONE grouping pass — the map-side-combine-friendly
+    alternative to self-joining per condition."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+            F.count(F.when(F.col("value") > 100, 1)).alias("n_high_value"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                )
+            ).cast("double").alias("purchase_value"),
+        )
+    )
+
+
+@register(
+    "sample_weighted_topk_documents",
+    """
+    WITH scored AS (
+        SELECT doc_id, source, n_chars,
+               round(pow((CAST(concat('0x', substr(md5(concat('w0', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 + 0.5) / 1000000.0,
+                         1.0 / n_chars), 9) AS _ws_score
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, _ws_score FROM (
+        SELECT doc_id, source, n_chars, _ws_score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY _ws_score DESC, doc_id) AS rn
+        FROM scored
+    ) WHERE rn <= 20
+    """,
+)
+def sample_weighted_topk_documents(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (operators.
+    sampling.weighted_sample_topk, Efraimidis-Spirakis A-Res): 20 docs
+    per source with P(selection) ∝ n_chars — the 'prefer substantial
+    documents but keep diversity' draw of a training-data pipeline,
+    reproducible across engines because u comes from content md5, not
+    an RNG."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return Smp.weighted_sample_topk(
+        docs, key_col="doc_id", weight_col="n_chars", k=20,
+        seed="w0", by=["source"],
+    )

@@ -803,3 +803,22 @@ def test_ohlc_by_hand(spark):
     assert got[("s", "2024-01-01 00:00:00")] == (10.0, 30.0, 5.0, 5.0, 3)
     assert got[("s", "2024-01-01 01:00:00")] == (7.0, 7.0, 7.0, 7.0, 1)
     assert got[("t", "2024-01-01 00:00:00")] == (2.0, 9.0, 2.0, 9.0, 2)
+
+
+def test_weighted_sample_topk_properties(spark):
+    """A-Res weighted sampling: deterministic across calls, honors k per
+    group, never selects non-positive weights, and heavily-weighted rows
+    dominate selection frequency across seeds."""
+    from refluxdb_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, "g", 1000.0 if i < 5 else 0.001) for i in range(50)] + [
+        (100, "g", -1.0), (101, "g", 0.0)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    picked = {r.id for r in weighted_sample_topk(df, "id", "w", k=5, by=["grp"]).collect()}
+    assert len(picked) == 5
+    assert not picked & {100, 101}
+    # the five weight-1000 rows out-draw the 0.001 crowd
+    assert len(picked & {0, 1, 2, 3, 4}) >= 4
+    again = {r.id for r in weighted_sample_topk(df, "id", "w", k=5, by=["grp"]).collect()}
+    assert picked == again
