@@ -535,6 +535,7 @@ def simhash_pairs(
     bits: int = 32,
     chunks: int = 4,
     max_hamming: int = 3,
+    shingle: int = 1,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: all (a, b), a < b whose ``bits``-bit
     fingerprints differ in at most ``max_hamming`` bits.
@@ -558,7 +559,7 @@ def simhash_pairs(
         raise ValueError(f"bits={bits} must divide evenly into {chunks} chunks")
     width = bits // chunks
     mask = (1 << width) - 1
-    sh = simhash(df, text_col, id_col, bits)
+    sh = simhash(df, text_col, id_col, bits, shingle)
     chunk_structs = F.array(
         *[
             F.struct(
@@ -664,6 +665,7 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    shingle: int = 1,
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document (deterministic, md5-based).
 
@@ -674,8 +676,11 @@ def simhash(
 
     Implementation: tokens -> two 32-bit md5 halves -> per-bit votes via
     bitwise ops aggregated with sum() — all integer arithmetic, exact
-    and engine-portable."""
-    toks = tokenize(df, text_col, id_col)
+    and engine-portable. ``shingle`` > 1 votes on w-gram shingles
+    instead of unigrams — essential on template-heavy corpora, where
+    near-identical unigram SETS collapse every document's fingerprint
+    (the same discriminativeness argument as ``shingle_tokens``)."""
+    toks = _token_source(df, text_col, id_col, shingle)
     h_lo = F.expr(_H32.format(seed="sim0:", col="token"))
     h_hi = F.expr(_H32.format(seed="sim1:", col="token"))
     toks = toks.select("id", h_lo.alias("_lo"), h_hi.alias("_hi"))

