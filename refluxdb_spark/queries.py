@@ -3093,3 +3093,75 @@ def sample_weighted_topk_documents(spark, sf_dir):
         docs, key_col="doc_id", weight_col="n_chars", k=20,
         seed="w0", by=["source"],
     )
+
+
+@register(
+    "sql_explode_top_words",
+    """
+    WITH words AS (
+        SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')) AS word
+        FROM documents
+    )
+    SELECT word, count(*) AS n FROM words
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def sql_explode_top_words(spark, sf_dir):
+    """The canonical explode/word-count shape (UDTF-style lateral
+    explode -> groupBy -> top-k): corpus-wide top words. Explode is
+    narrow; the count shuffles (word, partial) pairs map-side combined;
+    deterministic word tiebreak on the rank."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(D.normalize_text("text"), " "), lambda t: t != ""
+            )
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "ts_range_frame_sum",
+    """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h_sum
+    FROM events
+    """,
+)
+def ts_range_frame_sum(spark, sf_dir):
+    """RANGE-frame window (time-based, not row-based): per-user rolling
+    1-hour sum — the frame every rate-limit/recent-activity query
+    needs, where ROWS frames silently break on irregular sampling.
+    Spark expresses the interval as rangeBetween over epoch seconds;
+    sums route through DECIMAL so frame-internal order cannot perturb
+    the double."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    # unix_micros, not cast-to-long (seconds): the frame boundary must
+    # match the oracle's microsecond-exact INTERVAL arithmetic — a
+    # seconds cast truncates and can off-by-one rows sitting exactly
+    # 1h +/- sub-second apart
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rolling_1h_sum"),
+    )
