@@ -138,6 +138,50 @@ def resample(
     return out
 
 
+def interpolate_gaps(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Linear interpolation over null gaps in a (gridded) series: each
+    null value becomes the time-weighted blend of its nearest non-null
+    neighbors; leading/trailing gaps stay null (no extrapolation).
+
+    The window formulation — last/first non-null value AND timestamp
+    over unbounded past/future frames — fills every gap in ONE window
+    pass per direction (two sorts on the same (group, time) key, one
+    shuffle), independent of gap length; a self-join formulation would
+    explode on long gaps. Rounded so the float lerp is engine-stable.
+    """
+    by = by or []
+    w_prev = (
+        Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)])
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)])
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    prev_t = F.last(F.when(v.isNotNull(), F.col(ts_col)), ignorenulls=True).over(w_prev)
+    next_t = F.first(F.when(v.isNotNull(), F.col(ts_col)), ignorenulls=True).over(w_next)
+    span = F.unix_micros(next_t) - F.unix_micros(prev_t)
+    frac = (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_t)) / span
+    lerp = F.when(span == 0, prev_v).otherwise(prev_v + (next_v - prev_v) * frac)
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.when(prev_v.isNotNull() & next_v.isNotNull(), lerp)
+    )
+    if round_digits is not None:
+        filled = F.round(filled, round_digits)
+    return df.withColumn(value_col, filled)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -3165,3 +3165,75 @@ def ts_range_frame_sum(spark, sf_dir):
         "ts",
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("rolling_1h_sum"),
     )
+
+
+@register(
+    "ts_resample_interpolate",
+    """
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+               date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+    ),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    agged AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    sparse AS (
+        SELECT g.bucket, k.event_type, a.v
+        FROM grid g CROSS JOIN keys k
+        LEFT JOIN agged a ON a.bucket = g.bucket AND a.event_type = k.event_type
+    ),
+    t AS (
+        SELECT bucket, event_type, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM sparse
+    )
+    SELECT bucket, event_type,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                          CASE WHEN epoch_us(nt) = epoch_us(pt) THEN pv
+                               ELSE pv + (nv - pv) * (epoch_us(bucket) - epoch_us(pt))
+                                                   / (epoch_us(nt) - epoch_us(pt))
+                          END
+                 END, 6) AS v
+    FROM t
+    """,
+)
+def ts_resample_interpolate(spark, sf_dir):
+    """Linear-interpolation gap fill (operators.timeseries.
+    interpolate_gaps) over an hourly per-type grid: nulls between
+    observations become the time-weighted blend of their nearest
+    non-null neighbors, leading/trailing gaps stay null. One window
+    pass per direction regardless of gap length; the oracle replays
+    the same IGNORE-NULLS window formulation."""
+    e = load(spark, sf_dir, "events")
+    sparse = TS.resample(
+        e, ts_col="ts", bucket_expr="date_trunc('hour', {ts})", step="1 hour",
+        by=["event_type"],
+        aggs=[
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        ],
+    )
+    return TS.interpolate_gaps(
+        sparse, ts_col="bucket", value_col="v", by=["event_type"]
+    ).select("bucket", "event_type", "v")

@@ -822,3 +822,26 @@ def test_weighted_sample_topk_properties(spark):
     assert len(picked & {0, 1, 2, 3, 4}) >= 4
     again = {r.id for r in weighted_sample_topk(df, "id", "w", k=5, by=["grp"]).collect()}
     assert picked == again
+
+
+def test_interpolate_gaps_by_hand(spark):
+    """Lerp on a hand grid: gap of two steps between 10 and 40 fills
+    with 20 and 30; leading/trailing gaps stay null."""
+    from refluxdb_spark.operators.timeseries import interpolate_gaps
+
+    rows = [
+        ("s", ts("2024-01-01T00:00:00"), None),
+        ("s", ts("2024-01-01T01:00:00"), 10.0),
+        ("s", ts("2024-01-01T02:00:00"), None),
+        ("s", ts("2024-01-01T03:00:00"), None),
+        ("s", ts("2024-01-01T04:00:00"), 40.0),
+        ("s", ts("2024-01-01T05:00:00"), None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {str(r.ts): r.v for r in interpolate_gaps(df, "ts", "v", by=["k"]).collect()}
+    assert got["2024-01-01 00:00:00"] is None
+    assert got["2024-01-01 01:00:00"] == 10.0
+    assert got["2024-01-01 02:00:00"] == 20.0
+    assert got["2024-01-01 03:00:00"] == 30.0
+    assert got["2024-01-01 04:00:00"] == 40.0
+    assert got["2024-01-01 05:00:00"] is None
