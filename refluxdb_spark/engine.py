@@ -345,17 +345,24 @@ class RefluxEngine:
         vp.vacuum()
         self.spark.read.parquet(vp.current()).createOrReplaceTempView(name)
 
-    def wide(self, series: str) -> DataFrame:
+    def wide(self, series: str, fields: list[str] | None = None) -> DataFrame:
         """Wide view of one series: one row per (time, tags), one
         column per field name — the reading shape for multi-field
         lines the narrow model explodes on write (handlers.rs:112-134).
-        Field-name columns are discovered from the data; at scale pass
-        through ``pivot`` with an explicit value list instead."""
+
+        Pass ``fields`` explicitly at scale: the pivot then needs no
+        discovery pass at all (zero driver-side collect). Without it,
+        field names are discovered with one DISTINCT over the single
+        series partition — bounded by the schema's field count, not by
+        data volume, but still a scan."""
         base = self._table().filter(F.col("series") == series)
-        names = sorted(r.name for r in base.select("name").distinct().collect())
+        if fields is None:
+            fields = sorted(
+                r.name for r in base.select("name").distinct().collect()
+            )
         return (
             base.groupBy("time", "tags")
-            .pivot("name", names)
+            .pivot("name", fields)
             .agg(F.first("value"))
         )
 

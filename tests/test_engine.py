@@ -203,6 +203,9 @@ def test_wide_view(spark, tmp_path):
     rows = eng.wide("m").collect()
     assert len(rows) == 1
     assert rows[0].usage == 0.5 and rows[0].temp == 60.0
+    # explicit field list: no discovery pass, same values, chosen order
+    rows = eng.wide("m", fields=["temp", "usage"]).collect()
+    assert rows[0].usage == 0.5 and rows[0].temp == 60.0
 
 
 def test_sql_function_library_via_gateway(engine):
