@@ -143,6 +143,44 @@ def char_ngram_tokens(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    return_flagged: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: remove training documents that share
+    any word ``n``-gram (default 13, the standard contamination window)
+    with a benchmark/eval set — the step every training corpus needs
+    before eval numbers mean anything.
+
+    Scale shape: eval sets are tiny next to a 100 TB corpus, so the
+    benchmark's distinct n-gram set BROADCASTS and the corpus-side
+    check is a broadcast LEFT SEMI join on the narrow exploded-gram
+    relation — the corpus itself never shuffles, and the explode is
+    pipelined into the scan. Documents shorter than ``n`` words
+    produce no grams and are never flagged (by design: a <n-word
+    overlap is not contamination evidence).
+
+    ``return_flagged=True`` returns the flagged ids instead of the
+    surviving documents (the audit view).
+    """
+    bench_grams = (
+        shingle_tokens(benchmark, text_col, id_col, w=n).select("token").distinct()
+    )
+    doc_grams = shingle_tokens(docs, text_col, id_col, w=n)
+    flagged = (
+        doc_grams.join(F.broadcast(bench_grams), "token", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    if return_flagged:
+        return flagged
+    return docs.join(flagged, id_col, "left_anti")
+
+
 def cap_document_frequency(
     toks: DataFrame,
     max_df: int,

@@ -81,6 +81,37 @@ def stratified_sample(
     return df.filter(bucket < expr)
 
 
+def cap_per_group(
+    df: DataFrame,
+    key_col: str,
+    by: list[str],
+    cap: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Corpus balancing: keep at most ``cap`` rows per ``by`` group,
+    chosen by deterministic content hash — the standard guard against
+    one source/language dominating a training mix.
+
+    Which rows survive depends only on (seed, key): re-running on a
+    different partitioning, cluster, or engine keeps the SAME rows, so
+    a rebalanced corpus is reproducible and auditable. One window
+    row_number per group — the shuffle is on the group key, which a
+    downstream per-group write would need anyway. Skew note: the
+    window sorts each group on the hash; for a pathologically hot
+    group, pre-filter with ``hash_sample`` to approach the cap first,
+    then apply the exact cap."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(
+        _hash_bucket(key_col, seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_cap_rank", F.row_number().over(w))
+        .filter(F.col("_cap_rank") <= cap)
+        .drop("_cap_rank")
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     key_col: str,

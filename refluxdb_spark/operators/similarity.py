@@ -87,6 +87,88 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
     )
 
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_vec: str = "qvec",
+    out_scale: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i·127/s +
+    0.5) with s = max|x_i| — 4× memory/IO reduction for the candidate
+    scan, the standard compression step between coarse pruning and
+    exact re-rank.
+
+    ``floor(x + 0.5)`` rather than round(): round's half-way rule
+    differs between engines (HALF_UP vs away-from-zero on negatives);
+    floor(+0.5) is one IEEE expression every engine computes
+    identically, which the cross-engine oracle requires. Zero vectors
+    quantize to zeros (scale clamped away from 0/0). Pure column
+    expressions — quantization rides the scan, no shuffle."""
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v))), F.lit(1e-30)
+    )
+    d = df.withColumn(out_scale, scale)
+    q = F.transform(
+        x,
+        lambda v: F.floor(v * F.lit(127.0) / F.col(out_scale) + F.lit(0.5)).cast("long"),
+    )
+    return d.withColumn(out_vec, q)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k by int8-quantized dot product: the approximate score is
+    dot(q_a, q_b) · s_a·s_b/127², with the accumulation over INTEGERS —
+    exact, order-independent, reproducible on any partitioning (the
+    property float dot products lack). The only floats are the final
+    two multiplies and one divide per pair, in fixed expression order.
+
+    Same broadcast(queries) × corpus-scan shape as ``cosine_topk`` —
+    at scale the quantized corpus column is what makes that scan 4×
+    cheaper to read and SIMD-friendly. Returns (query_id, neighbor_id,
+    qdot approximate dot score, rank)."""
+    cq = quantize_int8(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("_cq"),
+        F.col("qscale").alias("_cs"),
+    )
+    qq = quantize_int8(queries, vec_col).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("qvec").alias("_qq"),
+        F.col("qscale").alias("_qs"),
+    )
+    idot = F.aggregate(
+        F.zip_with("_qq", "_cq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    score = F.round(
+        idot.cast("double") * F.col("_qs") * F.col("_cs") / F.lit(16129.0),
+        round_digits,
+    )
+    sim = (
+        F.broadcast(qq)
+        .crossJoin(cq)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("qdot", score)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.select("query_id", "neighbor_id", "qdot", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def default_num_centroids(corpus_size: int) -> int:
     """√N sizing rule for IVF centroid count.
 

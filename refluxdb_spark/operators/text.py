@@ -113,6 +113,56 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (the Gopher repetition rules):
+
+    - ``n_words`` / ``n_distinct_words``: word counts of the normalized
+      text,
+    - ``dup_word_frac``: fraction of word occurrences that are repeats
+      (1 - distinct/total),
+    - ``top_word_frac``: the most frequent word's share of all words,
+    - ``dup_bigram_frac``: fraction of 2-gram occurrences that are
+      repeats — the signal that catches looped/boilerplate generation
+      that word-level stats miss.
+
+    All ratios are int/int divisions in double (bit-exact across
+    engines, per the module's determinism rules). Everything is a pure
+    column expression over each row: zero shuffle, scales as a map.
+    The per-distinct-word count scan is O(words * distinct) per doc —
+    fine for documents; for book-length inputs switch to the
+    explode/groupBy shape instead.
+    """
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    d = df.withColumn("_toks", toks)
+    t = F.col("_toks")
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda u: F.size(F.filter(t, lambda x: x == u)),
+        )
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1), "
+            "i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1)))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    d = d.withColumn("_bg", bigrams)
+    nb = F.size(F.col("_bg"))
+    nbd = F.size(F.array_distinct(F.col("_bg")))
+    return d.select(
+        *df.columns,
+        n.cast("bigint").alias("n_words"),
+        nd.cast("bigint").alias("n_distinct_words"),
+        F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        F.when(n > 0, top / n).otherwise(F.lit(0.0)).alias("top_word_frac"),
+        F.when(nb > 0, (nb - nbd) / nb).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text —
     the blocking key for exact dedup and shard-stable sampling

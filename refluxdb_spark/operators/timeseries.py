@@ -467,3 +467,46 @@ def sessionize(
         )
         .drop("_new_session")
     )
+
+
+def ema(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: list[str],
+    alpha: float = 0.1,
+    tiebreak: str | None = None,
+    out: str = "ema",
+) -> DataFrame:
+    """Exponential moving average per key: ema_0 = v_0, ema_t =
+    alpha*v_t + (1-alpha)*ema_{t-1} in (ts, tiebreak) order.
+
+    The recurrence is inherently sequential per key — not expressible
+    as a Spark window aggregate (no PRODUCT frame) — so this is the
+    textbook ``applyInPandas`` custom stateful operator: one shuffle
+    on the key, then a per-group Arrow batch walked in order. The
+    Python loop is per GROUP (bounded series length), not per corpus —
+    groups execute in parallel across executors. Determinism: plain
+    float multiply-adds in a fixed order reproduce bit-for-bit on any
+    engine running the same recurrence (the DuckDB oracle's recursive
+    CTE computes the identical expression sequence).
+    """
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    keep = df.columns
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out}` double"
+    a = float(alpha)
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        e = None
+        acc = []
+        for v in pdf[value_col]:
+            v = float(v)
+            e = v if e is None else a * v + (1.0 - a) * e
+            acc.append(e)
+        pdf[out] = acc
+        return pdf[keep + [out]]
+
+    return df.groupBy(*by).applyInPandas(walk, schema=out_schema)

@@ -55,8 +55,9 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     with a vanilla SparkSession. These are runtime-settable and
     required for correctness here:
 
-    - nanosAsLong: events.parquet carries TIMESTAMP(NANOS), which the
-      parquet reader otherwise rejects outright;
+    - nanosAsLong: some testdata generations ship events.parquet as
+      TIMESTAMP(NANOS), which the parquet reader otherwise rejects
+      outright (harmless when the column is TIMESTAMP(MICROS));
     - UTC session time: timestamp values must render identically to
       the (naive, UTC) oracle side.
     """
@@ -67,16 +68,47 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         pass  # conf locked down — session.get_spark already set them
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events time column to session-zoned TIMESTAMP.
+
+    The driver's testdata has shipped ``events.ts`` in two physical
+    shapes across rounds: parquet TIMESTAMP(NANOS) — which Spark reads
+    as BIGINT nanos under ``nanosAsLong`` — and TIMESTAMP(MICROS) —
+    which Spark reads as TIMESTAMP_NTZ. Adapt to whichever is on disk
+    instead of assuming one. Nanos path uses integer ``div`` (not
+    ``/``): ~1.7e18 epochs lose precision in double arithmetic. The
+    NTZ path casts to the session zone (UTC) so epoch math and
+    rendering match the naive-UTC DuckDB oracle either way.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dt is not None and dt != "timestamp":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), read as BIGINT nanos
-        # (session conf nanosAsLong); truncate to micros with integer
-        # division — `div`, not `/`, so no double precision loss at
-        # 1e18-scale epochs. Oracles CAST(ts AS TIMESTAMP) to match.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_event_ts(df)
     return df
+
+
+def _stream_events(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """File-source stream over events.parquet with ``ts`` normalized —
+    the streaming twin of ``load(..., "events")`` (same two-shape
+    adaptation, applied to the unbounded relation)."""
+    _ensure_session_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        # FileStreamSource requires a directory; glob to the one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_ts(src).select("ts", *cols)
 
 
 def _dsum(col, p: int = 18) -> F.Column:
@@ -818,19 +850,7 @@ def ts_streaming_rollup(spark, sf_dir):
     through readStream + watermark + window + availableNow — proving the
     streaming path is semantically identical to batch (and letting the
     oracle check a streaming operator)."""
-    _ensure_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema  # ts as BIGINT nanos
-    src = (
-        spark.readStream.schema(raw_schema)
-        # FileStreamSource requires a directory; glob to the one table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select(
-            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-            "event_type",
-            "value",
-        )
-    )
+    src = _stream_events(spark, sf_dir, "event_type", "value")
     out = stream_rollup(
         spark, src, ts_col="ts", bucket="1 hour", by=["event_type"],
         watermark="365 days",
@@ -858,18 +878,7 @@ def ts_streaming_rollup_durable(spark, sf_dir):
     import shutil
     import tempfile
 
-    _ensure_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select(
-            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-            "event_type",
-            "value",
-        )
-    )
+    src = _stream_events(spark, sf_dir, "event_type", "value")
     work = tempfile.mkdtemp(prefix="reflux_rollup_durable_")
     try:
         out = stream_rollup(
@@ -2063,17 +2072,7 @@ def ts_streaming_sessions(spark, sf_dir):
     this data — event times are random microseconds.)"""
     import uuid as _uuid
 
-    _ensure_session_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select(
-            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-            "user_id",
-        )
-    )
+    src = _stream_events(spark, sf_dir, "user_id")
     sessions = (
         src.withWatermark("ts", "365 days")
         .groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
@@ -3237,3 +3236,198 @@ def ts_resample_interpolate(spark, sf_dir):
     return TS.interpolate_gaps(
         sparse, ts_col="bucket", value_col="v", by=["event_type"]
     ).select("bucket", "event_type", "v")
+
+
+# =====================================================================
+# F. Round-4 pipeline additions: decontamination, corpus balancing,
+#    repetition signals, quantized similarity, stateful EMA
+# =====================================================================
+
+@register(
+    "dedup_decontaminate",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           t -> t != '') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(CASE WHEN len(toks) >= 13 THEN generate_series(1, len(toks) - 12)
+                           ELSE CAST([] AS BIGINT[]) END) AS g
+        FROM tok
+    ),
+    grams AS (
+        SELECT doc_id, array_to_string(toks[g:g+12], ' ') AS gram FROM pos
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id IN (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram))
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators.dedup.decontaminate): flag
+    training docs sharing any 13-word-gram with the eval set (stand-in:
+    doc_id % 97 == 0). The eval gram set broadcasts; the corpus-side
+    check is a broadcast semi-join on the narrow exploded-gram relation
+    — the corpus never shuffles, which is what makes this runnable as a
+    routine pre-training pass at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = D.decontaminate(docs, bench, n=13, return_flagged=True)
+    return (
+        docs.join(flagged, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_cap_per_group",
+    """
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY CAST(concat('0x', substr(md5(concat('bal', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000,
+                            doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+    ORDER BY doc_id
+    """,
+)
+def sample_cap_per_group(spark, sf_dir):
+    """Corpus balancing (operators.sampling.cap_per_group): at most 5
+    docs per (lang, source) cell, membership decided by content hash —
+    the dominant-source guard of a training mix, reproducible across
+    partitionings/engines. One window shuffle on the group key."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        Smp.cap_per_group(docs, key_col="doc_id", by=["lang", "source"], cap=5, seed="bal")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_repetition_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           t -> t != '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END AS bgs
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS dup_word_frac,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_max(list_transform(list_distinct(toks),
+                                                  u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS top_word_frac,
+           CASE WHEN len(bgs) > 0
+                THEN CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE) / len(bgs)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM bg
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-doc repetition signals (operators.text.
+    repetition_stats): duplicate-word, top-word and duplicate-bigram
+    fractions as pure per-row column expressions (zero shuffle); all
+    ratios are int/int double divisions (bit-exact cross-engine)."""
+    docs = load(spark, sf_dir, "documents")
+    return X.repetition_stats(docs).select(
+        "doc_id", "n_words", "n_distinct_words",
+        "dup_word_frac", "top_word_frac", "dup_bigram_frac",
+    )
+
+
+@register(
+    "sim_quantized_topk",
+    """
+    WITH qz AS (
+        SELECT vec_id,
+               greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS s
+        FROM embeddings
+    ),
+    qv AS (
+        SELECT e.vec_id, qz.s,
+               list_transform(e.embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / qz.s + 0.5) AS BIGINT)) AS q
+        FROM embeddings e JOIN qz USING (vec_id)
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+                                                  i -> a.q[i] * b.q[i])) AS DOUBLE)
+                     * a.s * b.s / 16129.0, 6) AS qdot
+        FROM qv a JOIN qv b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, qdot, rank FROM (
+        SELECT query_id, neighbor_id, qdot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_quantized_topk(spark, sf_dir):
+    """Int8-quantized top-k (operators.similarity.quantized_topk): the
+    4x-compressed candidate scan between IVF pruning and exact re-rank.
+    The dot accumulates over INTEGERS — exact and order-independent on
+    any partitioning (what float dots can't promise) — with two float
+    multiplies and one divide per pair in fixed order."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.quantized_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, round_digits=6
+    )
+
+
+@register(
+    "ts_ema_per_user",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, ts, event_id, value, rn, value AS ema FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.ts, e.event_id, e.value, e.rn,
+               0.2 * e.value + (1.0 - 0.2) * r.ema
+        FROM ev e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, ts, event_id, value, ema FROM r
+    """,
+)
+def ts_ema_per_user(spark, sf_dir):
+    """Per-user EMA (operators.timeseries.ema): the sequential
+    recurrence no window frame expresses, as the textbook
+    ``applyInPandas`` stateful operator — one shuffle on the key, then
+    per-group Arrow batches walked in order, groups parallel across
+    executors. Bit-exact vs the oracle's recursive CTE because both
+    engines run the identical multiply-add sequence (the oracle spells
+    the decay as ``1.0 - 0.2`` precisely because the operator computes
+    ``1.0 - alpha`` — same IEEE subtraction, same product)."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return TS.ema(
+        e, ts_col="ts", value_col="value", by=["user_id"],
+        alpha=0.2, tiebreak="event_id",
+    ).select("user_id", "ts", "event_id", "value", "ema")

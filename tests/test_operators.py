@@ -845,3 +845,117 @@ def test_interpolate_gaps_by_hand(spark):
     assert got["2024-01-01 03:00:00"] == 30.0
     assert got["2024-01-01 04:00:00"] == 40.0
     assert got["2024-01-01 05:00:00"] is None
+
+
+# ------------------------------------------------- round-4 pipeline ops
+def test_decontaminate_flags_ngram_overlap(spark):
+    from refluxdb_spark.operators.dedup import decontaminate
+
+    shared = " ".join(f"w{i}" for i in range(13))  # exactly 13 words
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " trailing words here"),        # contains the bench 13-gram
+            (2, "totally different content " * 5),       # no overlap
+            (3, " ".join(f"w{i}" for i in range(12))),   # 12 words: too short to flag
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, shared + " with benchmark continuation")], "doc_id long, text string"
+    )
+    flagged = decontaminate(docs, bench, n=13, return_flagged=True)
+    assert [r.doc_id for r in flagged.collect()] == [1]
+    survivors = decontaminate(docs, bench, n=13)
+    assert sorted(r.doc_id for r in survivors.collect()) == [2, 3]
+
+
+def test_cap_per_group_bounds_and_determinism(spark):
+    from refluxdb_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "g1" if i < 20 else "g2") for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    capped = cap_per_group(df, key_col="k", by=["g"], cap=4)
+    counts = {r.g: r.n for r in capped.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g1": 4, "g2": 4}
+    # partition-layout invariance: same survivors after a repartition
+    a = sorted(r.k for r in capped.collect())
+    b = sorted(
+        r.k for r in cap_per_group(df.repartition(7), key_col="k", by=["g"], cap=4).collect()
+    )
+    assert a == b
+
+
+def test_repetition_stats_by_hand(spark):
+    from refluxdb_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a a"), (3, "x y z"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = got[1]  # words [a a b]: 3 total, 2 distinct; bigrams [a a, a b] distinct
+    assert (r1.n_words, r1.n_distinct_words) == (3, 2)
+    assert r1.dup_word_frac == pytest.approx(1 / 3)
+    assert r1.top_word_frac == pytest.approx(2 / 3)
+    assert r1.dup_bigram_frac == 0.0
+    r2 = got[2]  # bigrams [a a, a a]: 1 of 2 duplicated
+    assert r2.dup_bigram_frac == pytest.approx(1 / 2)
+    assert r2.top_word_frac == pytest.approx(1.0)
+    r3 = got[3]
+    assert r3.dup_word_frac == 0.0 and r3.dup_bigram_frac == 0.0
+    r4 = got[4]  # empty text: all-zero, no division blowup
+    assert (r4.n_words, r4.dup_word_frac, r4.dup_bigram_frac) == (0, 0.0, 0.0)
+
+
+def test_quantize_int8_by_hand(spark):
+    from refluxdb_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert got[1].qscale == 1.0
+    # floor(1*127+0.5)=127, floor(-63.5+0.5)=-63, floor(0.5)=0
+    assert got[1].qvec == [127, -63, 0]
+    assert got[2].qvec == [0, 0, 0]  # zero vector: clamped scale, zero codes
+
+
+def test_quantized_topk_tracks_exact_ranking(spark):
+    """Quantized ranking must agree with exact cosine top-1 on
+    well-separated vectors (quantization error << separation)."""
+    from refluxdb_spark.operators.similarity import quantized_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),   # near query
+        (2, [0.0, 1.0, 0.0]),    # orthogonal
+        (3, [-1.0, 0.0, 0.0]),   # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = quantized_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    ranked = [r.neighbor_id for r in top.orderBy("rank").collect()]
+    assert ranked == [1, 2, 3]
+
+
+def test_ema_by_hand_and_partition_invariance(spark):
+    from refluxdb_spark.operators.timeseries import ema
+
+    rows = [
+        ("u1", ts("2024-01-01T00:00:00"), 1, 1.0),
+        ("u1", ts("2024-01-01T00:01:00"), 2, 2.0),
+        ("u1", ts("2024-01-01T00:02:00"), 3, 3.0),
+        ("u2", ts("2024-01-01T00:00:00"), 4, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "user string, t timestamp, eid long, v double")
+    out = ema(df, ts_col="t", value_col="v", by=["user"], alpha=0.5, tiebreak="eid")
+    got = {(r.user, r.eid): r.ema for r in out.collect()}
+    assert got[("u1", 1)] == 1.0
+    assert got[("u1", 2)] == 1.5      # 0.5*2 + 0.5*1
+    assert got[("u1", 3)] == 2.25     # 0.5*3 + 0.5*1.5
+    assert got[("u2", 4)] == 10.0     # first value seeds the series
+    # shuffle-layout invariance: same result from a different partitioning
+    out2 = ema(
+        df.repartition(5), ts_col="t", value_col="v", by=["user"], alpha=0.5, tiebreak="eid"
+    )
+    assert {(r.user, r.eid): r.ema for r in out2.collect()} == got

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from refluxdb_spark.engine import RefluxEngine
 from refluxdb_spark.operators.timeseries import time_bucket
+from refluxdb_spark.queries import load, normalize_event_ts
 from refluxdb_spark.streaming.ingest import stream_ingest_lines, stream_rollup
 
 
@@ -41,24 +42,16 @@ def test_stream_ingest_lines(spark, tmp_path):
 
 def test_stream_rollup_equals_batch(spark, sf_dir):
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (
+    src = normalize_event_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .select(
-            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-            "event_type",
-            "value",
-        )
-    )
+    ).select("ts", "event_type", "value")
     streamed = stream_rollup(
         spark, src, ts_col="ts", bucket="1 hour", by=["event_type"],
         watermark="365 days",
     )
-    batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    batch = load(spark, sf_dir, "events")
     expected = time_bucket(
         batch, "ts", "1 hour", by=["event_type"],
         aggs=[
@@ -119,27 +112,19 @@ def test_stream_rollup_durable_sink_equals_batch(spark, sf_dir, tmp_path):
     re-read from DISK equal to the batch aggregation — the production
     shape next to the memory-sink harness."""
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src = (
+    src = normalize_event_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
-        .select(
-            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-            "event_type",
-            "value",
-        )
-    )
+    ).select("ts", "event_type", "value")
     out_path = str(tmp_path / "rollup_sink")
     streamed = stream_rollup(
         spark, src, ts_col="ts", bucket="1 hour", by=["event_type"],
         watermark="365 days", sink_path=out_path,
         checkpoint_dir=str(tmp_path / "ck_rollup"),
     )
-    batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    batch = load(spark, sf_dir, "events")
     expected = time_bucket(
         batch, "ts", "1 hour", by=["event_type"],
         aggs=[
