@@ -53,6 +53,11 @@ HEADLINE = [
     "sim_ivf_topk",
     "sim_ivf_persisted_topk",
     "sample_stratified_documents",
+    # round-4 pipeline additions
+    "dedup_decontaminate",
+    "sim_quantized_topk",
+    "text_repetition_stats",
+    "ts_ema_per_user",
 ]
 
 

@@ -186,3 +186,53 @@ def test_ivf_persisted_probe_partition_pruned(spark, sf_dir):
         "assignment-table scan carries no dynamicpruning partition filter; "
         f"got: {assigned_scan}"
     )
+
+
+def test_decontaminate_broadcasts_bench_grams(spark, sf_dir):
+    """The corpus side of decontamination must never shuffle: the eval
+    gram set broadcasts into a semi-join against the exploded corpus
+    grams."""
+    from refluxdb_spark.plans.inspect import assert_broadcast_join, assert_no_sort_merge_join
+
+    df = QUERIES["dedup_decontaminate"](spark, sf_dir)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_sort_merge_join(df)
+
+
+def test_repetition_stats_zero_shuffle(spark, sf_dir):
+    """Per-doc repetition signals are pure row-local expressions — the
+    plan must contain no exchange at all (scales as a map over the
+    corpus)."""
+    from refluxdb_spark.operators.text import repetition_stats
+    from refluxdb_spark.plans.inspect import count_exchanges
+    from refluxdb_spark.queries import load
+
+    df = repetition_stats(load(spark, sf_dir, "documents"))
+    assert count_exchanges(df) == 0
+
+
+def test_quantized_topk_no_corpus_shuffle(spark, sf_dir):
+    """Quantized top-k keeps the cosine_topk shape: queries broadcast,
+    corpus streams through the scan; the only exchange is the
+    per-query window."""
+    from pyspark.sql import functions as F
+    from refluxdb_spark.operators.similarity import quantized_topk
+    from refluxdb_spark.plans.inspect import assert_no_sort_merge_join, count_exchanges
+    from refluxdb_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    df = quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    assert_no_sort_merge_join(df)
+    assert count_exchanges(df) <= 1
+
+
+def test_ema_single_shuffle(spark, sf_dir):
+    """The EMA recurrence costs exactly one exchange (the groupBy key
+    hash) — the applyInPandas walk happens inside each partition."""
+    from refluxdb_spark.operators.timeseries import ema
+    from refluxdb_spark.plans.inspect import count_exchanges
+    from refluxdb_spark.queries import load
+
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    df = ema(e, ts_col="ts", value_col="value", by=["user_id"], alpha=0.2, tiebreak="event_id")
+    assert count_exchanges(df) == 1
