@@ -3431,3 +3431,61 @@ def ts_ema_per_user(spark, sf_dir):
         e, ts_col="ts", value_col="value", by=["user_id"],
         alpha=0.2, tiebreak="event_id",
     ).select("user_id", "ts", "event_id", "value", "ema")
+
+
+@register(
+    "sketch_hll_distinct_users",
+    """
+    WITH h AS (
+        SELECT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) // 256 AS rem,
+               user_id
+        FROM events
+    ),
+    regs AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(printf('%b', rem)) END) AS rho_max
+        FROM h GROUP BY event_type, bucket
+    ),
+    grid AS (
+        SELECT g.event_type, t.range AS bucket
+        FROM (SELECT DISTINCT event_type FROM events) g, range(256) t
+    ),
+    full_regs AS (
+        SELECT grid.event_type, grid.bucket, coalesce(regs.rho_max, 0) AS rho_max
+        FROM grid LEFT JOIN regs
+          ON regs.event_type = grid.event_type AND regs.bucket = grid.bucket
+    ),
+    est AS (
+        SELECT event_type,
+               0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+                   / CAST(sum(CAST(1 AS BIGINT) << (53 - rho_max)) AS DOUBLE) AS hll_estimate
+        FROM full_regs GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT est.event_type, est.hll_estimate, exact.exact_distinct
+    FROM est JOIN exact USING (event_type)
+    """,
+)
+def sketch_hll_distinct_users(spark, sf_dir):
+    """Deterministic HyperLogLog (operators.sketches.hll_estimate):
+    distinct users per event type via an md5-hashed, integer-exact HLL
+    whose estimate hash-matches the oracle bit-for-bit — the
+    cross-engine-reproducible sketch Spark's own approx_count_distinct
+    can't offer. Register state is 256 rows/group regardless of input
+    size; registers merge by MAX across partitions/days/engines.
+    exact_distinct rides along to show the estimator's error."""
+    from refluxdb_spark.operators.sketches import hll_estimate
+
+    e = load(spark, sf_dir, "events")
+    est = hll_estimate(e, "user_id", p=8, by=["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "hll_estimate", "exact_distinct"
+    )

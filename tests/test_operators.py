@@ -959,3 +959,38 @@ def test_ema_by_hand_and_partition_invariance(spark):
         df.repartition(5), ts_col="t", value_col="v", by=["user"], alpha=0.5, tiebreak="eid"
     )
     assert {(r.user, r.eid): r.ema for r in out2.collect()} == got
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from refluxdb_spark.operators.sketches import hll_estimate, hll_registers
+
+    n = 3000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    est = hll_estimate(df, "v", p=8).collect()[0].hll_estimate
+    # raw HLL with m=256: sigma ~ 1.04/16 ~ 6.5%; assert within 4 sigma
+    assert abs(est - n) / n < 0.26, est
+
+    # merge property: registers of a union == elementwise max of halves
+    a = spark.range(0, 2000).select(F.col("id").alias("v"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("v"))
+    ra = {r.bucket: r.rho_max for r in hll_registers(a, "v", p=6).collect()}
+    rb = {r.bucket: r.rho_max for r in hll_registers(b, "v", p=6).collect()}
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    ru = {
+        r.bucket: r.rho_max
+        for r in hll_registers(a.union(b), "v", p=6).collect()
+    }
+    assert ru == merged
+
+
+def test_hll_partition_invariance(spark):
+    """The estimate must not depend on the data layout — the property
+    engine-native approx sketches do not guarantee across engines."""
+    from refluxdb_spark.operators.sketches import hll_estimate
+
+    df = spark.range(500).select((F.col("id") % 311).alias("v"))
+    e1 = hll_estimate(df, "v", p=8).collect()[0].hll_estimate
+    e2 = hll_estimate(df.repartition(13), "v", p=8).collect()[0].hll_estimate
+    assert e1 == e2
