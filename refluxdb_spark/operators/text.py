@@ -9,7 +9,7 @@ for per-document scoring.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from refluxdb_spark.operators.dedup import normalize_text
@@ -168,3 +168,57 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     the blocking key for exact dedup and shard-stable sampling
     (``operators/dedup.exact_dedup`` groups on exactly this)."""
     return df.withColumn(out, F.md5(normalize_text(text_col)))
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf
+    (tf · ln(N/df)).
+
+    Shuffle shape: one (doc, word) aggregation for term frequencies,
+    one word-level aggregation for document frequencies, a join on the
+    word key (vocabulary-sized — Zipf keeps it far smaller than the
+    corpus; AQE broadcasts it when it fits), and the per-doc top-k
+    window. The corpus total N arrives as a broadcast 1-row cross
+    join, NOT a driver-side count — nothing collects.
+
+    Determinism: tf/df/N are integers; the only floats are one divide
+    and one ln per (doc, word), in fixed order, ROUNDED to
+    ``round_digits`` before ranking with a word tiebreak (ln is the
+    lone not-guaranteed-correctly-rounded libm call — rounding makes
+    the cross-engine boundary case vanishingly unlikely rather than
+    impossible, same policy as the cosine scores).
+
+    Returns (id, word, tf, tfidf, rank).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+        ).alias("word"),
+    )
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    total = df.select(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                round_digits,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.select("id", "word", "tf", "tfidf", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

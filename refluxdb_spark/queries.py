@@ -3489,3 +3489,42 @@ def sketch_hll_distinct_users(spark, sf_dir):
     return est.join(exact, "event_type").select(
         "event_type", "hll_estimate", "exact_distinct"
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH words AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                                  t -> t != '')) AS word
+        FROM documents
+    ),
+    tf AS (SELECT id, word, count(*) AS tf FROM words GROUP BY id, word),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.id, tf.word, tf.tf,
+               round(CAST(tf.tf AS DOUBLE) * ln(CAST(total.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
+        FROM tf JOIN dfreq USING (word) CROSS JOIN total
+    )
+    SELECT id AS doc_id, word, tf, tfidf, rank FROM (
+        SELECT id, word, tf, tfidf,
+               row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, word) AS rank
+        FROM scored
+    ) WHERE rank <= 3 AND id < 100
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Characteristic terms per doc (operators.text.tfidf_topk):
+    tf·ln(N/df) with integer tf/df/N, one rounded float per pair, and
+    the corpus size as a broadcast 1-row cross join (no driver count).
+    Restricted to doc_id < 100 in the OUTPUT only, so the tf/df stats
+    still aggregate the whole corpus (the restriction is on the result
+    rows, not the statistics)."""
+    docs = load(spark, sf_dir, "documents")
+    out = X.tfidf_topk(docs, k=3)
+    return (
+        out.filter(F.col("id") < 100)
+        .select(F.col("id").alias("doc_id"), "word", "tf", "tfidf", "rank")
+    )

@@ -994,3 +994,20 @@ def test_hll_partition_invariance(spark):
     e1 = hll_estimate(df, "v", p=8).collect()[0].hll_estimate
     e2 = hll_estimate(df.repartition(13), "v", p=8).collect()[0].hll_estimate
     assert e1 == e2
+
+
+def test_tfidf_topk_by_hand(spark):
+    import math
+
+    from refluxdb_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana")],
+        "doc_id long, text string",
+    )
+    got = {(r.id, r.rank): (r.word, r.tf, r.tfidf) for r in tfidf_topk(df, k=2).collect()}
+    # df: apple=1, banana=3, cherry=1; N=3; ln(3/3)=0 for banana everywhere
+    assert got[(1, 1)] == ("apple", 2, round(2 * math.log(3.0), 6))
+    assert got[(2, 1)] == ("cherry", 1, round(math.log(3.0), 6))
+    assert got[(1, 2)][0] == "banana" and got[(1, 2)][2] == 0.0
+    assert got[(3, 1)] == ("banana", 1, 0.0)
