@@ -189,3 +189,56 @@ def audio_features(
     return src.mapInPandas(
         _batches, "id bigint, n_bytes bigint, duration_ms bigint, sample_rate int, rms_energy double"
     )
+
+
+def image_resize(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    scale: float = 0.5,
+    fake: bool = False,
+) -> DataFrame:
+    """Image resize via mapInPandas: emits a resized payload plus new
+    dimensions (id, out_payload, out_bytes, out_sha256, width, height).
+
+    Real resample is stubbed (no Pillow/libvips here). ``fake=True``
+    models a ``scale``-factor downscale deterministically: output
+    payload = the first ceil(n·scale²) bytes (area scales with scale²),
+    dims = the fake-decode dims of ``image_features`` scaled down —
+    fully reproducible byte arithmetic, so the resize STEP (binary in,
+    binary out, metadata updated, Arrow batches through mapInPandas)
+    is testable end-to-end and oracle-checkable."""
+    src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
+    out_schema = "id bigint, out_payload binary, out_bytes bigint, out_sha256 string, width int, height int"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image resampling requires Pillow/libvips (not in this "
+                    "container); pass fake=True for the deterministic stub"
+                )
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                h = int(hashlib.sha256(b).hexdigest()[:8], 16)
+                out = b[: math.ceil(len(b) * scale * scale)]
+                rows.append(
+                    {
+                        "id": rid,
+                        "out_payload": out,
+                        "out_bytes": len(out),
+                        "out_sha256": hashlib.sha256(out).hexdigest(),
+                        "width": int((64 + h % 512) * scale),
+                        "height": int((64 + (h >> 9) % 512) * scale),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "out_payload", "out_bytes", "out_sha256", "width", "height"],
+            )
+
+    return src.mapInPandas(_batches, out_schema)

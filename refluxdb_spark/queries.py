@@ -3528,3 +3528,41 @@ def text_tfidf_top_terms(spark, sf_dir):
         out.filter(F.col("id") < 100)
         .select(F.col("id").alias("doc_id"), "word", "tf", "tfidf", "rank")
     )
+
+
+@register(
+    "mm_image_resize",
+    # sha256() in the oracle is VARCHAR-based: valid because documents
+    # text is ASCII (tests/test_operators.py::
+    # test_documents_text_is_ascii_precondition), so char-prefix ==
+    # byte-prefix. The payload column itself is pinned by out_sha256 +
+    # out_bytes, so the result set omits the raw bytes.
+    """
+    WITH h AS (
+        SELECT doc_id AS id,
+               octet_length(encode(text)) AS n,
+               CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) AS hv,
+               text
+        FROM documents
+    )
+    SELECT id,
+           CAST(ceil(n * 0.25) AS BIGINT) AS out_bytes,
+           sha256(substring(text, 1, CAST(ceil(n * 0.25) AS BIGINT))) AS out_sha256,
+           CAST(trunc((64 + hv % 512) * 0.5) AS INT) AS width,
+           CAST(trunc((64 + (hv >> 9) % 512) * 0.5) AS INT) AS height
+    FROM h
+    """,
+)
+def mm_image_resize(spark, sf_dir):
+    """The resize step of the multimodal pipeline (operators.
+    multimodal.image_resize): binary in, resized binary out, metadata
+    updated, through Arrow-batched mapInPandas. Fake mode models a 0.5x
+    downscale as a ceil(n*scale^2)-byte prefix with scaled fake-decode
+    dims — deterministic byte arithmetic the oracle replays in SQL."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = M.attach_media(docs, "payload", "image/png")
+    return M.image_resize(media, id_col="doc_id", scale=0.5, fake=True).select(
+        "id", "out_bytes", "out_sha256", "width", "height"
+    )
