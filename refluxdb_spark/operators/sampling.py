@@ -13,7 +13,7 @@ down next to the scan; no shuffle, no RNG state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # md5-derived uniform value in [0, 1e6): the first 8 hex chars as an
@@ -145,3 +145,70 @@ def weighted_sample_topk(
         .filter(F.col("_ws_rank") <= k)
         .drop("_ws_rank")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    seed: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a
+    pure function of (seed, key) — the property that makes held-out
+    sets STAY held out across reprocessing runs, engines, and corpus
+    growth (a doc's assignment never changes when other docs are added
+    or the cluster layout shifts; rows fall in dict order, remainder
+    to the last split).
+
+    Zero shuffle: the assignment is one CASE expression beside the
+    scan. Keyed assignment also keeps entity granularity: key by
+    user/document id and every row of that entity lands in the same
+    split (no train/test leakage through shared entities)."""
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    bucket = _hash_bucket(key_col, seed)
+    names = list(splits)
+    expr = F.lit(names[-1])
+    hi = 0
+    conds = []
+    for name in names[:-1]:
+        hi += int(splits[name] * _BUCKETS)
+        conds.append((name, hi))
+    for name, threshold in reversed(conds):
+        expr = F.when(bucket < threshold, name).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def pack_bins(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    key_col: str,
+    by: list[str] | None = None,
+    seed: str = "pack",
+    out: str = "bin_id",
+) -> DataFrame:
+    """Sequence packing: assign documents to contiguous token-budget
+    bins — the batching step that turns a shuffled corpus into
+    fixed-budget training sequences.
+
+    Documents are laid out in content-hash order (deterministic global
+    shuffle) and bin = prev_running_total div budget: each bin fills
+    to the budget, with the straddling document starting the next bin
+    — the standard streaming-packing approximation (true greedy
+    best-fit is sequential and data-dependent; this is one window over
+    integer cumsums, exact on any engine). One shuffle per ``by``
+    group; shard a 100 TB corpus by a hash prefix in ``by`` so each
+    window sorts a shard, not the world."""
+    by = by or []
+    w = (
+        Window.partitionBy(*(by or [F.lit(1)]))
+        .orderBy(_hash_bucket(key_col, seed).asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(
+        F.sum(F.col(size_col).cast("bigint")).over(w), F.lit(0).cast("bigint")
+    )
+    return df.withColumn("_prev_total", prev).withColumn(
+        out, F.expr(f"_prev_total div {int(budget)}")
+    ).drop("_prev_total")

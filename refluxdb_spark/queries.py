@@ -3566,3 +3566,61 @@ def mm_image_resize(spark, sf_dir):
     return M.image_resize(media, id_col="doc_id", scale=0.5, fake=True).select(
         "id", "out_bytes", "out_sha256", "width", "height"
     )
+
+
+@register(
+    "sample_split_assign",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN CAST(concat('0x', substr(md5(concat('split', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 < 900000 THEN 'train'
+                WHEN CAST(concat('0x', substr(md5(concat('split', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators.sampling.
+    split_assign): split = pure function of (seed, doc_id), so held-out
+    sets survive reprocessing, engine changes, and corpus growth. Zero
+    shuffle — one CASE beside the scan."""
+    docs = load(spark, sf_dir, "documents")
+    return Smp.split_assign(
+        docs, key_col="doc_id",
+        splits={"train": 0.90, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "lang", "split")
+
+
+@register(
+    "sample_pack_bins",
+    """
+    WITH laid_out AS (
+        SELECT doc_id, lang, n_chars,
+               coalesce(SUM(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(concat('0x', substr(md5(concat('pack', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000,
+                            doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prev_total
+        FROM documents
+    )
+    SELECT lang, prev_total // 4096 AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM laid_out
+    GROUP BY lang, bin_id
+    """,
+)
+def sample_pack_bins(spark, sf_dir):
+    """Sequence packing (operators.sampling.pack_bins): documents fall
+    into contiguous 4096-char budget bins per language, in
+    content-hash order — integer cumsum window, exact on any engine.
+    Result is the per-bin fill report (the thing a packing job is
+    audited by)."""
+    docs = load(spark, sf_dir, "documents")
+    packed = Smp.pack_bins(
+        docs, size_col="n_chars", budget=4096, key_col="doc_id", by=["lang"],
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("total_chars"),
+    )

@@ -1011,3 +1011,46 @@ def test_tfidf_topk_by_hand(spark):
     assert got[(2, 1)] == ("cherry", 1, round(math.log(3.0), 6))
     assert got[(1, 2)][0] == "banana" and got[(1, 2)][2] == 0.0
     assert got[(3, 1)] == ("banana", 1, 0.0)
+
+
+def test_split_assign_fractions_stability_exhaustive(spark):
+    from refluxdb_spark.operators.sampling import split_assign
+
+    df = spark.range(20000).select(F.col("id").alias("k"))
+    out = split_assign(df, key_col="k", splits={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000  # disjoint + exhaustive
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    # assignment is layout-invariant (held-out stays held out)
+    again = {
+        r.k: r.split
+        for r in split_assign(
+            df.repartition(17), key_col="k", splits={"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    first = {r.k: r.split for r in out.collect()}
+    assert first == again
+
+
+def test_pack_bins_matches_python_replay(spark):
+    import hashlib
+
+    from refluxdb_spark.operators.sampling import pack_bins
+
+    sizes = {k: 3 + (k % 4) for k in range(1, 21)}
+    df = spark.createDataFrame(
+        [(k, s) for k, s in sizes.items()], "k long, sz long"
+    )
+    got = {r.k: r.bin_id for r in pack_bins(df, "sz", budget=7, key_col="k").collect()}
+
+    def bucket(k):
+        return int(hashlib.md5(f"pack{k}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    order = sorted(sizes, key=lambda k: (bucket(k), k))
+    cum, want = 0, {}
+    for k in order:
+        want[k] = cum // 7
+        cum += sizes[k]
+    assert got == want
