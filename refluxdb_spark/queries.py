@@ -3624,3 +3624,61 @@ def sample_pack_bins(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "ts_streaming_ema",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT event_type AS series, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_total
+        FROM events
+    ),
+    r AS (
+        SELECT series, rn, n_total, value AS ema FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.series, e.rn, e.n_total,
+               0.3 * e.value + (1.0 - 0.3) * r.ema
+        FROM ev e JOIN r ON e.series = r.series AND e.rn = r.rn + 1
+    )
+    SELECT series, ema, CAST(n_total AS BIGINT) AS n_obs
+    FROM r WHERE rn = n_total
+    """,
+)
+def ts_streaming_ema(spark, sf_dir):
+    """Custom stateful streaming operator with a FULL value oracle:
+    per-series EMA through applyInPandasWithState (streaming.stateful.
+    stream_ema) under availableNow, final state per series checked
+    bit-for-bit against the recursive-CTE recurrence — the strongest
+    correctness statement a stateful streaming op can make. The
+    event_id tiebreak pins fold order; Arrow chunks concat before the
+    sort so large groups fold in true event-time order."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+    from refluxdb_spark.streaming.stateful import stream_ema
+
+    src = _stream_events(spark, sf_dir, "event_type", "event_id", "value")
+    out = stream_ema(
+        src, series_col="event_type", ts_col="ts", value_col="value",
+        alpha=0.3, tiebreak_col="event_id",
+    )
+    sink = f"ema_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per (series, micro-batch); the final
+    # state per series is the row with the highest n_obs (monotone)
+    w = Window.partitionBy("series").orderBy(F.col("n_obs").desc())
+    return (
+        spark.table(sink)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("series", "ema", "n_obs")
+    )

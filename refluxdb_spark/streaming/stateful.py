@@ -40,11 +40,17 @@ EMA_STATE_SCHEMA = StructType(
 )
 
 
-def ema_update_fn(alpha: float):
+def ema_update_fn(alpha: float, order_cols: tuple[str, ...] = ("ts",)):
     """Build the per-group state update function: rows of one series in
     one micro-batch -> updated (ema, n_obs). Rows are EMA-folded in
-    event-time order; state carries the running value between batches
-    (and across restarts via the checkpoint)."""
+    ``order_cols`` order; state carries the running value between
+    batches (and across restarts via the checkpoint).
+
+    The group's Arrow chunks are concatenated BEFORE the sort: a large
+    group arrives as multiple ~10k-row chunks whose relative order is
+    not guaranteed, so per-chunk sorting would fold out of event-time
+    order. Pass a unique tiebreak in ``order_cols`` when timestamps
+    can collide — ties under an unstable sort are layout-dependent."""
 
     def update(
         key: tuple[Any, ...],
@@ -55,11 +61,12 @@ def ema_update_fn(alpha: float):
             ema, n_obs = state.get
         else:
             ema, n_obs = None, 0
-        for pdf in pdfs:
-            for v in pdf.sort_values("ts")["value"]:
-                v = float(v)
-                ema = v if ema is None else alpha * v + (1 - alpha) * ema
-                n_obs += 1
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        for v in pdf.sort_values(list(order_cols))["value"]:
+            v = float(v)
+            ema = v if ema is None else alpha * v + (1.0 - alpha) * ema
+            n_obs += 1
         state.update((ema, n_obs))
         yield pd.DataFrame([{"series": key[0], "ema": ema, "n_obs": n_obs}])
 
@@ -72,19 +79,26 @@ def stream_ema(
     ts_col: str = "ts",
     value_col: str = "value",
     alpha: float = 0.3,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Streaming per-series EMA: emits one updated (series, ema, n_obs)
     row per series per micro-batch. Caller attaches the writeStream
-    sink (update output mode)."""
+    sink (update output mode). ``tiebreak_col`` (a unique column)
+    pins the fold order when event times can collide."""
     from pyspark.sql import functions as F
 
-    keyed = source.select(
+    cols = [
         F.col(series_col).alias("series"),
         F.col(ts_col).alias("ts"),
         F.col(value_col).alias("value"),
-    ).groupBy("series")
+    ]
+    order: tuple[str, ...] = ("ts",)
+    if tiebreak_col is not None:
+        cols.append(F.col(tiebreak_col).alias("_tie"))
+        order = ("ts", "_tie")
+    keyed = source.select(*cols).groupBy("series")
     return keyed.applyInPandasWithState(
-        ema_update_fn(alpha),
+        ema_update_fn(alpha, order),
         outputStructType=EMA_OUTPUT_SCHEMA,
         stateStructType=EMA_STATE_SCHEMA,
         outputMode="update",
