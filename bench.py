@@ -58,6 +58,9 @@ HEADLINE = [
     "sim_quantized_topk",
     "text_repetition_stats",
     "ts_ema_per_user",
+    "sketch_hll_distinct_users",
+    "text_tfidf_top_terms",
+    "sample_pack_bins",
 ]
 
 

@@ -3682,3 +3682,63 @@ def ts_streaming_ema(spark, sf_dir):
         .filter(F.col("_rk") == 1)
         .select("series", "ema", "n_obs")
     )
+
+
+@register(
+    "agg_window_rank_functions",
+    """
+    SELECT event_id, event_type,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM events
+    WHERE event_id < 2000
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def agg_window_rank_functions(spark, sf_dir):
+    """Rank-family window coverage: rank / dense_rank / ntile /
+    percent_rank / cume_dist per series. All outputs are integers or
+    int/int double ratios ((rank-1)/(n-1), n_le/n) — bit-exact across
+    engines with the unique (value, event_id) sort."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return e.select(
+        "event_id", "event_type",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "string_levenshtein_pairs",
+    """
+    WITH s AS (SELECT DISTINCT source FROM documents)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(levenshtein(a.source, b.source) AS INT) AS dist
+    FROM s a JOIN s b ON a.source < b.source
+    WHERE levenshtein(a.source, b.source) <= 2
+    """,
+)
+def string_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance self-join over a small distinct set (fuzzy key
+    matching — the dedup primitive for short identifiers where
+    token/shingle machinery is overkill). The distinct relation is
+    tiny, so the pair join broadcasts; levenshtein is integer-exact in
+    any engine."""
+    s = load(spark, sf_dir, "documents").select("source").distinct()
+    a = s.select(F.col("source").alias("src_a"))
+    b = s.select(F.col("source").alias("src_b"))
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .withColumn("dist", F.levenshtein("src_a", "src_b").cast("int"))
+        .filter(F.col("dist") <= 2)
+        .select("src_a", "src_b", "dist")
+    )

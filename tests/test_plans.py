@@ -236,3 +236,27 @@ def test_ema_single_shuffle(spark, sf_dir):
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     df = ema(e, ts_col="ts", value_col="value", by=["user_id"], alpha=0.2, tiebreak="event_id")
     assert count_exchanges(df) == 1
+
+
+def test_split_assign_zero_shuffle(spark, sf_dir):
+    """Split assignment is one CASE beside the scan — no exchange, so
+    it composes with any downstream plan for free."""
+    from refluxdb_spark.operators.sampling import split_assign
+    from refluxdb_spark.plans.inspect import count_exchanges
+    from refluxdb_spark.queries import load
+
+    df = split_assign(load(spark, sf_dir, "documents"), key_col="doc_id")
+    assert count_exchanges(df) == 0
+
+
+def test_pack_bins_single_shuffle(spark, sf_dir):
+    """Packing costs exactly the one window exchange on the shard key."""
+    from refluxdb_spark.operators.sampling import pack_bins
+    from refluxdb_spark.plans.inspect import count_exchanges
+    from refluxdb_spark.queries import load
+
+    df = pack_bins(
+        load(spark, sf_dir, "documents"),
+        size_col="n_chars", budget=4096, key_col="doc_id", by=["lang"],
+    )
+    assert count_exchanges(df) == 1
