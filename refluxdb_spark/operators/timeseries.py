@@ -498,14 +498,21 @@ def ema(
     ) + f", `{out}` double"
     a = float(alpha)
 
+    b = 1.0 - a
+
     def walk(pdf):
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        e = None
+        # tolist(): float64 -> exact Python floats; plain-loop multiply-
+        # adds keep the IEEE op order the oracle replays (a vectorized
+        # scan would change association and break bit-exactness)
+        vals = pdf[value_col].to_numpy().tolist()
         acc = []
-        for v in pdf[value_col]:
-            v = float(v)
-            e = v if e is None else a * v + (1.0 - a) * e
+        if vals:
+            e = vals[0]
             acc.append(e)
+            for v in vals[1:]:
+                e = a * v + b * e
+                acc.append(e)
         pdf[out] = acc
         return pdf[keep + [out]]
 

@@ -3742,3 +3742,33 @@ def string_levenshtein_pairs(spark, sf_dir):
         .filter(F.col("dist") <= 2)
         .select("src_a", "src_b", "dist")
     )
+
+
+@register(
+    "text_length_histogram",
+    """
+    SELECT lang,
+           CAST(length(printf('%b', greatest(n_chars, 1))) AS INT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, log2_bucket
+    """,
+)
+def text_length_histogram(spark, sf_dir):
+    """Corpus length distribution: log2-bucketed doc sizes per language
+    (the power-law sanity report every corpus build starts with).
+    Bucket = bit-length of n_chars — integer-exact in any engine, no
+    float log. One map-side-combined aggregation."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.length(F.expr("bin(greatest(n_chars, 1))")).cast("int")
+    return (
+        docs.withColumn("log2_bucket", bucket)
+        .groupBy("lang", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
