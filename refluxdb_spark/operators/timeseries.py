@@ -517,3 +517,52 @@ def ema(
         return pdf[keep + [out]]
 
     return df.groupBy(*by).applyInPandas(walk, schema=out_schema)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: list[str],
+    bucket_expr: str = "date_trunc('day', {ts})",
+) -> DataFrame:
+    """Time-weighted average per key and bucket — the TSDB mean for
+    irregularly sampled gauges, where the arithmetic mean over-weights
+    bursts: twa = Σ((v_i + v_{i+1})/2 · dt_i) / Σ dt_i over consecutive
+    segments, each segment assigned to the bucket of its LEFT endpoint
+    (a documented simplification: segments are not clipped at bucket
+    edges; buckets are exact when sampling is dense relative to the
+    bucket).
+
+    One window shuffle on the key (lead), then a bucket aggregation.
+    Determinism: the integral stays EXACT until the final division —
+    Σ((v_i + v_{i+1})·dt_i) accumulates in DECIMAL (2-decimal values ×
+    integer-microsecond dt: every product and sum is exact, so shuffle
+    order cannot matter; no double→decimal cast anywhere, whose
+    rounding differs between engines), and the ÷2 of the trapezoid
+    rule is deferred into the single closing double division. Returns
+    (by..., bucket_start, twa, n_segments).
+    """
+    w = Window.partitionBy(*by).orderBy(F.col(ts_col).asc())
+    us = F.unix_micros(F.col(ts_col))
+    d = (
+        df.withColumn("_nv", F.lead(value_col).over(w))
+        .withColumn("_dt_us", (F.lead(us).over(w) - us).cast("bigint"))
+        .filter(F.col("_nv").isNotNull() & (F.col("_dt_us") > 0))
+    )
+    trap2 = (
+        F.col(value_col).cast("decimal(12,2)") + F.col("_nv").cast("decimal(12,2)")
+    ) * F.col("_dt_us").cast("decimal(16,0)")
+    bucket = F.expr(bucket_expr.format(ts=ts_col))
+    return (
+        d.withColumn("_trap2", trap2)
+        .withColumn("bucket_start", bucket)
+        .groupBy(*by, "bucket_start")
+        .agg(
+            (
+                F.sum("_trap2").cast("double")
+                / (F.lit(2.0) * F.sum("_dt_us").cast("double"))
+            ).alias("twa"),
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        )
+    )

@@ -3772,3 +3772,131 @@ def text_length_histogram(spark, sf_dir):
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+@register(
+    "ts_time_weighted_avg",
+    """
+    WITH seg AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+               lead(value) OVER w AS nv,
+               epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER w) - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP))
+    )
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+           CAST(SUM((CAST(value AS DECIMAL(12,2)) + CAST(nv AS DECIMAL(12,2)))
+                    * CAST(dt_us AS DECIMAL(16,0))) AS DOUBLE)
+               / (2.0 * CAST(SUM(dt_us) AS DOUBLE)) AS twa,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM seg
+    WHERE nv IS NOT NULL AND dt_us > 0
+    GROUP BY event_type, bucket_start
+    """,
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (operators.timeseries.time_weighted_avg):
+    the TSDB mean for irregular gauges — trapezoid integral over
+    consecutive segments / elapsed time, per series and day. The
+    integral is EXACT decimal arithmetic end-to-end (2-decimal values ×
+    integer-microsecond dt), with the trapezoid ÷2 deferred into the
+    one closing double division — no double→decimal cast, whose
+    rounding differs between engines."""
+    e = load(spark, sf_dir, "events")
+    return TS.time_weighted_avg(
+        e, ts_col="ts", value_col="value", by=["event_type"],
+    ).select("event_type", "bucket_start", "twa", "n_segments")
+
+
+@register(
+    "sql_lateral_latest_order",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_orderdate
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 1
+    ) o
+    WHERE c.c_custkey < 200
+    """,
+)
+def sql_lateral_latest_order(spark, sf_dir):
+    """Correlated LATERAL subquery (top-1-per-entity without a window):
+    each customer's latest order via LATERAL ... ORDER BY ... LIMIT 1.
+    Catalyst decorrelates this into a join + per-key limit — the SQL
+    surface a GlueSQL-replacing gateway must speak. Same text runs on
+    both engines."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey, o_orderdate
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+            LIMIT 1
+        ) o
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
+@register(
+    "agg_variance_corr_decimal",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx,
+               SUM(CAST(user_id AS DECIMAL(18,0))) AS sy,
+               SUM(CAST(user_id AS DECIMAL(18,0)) * CAST(user_id AS DECIMAL(18,0))) AS syy,
+               SUM(CAST(value AS DECIMAL(18,2)) * CAST(user_id AS DECIMAL(18,0))) AS sxy
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_value,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS stddev_value,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_value_user
+    FROM s
+    """,
+)
+def agg_variance_corr_decimal(spark, sf_dir):
+    """Second-moment aggregates with decimal-routed exactness: var,
+    stddev, and corr computed from DECIMAL sums (Σx, Σx², Σxy exact —
+    value has 2 decimals, user_id 0) so results do not depend on
+    shuffle order, unlike engine-native var_samp/corr whose float
+    accumulation is layout-dependent. sqrt is correctly rounded per
+    IEEE, divisions are fixed-order — bit-exact cross-engine."""
+    e = load(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(18,2)")
+    yd = F.col("user_id").cast("decimal(18,0)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd).alias("sy"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n")
+    num_var = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_var = (n * (n - F.lit(1))).cast("double")
+    num_cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_cov = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "event_type", "n",
+        (num_var / den_var).alias("var_value"),
+        F.sqrt(num_var / den_var).alias("stddev_value"),
+        (num_cov / den_cov).alias("corr_value_user"),
+    )

@@ -1054,3 +1054,19 @@ def test_pack_bins_matches_python_replay(spark):
         want[k] = cum // 7
         cum += sizes[k]
     assert got == want
+
+
+def test_time_weighted_avg_by_hand(spark):
+    from refluxdb_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        ("g", ts("2024-01-01T00:00:00"), 0.0),
+        ("g", ts("2024-01-01T00:00:10"), 10.0),
+        ("g", ts("2024-01-01T00:00:30"), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t timestamp, value double")
+    got = time_weighted_avg(df, ts_col="t", value_col="value", by=["k"]).collect()
+    assert len(got) == 1
+    # trapezoids: (0+10)/2*10 + (10+10)/2*20 = 50 + 200; / 30s total
+    assert got[0].twa == pytest.approx(250.0 / 30.0)
+    assert got[0].n_segments == 2
