@@ -61,6 +61,10 @@ HEADLINE = [
     "sketch_hll_distinct_users",
     "text_tfidf_top_terms",
     "sample_pack_bins",
+    "ts_time_weighted_avg",
+    "ts_sliding_window_counts",
+    "pipeline_corpus_end_to_end",
+    "sim_ivf_quantized_topk",
 ]
 
 

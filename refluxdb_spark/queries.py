@@ -3900,3 +3900,202 @@ def agg_variance_corr_decimal(spark, sf_dir):
         F.sqrt(num_var / den_var).alias("stddev_value"),
         (num_cov / den_cov).alias("corr_value_user"),
     )
+
+
+@register(
+    "pipeline_corpus_end_to_end",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           t -> t != '') AS toks
+        FROM documents
+    ),
+    quality AS (
+        SELECT d.doc_id, d.lang, d.n_chars, d.text
+        FROM documents d JOIN tok USING (doc_id)
+        WHERE len(toks) >= 10
+          AND CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) <= 0.6
+    ),
+    keepers AS (
+        SELECT min(doc_id) AS doc_id
+        FROM quality
+        GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    ),
+    deduped AS (SELECT q.* FROM quality q JOIN keepers USING (doc_id)),
+    dpos AS (
+        SELECT t.doc_id, t.toks,
+               unnest(CASE WHEN len(t.toks) >= 13 THEN generate_series(1, len(t.toks) - 12)
+                           ELSE CAST([] AS BIGINT[]) END) AS g
+        FROM tok t JOIN deduped USING (doc_id)
+    ),
+    dgrams AS (SELECT doc_id, array_to_string(toks[g:g+12], ' ') AS gram FROM dpos),
+    bpos AS (
+        SELECT t.doc_id, t.toks,
+               unnest(CASE WHEN len(t.toks) >= 13 THEN generate_series(1, len(t.toks) - 12)
+                           ELSE CAST([] AS BIGINT[]) END) AS g
+        FROM tok t WHERE t.doc_id % 97 = 0
+    ),
+    bgrams AS (SELECT DISTINCT array_to_string(toks[g:g+12], ' ') AS gram FROM bpos),
+    flagged AS (SELECT DISTINCT d.doc_id FROM dgrams d JOIN bgrams b USING (gram)),
+    clean AS (
+        SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    assigned AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN CAST(concat('0x', substr(md5(concat('split', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 < 900000 THEN 'train'
+                    WHEN CAST(concat('0x', substr(md5(concat('split', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 < 950000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean
+    ),
+    capped AS (
+        SELECT * FROM (
+            SELECT doc_id, lang, n_chars, split,
+                   row_number() OVER (
+                       PARTITION BY split, lang
+                       ORDER BY CAST(concat('0x', substr(md5(concat('mix', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000,
+                                doc_id
+                   ) AS rk
+            FROM assigned
+        ) WHERE rk <= 40
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM capped
+    GROUP BY split, lang
+    """,
+)
+def pipeline_corpus_end_to_end(spark, sf_dir):
+    """The full training-corpus build as ONE composed Spark plan:
+    repetition-quality filter -> exact dedup (min-id keeper per
+    normalized-text md5) -> 13-gram benchmark decontamination ->
+    deterministic train/val/test split -> per-(split, lang) balance cap
+    -> corpus report. Every stage is the already-oracled operator,
+    composed; Catalyst plans the chain end-to-end (filters before
+    shuffles, broadcast semi-joins for keep/flag lists), which is the
+    actual shape a 100 TB corpus build runs as a single job."""
+    docs = load(spark, sf_dir, "documents")
+    rep = X.repetition_stats(docs)
+    quality = rep.filter(
+        (F.col("n_words") >= 10) & (F.col("dup_word_frac") <= 0.6)
+    ).select("doc_id", "lang", "n_chars", "text")
+    keepers = D.exact_dedup(quality).select(F.col("keep_id").alias("doc_id"))
+    deduped = quality.join(keepers, "doc_id", "left_semi")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = D.decontaminate(deduped, bench, n=13, return_flagged=True)
+    clean = deduped.join(flagged, "doc_id", "left_anti")
+    assigned = Smp.split_assign(
+        clean, key_col="doc_id",
+        splits={"train": 0.90, "val": 0.05, "test": 0.05},
+    )
+    capped = Smp.cap_per_group(
+        assigned, key_col="doc_id", by=["split", "lang"], cap=40, seed="mix"
+    )
+    return capped.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "ts_sliding_window_counts",
+    """
+    WITH expanded AS (
+        SELECT event_type, value,
+               make_timestamp(
+                   epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(CAST(ts AS TIMESTAMP)) % CAST(900000000 AS BIGINT)
+                   - unnest(generate_series(0, 3)) * CAST(900000000 AS BIGINT)
+               ) AS window_start
+        FROM events
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM expanded
+    GROUP BY window_start, event_type
+    """,
+)
+def ts_sliding_window_counts(spark, sf_dir):
+    """Sliding (hopping) windows: 1-hour windows every 15 minutes via
+    F.window(ts, '1 hour', '15 minutes') — each event lands in exactly
+    4 overlapping windows; the oracle expands the same 4 epoch-aligned
+    starts per event with generate_series. The same expression runs
+    under Structured Streaming with a watermark (F.window is the
+    batch/streaming-shared operator). Decimal-routed sums."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "1 hour", "15 minutes").alias("_w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("_w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+@register(
+    "sim_ivf_quantized_topk",
+    f"""
+    WITH {_IVF_CTES},
+    qz AS (
+        SELECT vec_id,
+               greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS s
+        FROM embeddings
+    ),
+    qvq AS (
+        SELECT e.vec_id, qz.s,
+               list_transform(e.embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / qz.s + 0.5) AS BIGINT)) AS q
+        FROM embeddings e JOIN qz USING (vec_id)
+    ),
+    qry AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    pscore AS (
+        SELECT query_id, centroid_id,
+               round(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS sim
+        FROM qry CROSS JOIN c
+    ),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT query_id, centroid_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, centroid_id) AS rn
+            FROM pscore
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(CAST(list_sum(list_transform(generate_series(1, len(qa.q)),
+                                                  i -> qa.q[i] * qb.q[i])) AS DOUBLE)
+                     * qa.s * qb.s / 16129.0, 6) AS qdot
+        FROM probes p
+        JOIN assigned a USING (centroid_id)
+        JOIN qvq qa ON qa.vec_id = p.query_id
+        JOIN qvq qb ON qb.vec_id = a.vec_id
+        WHERE a.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, qdot, rank FROM (
+        SELECT query_id, neighbor_id, qdot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_ivf_quantized_topk(spark, sf_dir):
+    """Two-tier ANN (operators.similarity.ivf_quantized_topk): IVF
+    centroid pruning bounds what is READ (~nprobe/C of the corpus),
+    int8 quantization bounds what scoring COSTS (4x smaller candidate
+    vectors, integer-exact dots) — the retrieval stack that holds at
+    100 TB, deterministic and oracled end-to-end."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.ivf_quantized_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=4
+    )
