@@ -148,7 +148,7 @@ class RefluxEngine:
         with one pointer-file PUT, never a directory rename."""
         return self._data.current()
 
-    def compact(self, target_file_mb: int = 128) -> None:
+    def compact(self, target_file_mb: int = 128, vacuum: bool = True) -> None:
         """Rewrite the measurements table into ~target-size files per
         (series, day) partition — streaming appends produce one small
         file per micro-batch, and scan cost at 100 TB is dominated by
@@ -159,7 +159,9 @@ class RefluxEngine:
         directory and goes live via a single pointer-file write (see
         ``storage.py``) — no directory rename anywhere, so the same
         code is correct on S3/GCS, and a crash mid-compact leaves the
-        live table untouched."""
+        live table untouched. ``vacuum=False`` retains superseded
+        versions for time travel (``table_versions`` /
+        ``table_as_of``); vacuum later per retention policy."""
         df = self._table()
         if df.isEmpty():
             return
@@ -178,8 +180,24 @@ class RefluxEngine:
             .parquet(new_dir)
         )
         commit()
-        self._data.vacuum()
+        if vacuum:
+            self._data.vacuum()
         self._views.clear()
+
+    def table_versions(self) -> list[int]:
+        """Table versions still on disk. Versions are COMPACTION
+        lineage: appends mutate the live version; a version freezes
+        the moment a later compaction supersedes it. Retained versions
+        are therefore rollback points (e.g. out from under a bad
+        compaction), bounded by vacuum policy — the Delta/Iceberg
+        retention contract, at compaction granularity."""
+        return self._data.versions()
+
+    def table_as_of(self, version: int) -> DataFrame:
+        """Read the measurements table AS OF a retained version — the
+        audit/rollback read. Raises KeyError for vacuumed or unknown
+        versions."""
+        return self.spark.read.parquet(self._data.resolve(version))
 
     def _finalize_rows(self, rows: DataFrame) -> DataFrame:
         # Reference semantics: id = fresh UUIDv4 per row (persistence.rs:110),

@@ -57,6 +57,39 @@ class VersionedPath:
         except (OSError, ValueError):
             return None
 
+    def versions(self) -> list[int]:
+        """Version numbers still present on disk (time-travel targets).
+        Version 0 is the legacy unsuffixed dir if it exists. History
+        survives until ``vacuum()`` — the Delta/Iceberg retention
+        contract: time travel is bounded by vacuum policy, not by the
+        commit mechanism."""
+        parent = os.path.dirname(self.base) or "."
+        prefix = os.path.basename(self.base)
+        out = []
+        try:
+            entries = os.listdir(parent)
+        except OSError:
+            return out
+        for e in entries:
+            if e == prefix and os.path.isdir(os.path.join(parent, e)):
+                out.append(0)
+            elif e.startswith(prefix + "._v"):
+                try:
+                    out.append(int(e[len(prefix) + 3 :]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def resolve(self, version: int | None = None) -> str:
+        """Data dir for ``version`` (None = live). Raises KeyError for
+        a version that was never committed or has been vacuumed."""
+        if version is None:
+            return self.current()
+        path = self.base if version == 0 else f"{self.base}._v{version}"
+        if not os.path.isdir(path):
+            raise KeyError(f"version {version} not on disk (vacuumed or never written)")
+        return path
+
     # ----------------------------------------------------------- write
     def begin_rewrite(self) -> tuple[str, "_Commit"]:
         """Start a table rewrite: returns (new_dir, commit). Write the

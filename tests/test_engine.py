@@ -246,3 +246,28 @@ def test_partition_value_escape_roundtrip():
     for name in ["plain", "a:b", "x/y", "pct%20", "q?=#", "tab\tname"]:
         assert _unescape_partition_value(_escape_partition_value(name)) == name
     assert _escape_partition_value("a:b") == "a%3Ab"
+
+
+def test_time_travel_versions(spark, tmp_path):
+    """Versions are compaction lineage: a superseded version dir is
+    FROZEN (later appends go to the new live dir), so retained
+    versions give rollback points; vacuum bounds the history."""
+    eng = RefluxEngine(spark, str(tmp_path / "wh_tt"))
+    eng.write_lines(["cpu,host=a usage=0.5 1700000000000000000"])
+    eng.compact(vacuum=False)                                  # v1 = {A}
+    eng.write_lines(["cpu,host=b usage=0.7 1700000060000000000"])  # appends into live v1
+    eng.compact(vacuum=False)                                  # v2 = {A,B}; v1 frozen
+    eng.write_lines(["cpu,host=c usage=0.9 1700000120000000000"])  # appends into live v2
+    versions = eng.table_versions()
+    assert len(versions) >= 2
+    old_v, new_v = versions[-2], versions[-1]
+    assert eng.table_as_of(old_v).count() == 2   # frozen at supersession
+    assert eng.table_as_of(new_v).count() == 3   # live keeps growing
+    assert len(eng.query_rows("SELECT * FROM cpu")) == 3
+    # vacuum removes history; as-of reads then fail loudly
+    eng._data.vacuum()
+    assert eng.table_versions() == [new_v]
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        eng.table_as_of(old_v)
