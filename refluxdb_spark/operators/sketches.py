@@ -104,3 +104,63 @@ def hll_estimate(
         )
         .drop("int_sum")
     )
+
+
+def countmin_counters(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Count-min sketch counters: (by..., row, bucket, cnt) — ``depth``
+    md5-seeded hash rows over a ``width``-bucket range.
+
+    Like the HLL here, the point is determinism: engine-native
+    frequency sketches can't cross-check, this one is the same counter
+    matrix on any engine/layout. State is depth·width cells per group
+    regardless of input size; matrices MERGE BY ADDITION across
+    partitions/days (the CM property), so a year of daily sketches
+    answers "top talkers last quarter" without rescanning."""
+    by = by or []
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    d = df.select(*by, F.col(col).cast("string").alias("_k")).select(
+        *by, "_k", rows
+    )
+    bucket = F.expr(
+        f"cast(conv(substring(md5(concat('cm', row, '|', _k)), 1, 15), 16, 10) as bigint) % {width}"
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .groupBy(*by, "row", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-key frequency estimate: min over hash rows of the key's
+    counter — the classic CM upper bound (est >= true, with the
+    overestimate bounded by collisions ~ N/width per row). Returns
+    (key, cms_est) for every distinct key; integer-exact, so the
+    estimate itself is oracle-testable."""
+    counters = countmin_counters(df, col, depth, width)
+    keys = df.select(F.col(col).cast("string").alias("_k")).distinct()
+    probes = keys.select(
+        "_k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    ).withColumn(
+        "bucket",
+        F.expr(
+            f"cast(conv(substring(md5(concat('cm', row, '|', _k)), 1, 15), 16, 10) as bigint) % {width}"
+        ),
+    )
+    return (
+        probes.join(counters, ["row", "bucket"])
+        .groupBy("_k")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(F.col("_k").alias(col), "cms_est")
+    )

@@ -4099,3 +4099,57 @@ def sim_ivf_quantized_topk(spark, sf_dir):
     return S.ivf_quantized_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5, num_centroids=16, nprobe=4
     )
+
+
+@register(
+    "sketch_countmin_heavy_users",
+    """
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    expanded AS (
+        SELECT k, unnest(generate_series(0, 3)) AS row FROM ev
+    ),
+    counters AS (
+        SELECT row,
+               CAST(concat('0x', substr(md5(concat('cm', row, '|', k)), 1, 15)) AS BIGINT) % 1024 AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM expanded GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT k, unnest(generate_series(0, 3)) AS row
+        FROM (SELECT DISTINCT k FROM ev)
+    ),
+    est AS (
+        SELECT p.k, min(c.cnt) AS cms_est
+        FROM probes p
+        JOIN counters c
+          ON c.row = p.row
+         AND c.bucket = CAST(concat('0x', substr(md5(concat('cm', p.row, '|', p.k)), 1, 15)) AS BIGINT) % 1024
+        GROUP BY p.k
+    ),
+    exact AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY k)
+    SELECT CAST(est.k AS BIGINT) AS user_id, exact.exact_n, est.cms_est
+    FROM est JOIN exact USING (k)
+    WHERE exact.exact_n >= 20
+    """,
+)
+def sketch_countmin_heavy_users(spark, sf_dir):
+    """Deterministic count-min sketch (operators.sketches.countmin_*):
+    per-user event-frequency estimates from a 4x1024 md5-seeded counter
+    matrix, reported against exact counts for the heavy keys. The
+    matrix is identical on any engine/layout (oracle-checkable, unlike
+    engine-native frequency sketches) and merges by addition across
+    partitions/days. est >= exact always; the gap is the collision
+    bound."""
+    from refluxdb_spark.operators.sketches import countmin_estimate
+
+    e = load(spark, sf_dir, "events")
+    est = countmin_estimate(e, "user_id", depth=4, width=1024)
+    exact = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    return (
+        est.withColumn("user_id", F.col("user_id").cast("bigint"))
+        .join(exact, "user_id")
+        .filter(F.col("exact_n") >= 20)
+        .select("user_id", "exact_n", "cms_est")
+    )

@@ -1070,3 +1070,26 @@ def test_time_weighted_avg_by_hand(spark):
     # trapezoids: (0+10)/2*10 + (10+10)/2*20 = 50 + 200; / 30s total
     assert got[0].twa == pytest.approx(250.0 / 30.0)
     assert got[0].n_segments == 2
+
+
+def test_countmin_upper_bound_and_merge(spark):
+    from refluxdb_spark.operators.sketches import countmin_counters, countmin_estimate
+
+    df = spark.range(2000).select((F.col("id") % 97).alias("v"))
+    est = {r.v: r.cms_est for r in countmin_estimate(df, "v", depth=4, width=256).collect()}
+    exact = {r.v: r.n for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)  # CM never underestimates
+    # merge-by-addition: counters(a ∪ b) == counters(a) + counters(b)
+    a = spark.range(0, 1000).select((F.col("id") % 97).alias("v"))
+    b = spark.range(1000, 2000).select((F.col("id") % 97).alias("v"))
+
+    def mat(d):
+        return {
+            (r.row, r.bucket): r.cnt
+            for r in countmin_counters(d, "v", depth=4, width=256).collect()
+        }
+
+    ma, mb, mu = mat(a), mat(b), mat(a.union(b))
+    summed = {k: ma.get(k, 0) + mb.get(k, 0) for k in set(ma) | set(mb)}
+    assert mu == summed
