@@ -1076,7 +1076,8 @@ def test_countmin_upper_bound_and_merge(spark):
     from refluxdb_spark.operators.sketches import countmin_counters, countmin_estimate
 
     df = spark.range(2000).select((F.col("id") % 97).alias("v"))
-    est = {r.v: r.cms_est for r in countmin_estimate(df, "v", depth=4, width=256).collect()}
+    # estimate keys come back as strings (the sketch hashes the string form)
+    est = {int(r.v): r.cms_est for r in countmin_estimate(df, "v", depth=4, width=256).collect()}
     exact = {r.v: r.n for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
     assert set(est) == set(exact)
     assert all(est[k] >= exact[k] for k in exact)  # CM never underestimates
