@@ -73,11 +73,12 @@ def hll_estimate(
     (a 53-bit mantissa can't hold 2^-1 + 2^-53 exactly), so the sum is
     scaled to INTEGERS — ``2^(rbits+1-rho_max)`` as BIGINT, exact and
     order-independent, at most m·2^(rbits+1) < 2^62 — and divided back
-    once at the end. Empty registers (rho_max = 0) contribute their
-    full term via an m-row-per-group grid join (metadata-sized). Raw
-    HLL only — no small/large-range bias correction — a documented
-    estimator choice (±1.04/√m relative error) that keeps the estimate
-    one fixed cross-engine expression.
+    once at the end. Empty registers (rho_max = 0) each contribute the
+    full 2^(rbits+1) term, added ARITHMETICALLY from the occupied-
+    bucket count — no grid join, so the whole estimate is two shuffles
+    (registers + per-group fold). Raw HLL only — no small/large-range
+    bias correction — a documented estimator choice (±1.04/√m relative
+    error) that keeps the estimate one fixed cross-engine expression.
     """
     by = by or []
     m = 1 << p
@@ -85,24 +86,21 @@ def hll_estimate(
     scale = 1 << (rbits + 1)
     alpha = 0.7213 / (1.0 + 1.079 / m)
     regs = hll_registers(df, col, p, by)
-    spark = df.sparkSession
-    buckets = spark.range(m).select(F.col("id").alias("bucket"))
-    if by:
-        grid = regs.select(*by).distinct().crossJoin(buckets)
-        full = grid.join(regs, [*by, "bucket"], "left")
-    else:
-        full = buckets.join(regs, ["bucket"], "left")
-    full = full.withColumn("rho_max", F.coalesce(F.col("rho_max"), F.lit(0)))
     term = F.expr(f"cast(shiftleft(cast(1 as bigint), {rbits + 1} - rho_max) as bigint)")
     return (
-        full.groupBy(*by)
-        .agg(F.sum(term).alias("int_sum"))
+        regs.groupBy(*by)
+        .agg(
+            F.sum(term).alias("_occ_sum"),
+            F.count(F.lit(1)).alias("_occ_n"),
+        )
         .withColumn(
             "hll_estimate",
             F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(scale))
-            / F.col("int_sum").cast("double"),
+            / (
+                F.col("_occ_sum") + (F.lit(m) - F.col("_occ_n")) * F.lit(scale)
+            ).cast("double"),
         )
-        .drop("int_sum")
+        .drop("_occ_sum", "_occ_n")
     )
 
 

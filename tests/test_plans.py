@@ -95,6 +95,18 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "tpch_q13_customer_distribution": 2,  # two cascaded aggs
         "dedup_simhash_pairs": 2,   # signature agg + bucket self-join
         "tpch_q15_top_supplier": 3, # revenue agg + max + supplier join
+        # r4 additions (budget = measured shape):
+        "sample_pack_bins": 2,          # packing window + fill-report agg
+        "ts_time_weighted_avg": 1,      # lead window + day agg share the key
+        "ts_sliding_window_counts": 1,  # one agg over exploded windows
+        "agg_window_rank_functions": 1, # one window sort per series
+        "agg_variance_corr_decimal": 1, # single moment aggregation
+        "text_length_histogram": 1,     # map-side-combined histogram agg
+        "sketch_hll_distinct_users": 4, # 2 sketch + 2 exact-comparison
+        "sketch_countmin_heavy_users": 3,
+        "sim_ivf_quantized_topk": 3,    # assign agg + probe window + rank
+        "text_tfidf_top_terms": 5,      # tf, df, vocab join, N, rank
+        "pipeline_corpus_end_to_end": 5,  # quality/dedup/decontam/cap/report
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
