@@ -18,7 +18,7 @@ HLL merge property), so rollups compose without rescanning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # 60-bit deterministic hash: 15 hex chars of md5 (fits a signed BIGINT,
@@ -162,3 +162,55 @@ def countmin_estimate(
         .agg(F.min("cnt").alias("cms_est"))
         .select(F.col("_k").alias(col), "cms_est")
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-bin histogram quantile estimates — the third mergeable
+    sketch (HLL: distinct, CM: frequency, histogram: distribution).
+
+    bin = floor((x - lo)/width) clamped to [0, bins-1]; the q-quantile
+    estimate is the LOWER EDGE of the first bin whose cumulative count
+    reaches ceil(q·n) (documented estimator: error ≤ one bin width).
+    Bin counts are integers and merge by addition across
+    partitions/days; the only floats are the bin-index expression and
+    the edge reconstruction, both fixed-order and engine-identical.
+    Returns (by..., q, est, n)."""
+    by = by or []
+    width = (hi - lo) / bins
+    b = (
+        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+        .cast("bigint")
+    )
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    counts = (
+        df.select(*by, b.alias("bin"))
+        .groupBy(*by, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*(by or [F.lit(1)])).orderBy("bin")
+    cum = counts.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*(by or [F.lit(1)])))
+    )
+    out = None
+    for q in qs:
+        hit = (
+            cum.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")))
+            .groupBy(*by)
+            .agg(F.min("bin").alias("_bin"), F.max("n").alias("n"))
+            .select(
+                *by,
+                F.lit(q).alias("q"),
+                (F.lit(lo) + F.col("_bin").cast("double") * F.lit(width)).alias("est"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -4153,3 +4153,44 @@ def sketch_countmin_heavy_users(spark, sf_dir):
         .filter(F.col("exact_n") >= 20)
         .select("user_id", "exact_n", "cms_est")
     )
+
+
+@register(
+    "sketch_histogram_quantiles",
+    """
+    WITH binned AS (
+        SELECT event_type,
+               least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 5.0) AS BIGINT), 0), 99) AS bin
+        FROM events
+    ),
+    counts AS (SELECT event_type, bin, count(*) AS cnt FROM binned GROUP BY 1, 2),
+    cum AS (
+        SELECT event_type, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n
+        FROM counts
+    ),
+    qq AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q)
+    SELECT event_type, q,
+           0.0 + CAST(min(bin) AS DOUBLE) * 5.0 AS est,
+           CAST(max(n) AS BIGINT) AS n
+    FROM cum CROSS JOIN qq
+    WHERE cum >= ceil(q * n)
+    GROUP BY event_type, q
+    """,
+)
+def sketch_histogram_quantiles(spark, sf_dir):
+    """Mergeable distribution sketch (operators.sketches.
+    histogram_quantiles): p50/p95/p99 per series from a 100-bin fixed
+    histogram over [0, 500) — integer bin counts merge by addition
+    across partitions/days, estimate = lower edge of the covering bin
+    (error <= one bin width, here 5.0). The streaming-rollup-friendly
+    alternative to exact percentiles when the corpus never fits one
+    sort."""
+    from refluxdb_spark.operators.sketches import histogram_quantiles
+
+    e = load(spark, sf_dir, "events")
+    return histogram_quantiles(
+        e, "value", lo=0.0, hi=500.0, bins=100,
+        qs=(0.5, 0.95, 0.99), by=["event_type"],
+    ).select("event_type", "q", "est", "n")

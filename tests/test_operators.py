@@ -1094,3 +1094,22 @@ def test_countmin_upper_bound_and_merge(spark):
     ma, mb, mu = mat(a), mat(b), mat(a.union(b))
     summed = {k: ma.get(k, 0) + mb.get(k, 0) for k in set(ma) | set(mb)}
     assert mu == summed
+
+
+def test_histogram_quantiles_by_hand_and_bounds(spark):
+    from refluxdb_spark.operators.sketches import histogram_quantiles
+
+    # 100 values 0..99, 10 bins of width 10 over [0, 100)
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    got = {
+        r.q: r.est
+        for r in histogram_quantiles(
+            df, "v", lo=0.0, hi=100.0, bins=10, qs=(0.5, 0.9)
+        ).collect()
+    }
+    # ceil(0.5*100)=50th value (49.0) sits in bin 4 -> lower edge 40.0
+    assert got[0.5] == 40.0
+    assert got[0.9] == 80.0
+    # estimate never exceeds the true quantile by more than a bin width
+    true_p50 = 49.5
+    assert abs(got[0.5] - true_p50) <= 10.0
