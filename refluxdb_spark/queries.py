@@ -4194,3 +4194,90 @@ def sketch_histogram_quantiles(spark, sf_dir):
         e, "value", lo=0.0, hi=500.0, bins=100,
         qs=(0.5, 0.95, 0.99), by=["event_type"],
     ).select("event_type", "q", "est", "n")
+
+
+@register(
+    "ts_anomaly_zscore",
+    """
+    WITH stats AS (
+        SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+               SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sx,
+               SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS sxx,
+               count(*) OVER w AS n
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, ts, value,
+           (value - CAST(sx AS DOUBLE) / n)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS z
+    FROM stats
+    WHERE n >= 20
+      AND CAST(n * sxx - sx * sx AS DOUBLE) > 0
+      AND abs((value - CAST(sx AS DOUBLE) / n)
+              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))) >= 3.0
+    """,
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection — the monitoring query a TSDB
+    exists for: each point scored against its own trailing 20-obs
+    window (mean/std from DECIMAL-exact rolling moments, so the flag
+    set is layout- and engine-independent), flagged at |z| >= 3. One
+    window shuffle on the series key."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(18,2)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-19, 0)
+    )
+    d = (
+        e.withColumn("sx", F.sum(xd).over(w))
+        .withColumn("sxx", F.sum(xd * xd).over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
+    n = F.col("n")
+    mean = F.col("sx").cast("double") / n
+    var_num = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    z = (F.col("value") - mean) / F.sqrt(var_num / (n * (n - F.lit(1))).cast("double"))
+    return (
+        d.filter((n >= 20) & (var_num > 0))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 3.0)
+        .select("event_id", "event_type", "ts", "value", "z")
+    )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """Behavioral transition matrix: counts of consecutive
+    (event_type -> next event_type) steps per user — the Markov-chain
+    input for journey analysis. One window shuffle on user, then a
+    map-side-combined count over the 5x5 type pairs."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
