@@ -4281,3 +4281,74 @@ def events_transition_matrix(spark, sf_dir):
         .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+@register(
+    "ts_counter_rate",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               lag(value) OVER w AS pv,
+               epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS dt_us
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT event_type, ts, event_id,
+           CASE WHEN value >= pv THEN value - pv ELSE value END AS delta,
+           CASE WHEN value >= pv THEN value - pv ELSE value END
+               / (CAST(dt_us AS DOUBLE) / 1000000.0) AS rate_per_s
+    FROM d
+    WHERE pv IS NOT NULL AND dt_us > 0
+    """,
+)
+def ts_counter_rate(spark, sf_dir):
+    """Counter-reset-aware rate (the Influx/Prometheus
+    non-negative-derivative): a decrease means the counter restarted,
+    so the delta is the new raw value, not a negative step — without
+    this rule every process restart poisons a monotone counter's rate.
+    One lag window per series; delta is exact double subtraction of
+    2-decimal inputs, the rate one fixed-order division chain."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    d = (
+        e.withColumn("pv", F.lag("value").over(w))
+        .withColumn("dt_us", us - F.lag(us).over(w))
+        .filter(F.col("pv").isNotNull() & (F.col("dt_us") > 0))
+    )
+    delta = F.when(F.col("value") >= F.col("pv"), F.col("value") - F.col("pv")).otherwise(
+        F.col("value")
+    )
+    return d.select(
+        "event_type", "ts", "event_id",
+        delta.alias("delta"),
+        (delta / (F.col("dt_us").cast("double") / F.lit(1000000.0))).alias("rate_per_s"),
+    )
+
+
+@register(
+    "sql_unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, amount
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey < 100
+    )
+    UNPIVOT (amount FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def sql_unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT (melt): wide numeric columns to (key, measure, value)
+    rows — the inverse of the pivot query and the shape feature stores
+    ingest. Spark's stack() expands in place (narrow, no shuffle);
+    DuckDB speaks the standard UNPIVOT syntax."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr(
+            "stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, "
+            "'l_discount', l_discount, 'l_tax', l_tax) AS (measure, amount)"
+        ),
+    )
