@@ -30,6 +30,7 @@ Compat flags (quirk register, SURVEY §7):
 from __future__ import annotations
 
 import os
+import shutil
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -183,6 +184,65 @@ class RefluxEngine:
         if vacuum:
             self._data.vacuum()
         self._views.clear()
+
+    def apply_retention(self, keep_after: "str | datetime", vacuum: bool = True) -> None:
+        """Retention policy enforcement (the Influx feature the
+        reference lacks): drop all data from days strictly before
+        ``keep_after``'s date.
+
+        Object-store-safe AND metadata-speed: retained partition
+        directories are HARDLINKED into a fresh version tree (no data
+        bytes move; on S3/GCS the equivalent is server-side COPY of
+        retained objects, or a manifest that simply omits the expired
+        ones), then the pointer-file commit swaps readers over. No
+        reader ever sees a partially-deleted table; expired bytes
+        disappear at vacuum. Falls back to a real file copy when the
+        filesystem refuses links."""
+        cutoff = _parse_rfc3339(keep_after).date().isoformat()
+        src = self._path
+        if not os.path.exists(src):
+            return
+        new_dir, commit = self._data.begin_rewrite()
+        for series_ent in os.listdir(src):
+            if not series_ent.startswith("series="):
+                continue
+            sdir = os.path.join(src, series_ent)
+            for day_ent in os.listdir(sdir) if os.path.isdir(sdir) else []:
+                if not day_ent.startswith("day="):
+                    continue
+                if day_ent[len("day="):] < cutoff:  # ISO dates sort lexically
+                    continue
+                src_part = os.path.join(sdir, day_ent)
+                dst_part = os.path.join(new_dir, series_ent, day_ent)
+                os.makedirs(dst_part, exist_ok=True)
+                for f in os.listdir(src_part):
+                    if f.startswith(("_", ".")):
+                        continue
+                    s, d = os.path.join(src_part, f), os.path.join(dst_part, f)
+                    try:
+                        os.link(s, d)
+                    except OSError:
+                        shutil.copy2(s, d)
+        commit()
+        if vacuum:
+            self._data.vacuum()
+        self._views.clear()
+
+    def field_keys(self, series: str | None = None) -> dict[str, list[str]]:
+        """``SHOW FIELD KEYS``: distinct field names per series (every
+        line-protocol field became a row with its ``name``). Scans only
+        the requested series' partition (pruned) — or all partitions
+        grouped, one map-side-combined distinct either way."""
+        df = self._table()
+        if series is not None:
+            df = df.filter(F.col("series") == series)
+        rows = (
+            df.select("series", "name").distinct().collect()
+        )
+        out: dict[str, list[str]] = {}
+        for r in rows:
+            out.setdefault(r["series"], []).append(r["name"])
+        return {k: sorted(v) for k, v in out.items()}
 
     def table_versions(self) -> list[int]:
         """Table versions still on disk. Versions are COMPACTION

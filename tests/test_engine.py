@@ -271,3 +271,23 @@ def test_time_travel_versions(spark, tmp_path):
 
     with _pytest.raises(KeyError):
         eng.table_as_of(old_v)
+
+
+def test_retention_drops_old_days_and_field_keys(spark, tmp_path):
+    """apply_retention removes days before the cutoff through a
+    hardlinked version swap; field_keys lists distinct names per
+    series."""
+    eng = RefluxEngine(spark, str(tmp_path / "wh_ret"))
+    # 2009-02-13 and 2009-02-14 (86400s apart), two series
+    eng.write_lines([
+        "cpu,host=a usage=0.5,temp=40.0 1234567890000000000",
+        "cpu,host=a usage=0.6 1234654290000000000",
+        "mem,host=a used=0.9 1234567890000000000",
+    ])
+    assert eng.field_keys() == {"cpu": ["temp", "usage"], "mem": ["used"]}
+    assert eng.field_keys("cpu") == {"cpu": ["temp", "usage"]}
+    eng.apply_retention("2009-02-14T00:00:00Z")
+    rows = eng.query_rows("SELECT * FROM cpu")
+    assert len(rows) == 1 and rows[0]["value"] == 0.6  # only day >= cutoff
+    # mem had only the old day: series disappears entirely
+    assert eng.list_series() == ["cpu"]
