@@ -4352,3 +4352,47 @@ def sql_unpivot_lineitem_measures(spark, sf_dir):
             "'l_discount', l_discount, 'l_tax', l_tax) AS (measure, amount)"
         ),
     )
+
+
+@register(
+    "ts_gap_detection",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY event_type
+                                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        FROM events
+    )
+    SELECT event_type, prev_ts AS gap_start, ts AS gap_end,
+           (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_seconds
+    FROM d
+    WHERE prev_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev_ts) > CAST(3600 AS BIGINT) * 1000000
+    """,
+)
+def ts_gap_detection(spark, sf_dir):
+    """Missing-heartbeat detection: report every silence longer than an
+    hour per series — the alerting query for dead senders. One lag
+    window per series; the gap length is exact integer microsecond
+    arithmetic truncated to seconds."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNotNull()
+            & (us - F.unix_micros(F.col("prev_ts")) > 3600 * 1_000_000)
+        )
+        .select(
+            "event_type",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            # integer div, not double-divide-then-cast: DuckDB's
+            # double->BIGINT cast rounds while Spark's truncates
+            F.expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000")
+            .alias("gap_seconds"),
+        )
+    )
