@@ -244,6 +244,23 @@ class RefluxEngine:
             out.setdefault(r["series"], []).append(r["name"])
         return {k: sorted(v) for k, v in out.items()}
 
+    def tag_keys(self, series: str | None = None) -> dict[str, list[str]]:
+        """``SHOW TAG KEYS``: distinct tag-map keys per series —
+        explode(map_keys(tags)) + distinct, partition-pruned when a
+        series is given."""
+        df = self._table()
+        if series is not None:
+            df = df.filter(F.col("series") == series)
+        rows = (
+            df.select("series", F.explode(F.map_keys("tags")).alias("k"))
+            .distinct()
+            .collect()
+        )
+        out: dict[str, list[str]] = {}
+        for r in rows:
+            out.setdefault(r["series"], []).append(r["k"])
+        return {k: sorted(v) for k, v in out.items()}
+
     def table_versions(self) -> list[int]:
         """Table versions still on disk. Versions are COMPACTION
         lineage: appends mutate the live version; a version freezes

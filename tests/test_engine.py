@@ -286,6 +286,7 @@ def test_retention_drops_old_days_and_field_keys(spark, tmp_path):
     ])
     assert eng.field_keys() == {"cpu": ["temp", "usage"], "mem": ["used"]}
     assert eng.field_keys("cpu") == {"cpu": ["temp", "usage"]}
+    assert eng.tag_keys() == {"cpu": ["host"], "mem": ["host"]}
     eng.apply_retention("2009-02-14T00:00:00Z")
     rows = eng.query_rows("SELECT * FROM cpu")
     assert len(rows) == 1 and rows[0]["value"] == 0.6  # only day >= cutoff
