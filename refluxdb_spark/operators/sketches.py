@@ -37,7 +37,7 @@ def hll_registers(
     bucket = hash mod m; rho = 1 + leading-zero count of the remaining
     ``60 - p`` bits, computed exactly via the binary-string length
     (``bin()``) — no float log anywhere. Only occupied buckets appear;
-    ``hll_estimate`` grid-joins the empty ones back in.
+    ``hll_estimate`` accounts for the empty ones arithmetically.
     """
     by = by or []
     m = 1 << p
