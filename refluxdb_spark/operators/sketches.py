@@ -214,3 +214,64 @@ def histogram_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    k: int = 4,
+    m_bits: int = 32768,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Bloom filter as a relation: (by..., bit) — the distinct set-bit
+    positions of a ``k``-hash, ``m_bits``-wide filter over ``col``.
+
+    Fourth mergeable sketch (HLL: distinct, CM: frequency, histogram:
+    distribution, Bloom: membership). Filters merge by UNION (bitwise
+    OR); the relation form keeps it a pure DataFrame — a day's filter
+    is ~m_bits rows max regardless of input, and the md5-derived
+    positions are identical on any engine, so membership answers are
+    oracle-testable."""
+    by = by or []
+    d = df.select(*by, F.col(col).cast("string").alias("_k"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    bit = F.expr(
+        f"cast(conv(substring(md5(concat('bf', i, '|', _k)), 1, 15), 16, 10) as bigint) % {m_bits}"
+    )
+    return (
+        d.select(*by, "_k", rows)
+        .select(*by, bit.alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    bits: DataFrame,
+    probes: DataFrame,
+    col: str,
+    k: int = 4,
+    m_bits: int = 32768,
+    by: list[str] | None = None,
+    out: str = "maybe_present",
+) -> DataFrame:
+    """Probe a Bloom relation: a key is 'possibly present' iff ALL k of
+    its bit positions are set (no false negatives; false-positive rate
+    ~(1 - e^(-k·n/m))^k). The probe side explodes k rows per key and
+    counts matches against the (small, broadcastable) bit relation."""
+    by = by or []
+    p = probes.select(*by, F.col(col).cast("string").alias("_k")).distinct()
+    rows = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    bit = F.expr(
+        f"cast(conv(substring(md5(concat('bf', i, '|', _k)), 1, 15), 16, 10) as bigint) % {m_bits}"
+    )
+    probe_bits = p.select(*by, "_k", rows).select(*by, "_k", bit.alias("bit"))
+    hits = (
+        probe_bits.join(F.broadcast(bits), [*by, "bit"], "left_semi")
+        .groupBy(*by, "_k")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        p.join(hits, [*by, "_k"], "left")
+        .withColumn(out, F.coalesce(F.col("_hits"), F.lit(0)) == k)
+        .select(*by, F.col("_k").alias(col), out)
+    )

@@ -4396,3 +4396,72 @@ def ts_gap_detection(spark, sf_dir):
             .alias("gap_seconds"),
         )
     )
+
+
+@register(
+    "sketch_bloom_membership",
+    """
+    WITH keys AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k FROM events),
+    kb AS (SELECT event_type, k, unnest(generate_series(0, 3)) AS i FROM keys),
+    bits AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(concat('bf', i, '|', k)), 1, 15)) AS BIGINT) % 32768 AS bit
+        FROM kb
+    ),
+    probe_ids AS (
+        SELECT unnest(generate_series(0, 19)) AS pid
+        UNION ALL
+        SELECT unnest(generate_series(1000000, 1000019)) AS pid
+    ),
+    probes AS (
+        SELECT g.event_type, CAST(p.pid AS VARCHAR) AS k, p.pid
+        FROM (SELECT DISTINCT event_type FROM events) g CROSS JOIN probe_ids p
+    ),
+    pb AS (SELECT event_type, k, pid, unnest(generate_series(0, 3)) AS i FROM probes),
+    pbits AS (
+        SELECT event_type, k, pid,
+               CAST(concat('0x', substr(md5(concat('bf', i, '|', k)), 1, 15)) AS BIGINT) % 32768 AS bit
+        FROM pb
+    ),
+    hits AS (
+        SELECT p.event_type, p.pid, count(*) AS n_hits
+        FROM pbits p JOIN bits b ON b.event_type = p.event_type AND b.bit = p.bit
+        GROUP BY p.event_type, p.pid
+    ),
+    actual AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT pr.event_type, pr.pid AS user_id,
+           coalesce(h.n_hits, 0) = 4 AS maybe_present,
+           a.user_id IS NOT NULL AS actually_present
+    FROM probes pr
+    LEFT JOIN hits h ON h.event_type = pr.event_type AND h.pid = pr.pid
+    LEFT JOIN actual a ON a.event_type = pr.event_type AND a.user_id = pr.pid
+    """,
+)
+def sketch_bloom_membership(spark, sf_dir):
+    """Bloom membership sketch (operators.sketches.bloom_bits /
+    bloom_maybe_contains): per-series user filters probed with 20
+    known-range and 20 out-of-range ids, reported against ground truth
+    — no false negatives by construction, false positives bounded by
+    (1-e^(-kn/m))^k. Filters are relations of md5-derived bit
+    positions: engine-identical (oracle-testable) and mergeable by
+    UNION across partitions/days."""
+    from refluxdb_spark.operators.sketches import bloom_bits, bloom_maybe_contains
+
+    e = load(spark, sf_dir, "events")
+    bits = bloom_bits(e, "user_id", k=4, m_bits=32768, by=["event_type"])
+    types = e.select("event_type").distinct()
+    pids = spark.range(0, 20).union(spark.range(1000000, 1000020)).select(
+        F.col("id").alias("user_id")
+    )
+    probes = types.crossJoin(pids)
+    maybe = bloom_maybe_contains(
+        bits, probes, "user_id", k=4, m_bits=32768, by=["event_type"]
+    ).withColumn("user_id", F.col("user_id").cast("bigint"))
+    actual = e.select("event_type", "user_id").distinct().withColumn(
+        "actually_present", F.lit(True)
+    )
+    return (
+        maybe.join(actual, ["event_type", "user_id"], "left")
+        .withColumn("actually_present", F.coalesce("actually_present", F.lit(False)))
+        .select("event_type", "user_id", "maybe_present", "actually_present")
+    )

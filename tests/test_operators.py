@@ -1113,3 +1113,27 @@ def test_histogram_quantiles_by_hand_and_bounds(spark):
     # estimate never exceeds the true quantile by more than a bin width
     true_p50 = 49.5
     assert abs(got[0.5] - true_p50) <= 10.0
+
+
+def test_bloom_no_false_negatives_and_merge_by_union(spark):
+    from refluxdb_spark.operators.sketches import bloom_bits, bloom_maybe_contains
+
+    df = spark.range(500).select(F.col("id").alias("v"))
+    bits = bloom_bits(df, "v", k=4, m_bits=8192)
+    # every inserted key MUST be maybe_present (no false negatives)
+    probes = spark.range(500).select(F.col("id").alias("v"))
+    got = bloom_maybe_contains(bits, probes, "v", k=4, m_bits=8192)
+    assert got.filter(~F.col("maybe_present")).count() == 0
+    # merge by union: bits(a ∪ b) == bits(a) ∪ bits(b)
+    a = spark.range(0, 300).select(F.col("id").alias("v"))
+    b = spark.range(200, 500).select(F.col("id").alias("v"))
+    ba = {r.bit for r in bloom_bits(a, "v", k=4, m_bits=8192).collect()}
+    bb = {r.bit for r in bloom_bits(b, "v", k=4, m_bits=8192).collect()}
+    bu = {r.bit for r in bloom_bits(a.union(b), "v", k=4, m_bits=8192).collect()}
+    assert bu == ba | bb
+    # out-of-range probes are mostly rejected (fpr << 1 at this sizing)
+    far = spark.range(10_000_000, 10_000_200).select(F.col("id").alias("v"))
+    fp = bloom_maybe_contains(bits, far, "v", k=4, m_bits=8192).filter(
+        F.col("maybe_present")
+    ).count()
+    assert fp <= 10  # fpr ~ (1-e^(-4*500/8192))^4 ~ 0.0023 -> expect ~0-2
