@@ -6,6 +6,7 @@ import os
 import pytest
 
 from refluxdb_spark.engine import RefluxEngine
+from refluxdb_spark.storage import VersionedPath
 from refluxdb_spark.errors import NoDataError, TableNotFoundError, ValidationError
 
 LINES = [
@@ -292,3 +293,35 @@ def test_retention_drops_old_days_and_field_keys(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["value"] == 0.6  # only day >= cutoff
     # mem had only the old day: series disappears entirely
     assert eng.list_series() == ["cpu"]
+
+
+def test_incremental_rollup_matches_full_rebuild(spark, tmp_path):
+    """Incremental maintain_rollup (manifest-driven day invalidation)
+    must equal a from-scratch rebuild after new data arrives on one
+    day, and must no-op when nothing changed."""
+    eng = RefluxEngine(spark, str(tmp_path / "wh_inc"))
+    # two days of data (86400s apart)
+    eng.write_lines([
+        "cpu,host=a usage=1.0 1234567890000000000",
+        "cpu,host=a usage=2.0 1234654290000000000",
+    ])
+    eng.maintain_rollup(incremental=True)   # first run = full build + manifest
+    # new point lands on day 2 only
+    eng.write_lines(["cpu,host=a usage=4.0 1234654291000000000"])
+    eng.maintain_rollup(incremental=True)
+    got = {
+        (r["series"], r["bucket_start"].isoformat()): (r["n"], r["sum_value"])
+        for r in eng.query_rows("SELECT * FROM rollup_1h")
+    }
+    # full rebuild ground truth
+    eng.maintain_rollup(name="rollup_full")
+    want = {
+        (r["series"], r["bucket_start"].isoformat()): (r["n"], r["sum_value"])
+        for r in eng.query_rows("SELECT * FROM rollup_full")
+    }
+    assert got == want
+    assert sum(n for n, _ in got.values()) == 3
+    # unchanged source: incremental run leaves the same version live
+    v_before = VersionedPath(str(tmp_path / "wh_inc" / "rollup_1h")).current()
+    eng.maintain_rollup(incremental=True)
+    assert VersionedPath(str(tmp_path / "wh_inc" / "rollup_1h")).current() == v_before
