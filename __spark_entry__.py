@@ -29,19 +29,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _coverage_order(names: list[str]) -> list[str]:
-    """Order query names so entries NO past CORRECTNESS_r*.json snapshot
-    has ever checked come first (stable order within each group). The
-    driver samples a subset per round; front-loading never-covered
-    entries rotates every query through driver verification instead of
-    re-checking the same 50."""
+    """Order query names for driver sampling: (1) never checked by any
+    CORRECTNESS_r*.json snapshot, (2) checked but not passing there
+    (errors or mismatches — e.g. the r03 ts-schema breakage), (3)
+    passing. Stable order within each group. The driver samples a
+    subset per round; this rotates every query through verification
+    and re-verifies past failures before re-checking known passes."""
     covered: set[str] = set()
+    passed: set[str] = set()
     for path in glob.glob(os.path.join(os.path.dirname(__file__), "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                covered.update(json.load(f))
+                rows = json.load(f)
         except Exception:
             continue
-    return sorted(names, key=lambda n: (n in covered, names.index(n)))
+        covered.update(rows)
+        for name, r in rows.items():
+            if isinstance(r, dict) and r.get("hash_match"):
+                passed.add(name)
+    return sorted(
+        names, key=lambda n: ((n in covered) + (n in passed), names.index(n))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
