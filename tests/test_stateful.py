@@ -74,3 +74,32 @@ def test_ema_state_across_batches_and_restart(spark, tmp_path):
     final2 = _run_once(spark, lines_dir, ckpt, tmp_path / "ema_out2")
     assert final2["cpu"][1] == 4
     assert final2["cpu"][0] == _expected_ema([10.0, 20.0, 30.0, 40.0])
+
+
+def test_ema_multichunk_group_folds_in_order(spark, tmp_path):
+    """A group larger than the Arrow batch size arrives as MULTIPLE
+    chunks whose relative order is not guaranteed — the update fn must
+    concat before sorting (a per-chunk sort would fold out of
+    event-time order). Forces 50-row chunks against a 400-row group."""
+    import json
+
+    lines_dir = tmp_path / "ema_chunk_in"
+    lines_dir.mkdir()
+    n = 400
+    # values chosen so any out-of-order fold produces a different float
+    vals = [((i * 37) % 101) / 7.0 for i in range(n)]
+    with open(lines_dir / "b1.json", "w") as f:
+        for i, v in enumerate(vals):
+            f.write(json.dumps({"series": "cpu", "ts": i, "value": v}) + "\n")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        final = _run_once(
+            spark, lines_dir, tmp_path / "ema_chunk_ck", tmp_path / "ema_chunk_out"
+        )
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert final["cpu"][1] == n
+    assert final["cpu"][0] == _expected_ema(vals)
