@@ -243,8 +243,50 @@ def asof_join(
             F.first(f"_r_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
             for v in value_cols
         ]
+    elif direction == "nearest":
+        # both directions over the SAME partition key: two window sorts,
+        # ONE exchange (Catalyst reuses the hash partitioning); per row
+        # pick whichever side is closer, ties to backward (pandas
+        # merge_asof(direction='nearest') semantics)
+        wb = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        right_ts_col = F.when(F.col("_is_left") == 0, F.col("_ts"))
+        b_ts = F.last(right_ts_col, ignorenulls=True).over(wb)
+        f_ts = F.first(right_ts_col, ignorenulls=True).over(wf)
+        gap_b = F.abs(F.col("_ts").cast("double") - b_ts.cast("double"))
+        gap_f = F.abs(f_ts.cast("double") - F.col("_ts").cast("double"))
+        use_b = f_ts.isNull() | (b_ts.isNotNull() & (gap_b <= gap_f))
+        carried = [
+            F.when(use_b, F.last(f"_r_{v}", ignorenulls=True).over(wb))
+            .otherwise(F.first(f"_r_{v}", ignorenulls=True).over(wf))
+            .alias(f"asof_{v}")
+            for v in value_cols
+        ]
+        out = unioned.select(
+            "*", *carried, F.when(use_b, gap_b).otherwise(gap_f).alias("_gap")
+        ).filter(F.col("_is_left") == 1)
+        if tolerance_seconds is not None:
+            within = F.col("_gap") <= tolerance_seconds
+            return out.select(
+                "_lrow.*",
+                *[
+                    F.when(within, F.col(f"asof_{v}")).alias(f"asof_{v}")
+                    for v in value_cols
+                ],
+            )
+        return out.select("_lrow.*", *[f"asof_{v}" for v in value_cols])
     else:
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
 
     out = unioned.select("*", *carried).filter(F.col("_is_left") == 1)
     if tolerance_seconds is not None:

@@ -4465,3 +4465,40 @@ def sketch_bloom_membership(spark, sf_dir):
         .withColumn("actually_present", F.coalesce("actually_present", F.lit(False)))
         .select("event_type", "user_id", "maybe_present", "actually_present")
     )
+
+
+@register(
+    "ts_asof_join_nearest",
+    """
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+           (SELECT CAST(c.ts AS TIMESTAMP) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+            ORDER BY abs(epoch_us(CAST(c.ts AS TIMESTAMP)) - epoch_us(CAST(p.ts AS TIMESTAMP))),
+                     CASE WHEN CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) THEN 0 ELSE 1 END,
+                     c.event_id
+            LIMIT 1) AS nearest_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def ts_asof_join_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each purchase matched to its temporally
+    closest click per user, ties to the earlier side. Same union+window
+    formulation as backward/forward — both direction windows share ONE
+    hash exchange; the oracle spells the per-row nearest scan this
+    operator exists to avoid."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    out = TS.asof_join(
+        purchases, clicks,
+        on=["user_id"], left_ts="ts", right_ts="r_ts",
+        value_cols=["r_ts"], direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_r_ts").alias("nearest_click_ts")
+    )

@@ -1137,3 +1137,32 @@ def test_bloom_no_false_negatives_and_merge_by_union(spark):
         F.col("maybe_present")
     ).count()
     assert fp <= 10  # fpr ~ (1-e^(-4*500/8192))^4 ~ 0.0023 -> expect ~0-2
+
+
+def test_asof_join_nearest_by_hand(spark):
+    from refluxdb_spark.operators.timeseries import asof_join
+
+    quotes = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 200.0)], "sym string, qt long, px double"
+    )
+    trades = spark.createDataFrame(
+        [("A", 11), ("A", 19), ("A", 15), ("A", 3), ("A", 40)],
+        "sym string, tt long",
+    )
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tt", right_ts="qt",
+        value_cols=["px"], direction="nearest",
+    )
+    got = {r.tt: r.asof_px for r in out.collect()}
+    assert got[11] == 100.0     # closer to 10
+    assert got[19] == 200.0     # closer to 20
+    assert got[15] == 100.0     # tie (5 vs 5) -> backward wins
+    assert got[3] == 100.0      # only forward side exists at distance 7
+    assert got[40] == 200.0     # only backward side
+    # tolerance nulls far matches
+    tol = asof_join(
+        trades, quotes, on=["sym"], left_ts="tt", right_ts="qt",
+        value_cols=["px"], direction="nearest", tolerance_seconds=5,
+    )
+    got_t = {r.tt: r.asof_px for r in tol.collect()}
+    assert got_t[3] is None and got_t[40] is None and got_t[11] == 100.0
