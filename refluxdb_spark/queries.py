@@ -4502,3 +4502,61 @@ def ts_asof_join_nearest(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "ts", F.col("asof_r_ts").alias("nearest_click_ts")
     )
+
+
+@register(
+    "ts_resample_locf",
+    """
+    WITH agged AS (
+        SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agged),
+    grid AS (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 HOUR)) AS bucket,
+               g.event_type
+        FROM (SELECT DISTINCT event_type FROM agged) g
+    ),
+    sparse AS (
+        SELECT grid.bucket, grid.event_type, agged.v
+        FROM grid LEFT JOIN agged
+          ON agged.bucket = grid.bucket AND agged.event_type = grid.event_type
+    )
+    SELECT bucket, event_type,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v
+    FROM sparse
+    """,
+)
+def ts_resample_locf(spark, sf_dir):
+    """Last-observation-carried-forward on the dense hourly grid — the
+    default gauge fill mode (zero-fill lies for gauges, interpolation
+    invents trends; LOCF repeats the last reading). One ignore-nulls
+    window over the broadcast-built grid; leading gaps stay null."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    sparse = TS.resample(
+        e, ts_col="ts", bucket_expr="date_trunc('hour', {ts})", step="1 hour",
+        by=["event_type"],
+        aggs=[
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        ],
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sparse.select(
+        "bucket", "event_type",
+        F.last("v", ignorenulls=True).over(w).alias("v"),
+    )
