@@ -107,6 +107,8 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "sim_ivf_quantized_topk": 3,    # assign agg + probe window + rank
         "text_tfidf_top_terms": 5,      # tf, df, vocab join, N, rank
         "pipeline_corpus_end_to_end": 5,  # quality/dedup/decontam/cap/report
+        "ts_asof_join_nearest": 1,  # both direction windows share one exchange
+        "ts_resample_locf": 3,      # hourly agg + grid join + fill window
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
