@@ -65,6 +65,9 @@ HEADLINE = [
     "ts_sliding_window_counts",
     "pipeline_corpus_end_to_end",
     "sim_ivf_quantized_topk",
+    "ts_anomaly_zscore",
+    "ts_counter_rate",
+    "sketch_bloom_membership",
 ]
 
 
