@@ -83,7 +83,7 @@ def cosine_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sim.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rank"))
+        sim.select("query_id", "neighbor_id", "cosine", F.row_number().over(w).cast("bigint").alias("rank"))
         .filter(F.col("rank") <= k)
     )
 
@@ -164,7 +164,7 @@ def quantized_topk(
         F.col("qdot").desc(), F.col("neighbor_id").asc()
     )
     return (
-        sim.select("query_id", "neighbor_id", "qdot", F.row_number().over(w).alias("rank"))
+        sim.select("query_id", "neighbor_id", "qdot", F.row_number().over(w).cast("bigint").alias("rank"))
         .filter(F.col("rank") <= k)
     )
 
@@ -369,7 +369,7 @@ def ivf_topk(
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
-        sim.withColumn("rank", F.row_number().over(wr))
+        sim.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
     )
@@ -497,7 +497,7 @@ def load_ivf_topk(
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
-        sim.withColumn("rank", F.row_number().over(wr))
+        sim.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
     )
@@ -606,7 +606,7 @@ def ivf_quantized_topk(
         F.col("qdot").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(wr))
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qdot", "rank")
     )

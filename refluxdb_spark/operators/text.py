@@ -219,6 +219,6 @@ def tfidf_topk(
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
     return (
-        scored.select("id", "word", "tf", "tfidf", F.row_number().over(w).alias("rank"))
+        scored.select("id", "word", "tf", "tfidf", F.row_number().over(w).cast("bigint").alias("rank"))
         .filter(F.col("rank") <= k)
     )

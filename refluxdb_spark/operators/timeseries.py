@@ -411,7 +411,7 @@ def topk_per_group(
     unique tiebreak column) or ranks are not reproducible."""
     w = Window.partitionBy(*by).orderBy(*order)
     return (
-        df.withColumn("rank_in_group", F.row_number().over(w))
+        df.withColumn("rank_in_group", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank_in_group") <= k)
     )
 

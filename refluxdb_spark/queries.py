@@ -252,7 +252,7 @@ def reflux_scalar_functions(spark, sf_dir):
         F.ceil("value").cast("double").alias("value_ceil"),
         F.floor("value").cast("double").alias("value_floor"),
         F.abs("value").alias("value_abs"),
-        F.length("event_type").alias("type_len"),
+        F.length("event_type").cast("bigint").alias("type_len"),
         F.substring("event_type", 1, 3).alias("type_prefix"),
         F.concat(F.col("event_type"), F.lit("-"), F.col("event_id").cast("string")).alias("type_id"),
     )
@@ -3603,7 +3603,7 @@ def sample_split_assign(spark, sf_dir):
                ), 0) AS prev_total
         FROM documents
     )
-    SELECT lang, prev_total // 4096 AS bin_id,
+    SELECT lang, CAST(prev_total // 4096 AS BIGINT) AS bin_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM laid_out

@@ -21,6 +21,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from refluxdb_spark.oracle_types import canon_duck_type, canon_spark_type  # noqa: E402
 from refluxdb_spark.queries import ORACLES, QUERIES, TABLES  # noqa: E402
 from refluxdb_spark.session import get_spark  # noqa: E402
 
@@ -86,6 +87,19 @@ def main() -> int:
             status.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             status.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
+        else:
+            # Dtype parity: a width skew (e.g. DuckDB HUGEINT vs Spark
+            # BIGINT) hashes differently under the driver's type-sensitive
+            # compare even when values are identical — the sample_pack_bins
+            # r04 failure mode. Fence it here too.
+            stypes = {f.name.lower(): canon_spark_type(f.dataType)
+                      for f in sdf.schema.fields}
+            dtypes = {c.lower(): canon_duck_type(t)
+                      for c, t in zip(dcols, rel.types)}
+            skew = [(c, stypes[c], dtypes[c])
+                    for c in sorted(stypes) if stypes[c] != dtypes[c]]
+            if skew:
+                status.append(f"dtype skew {skew}")
         if not status:
             ns, nd = normalize(srows, scols), normalize(drows, dcols)
             if ns != nd:
