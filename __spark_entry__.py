@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,26 +31,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _coverage_order(names: list[str]) -> list[str]:
     """Order query names for driver sampling: (1) never checked by any
-    CORRECTNESS_r*.json snapshot, (2) checked but not passing there
-    (errors or mismatches — e.g. the r03 ts-schema breakage), (3)
-    passing. Stable order within each group. The driver samples a
-    subset per round; this rotates every query through verification
-    and re-verifies past failures before re-checking known passes."""
-    covered: set[str] = set()
-    passed: set[str] = set()
-    for path in glob.glob(os.path.join(os.path.dirname(__file__), "CORRECTNESS_r*.json")):
+    CORRECTNESS_r*.json snapshot, (2) checked but whose most recent row
+    is not a pass (errors or mismatches — e.g. the r03 ts-schema
+    breakage), (3) passing, **stalest verification first** (oldest
+    round with a green row), so long-green queries cycle back through
+    the driver sample instead of going unrechecked indefinitely
+    (r4 verdict item 2). Stable order within ties."""
+    last_round: dict[str, int] = {}
+    last_pass: dict[str, int] = {}
+    here = os.path.dirname(__file__)
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
         except Exception:
             continue
-        covered.update(rows)
         for name, r in rows.items():
+            last_round[name] = max(last_round.get(name, -1), rnd)
             if isinstance(r, dict) and r.get("hash_match"):
-                passed.add(name)
-    return sorted(
-        names, key=lambda n: ((n in covered) + (n in passed), names.index(n))
-    )
+                last_pass[name] = max(last_pass.get(name, -1), rnd)
+
+    def key(n: str):
+        if n not in last_round:
+            return (0, 0, names.index(n))  # never driver-checked
+        lp = last_pass.get(n, -1)
+        if lp < last_round[n]:
+            return (1, 0, names.index(n))  # latest row is red
+        return (2, lp, names.index(n))  # green: stalest first
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
