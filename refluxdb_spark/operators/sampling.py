@@ -51,7 +51,10 @@ def hash_sample(
     Sampling by a KEY also gives consistent entity-level samples: every
     row of a sampled user/doc survives together when keyed by that id.
     """
-    return df.filter(_hash_bucket(key_col, seed) < int(fraction * _BUCKETS))
+    # round, don't truncate: int(0.98 * 1e6) is 979999 in IEEE double
+    return df.filter(
+        _hash_bucket(key_col, seed) < int(round(fraction * _BUCKETS))
+    )
 
 
 def stratified_sample(
@@ -72,10 +75,13 @@ def stratified_sample(
     costs exactly one read of the input.
     """
     bucket = _hash_bucket(key_col, seed)
-    expr = F.lit(int(default_fraction * _BUCKETS))
+    expr = F.lit(int(round(default_fraction * _BUCKETS)))
     for value, frac in sorted(fractions.items(), reverse=True):
         expr = (
-            F.when(F.col(strata_col) == value, F.lit(int(frac * _BUCKETS)))
+            F.when(
+                F.col(strata_col) == value,
+                F.lit(int(round(frac * _BUCKETS))),
+            )
             .otherwise(expr)
         )
     return df.filter(bucket < expr)
@@ -169,11 +175,14 @@ def split_assign(
     bucket = _hash_bucket(key_col, seed)
     names = list(splits)
     expr = F.lit(names[-1])
-    hi = 0
+    # cumulative-then-round: int(frac * _BUCKETS) truncates (0.98 * 1e6
+    # is 979999.999… in IEEE double), silently shaving a bucket off the
+    # advertised fraction
+    cum = 0.0
     conds = []
     for name in names[:-1]:
-        hi += int(splits[name] * _BUCKETS)
-        conds.append((name, hi))
+        cum += splits[name]
+        conds.append((name, int(round(cum * _BUCKETS))))
     for name, threshold in reversed(conds):
         expr = F.when(bucket < threshold, name).otherwise(expr)
     return df.withColumn(out, expr)

@@ -191,7 +191,11 @@ def histogram_quantiles(
     )
     b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
     counts = (
-        df.select(*by, b.alias("bin"))
+        # NULLs are excluded from the distribution: a NULL bin would
+        # survive the groupBy and sort first on Spark but last on DuckDB,
+        # silently skewing cumulative counts on NULL-bearing inputs
+        df.filter(F.col(col).isNotNull())
+        .select(*by, b.alias("bin"))
         .groupBy(*by, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -222,6 +222,33 @@ def asof_join(
     )
     unioned = tagged_l.unionByName(tagged_r)
 
+    # Gap arithmetic in exact units (module epoch policy): for timestamp
+    # columns, BIGINT microseconds via unix_micros — a double cast rounds
+    # fractionally (~0.24µs at current epochs) and can flip an exact
+    # backward/forward tie or a tolerance boundary. Numeric ts columns
+    # (caller-defined epoch) compare in their native units.
+    _ts_is_timestamp = unioned.schema["_ts"].dataType.simpleString() in (
+        "timestamp", "timestamp_ntz"
+    )
+    if _ts_is_timestamp:
+        def _ts_int(c):
+            return F.unix_micros(c)
+
+        def _tol(s):
+            # gap is integer µs, so "gap <= s seconds" floors the
+            # tolerance — but snap to the nearest integer first so an
+            # IEEE artifact (2e-6 * 1e6 = 1.9999…) doesn't shave a µs
+            micros = s * 1_000_000
+            if abs(micros - round(micros)) < 1e-6:
+                return int(round(micros))
+            return int(micros)
+    else:
+        def _ts_int(c):
+            return c
+
+        def _tol(s):
+            return s
+
     if direction == "backward":
         # right rows sort before left rows at equal ts => "<=" semantics
         w = (
@@ -261,8 +288,8 @@ def asof_join(
         right_ts_col = F.when(F.col("_is_left") == 0, F.col("_ts"))
         b_ts = F.last(right_ts_col, ignorenulls=True).over(wb)
         f_ts = F.first(right_ts_col, ignorenulls=True).over(wf)
-        gap_b = F.abs(F.col("_ts").cast("double") - b_ts.cast("double"))
-        gap_f = F.abs(f_ts.cast("double") - F.col("_ts").cast("double"))
+        gap_b = F.abs(_ts_int(F.col("_ts")) - _ts_int(b_ts))
+        gap_f = F.abs(_ts_int(f_ts) - _ts_int(F.col("_ts")))
         use_b = f_ts.isNull() | (b_ts.isNotNull() & (gap_b <= gap_f))
         carried = [
             F.when(use_b, F.last(f"_r_{v}", ignorenulls=True).over(wb))
@@ -274,7 +301,7 @@ def asof_join(
             "*", *carried, F.when(use_b, gap_b).otherwise(gap_f).alias("_gap")
         ).filter(F.col("_is_left") == 1)
         if tolerance_seconds is not None:
-            within = F.col("_gap") <= tolerance_seconds
+            within = F.col("_gap") <= _tol(tolerance_seconds)
             return out.select(
                 "_lrow.*",
                 *[
@@ -295,13 +322,11 @@ def asof_join(
             if direction == "backward"
             else F.first(F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True)
         ).over(w)
-        gap = F.abs(
-            F.col("_ts").cast("double") - matched_ts.cast("double")
-        )
+        gap = F.abs(_ts_int(F.col("_ts")) - _ts_int(matched_ts))
         out = unioned.select(
             "*", *carried, gap.alias("_gap")
         ).filter(F.col("_is_left") == 1)
-        within = F.col("_gap") <= tolerance_seconds
+        within = F.col("_gap") <= _tol(tolerance_seconds)
         return out.select(
             "_lrow.*",
             *[

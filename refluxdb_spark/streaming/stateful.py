@@ -62,6 +62,10 @@ def ema_update_fn(alpha: float, order_cols: tuple[str, ...] = ("ts",)):
         else:
             ema, n_obs = None, 0
         chunks = list(pdfs)
+        if not chunks:
+            # a timed-out key (if GroupStateTimeout is ever enabled) is
+            # invoked with no data — keep state, emit nothing
+            return
         pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         for v in pdf.sort_values(list(order_cols))["value"]:
             v = float(v)

@@ -1166,3 +1166,102 @@ def test_asof_join_nearest_by_hand(spark):
     )
     got_t = {r.tt: r.asof_px for r in tol.collect()}
     assert got_t[3] is None and got_t[40] is None and got_t[11] == 100.0
+
+
+def test_asof_join_nearest_microsecond_tie_and_tolerance(spark):
+    """ADVICE r4: gaps must be exact integer microseconds — a double
+    cast of a current-epoch timestamp rounds (~0.24µs), which can flip
+    an exact tie away from the pandas tie-to-backward rule and blur
+    tolerance boundaries."""
+    from refluxdb_spark.operators.timeseries import asof_join
+
+    base = "2026-03-01T12:34:56."
+    quotes = spark.createDataFrame(
+        [("A", ts(base + "000101"), 1.0), ("A", ts(base + "000105"), 2.0)],
+        "sym string, qt timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", ts(base + "000103"))], "sym string, tt timestamp"
+    )
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tt", right_ts="qt",
+        value_cols=["px"], direction="nearest",
+    ).collect()
+    assert out[0].asof_px == 1.0  # exact 2µs tie -> backward
+
+    # tolerance boundary at exactly 2µs: kept at 2e-6, nulled below
+    keep = asof_join(
+        trades, quotes, on=["sym"], left_ts="tt", right_ts="qt",
+        value_cols=["px"], direction="nearest", tolerance_seconds=2e-6,
+    ).collect()
+    assert keep[0].asof_px == 1.0
+    drop = asof_join(
+        trades, quotes, on=["sym"], left_ts="tt", right_ts="qt",
+        value_cols=["px"], direction="nearest", tolerance_seconds=1.9e-6,
+    ).collect()
+    assert drop[0].asof_px is None
+
+
+def test_split_assign_thresholds_exact_python_replay(spark):
+    """ADVICE r4: int(0.98 * 1e6) truncates to 979999 — thresholds must
+    round so advertised fractions hold exactly. Replays the md5 bucket
+    in Python and checks every assignment."""
+    import hashlib
+
+    from refluxdb_spark.operators.sampling import split_assign
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    got = {
+        r.k: r.split
+        for r in split_assign(
+            df, key_col="k", splits={"train": 0.98, "val": 0.01, "test": 0.01}
+        ).collect()
+    }
+
+    def bucket(k):
+        return int(hashlib.md5(f"split{k}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    for k in range(5000):
+        b = bucket(k)
+        want = "train" if b < 980_000 else ("val" if b < 990_000 else "test")
+        assert got[k] == want, (k, b, got[k], want)
+
+
+def test_histogram_quantiles_ignores_nulls(spark):
+    """ADVICE r4: NULL values must not form a NULL bin (Spark sorts
+    NULLs first, DuckDB last — cumulative counts silently diverge)."""
+    from refluxdb_spark.operators.sketches import histogram_quantiles
+
+    clean = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    dirty = clean.unionByName(
+        spark.range(50).select(F.lit(None).cast("double").alias("v"))
+    )
+    args = dict(col="v", lo=0.0, hi=100.0, bins=10, qs=(0.5, 0.9))
+    got_clean = {r.q: (r.est, r.n) for r in histogram_quantiles(clean, **args).collect()}
+    got_dirty = {r.q: (r.est, r.n) for r in histogram_quantiles(dirty, **args).collect()}
+    assert got_clean == got_dirty  # NULLs excluded from the distribution
+
+
+def test_ema_update_fn_empty_iterator_keeps_state():
+    """ADVICE r4: a timed-out key (future GroupStateTimeout) invokes the
+    update fn with no chunks — must not IndexError."""
+    from refluxdb_spark.streaming.stateful import ema_update_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = True
+            self._v = (3.5, 7)
+            self.updated = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.updated = v
+
+    fn = ema_update_fn(alpha=0.5)
+    st = FakeState()
+    out = list(fn(("s",), iter([]), st))
+    assert out == []  # no emission
+    assert st.updated is None  # state untouched
