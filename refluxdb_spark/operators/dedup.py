@@ -566,33 +566,15 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash_pairs(
+def _simhash_chunk_buckets(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bits: int = 32,
-    chunks: int = 4,
-    max_hamming: int = 3,
-    shingle: int = 1,
+    text_col: str,
+    id_col: str,
+    bits: int,
+    chunks: int,
+    shingle: int,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: all (a, b), a < b whose ``bits``-bit
-    fingerprints differ in at most ``max_hamming`` bits.
-
-    Candidate generation is the classic chunk pigeonhole: split each
-    fingerprint into ``chunks`` equal bit-chunks; two fingerprints
-    within Hamming distance d < chunks MUST agree on at least one whole
-    chunk, so bucketing on (chunk_index, chunk_value) has recall 1 for
-    d <= chunks - 1 while the self-join stays per-bucket (cost ∝
-    bucket² summed, never the pair matrix — same shape as MinHash LSH).
-    Exact ``bit_count(xor)`` verification filters the candidates.
-    Requires ``max_hamming < chunks`` (raises otherwise — silent recall
-    loss is worse than an error). Returns (id_a, id_b, hamming).
-    """
-    if max_hamming >= chunks:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs chunks > max_hamming "
-            f"(got {chunks}) for the pigeonhole guarantee"
-        )
+    """(id, simhash, c, v): one row per document per pigeonhole chunk."""
     if bits % chunks:
         raise ValueError(f"bits={bits} must divide evenly into {chunks} chunks")
     width = bits // chunks
@@ -607,9 +589,78 @@ def simhash_pairs(
             for c in range(chunks)
         ]
     )
-    buckets = sh.select(
+    return sh.select(
         F.col("id"), F.col("simhash"), F.explode(chunk_structs).alias("_ch")
     ).select("id", "simhash", F.col("_ch.c").alias("c"), F.col("_ch.v").alias("v"))
+
+
+def simhash_hot_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    chunks: int = 4,
+    shingle: int = 1,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """Dropped-bucket report for ``simhash_pairs(max_bucket=…)``: chunk
+    buckets holding more than ``max_bucket`` docs and their sizes
+    (c, v, n_docs) — the audit trail for what a cap skipped (mirror of
+    ``lsh_hot_buckets``)."""
+    buckets = _simhash_chunk_buckets(df, text_col, id_col, bits, chunks, shingle)
+    return (
+        buckets.groupBy("c", "v")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 3,
+    shingle: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: all (a, b), a < b whose ``bits``-bit
+    fingerprints differ in at most ``max_hamming`` bits.
+
+    Candidate generation is the classic chunk pigeonhole: split each
+    fingerprint into ``chunks`` equal bit-chunks; two fingerprints
+    within Hamming distance d < chunks MUST agree on at least one whole
+    chunk, so bucketing on (chunk_index, chunk_value) has recall 1 for
+    d <= chunks - 1 while the self-join stays per-bucket (cost ∝
+    bucket² summed, never the pair matrix — same shape as MinHash LSH).
+    Exact ``bit_count(xor)`` verification filters the candidates.
+    Requires ``max_hamming < chunks`` (raises otherwise — silent recall
+    loss is worse than an error). Returns (id_a, id_b, hamming).
+
+    ``max_bucket`` (None = off) skips (chunk, value) buckets holding
+    more than that many docs BEFORE the self-join: a template-heavy
+    corpus concentrates thousands of near-identical fingerprints in one
+    chunk value, and one bucket of B docs emits B²/2 candidates — the
+    quadratic reducer at 100 TB. Pairs agreeing on another, smaller
+    chunk still surface (the pigeonhole is redundant across chunks);
+    ``simhash_hot_buckets`` reports what a cap dropped.
+    """
+    if max_hamming >= chunks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs chunks > max_hamming "
+            f"(got {chunks}) for the pigeonhole guarantee"
+        )
+    buckets = _simhash_chunk_buckets(df, text_col, id_col, bits, chunks, shingle)
+    if max_bucket is not None:
+        # one window count on (c, v) — the self-join's own shuffle key,
+        # so the guard adds no extra exchange (same shape as the LSH cap)
+        w = Window.partitionBy("c", "v")
+        buckets = (
+            buckets.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a = buckets.select(
         "c", "v", F.col("id").alias("id_a"), F.col("simhash").alias("_sa")
     )
