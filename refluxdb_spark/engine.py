@@ -363,6 +363,16 @@ class RefluxEngine:
     def _ensure_views(self, tables: list[str]) -> None:
         known = set(self.list_series())
         for t in tables:
+            if t in known and "." in t:
+                # A series literally named with a dot (e.g. "cpu.load")
+                # exists as data but cannot be a Spark temp-view name
+                # (dots are namespace separators). Documented reject:
+                # reach it via range()/wide()/the DataFrame API instead.
+                raise ValidationError(
+                    f"series {t!r} contains '.', which SQL FROM routing "
+                    "cannot address (Spark view names are single-part); "
+                    "use range()/the DataFrame API for this series"
+                )
             base = t.split(".")[-1]
             if base in known:
                 # (re)create the series view if data changed since —

@@ -6,11 +6,19 @@ frame-sample run as Arrow-batched pandas functions over ``mapInPandas``
 — the right shape for CPU-heavy per-item work at 100 TB (one pass,
 no shuffle, batch-size-controlled memory).
 
-The actual codec calls are STUBBED (image/audio libraries are not in
-this container): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic fake decoder so the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is real and tested.
+Codec strategy (r4 verdict item 5 — feature-detect, don't hard-stub):
+
+- ``fake=True`` — deterministic hash-derived pseudo-decode; the oracle
+  mode every correctness query uses (engine-reproducible byte math).
+- ``fake=False`` — REAL decode where the runtime allows: images via
+  Pillow when ``import PIL`` succeeds (absent in this container — the
+  path activates the moment the environment grows codecs), audio via
+  the stdlib ``wave`` module for PCM WAV (works everywhere, tested
+  here). Video still requires ffmpeg and raises
+  ``NotImplementedError`` with a clear message.
+
+Either way the Spark-side plumbing — schema, partitioning, Arrow
+``mapInPandas`` batching — is identical and exercised by tests.
 """
 
 from __future__ import annotations
@@ -60,37 +68,61 @@ def image_features(
 ) -> DataFrame:
     """Per-image features via mapInPandas (Arrow batches, no shuffle).
 
-    Real decode is stubbed: with ``fake=False`` raises
-    NotImplementedError at execution; ``fake=True`` derives
-    deterministic pseudo-features from the payload bytes (hash-based) so
-    the pipeline shape is exercised end-to-end.
+    ``fake=True`` derives deterministic pseudo-features from the payload
+    bytes (hash-based) — the oracle mode. ``fake=False`` decodes with
+    Pillow when it is importable on the executors (real width/height +
+    mean luma); without Pillow it raises NotImplementedError at
+    execution with a clear message.
     """
     src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        for pdf in it:
-            if not fake:
+        if not fake:
+            try:
+                import io as _io
+
+                from PIL import Image  # feature-detect at execution
+            except ImportError:
                 raise NotImplementedError(
-                    "image decoding requires Pillow/libvips (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
+                    "image decoding requires Pillow (not installed on the "
+                    "executors); pass fake=True for the deterministic stub"
+                ) from None
+
+        for pdf in it:
             rows = []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 digest = hashlib.sha256(b).hexdigest()
-                h = int(digest[:8], 16)
-                rows.append(
-                    {
-                        "id": rid,
-                        "n_bytes": len(b),
-                        "sha256": digest,
-                        "width": 64 + h % 512,  # fake decode: deterministic dims
-                        "height": 64 + (h >> 9) % 512,
-                        "mean_luma": (h % 1000) / 1000.0,
-                    }
-                )
+                if fake:
+                    h = int(digest[:8], 16)
+                    rows.append(
+                        {
+                            "id": rid,
+                            "n_bytes": len(b),
+                            "sha256": digest,
+                            "width": 64 + h % 512,  # fake decode: deterministic dims
+                            "height": 64 + (h >> 9) % 512,
+                            "mean_luma": (h % 1000) / 1000.0,
+                        }
+                    )
+                else:
+                    img = Image.open(_io.BytesIO(b))
+                    luma = img.convert("L")
+                    hist = luma.histogram()
+                    n_px = sum(hist) or 1
+                    mean = sum(i * c for i, c in enumerate(hist)) / n_px / 255.0
+                    rows.append(
+                        {
+                            "id": rid,
+                            "n_bytes": len(b),
+                            "sha256": digest,
+                            "width": img.width,
+                            "height": img.height,
+                            "mean_luma": mean,
+                        }
+                    )
             yield pd.DataFrame(rows, columns=["id", "n_bytes", "sha256", "width", "height", "mean_luma"])
 
     return src.mapInPandas(_batches, _IMAGE_FEATURE_SCHEMA)
@@ -154,34 +186,72 @@ def media_summary(df: DataFrame, media_col: str = "media") -> DataFrame:
 def audio_features(
     df: DataFrame, id_col: str = "id", media_col: str = "media", fake: bool = False
 ) -> DataFrame:
-    """Per-clip audio features via mapInPandas (duration, sample-rate
-    guess, RMS-energy proxy). Real decode stubbed (no soundfile/librosa
-    in this container); ``fake=True`` derives deterministic
-    pseudo-features from the payload bytes so the plumbing is tested."""
+    """Per-clip audio features via mapInPandas. ``fake=True`` derives
+    deterministic pseudo-features from the payload bytes (oracle mode).
+    ``fake=False`` REALLY decodes PCM WAV with the stdlib ``wave``
+    module (no external codec needed): true duration, sample rate, and
+    RMS energy normalized to full scale. Non-WAV payloads raise
+    NotImplementedError (compressed formats need ffmpeg/soundfile)."""
     src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io as _io
+        import wave
+
+        import numpy as np
+
+        def _decode_wav(b: bytes) -> tuple[int, int, float]:
+            try:
+                with wave.open(_io.BytesIO(b)) as w:
+                    sr = w.getframerate()
+                    nf = w.getnframes()
+                    sw = w.getsampwidth()
+                    frames = w.readframes(nf)
+            except (wave.Error, EOFError):
+                raise NotImplementedError(
+                    "non-WAV audio requires ffmpeg/soundfile (not "
+                    "installed); pass fake=True for the deterministic stub"
+                ) from None
+            duration_ms = int(round(nf / sr * 1000)) if sr else 0
+            dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+            if dtype is None or not frames:
+                return duration_ms, sr, 0.0
+            x = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+            if sw == 1:
+                x -= 128.0
+                full = 128.0
+            else:
+                full = float(2 ** (8 * sw - 1))
+            rms = float(np.sqrt(np.mean((x / full) ** 2)))
+            return duration_ms, sr, rms
 
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decoding requires soundfile/ffmpeg (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             rows = []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                h = int(hashlib.sha256(b).hexdigest()[:8], 16)
-                rows.append(
-                    {
-                        "id": rid,
-                        "n_bytes": len(b),
-                        "duration_ms": len(b),  # fake: 1 byte ~ 1 ms
-                        "sample_rate": [8000, 16000, 44100][h % 3],
-                        "rms_energy": (h % 10000) / 10000.0,
-                    }
-                )
+                if fake:
+                    h = int(hashlib.sha256(b).hexdigest()[:8], 16)
+                    rows.append(
+                        {
+                            "id": rid,
+                            "n_bytes": len(b),
+                            "duration_ms": len(b),  # fake: 1 byte ~ 1 ms
+                            "sample_rate": [8000, 16000, 44100][h % 3],
+                            "rms_energy": (h % 10000) / 10000.0,
+                        }
+                    )
+                else:
+                    duration_ms, sr, rms = _decode_wav(b)
+                    rows.append(
+                        {
+                            "id": rid,
+                            "n_bytes": len(b),
+                            "duration_ms": duration_ms,
+                            "sample_rate": sr,
+                            "rms_energy": rms,
+                        }
+                    )
             yield pd.DataFrame(
                 rows, columns=["id", "n_bytes", "duration_ms", "sample_rate", "rms_energy"]
             )
@@ -201,13 +271,15 @@ def image_resize(
     """Image resize via mapInPandas: emits a resized payload plus new
     dimensions (id, out_payload, out_bytes, out_sha256, width, height).
 
-    Real resample is stubbed (no Pillow/libvips here). ``fake=True``
-    models a ``scale``-factor downscale deterministically: output
-    payload = the first ceil(n·scale²) bytes (area scales with scale²),
-    dims = the fake-decode dims of ``image_features`` scaled down —
-    fully reproducible byte arithmetic, so the resize STEP (binary in,
-    binary out, metadata updated, Arrow batches through mapInPandas)
-    is testable end-to-end and oracle-checkable."""
+    ``fake=True`` models a ``scale``-factor downscale deterministically:
+    output payload = the first ceil(n·scale²) bytes (area scales with
+    scale²), dims = the fake-decode dims of ``image_features`` scaled
+    down — fully reproducible byte arithmetic, so the resize STEP
+    (binary in, binary out, metadata updated, Arrow batches through
+    mapInPandas) is oracle-checkable. ``fake=False`` resamples with
+    Pillow when importable on the executors (true decode → LANCZOS
+    resize → re-encode in the source format); without Pillow it raises
+    NotImplementedError at execution."""
     src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
     out_schema = "id bigint, out_payload binary, out_bytes bigint, out_sha256 string, width int, height int"
 
@@ -215,25 +287,44 @@ def image_resize(
         import hashlib
         import math
 
-        for pdf in it:
-            if not fake:
+        if not fake:
+            try:
+                import io as _io
+
+                from PIL import Image  # feature-detect at execution
+            except ImportError:
                 raise NotImplementedError(
-                    "image resampling requires Pillow/libvips (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
+                    "image resampling requires Pillow (not installed on "
+                    "the executors); pass fake=True for the deterministic "
+                    "stub"
+                ) from None
+
+        for pdf in it:
             rows = []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                h = int(hashlib.sha256(b).hexdigest()[:8], 16)
-                out = b[: math.ceil(len(b) * scale * scale)]
+                if fake:
+                    h = int(hashlib.sha256(b).hexdigest()[:8], 16)
+                    out = b[: math.ceil(len(b) * scale * scale)]
+                    w_out = int((64 + h % 512) * scale)
+                    h_out = int((64 + (h >> 9) % 512) * scale)
+                else:
+                    img = Image.open(_io.BytesIO(b))
+                    fmt = img.format or "PNG"
+                    w_out = max(1, round(img.width * scale))
+                    h_out = max(1, round(img.height * scale))
+                    resized = img.resize((w_out, h_out), Image.LANCZOS)
+                    buf = _io.BytesIO()
+                    resized.save(buf, format=fmt)
+                    out = buf.getvalue()
                 rows.append(
                     {
                         "id": rid,
                         "out_payload": out,
                         "out_bytes": len(out),
                         "out_sha256": hashlib.sha256(out).hexdigest(),
-                        "width": int((64 + h % 512) * scale),
-                        "height": int((64 + (h >> 9) % 512) * scale),
+                        "width": w_out,
+                        "height": h_out,
                     }
                 )
             yield pd.DataFrame(

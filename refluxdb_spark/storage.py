@@ -20,16 +20,27 @@ No directory is ever renamed or moved; the only mutations are
 A crash between (1) and (2) leaves an orphan version dir (vacuumed
 later) and the table untouched.
 
-Concurrent WRITERS during a rewrite still race (appends into the old
-version are dropped by the swap) — same contract as any OPTIMIZE-style
-operation without a transaction log; run compaction from the ingest
-owner. Readers are safe at every instant.
+Concurrent REWRITERS are fail-fast, not lost-update: ``begin_rewrite``
+claims the next version directory with an exclusive mkdir (the local
+stand-in for a conditional PUT / lock service on a real object store),
+so a second rewriter raises ``ConcurrentRewriteError`` instead of
+silently allocating the same version; ``commit`` additionally
+re-checks the pointer it was based on and raises rather than clobber a
+commit that landed in between. Appends racing a rewrite remain the
+caller's contract (run compaction from the ingest owner) — same as any
+OPTIMIZE-style operation without a transaction log. Readers are safe
+at every instant. A crashed rewrite leaves an orphan version dir that
+blocks the next claim; ``clear_orphans()`` removes uncommitted dirs.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+
+
+class ConcurrentRewriteError(RuntimeError):
+    """Another rewrite holds the next version (or committed first)."""
 
 
 class VersionedPath:
@@ -94,19 +105,56 @@ class VersionedPath:
     def begin_rewrite(self) -> tuple[str, "_Commit"]:
         """Start a table rewrite: returns (new_dir, commit). Write the
         full new table under ``new_dir``, then call ``commit()`` — one
-        pointer-file PUT makes it live for every subsequent reader."""
-        next_v = (self._read_pointer() or 0) + 1
-        new_dir = f"{self.base}._v{next_v}"
-        if os.path.exists(new_dir):  # crashed attempt left an orphan
-            shutil.rmtree(new_dir)
-        return new_dir, _Commit(self, next_v)
+        pointer-file PUT makes it live for every subsequent reader.
 
-    def _commit(self, version: int) -> None:
+        The version dir is claimed with an exclusive mkdir: a second
+        concurrent rewrite raises ``ConcurrentRewriteError`` instead of
+        sharing (and clobbering) the same directory. A dir left by a
+        CRASHED attempt also triggers this — call ``clear_orphans()``
+        to discard uncommitted versions, then retry."""
+        base_v = self._read_pointer() or 0
+        next_v = base_v + 1
+        new_dir = f"{self.base}._v{next_v}"
+        try:
+            os.makedirs(new_dir)
+        except FileExistsError:
+            raise ConcurrentRewriteError(
+                f"version {next_v} already claimed at {new_dir}: another "
+                "rewrite is in progress, or a crashed attempt left an "
+                "orphan (clear_orphans() discards uncommitted versions)"
+            ) from None
+        return new_dir, _Commit(self, next_v, base_v)
+
+    def _commit(self, version: int, expected_base: int) -> None:
+        # Conditional commit: if the pointer moved since begin_rewrite,
+        # this rewrite was based on stale data — raise instead of
+        # silently dropping the interleaved commit. (On a real object
+        # store: an if-match/ETag conditional PUT.)
+        live = self._read_pointer() or 0
+        if live != expected_base:
+            raise ConcurrentRewriteError(
+                f"pointer moved {expected_base} -> {live} since "
+                f"begin_rewrite; not committing stale version {version}"
+            )
         # Direct single-file write = the local stand-in for an object
         # PUT. Deliberately NOT write-temp-then-rename: the whole point
         # is to assume nothing beyond atomic single-object replace.
         with open(self._pointer, "w") as f:
             f.write(str(version))
+
+    def clear_orphans(self) -> list[str]:
+        """Remove version dirs NEWER than the live pointer — these were
+        never committed (in-progress or crashed rewrites). Returns the
+        removed paths. Only call when no rewrite is legitimately in
+        flight (single-administrator action, like Delta's FSCK)."""
+        live_v = self._read_pointer() or 0
+        removed = []
+        for v in self.versions():
+            if v > live_v:
+                path = f"{self.base}._v{v}"
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+        return removed
 
     def vacuum(self) -> None:
         """Best-effort removal of non-live data (old version dirs and,
@@ -128,9 +176,10 @@ class VersionedPath:
 
 
 class _Commit:
-    def __init__(self, vp: VersionedPath, version: int) -> None:
+    def __init__(self, vp: VersionedPath, version: int, expected_base: int) -> None:
         self._vp = vp
         self._version = version
+        self._expected_base = expected_base
 
     def __call__(self) -> None:
-        self._vp._commit(self._version)
+        self._vp._commit(self._version, self._expected_base)

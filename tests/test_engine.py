@@ -325,3 +325,79 @@ def test_incremental_rollup_matches_full_rebuild(spark, tmp_path):
     v_before = VersionedPath(str(tmp_path / "wh_inc" / "rollup_1h")).current()
     eng.maintain_rollup(incremental=True)
     assert VersionedPath(str(tmp_path / "wh_inc" / "rollup_1h")).current() == v_before
+
+
+def test_concurrent_rewrite_fail_fast_and_orphan_recovery(tmp_path):
+    """r4 verdict item 6: two interleaved rewrites must not silently
+    clobber — the version claim is an exclusive mkdir and the commit is
+    conditional on the pointer it was based on."""
+    import pytest as _pytest
+
+    from refluxdb_spark.storage import ConcurrentRewriteError, VersionedPath
+
+    vp = VersionedPath(str(tmp_path / "tbl"))
+
+    # writer A claims v1; a second writer cannot share the claim
+    dir_a, commit_a = vp.begin_rewrite()
+    with _pytest.raises(ConcurrentRewriteError):
+        vp.begin_rewrite()
+    with open(os.path.join(dir_a, "part-0"), "w") as f:
+        f.write("a")
+    commit_a()
+    assert vp.current() == dir_a
+
+    # stale commit: A begins v2, its claim is (wrongly) cleared and B
+    # rewrites v2 first — A's commit must raise, not clobber B's data
+    dir_a2, commit_a2 = vp.begin_rewrite()
+    vp.clear_orphans()  # simulates an admin clearing while A is in flight
+    dir_b, commit_b = vp.begin_rewrite()
+    with open(os.path.join(dir_b, "part-0"), "w") as f:
+        f.write("b")
+    commit_b()
+    with _pytest.raises(ConcurrentRewriteError):
+        commit_a2()
+    assert vp.current() == dir_b
+
+    # crashed attempt: an uncommitted claim blocks the next rewrite
+    # until clear_orphans() discards it
+    dir_c, _ = vp.begin_rewrite()
+    with _pytest.raises(ConcurrentRewriteError):
+        vp.begin_rewrite()
+    removed = vp.clear_orphans()
+    assert dir_c in removed
+    dir_d, commit_d = vp.begin_rewrite()
+    with open(os.path.join(dir_d, "part-0"), "w") as f:
+        f.write("d")
+    commit_d()
+    assert vp.current() == dir_d
+
+
+def test_keyword_and_dotted_series_names_end_to_end(spark, tmp_path):
+    """r4 verdict item 7: a series named like a SQL keyword round-trips
+    write -> backticked FROM routing -> rows; a dotted series stores and
+    range-queries fine but is a DOCUMENTED clean reject for SQL FROM
+    (Spark temp-view names are single-part)."""
+    from refluxdb_spark.engine import RefluxEngine
+    from refluxdb_spark.errors import ValidationError
+
+    eng = RefluxEngine(spark, str(tmp_path / "wh_names"))
+
+    # keyword-named series ("select" is not in the mutation blocklist)
+    n, bad = eng.write_lines(["select,host=a value=1.5 1700000000000000000"])
+    assert (n, bad) == (1, 0)
+    rows = eng.query_rows("SELECT name, value FROM `select`")
+    assert rows == [{"name": "value", "value": 1.5}]
+
+    # dotted series: writable, range-queryable, SQL FROM cleanly rejected
+    n, bad = eng.write_lines(["cpu.load,host=a value=2.0 1700000000000000000"])
+    assert (n, bad) == (1, 0)
+    assert "cpu.load" in eng.list_series()
+    got = eng.range("cpu.load", "2001-01-01T00:00:00Z", "2033-01-01T00:00:00Z")
+    assert got.count() == 1
+    with pytest.raises(ValidationError, match="single-part"):
+        eng.query("SELECT * FROM `cpu.load`")
+
+    # a series named after a BLOCKED keyword stays rejected (documented:
+    # the token validator cannot prove `drop` is a name)
+    with pytest.raises(ValidationError):
+        eng.query("SELECT * FROM `drop`")
