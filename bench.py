@@ -45,7 +45,10 @@ HEADLINE = [
     # pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs",
+    # the capped variant is the 100 TB-safe config (hot-bucket guard),
+    # same r2 lesson as the capped Jaccard below; the uncapped twin
+    # stays correctness-only
+    "dedup_simhash_pairs_capped",
     "dedup_jaccard_pairs_capped",
     "dedup_components",
     "text_quality_scores",

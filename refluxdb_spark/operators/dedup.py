@@ -792,3 +792,48 @@ def simhash(
         fingerprint = bit if fingerprint is None else fingerprint + bit
     out_t = "bigint" if bits <= 62 else "decimal(20,0)"
     return agged.select("id", fingerprint.cast(out_t).alias("simhash"))
+
+
+def shared_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 16,
+) -> DataFrame:
+    """C4/RefinedWeb-style SPAN dedup signal: chunk each document into
+    consecutive ``chunk_words``-word windows and report, per document,
+    how many chunks also occur verbatim in at least one OTHER document
+    — the statistic span-level dedup filters on (whole-doc dedup misses
+    boilerplate stitched into otherwise-unique pages).
+
+    Chunks are built by array slicing beside the scan (no
+    posexplode+re-group round trip), then exploded once; sharing is one
+    groupBy on the chunk hash with a distinct-doc count. Cost at scale:
+    tokens/chunk_words rows through one exchange on the hash — the same
+    budget as exact dedup, never pairwise. Returns
+    (id, n_chunks, n_shared) for documents with n_shared > 0."""
+    words = F.split(F.col(text_col), " ")
+    n_chunks_expr = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks_expr - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(chunks).alias("chunk")
+    ).select("id", F.md5(F.col("chunk")).alias("h"))
+    docs_per_hash = exploded.groupBy("h").agg(
+        F.count_distinct("id").alias("_docs")
+    )
+    return (
+        exploded.join(docs_per_hash, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+    )

@@ -221,3 +221,74 @@ def pack_bins(
     return df.withColumn("_prev_total", prev).withColumn(
         out, F.expr(f"_prev_total div {int(budget)}")
     ).drop("_prev_total")
+
+
+def temperature_rates(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source keep-rates for temperature-based corpus mixing: the
+    standard multilingual/multi-source rebalance (keep ∝ count^alpha,
+    alpha < 1 flattens the mix) realized as deterministic thresholds.
+
+    rate_s = (c_min / c_s)^(1-alpha), so the SMALLEST source keeps
+    everything and larger sources are downsampled toward the flattened
+    share. Returned as (source, n_total, keep_threshold) where
+    keep_threshold is the integer md5-bucket bound out of 1e6 —
+    integers all the way, so the mix decision is engine-reproducible.
+
+    alpha=0.5 routes through ``sqrt`` (IEEE-correctly-rounded on every
+    engine); other alphas use ``pow``, whose last-ulp behavior is
+    platform-typical but not formally guaranteed — pin alpha=0.5 for
+    cross-engine oracle exactness.
+
+    Scale: one count per source (map-side combined), a window min over
+    the tiny source dimension — no data shuffle beyond the groupBy.
+    """
+    counts = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    w = Window.partitionBy()
+    ratio = F.col("_c_min").cast("double") / F.col("n_total").cast("double")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    return (
+        counts.withColumn("_c_min", F.min("n_total").over(w))
+        .withColumn(
+            "keep_threshold",
+            F.least(
+                F.floor(rate * _BUCKETS).cast("bigint"), F.lit(_BUCKETS)
+            ),
+        )
+        .select("source", "n_total", "keep_threshold")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-based source mixing: keep each row iff its content
+    hash falls under its source's ``temperature_rates`` threshold.
+
+    The rates relation is a handful of rows — the join is broadcast, so
+    the whole operator is scan -> broadcast-join -> filter: one pass
+    over the corpus, no shuffle of the data side, reproducible on any
+    engine/layout (same md5-bucket contract as every sampler here)."""
+    rates = temperature_rates(df, source_col, alpha).select(
+        F.col("source").alias("_mix_source"),
+        F.col("keep_threshold").alias("_mix_threshold"),
+    )
+    return (
+        df.join(
+            F.broadcast(rates), F.col(source_col) == F.col("_mix_source")
+        )
+        .filter(_hash_bucket(key_col, seed) < F.col("_mix_threshold"))
+        .drop("_mix_source", "_mix_threshold")
+    )

@@ -4560,3 +4560,162 @@ def ts_resample_locf(spark, sf_dir):
         "bucket", "event_type",
         F.last("v", ignorenulls=True).over(w).alias("v"),
     )
+
+
+@register(
+    "dedup_simhash_pairs_capped",
+    f"""
+    WITH sh AS ({_simhash_oracle(60, shingle=3)}),
+    buckets AS (
+        SELECT id, simhash, c, (simhash >> (c * 15)) & 32767 AS v
+        FROM (SELECT id, simhash, unnest([0, 1, 2, 3]) AS c FROM sh)
+    ),
+    kept AS (
+        SELECT id, simhash, c, v FROM (
+            SELECT *, count(*) OVER (PARTITION BY c, v) AS _n FROM buckets
+        ) WHERE _n <= 50
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM kept a JOIN kept b ON a.c = b.c AND a.v = b.v
+        WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dedup_simhash_pairs_capped(spark, sf_dir):
+    """The 100 TB-SAFE SimHash config (operators.dedup.simhash_pairs
+    with ``max_bucket=50``): hot (chunk, value) buckets — the quadratic
+    reducer a template-heavy corpus produces — are dropped before the
+    self-join, mirroring the LSH ``max_bucket`` guard; the oracle
+    replays the window count + cap exactly. The uncapped twin
+    (``dedup_simhash_pairs``) remains the small-scale ground truth;
+    ``simhash_hot_buckets`` is the audit of what a cap skipped (same
+    r2 lesson as the capped Jaccard: the benched config must be the
+    one that survives 100x data)."""
+    return D.simhash_pairs(
+        load(spark, sf_dir, "documents"), bits=60, chunks=4, max_hamming=3,
+        shingle=3, max_bucket=50,
+    )
+
+
+@register(
+    "sample_temperature_mix",
+    """
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_total
+        FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n_total,
+               least(CAST(floor(sqrt(CAST(min(n_total) OVER () AS DOUBLE)
+                                     / CAST(n_total AS DOUBLE)) * 1000000)
+                          AS BIGINT), 1000000) AS keep_threshold
+        FROM counts
+    )
+    SELECT r.source, r.n_total, r.keep_threshold,
+           CAST(sum(CASE WHEN
+                CAST(concat('0x', substr(md5(concat('mix', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000
+                < r.keep_threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM rates r JOIN documents d ON d.source = r.source
+    GROUP BY r.source, r.n_total, r.keep_threshold
+    """,
+)
+def sample_temperature_mix(spark, sf_dir):
+    """Temperature-based source mixing (operators.sampling.
+    temperature_sample, alpha=0.5): the standard multi-source corpus
+    rebalance — keep ∝ count^alpha flattens dominant sources. Rates
+    come from one tiny per-source aggregate (rate = sqrt(c_min/c_s),
+    IEEE-exact on any engine), membership from the md5-bucket contract;
+    the mix decision is integers end to end. Plan: scan -> broadcast
+    join of the rates -> filter — the corpus never shuffles. Output is
+    the per-source audit (totals, threshold, kept)."""
+    docs = load(spark, sf_dir, "documents")
+    rates = Smp.temperature_rates(docs, "source")
+    kept = Smp.temperature_sample(docs, key_col="doc_id", source_col="source")
+    kept_counts = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return (
+        rates.join(kept_counts, "source", "left")
+        .select(
+            "source", "n_total", "keep_threshold",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "dedup_shared_chunks",
+    """
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    chunked AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, CAST(ceil(len(words) / 16.0) AS BIGINT)),
+                   i -> md5(array_to_string(words[i * 16 + 1 : (i + 1) * 16], ' '))
+               )) AS h
+        FROM base
+    ),
+    sharing AS (
+        SELECT h, count(DISTINCT doc_id) AS docs FROM chunked GROUP BY h
+    )
+    SELECT c.doc_id AS id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN s.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+    FROM chunked c JOIN sharing s USING (h)
+    GROUP BY c.doc_id
+    HAVING n_shared > 0
+    """,
+)
+def dedup_shared_chunks(spark, sf_dir):
+    """C4/RefinedWeb-style SPAN dedup signal (operators.dedup.
+    shared_chunk_stats): per document, how many 16-word chunks occur
+    verbatim in another document — catches boilerplate stitched into
+    otherwise-unique pages, which whole-doc dedup misses. Chunks are
+    array slices beside the scan (no posexplode round trip); sharing is
+    ONE exchange on the chunk hash — exact-dedup cost, never
+    pairwise."""
+    return D.shared_chunk_stats(
+        load(spark, sf_dir, "documents"), chunk_words=16
+    )
+
+
+@register(
+    "events_rolling_7d_actives",
+    """
+    WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily)
+    SELECT w.day AS day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS actives_7d
+    FROM days w JOIN daily d
+      ON d.day <= w.day AND d.day >= w.day - INTERVAL 6 DAY
+    GROUP BY w.day
+    """,
+)
+def events_rolling_7d_actives(spark, sf_dir):
+    """Rolling 7-day distinct active users per day — the sliding
+    DISTINCT that plain window frames cannot express (no count_distinct
+    over windows). Scalable shape: collapse to day-grain distinct pairs
+    FIRST (one exchange, map-side distinct), then fan each day into its
+    ≤7 trailing windows via a broadcast range join against the tiny day
+    dimension — cost ∝ 7x daily actives, independent of raw event
+    volume."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    j = daily.alias("d").join(
+        F.broadcast(days.alias("w")),
+        (F.col("d.day") <= F.col("w.day"))
+        & (F.col("d.day") >= F.date_sub(F.col("w.day"), 6)),
+    )
+    return j.groupBy(F.col("w.day").alias("day")).agg(
+        F.count_distinct(F.col("d.user_id")).cast("bigint").alias("actives_7d")
+    )
