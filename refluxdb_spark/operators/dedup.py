@@ -661,6 +661,11 @@ def simhash_pairs(
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )
+    # persist before the self-join: both sides consume the same bucket
+    # relation, and without this the whole fingerprint pipeline (md5
+    # votes — the expensive part) re-evaluates per side (the same
+    # reuse argument as minhash_dedup_pairs' cache_tokens)
+    buckets = buckets.persist()
     a = buckets.select(
         "c", "v", F.col("id").alias("id_a"), F.col("simhash").alias("_sa")
     )

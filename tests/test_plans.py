@@ -93,7 +93,11 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "ts_ohlc_candles": 1,       # first/last windows + agg share one exchange
         "ts_value_percentiles": 1,  # single global agg shuffle
         "tpch_q13_customer_distribution": 2,  # two cascaded aggs
-        "dedup_simhash_pairs": 2,   # signature agg + bucket self-join
+        # signature agg + bucket self-join; the bucket relation is
+        # persisted (fingerprints computed once, not per join side), so
+        # the static plan counts the cache lineage + both join-side
+        # hashes — execution pays the lineage once
+        "dedup_simhash_pairs": 3,
         "tpch_q15_top_supplier": 3, # revenue agg + max + supplier join
         # r4 additions (budget = measured shape):
         "sample_pack_bins": 2,          # packing window + fill-report agg
@@ -109,6 +113,11 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "pipeline_corpus_end_to_end": 5,  # quality/dedup/decontam/cap/report
         "ts_asof_join_nearest": 1,  # both direction windows share one exchange
         "ts_resample_locf": 3,      # hourly agg + grid join + fill window
+        # r5 additions (budget = measured shape):
+        "dedup_simhash_pairs_capped": 5,  # + hot-bucket window in the lineage
+        "sample_temperature_mix": 5,      # audit query: rates agg x2 + kept agg
+        "dedup_shared_chunks": 3,         # share agg + hash join + per-doc agg
+        "events_rolling_7d_actives": 4,   # day-grain distinct + distinct agg pair
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
@@ -274,3 +283,28 @@ def test_pack_bins_single_shuffle(spark, sf_dir):
         size_col="n_chars", budget=4096, key_col="doc_id", by=["lang"],
     )
     assert count_exchanges(df) == 1
+
+
+def test_temperature_sample_no_corpus_shuffle(spark, sf_dir):
+    """Temperature mixing is scan -> broadcast-join(rates) -> filter:
+    the corpus side never shuffles; the only exchanges belong to the
+    tiny per-source rates aggregate."""
+    from refluxdb_spark.operators.sampling import temperature_sample
+
+    df = temperature_sample(
+        load(spark, sf_dir, "documents"), key_col="doc_id", source_col="source"
+    )
+    assert_broadcast_join(df)
+    assert count_exchanges(df) <= 2
+
+
+def test_rolling_actives_broadcasts_day_dimension(spark, sf_dir):
+    """The 7-day sliding distinct fans out via a broadcast range join
+    against the tiny day dimension — no sort-merge join of raw
+    events."""
+    from refluxdb_spark.plans.inspect import explain_str
+
+    df = QUERIES["events_rolling_7d_actives"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
