@@ -610,3 +610,104 @@ def ivf_quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qdot", "rank")
     )
+
+
+def _rp_planes(bits: int, dim: int) -> list[list[int]]:
+    """Deterministic integer hyperplanes for random-projection LSH:
+    component (j, i) = md5-derived integer in [-512, 512). Integer
+    components are EXACT in any engine (no literal-parsing ulp risk),
+    and integer-valued directions are as uniformly distributed as
+    scaled uniforms for sign tests."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"rp{j}:{i}".encode()).hexdigest()[:8], 16) % 1024
+            - 512
+            for i in range(dim)
+        ]
+        for j in range(bits)
+    ]
+
+
+def rp_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    band_bits: int = 4,
+    threshold: float = 0.35,
+    round_digits: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane (cosine-SimHash) LSH near-dup pairs over an
+    embedding column — the third ANN family beside brute-force and IVF:
+    sign(v·h_j) bits form a fingerprint whose Hamming distance tracks
+    angular distance (Charikar); banding the bits buckets candidates,
+    exact ROUNDED cosine verifies them.
+
+    Plan shape mirrors ``simhash_pairs``: fingerprint = ``bits`` dot
+    products beside the scan (no shuffle), one explode to (band,
+    value) buckets, a per-bucket self-join (cost ∝ bucket², never the
+    pair matrix), exact verification on the carried vectors. Carrying
+    the vector through the bucket join multiplies the relation by the
+    band count — the standard LSH trade against a second corpus join;
+    at 100 TB prefer re-joining vectors by id instead (one extra
+    shuffle, no 4x carry). Returns (id_a, id_b, cosine >= threshold).
+    """
+    if bits % band_bits:
+        raise ValueError(f"bits={bits} must divide into {band_bits}-bit bands")
+    planes = _rp_planes(bits, dim)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    bit_cols = []
+    for j in range(bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit_cols.append(
+            F.when(_dot(F.col("_v"), plane) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias(f"_b{j}")
+        )
+    fp = base.select("id", "_v", *bit_cols)
+    nbands = bits // band_bits
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    F.col(f"_b{b * band_bits + k}") * (2**k)
+                    for k in range(band_bits)
+                ).cast("int").alias("bv"),
+            )
+            for b in range(nbands)
+        ]
+    )
+    buckets = (
+        fp.select("id", "_v", F.explode(band_structs).alias("_bb"))
+        .select("id", "_v", F.col("_bb.band").alias("band"), F.col("_bb.bv").alias("bv"))
+        # both self-join sides read this; persist so the bits (the
+        # expensive part) compute once (same reuse argument as
+        # simhash_pairs)
+        .persist()
+    )
+    a = buckets.select(
+        "band", "bv", F.col("id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    b_side = buckets.select(
+        "band", "bv", F.col("id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    cand = (
+        a.join(b_side, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .distinct()
+    )
+    cos = F.round(
+        _dot("_va", "_vb") / (_norm("_va") * _norm("_vb")), round_digits
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

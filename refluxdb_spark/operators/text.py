@@ -222,3 +222,46 @@ def tfidf_topk(
         scored.select("id", "word", "tf", "tfidf", F.row_number().over(w).cast("bigint").alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM document scoring — the CCNet/pile-style
+    perplexity-proxy quality filter: score each document by the average
+    log-probability of its tokens under the corpus's own unigram
+    distribution (gibberish and boilerplate-free junk score low; a
+    5-gram KenLM refines this, but the unigram pass is the scalable
+    first cut and needs no model artifact).
+
+    Determinism: token counts and the corpus total are exact integers;
+    each token's ln(c/T) is computed once from the same two integers on
+    any engine, then summed DECIMAL-routed (order-free) and rounded to
+    6 digits — the same float-stability contract as tfidf_topk.
+
+    Scale: one exchange to build the vocabulary (map-side combined),
+    one token-keyed join of the exploded corpus against it (the
+    vocabulary is Zipf-small next to the token stream), one final
+    groupBy on the doc id. Returns (id, n_tokens, avg_logprob)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("bigint").alias("t"))
+    lp = F.log(
+        F.col("c").cast("double") / F.col("t").cast("double")
+    ).cast("decimal(28,18)")
+    return (
+        toks.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(lp).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )

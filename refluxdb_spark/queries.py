@@ -4719,3 +4719,97 @@ def events_rolling_7d_actives(spark, sf_dir):
     return j.groupBy(F.col("w.day").alias("day")).agg(
         F.count_distinct(F.col("d.user_id")).cast("bigint").alias("actives_7d")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest(list_filter({_TOKENS_SQL}, t -> t != '')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+    scored AS (
+        SELECT toks.id,
+               CAST(ln(CAST(v.c AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS DECIMAL(28,18)) AS lp
+        FROM toks JOIN vocab v USING (token) CROSS JOIN tot
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+    FROM scored GROUP BY id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scoring (operators.text.unigram_logprob):
+    avg token log-probability under the corpus's own unigram
+    distribution — the perplexity-proxy filter (CCNet-style) at its
+    scalable first cut. ln from exact integer ratios, decimal-routed
+    sum, 6-digit round: engine-reproducible."""
+    return X.unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+def _rp_lsh_oracle(bits: int = 16, band_bits: int = 4, threshold: float = 0.35) -> str:
+    """Replays operators.similarity.rp_lsh_pairs: integer hyperplane
+    literals (exact in any engine), sign bits via list_dot_product,
+    banded buckets, exact rounded-cosine verification."""
+    from refluxdb_spark.operators.similarity import _rp_planes
+
+    planes = _rp_planes(bits, 64)
+    bit_cols = ",\n               ".join(
+        "CASE WHEN list_dot_product(vv, CAST(["
+        + ", ".join(str(x) for x in planes[j])
+        + "] AS DOUBLE[])) > 0 THEN 1 ELSE 0 END AS b%d" % j
+        for j in range(bits)
+    )
+    nbands = bits // band_bits
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT id, %d AS band, %s AS bv FROM bits"
+        % (
+            b,
+            " + ".join(
+                f"b{b * band_bits + k} * {2 ** k}" for k in range(band_bits)
+            ),
+        )
+        for b in range(nbands)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ),
+    bits AS (
+        SELECT id, vv,
+               {bit_cols}
+        FROM v
+    ),
+    buckets AS (
+        {band_selects}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM buckets a JOIN buckets b ON a.band = b.band AND a.bv = b.bv
+        WHERE a.id < b.id
+    )
+    SELECT id_a, id_b,
+           round(list_dot_product(va.vv, vb.vv) /
+                 (sqrt(list_dot_product(va.vv, va.vv)) * sqrt(list_dot_product(vb.vv, vb.vv))), 6) AS cosine
+    FROM cand
+    JOIN v va ON cand.id_a = va.id
+    JOIN v vb ON cand.id_b = vb.id
+    WHERE round(list_dot_product(va.vv, vb.vv) /
+                (sqrt(list_dot_product(va.vv, va.vv)) * sqrt(list_dot_product(vb.vv, vb.vv))), 6) >= {threshold}
+    """
+
+
+@register("sim_rp_lsh_pairs", _rp_lsh_oracle())
+def sim_rp_lsh_pairs(spark, sf_dir):
+    """Random-hyperplane (cosine-SimHash) LSH near-dup pairs
+    (operators.similarity.rp_lsh_pairs) — the third ANN family beside
+    brute force and IVF (Charikar sign-bit sketches): 16 sign bits from
+    integer hyperplanes, four 4-bit bands bucket candidates, exact
+    rounded cosine verifies. Fingerprints are dot products beside the
+    scan; candidate cost ∝ bucket², never the pair matrix."""
+    return S.rp_lsh_pairs(
+        load(spark, sf_dir, "embeddings"),
+        bits=16, band_bits=4, threshold=0.35,
+    )
