@@ -265,3 +265,74 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    window: int = 6,
+) -> DataFrame:
+    """Winnowing (MOSS-style) local fingerprints: hash every character
+    ``k``-gram of the normalized text, slide a ``window`` over the hash
+    sequence, keep each window's MINIMUM — the classic
+    position-robust partial-overlap fingerprint (Schleimer et al.):
+    any shared substring of length >= k + window - 1 is GUARANTEED to
+    contribute at least one common fingerprint, at ~1/window the
+    storage of all-grams.
+
+    Everything is integer arithmetic over md5 (deterministic on any
+    engine, same contract as the SimHash/MinHash families), built as
+    array expressions beside the scan — the only post-scan cost is the
+    explode of the winnowed set. Documents with fewer than
+    k + window - 1 characters yield no fingerprints. Returns the
+    distinct (id, fp) relation."""
+    t = normalize_text(text_col)
+    h32 = (
+        "cast(conv(substring(md5(substring(_t, i, %d)), 1, 8), 16, 10) as bigint)"
+        % k
+    )
+    grams = (
+        f"CASE WHEN length(_t) >= {k} THEN "
+        f"transform(sequence(1, length(_t) - {k - 1}), i -> {h32}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    fps = (
+        f"CASE WHEN size(_grams) >= {window} THEN "
+        f"array_distinct(transform(sequence(1, size(_grams) - {window - 1}), "
+        f"j -> array_min(slice(_grams, j, {window})))) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), t.alias("_t"))
+        .select("id", F.expr(grams).alias("_grams"))
+        .select("id", F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
+def winnow_shared_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    window: int = 6,
+) -> DataFrame:
+    """Per-document overlap evidence from winnowed fingerprints: how
+    many of a document's fingerprints also appear in at least one other
+    document. One exchange on the fingerprint (map-side combined),
+    one per-doc aggregate — exact-dedup cost, never pairwise. Returns
+    (id, n_fps, n_shared) for documents with any sharing."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    sharing = fps.groupBy("fp").agg(F.count_distinct("id").alias("_docs"))
+    return (
+        fps.join(sharing, "fp")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+            F.sum(F.when(F.col("_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+    )

@@ -4813,3 +4813,49 @@ def sim_rp_lsh_pairs(spark, sf_dir):
         load(spark, sf_dir, "embeddings"),
         bits=16, band_bits=4, threshold=0.35,
     )
+
+
+@register(
+    "text_winnowing_shared",
+    f"""
+    WITH base AS (
+        SELECT doc_id AS id, {_NORM_SQL.format(col='text')} AS t FROM documents
+    ),
+    grams AS (
+        SELECT id,
+               CASE WHEN length(t) >= 12 THEN
+                   list_transform(range(1, length(t) - 10),
+                       i -> CAST(concat('0x', substr(md5(substr(t, i, 12)), 1, 8)) AS BIGINT))
+               ELSE [] END AS g
+        FROM base
+    ),
+    fps AS (
+        SELECT DISTINCT id, unnest(
+            CASE WHEN len(g) >= 6 THEN
+                list_distinct(list_transform(range(1, len(g) - 4),
+                    j -> list_min(g[j : j + 5])))
+            ELSE [] END) AS fp
+        FROM grams
+    ),
+    sharing AS (
+        SELECT fp, count(DISTINCT id) AS docs FROM fps GROUP BY fp
+    )
+    SELECT f.id, CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(sum(CASE WHEN s.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+    FROM fps f JOIN sharing s USING (fp)
+    GROUP BY f.id
+    HAVING n_shared > 0
+    """,
+)
+def text_winnowing_shared(spark, sf_dir):
+    """Winnowing fingerprint overlap (operators.text.
+    winnow_shared_stats, k=12, window=6): MOSS-style local
+    fingerprints — any shared substring of length >= 17 chars is
+    guaranteed to surface — aggregated to per-doc sharing evidence.
+    The 'rolling hash document fingerprinting' item of the north-star
+    brief in its partial-overlap (not whole-doc) form; integer md5
+    arithmetic end to end, oracle replays grams -> window minima ->
+    sharing exactly."""
+    return X.winnow_shared_stats(
+        load(spark, sf_dir, "documents"), k=12, window=6
+    )
