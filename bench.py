@@ -71,6 +71,11 @@ HEADLINE = [
     "ts_anomaly_zscore",
     "ts_counter_rate",
     "sketch_bloom_membership",
+    # round-5 pipeline additions
+    "sample_temperature_mix",
+    "dedup_shared_chunks",
+    "events_rolling_7d_actives",
+    "text_unigram_logprob",
 ]
 
 

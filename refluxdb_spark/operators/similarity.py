@@ -649,11 +649,12 @@ def rp_lsh_pairs(
     Plan shape mirrors ``simhash_pairs``: fingerprint = ``bits`` dot
     products beside the scan (no shuffle), one explode to (band,
     value) buckets, a per-bucket self-join (cost ∝ bucket², never the
-    pair matrix), exact verification on the carried vectors. Carrying
-    the vector through the bucket join multiplies the relation by the
-    band count — the standard LSH trade against a second corpus join;
-    at 100 TB prefer re-joining vectors by id instead (one extra
-    shuffle, no 4x carry). Returns (id_a, id_b, cosine >= threshold).
+    pair matrix). Candidates are DEDUPED AS BARE ID PAIRS — carrying
+    the vectors through the bucket join and distinct would shuffle
+    band_count x the full embedding payload (measured 5x slower at
+    sf0.1); the verify pass re-joins the vector relation by id
+    instead (broadcast when it fits, hash join at scale). Returns
+    (id_a, id_b, cosine >= threshold).
     """
     if bits % band_bits:
         raise ValueError(f"bits={bits} must divide into {band_bits}-bit bands")
@@ -684,30 +685,30 @@ def rp_lsh_pairs(
         ]
     )
     buckets = (
-        fp.select("id", "_v", F.explode(band_structs).alias("_bb"))
-        .select("id", "_v", F.col("_bb.band").alias("band"), F.col("_bb.bv").alias("bv"))
+        fp.select("id", F.explode(band_structs).alias("_bb"))
+        .select("id", F.col("_bb.band").alias("band"), F.col("_bb.bv").alias("bv"))
         # both self-join sides read this; persist so the bits (the
         # expensive part) compute once (same reuse argument as
         # simhash_pairs)
         .persist()
     )
-    a = buckets.select(
-        "band", "bv", F.col("id").alias("id_a"), F.col("_v").alias("_va")
-    )
-    b_side = buckets.select(
-        "band", "bv", F.col("id").alias("id_b"), F.col("_v").alias("_vb")
-    )
+    a = buckets.select("band", "bv", F.col("id").alias("id_a"))
+    b_side = buckets.select("band", "bv", F.col("id").alias("id_b"))
     cand = (
         a.join(b_side, ["band", "bv"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
+        .select("id_a", "id_b")
         .distinct()
     )
+    va = base.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
     cos = F.round(
         _dot("_va", "_vb") / (_norm("_va") * _norm("_vb")), round_digits
     )
     return (
-        cand.withColumn("cosine", cos)
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

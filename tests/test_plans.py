@@ -118,6 +118,9 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "sample_temperature_mix": 5,      # audit query: rates agg x2 + kept agg
         "dedup_shared_chunks": 3,         # share agg + hash join + per-doc agg
         "events_rolling_7d_actives": 4,   # day-grain distinct + distinct agg pair
+        "text_unigram_logprob": 4,        # vocab agg + token join + doc agg
+        "text_winnowing_shared": 3,       # fp sharing agg + join + per-doc agg
+        "sim_rp_lsh_pairs": 2,            # id-pair distinct; verify joins broadcast
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
