@@ -691,6 +691,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 15,
+    pointer_jumping: bool = False,
 ) -> DataFrame:
     """Duplicate-cluster resolution: given near-dup PAIRS, assign every
     node the minimum id of its connected component — the canonical
@@ -703,9 +704,15 @@ def connected_components(
     are near-cliques, so 2-3 rounds in practice (``max_iter`` is a
     safety bound; raises if not converged, rather than returning wrong
     labels). Each round is one join + one groupBy on node id — no
-    driver-side graph, both sides arbitrarily large. For pathological
-    long-chain graphs swap in large-star/small-star; near-dup clusters
-    never look like that.
+    driver-side graph, both sides arbitrarily large.
+
+    ``pointer_jumping=True`` adds path doubling each round (label <-
+    label of the label, via one extra self-join of the label table):
+    labels then hop 2^round edges instead of 1, so convergence is
+    O(log diameter) — the hardening for pathological long-chain
+    graphs, where plain propagation needs diameter rounds and trips
+    ``max_iter``. Near-dup clusters are near-cliques and don't need
+    it; chains of borderline pairs (A≈B≈C≈...) do.
 
     Returns (id, component) where component = min id in the component.
     """
@@ -745,6 +752,25 @@ def connected_components(
         )
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.select("id", "component")
+        if pointer_jumping:
+            # path doubling: component <- component's component. One
+            # self-join on the label table (node-count sized, smaller
+            # than the edge join above); labels reach 2^round hops.
+            parents = labels.select(
+                F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+            )
+            jumped = (
+                labels.join(parents, labels.component == parents._pid, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("_pcomp"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            labels = jumped
         if changed == 0:
             break
     else:

@@ -4859,3 +4859,42 @@ def text_winnowing_shared(spark, sf_dir):
     return X.winnow_shared_stats(
         load(spark, sf_dir, "documents"), k=12, window=6
     )
+
+
+@register(
+    "dedup_components_chain",
+    """
+    WITH RECURSIVE pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+    )
+    SELECT node AS id, min(label) AS component FROM cc GROUP BY node
+    """,
+)
+def dedup_components_chain(spark, sf_dir):
+    """Worst-case component topology: a single chain over every doc id
+    (diameter = corpus size — the shape that breaks plain min-label
+    propagation, which needs diameter rounds). Runs
+    operators.dedup.connected_components with POINTER JUMPING (path
+    doubling: one extra label-table self-join per round), converging in
+    O(log diameter) rounds; the recursive-CTE oracle replays full
+    reachability. Complements dedup_components[_minhash], whose
+    near-clique inputs are the easy case."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    nxt = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")).filter(
+        F.col("id_a") >= 0
+    )
+    chain = docs.select(F.col("doc_id").alias("id_a")).join(
+        nxt, "id_a"
+    )
+    return D.connected_components(chain, max_iter=15, pointer_jumping=True)

@@ -1369,3 +1369,22 @@ def test_image_features_real_decode_with_pillow(spark):
     assert (resized.width, resized.height) == (15, 10)
     back = PIL_Image.open(io.BytesIO(bytes(resized.out_payload)))
     assert (back.width, back.height) == (15, 10)
+
+
+def test_connected_components_pointer_jumping_on_long_chain(spark):
+    """Path doubling converges in O(log diameter): a 400-node chain
+    finishes well inside max_iter=15 (2^15 >> 400), where plain
+    propagation moves labels one hop per round and must trip the
+    convergence guard."""
+    from refluxdb_spark.operators.dedup import connected_components
+
+    chain = spark.range(399).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components(chain, max_iter=15, pointer_jumping=True)
+    rows = out.collect()
+    assert len(rows) == 400
+    assert all(r.component == 0 for r in rows)
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=15)
