@@ -868,3 +868,60 @@ def shared_chunk_stats(
         )
         .filter(F.col("n_shared") > 0)
     )
+
+
+def word_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    block_col: str | None = None,
+    shingle: int = 3,
+    max_df: int | None = 50,
+) -> DataFrame:
+    """Exact CONTAINMENT pairs: C(A,B) = |A ∩ B| / min(|A|, |B|) —
+    the asymmetric near-dup measure Jaccard misses: a short document
+    quoted wholesale inside a long one scores containment ≈ 1 while
+    its Jaccard stays low (|∪| is dominated by the long side). The
+    standard second pass of a span/quote dedup.
+
+    Same inverted-index machinery and scale guards as
+    ``word_jaccard_pairs`` (blocking column, ``max_df`` stop-shingle
+    cap bounding every posting list); containment is then exact over
+    the df-filtered token space. Returns (id_a, id_b, containment)
+    with id_a < id_b, from exact integer division."""
+    carry = (block_col,) if block_col else ()
+    toks = _token_source(df, text_col, id_col, shingle, carry=carry)
+    if block_col:
+        toks = toks.withColumnRenamed(block_col, "_blk")
+    keys = ["token"] + (["_blk"] if block_col else [])
+    if max_df is not None:
+        w = Window.partitionBy(*keys)
+        toks = (
+            toks.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.select(*keys, F.col("id").alias("id_a"))
+    b = toks.select(*keys, F.col("id").alias("id_b"))
+    inter = (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("_sa")), "id_a"
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("_sb")), "id_b"
+        )
+        .withColumn(
+            "containment",
+            F.col("_i").cast("double") / F.least("_sa", "_sb"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -4898,3 +4898,75 @@ def dedup_components_chain(spark, sf_dir):
         nxt, "id_a"
     )
     return D.connected_components(chain, max_iter=15, pointer_jumping=True)
+
+
+@register(
+    "dedup_containment_pairs",
+    """
+    WITH base AS (
+        SELECT doc_id AS id, lang AS blk,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS toks
+        FROM documents
+    ),
+    toks2 AS (
+        SELECT DISTINCT id, blk,
+               unnest(list_transform(range(1, len(toks) - 1),
+                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS token
+        FROM base WHERE len(toks) >= 3
+    ),
+    toks3 AS (
+        SELECT id, blk, token FROM (
+            SELECT id, blk, token,
+                   count(*) OVER (PARTITION BY token, blk) AS df
+            FROM toks2
+        ) WHERE df <= 50
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks3 GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        FROM toks3 a JOIN toks3 b ON a.token = b.token AND a.blk = b.blk
+        WHERE a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.6
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup detection (operators.dedup.
+    word_containment_pairs): containment |∩| / min(|A|,|B|) catches a
+    short document quoted wholesale inside a long one — Jaccard stays
+    low there because the union is dominated by the long side. Same
+    blocked, df-capped posting-list machinery as the capped Jaccard
+    headline; exact integer division."""
+    return D.word_containment_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=0.6, block_col="lang", shingle=3, max_df=50,
+    )
+
+
+@register(
+    "ts_streaming_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def ts_streaming_dedup_keys(spark, sf_dir):
+    """Streaming idempotent-ingest dedup (streaming.ingest.
+    stream_dedup): dropDuplicatesWithinWatermark over (user_id,
+    event_type) — at-least-once delivery becomes exactly-once per key,
+    with state bounded by the watermark horizon. Projected to the KEY
+    columns the surviving set is deterministic (which physical row
+    survives is trigger-order-dependent; the key set is not), so this
+    streaming operator gets a FULL value oracle: batch SELECT
+    DISTINCT."""
+    from refluxdb_spark.streaming.ingest import stream_dedup
+
+    src = _stream_events(spark, sf_dir, "user_id", "event_type")
+    out = stream_dedup(
+        spark, src, key_cols=["user_id", "event_type"], ts_col="ts",
+        watermark="365 days",
+    )
+    return out.select("user_id", "event_type")
