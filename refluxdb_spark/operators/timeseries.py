@@ -633,3 +633,59 @@ def time_weighted_avg(
             F.count(F.lit(1)).cast("bigint").alias("n_segments"),
         )
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    value_col: str = "value",
+    by: list[str] | None = None,
+    z: float = 3.0,
+) -> DataFrame:
+    """Robust (median/MAD) outlier statistics per group — the
+    outlier-resistant twin of mean/std z-scoring: one wild value drags
+    a mean and explodes a std, while the median and the median absolute
+    deviation barely move (the Iglewicz-Hoberman modified z-score).
+
+    Medians are EXACT (row_number pick of the middle elements, avg of
+    the two middles on even counts — IEEE addition is commutative, so
+    the 2-element avg is engine-identical), never approximate
+    percentiles; MAD repeats the same machinery on |x - median|. A row
+    is an outlier when |x - median| > z * 1.4826 * MAD (1.4826 ≈
+    1/Φ⁻¹(3/4) scales MAD to σ under normality).
+
+    Scale: two window sorts + aggregates on the SAME group key (one
+    hash exchange reused), cost ≈ two sorts of the data — what exact
+    medians inherently need; for a cheaper sketch at 100 TB use
+    ``sketches.histogram_quantiles``. Returns
+    (by..., median, mad, n, n_outliers)."""
+    by = by or []
+    k = z * 1.4826
+    v = F.col(value_col).cast("double")
+
+    def _median_over(frame: DataFrame, col: F.Column, out: str) -> DataFrame:
+        w = Window.partitionBy(*by).orderBy(col.asc())
+        wp = Window.partitionBy(*by)
+        ranked = frame.select(
+            "*",
+            col.alias("_mv"),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wp).alias("_n"),
+        )
+        mid = ranked.filter(
+            (F.col("_rn") == F.expr("(_n + 1) div 2"))
+            | (F.col("_rn") == F.expr("(_n + 2) div 2"))
+        )
+        med = mid.groupBy(*by).agg(F.avg("_mv").alias(out))
+        return frame.join(med, by) if by else frame.crossJoin(F.broadcast(med))
+
+    with_med = _median_over(df, v, "median")
+    with_mad = _median_over(
+        with_med, F.abs(v - F.col("median")), "mad"
+    )
+    return with_mad.groupBy(*by, "median", "mad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.abs(v - F.col("median")) > F.lit(k) * F.col("mad"), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_outliers"),
+    )

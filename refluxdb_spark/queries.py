@@ -4970,3 +4970,59 @@ def ts_streaming_dedup_keys(spark, sf_dir):
         watermark="365 days",
     )
     return out.select("user_id", "event_type")
+
+
+@register(
+    "ts_anomaly_mad",
+    """
+    WITH v AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS x FROM events
+    ),
+    ranked AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    med AS (
+        SELECT event_type, avg(x) AS median
+        FROM ranked
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, v.x, m.median, abs(v.x - m.median) AS d
+        FROM v JOIN med m USING (event_type)
+    ),
+    ranked2 AS (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, avg(d) AS mad
+        FROM ranked2
+        WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY event_type
+    )
+    SELECT d.event_type, d.median, mad.mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN abs(d.x - d.median) > (3.0 * 1.4826) * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust outlier stats (operators.timeseries.mad_outlier_stats):
+    median/MAD modified z-score — the anomaly detector that one wild
+    value cannot poison (the mean/std twin is ts_anomaly_zscore).
+    Medians are EXACT row_number picks (avg of the two middles on even
+    counts; IEEE addition commutes, so the 2-element avg is
+    engine-identical), and the 3·1.4826 threshold is written as the
+    same two-constant product on both engines."""
+    ev = load(spark, sf_dir, "events")
+    return TS.mad_outlier_stats(
+        ev, value_col="value", by=["event_type"], z=3.0
+    ).select("event_type", "median", "mad", "n", "n_outliers")

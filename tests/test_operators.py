@@ -1388,3 +1388,19 @@ def test_connected_components_pointer_jumping_on_long_chain(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=15)
+
+
+def test_mad_outlier_stats_by_hand(spark):
+    from refluxdb_spark.operators.timeseries import mad_outlier_stats
+
+    odd = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]]
+    even = [("b", v) for v in [1.0, 2.0, 3.0, 10.0]]
+    df = spark.createDataFrame(odd + even, "g string, value double")
+    got = {r.g: r for r in mad_outlier_stats(df, by=["g"]).collect()}
+    # odd group: median 3, |dev| = [2,1,0,1,97] -> MAD 1; only 97 > 4.4478
+    assert got["a"].median == 3.0 and got["a"].mad == 1.0
+    assert (got["a"].n, got["a"].n_outliers) == (5, 1)
+    # even group: median (2+3)/2, MAD = (0.5+1.5)/2 -> exercises the
+    # two-middle (integer-div) pick
+    assert got["b"].median == 2.5 and got["b"].mad == 1.0
+    assert (got["b"].n, got["b"].n_outliers) == (4, 1)
