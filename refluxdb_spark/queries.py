@@ -5026,3 +5026,65 @@ def ts_anomaly_mad(spark, sf_dir):
     return TS.mad_outlier_stats(
         ev, value_col="value", by=["event_type"], z=3.0
     ).select("event_type", "median", "mad", "n", "n_outliers")
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH l AS (
+        SELECT li.l_orderkey AS o, li.l_suppkey AS s,
+               max(CASE WHEN li.l_shipdate > o1.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem li JOIN orders o1 ON li.l_orderkey = o1.o_orderkey
+        WHERE o1.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ),
+    per_order AS (
+        SELECT o, count(*) AS n_supp, sum(late) AS n_late FROM l GROUP BY o
+    )
+    SELECT sup.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM l
+    JOIN per_order USING (o)
+    JOIN supplier sup ON l.s = sup.s_suppkey
+    WHERE l.late = 1 AND per_order.n_supp >= 2 AND per_order.n_late = 1
+    GROUP BY sup.s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    testdata schema: no l_receiptdate/l_commitdate exist, so "late" is
+    l_shipdate > o_orderdate + 90 days (documented proxy). The classic
+    EXISTS / NOT-EXISTS pair is rewritten as per-order supplier
+    aggregates — (distinct suppliers, distinct LATE suppliers) — and a
+    supplier qualifies when it is late on a multi-supplier order where
+    it is the ONLY late one. At scale this is two aggregations on keys
+    the joins already shuffle on, instead of two correlated
+    re-scans of lineitem per row."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = per_os.groupBy("o").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        per_os.join(per_order, "o")
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), per_os.s == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
