@@ -94,3 +94,75 @@ def test_pack_bins_replay_property(spark, sizes, budget):
     layout_bins = [got[k] for k, _ in order]
     assert layout_bins[0] == 0
     assert all(a <= b for a, b in zip(layout_bins, layout_bins[1:]))
+
+
+@given(
+    counts=st.lists(st.integers(1, 500), min_size=1, max_size=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_temperature_rates_properties(spark, counts):
+    """Temperature mixing invariants for ANY source-size profile:
+    thresholds are in (0, 1e6]; the smallest source keeps everything;
+    rates are monotone non-increasing in source size; and every
+    threshold equals the exact Python replay floor(sqrt(c_min/c)*1e6)."""
+    import math
+
+    from refluxdb_spark.operators.sampling import temperature_rates
+
+    rows = [
+        (f"s{i}", j) for i, c in enumerate(counts) for j in range(c)
+    ]
+    df = spark.createDataFrame(rows, "source string, x long")
+    got = {
+        r.source: (r.n_total, r.keep_threshold)
+        for r in temperature_rates(df, "source").collect()
+    }
+    c_min = min(counts)
+    for i, c in enumerate(counts):
+        n, thr = got[f"s{i}"]
+        assert n == c
+        want = min(int(math.floor(math.sqrt(c_min / c) * 1_000_000)), 1_000_000)
+        assert thr == want
+        assert 0 < thr <= 1_000_000
+    if len(counts) > 1:
+        by_size = sorted(got.values())
+        for (n1, t1), (n2, t2) in zip(by_size, by_size[1:]):
+            assert t2 <= t1  # bigger source never keeps a larger fraction
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=1, max_size=12,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_shared_chunk_stats_python_replay(spark, texts):
+    """shared_chunk_stats equals a pure-Python replay on arbitrary
+    (messy, multi-space, short) texts: chunking by 4-word windows over
+    a plain space split, sharing by >= 2 distinct docs."""
+    from refluxdb_spark.operators.dedup import shared_chunk_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_chunks, r.n_shared)
+        for r in shared_chunk_stats(df, chunk_words=4).collect()
+    }
+
+    chunks_by_doc = {}
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        n = -(-len(words) // 4)
+        chunks_by_doc[i] = [" ".join(words[k * 4 : (k + 1) * 4]) for k in range(n)]
+    docs_per_chunk = {}
+    for i, chs in chunks_by_doc.items():
+        for ch in set(chs):
+            docs_per_chunk.setdefault(ch, set()).add(i)
+    want = {}
+    for i, chs in chunks_by_doc.items():
+        shared = sum(1 for ch in chs if len(docs_per_chunk[ch]) >= 2)
+        if shared > 0:
+            want[i] = (len(chs), shared)
+    assert got == want
