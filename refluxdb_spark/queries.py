@@ -5088,3 +5088,63 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
+
+
+@register(
+    "ts_streaming_counter_total",
+    """
+    WITH ordered AS (
+        SELECT event_type AS series, value,
+               lag(value) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    deltas AS (
+        SELECT series,
+               CAST(round(CASE WHEN prev IS NULL OR value < prev
+                               THEN value ELSE value - prev END * 100)
+                    AS BIGINT) AS d_cents,
+               CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END AS reset
+        FROM ordered
+    )
+    SELECT series,
+           CAST(sum(d_cents) AS DOUBLE) / 100.0 AS total,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(reset) AS BIGINT) AS n_resets
+    FROM deltas GROUP BY series
+    """,
+)
+def ts_streaming_counter_total(spark, sf_dir):
+    """Second custom stateful streaming operator (streaming.stateful.
+    stream_counter_total): reset-aware monotonic-counter totals — the
+    Prometheus increase() gauge — as applyInPandasWithState state,
+    accumulated in INTEGER CENTS so the sequential stream fold equals
+    the order-free batch oracle exactly (float running sums would
+    drift with fold order). Full value oracle via lag() deltas with
+    the same event_id tiebreak."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+    from refluxdb_spark.streaming.stateful import stream_counter_total
+
+    src = _stream_events(spark, sf_dir, "event_type", "event_id", "value")
+    out = stream_counter_total(
+        src, series_col="event_type", ts_col="ts", value_col="value",
+        tiebreak_col="event_id",
+    )
+    sink = f"ctr_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("series").orderBy(F.col("n_obs").desc())
+    return (
+        spark.table(sink)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("series", "total", "n_obs", "n_resets")
+    )

@@ -108,3 +108,104 @@ def stream_ema(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+COUNTER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType()),
+        StructField("total", DoubleType()),
+        StructField("n_obs", LongType()),
+        StructField("n_resets", LongType()),
+    ]
+)
+
+COUNTER_STATE_SCHEMA = StructType(
+    [
+        StructField("last_cents", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("n_obs", LongType()),
+        StructField("n_resets", LongType()),
+    ]
+)
+
+
+def counter_total_update_fn(order_cols: tuple[str, ...] = ("ts",)):
+    """Per-series monotonic-counter totalizer with reset detection —
+    the Prometheus `increase()` semantics as persistent stream state:
+    each observation adds (v - last) when the counter moved forward,
+    or v (a restart zeroed it) when it went backward.
+
+    Accumulation is in INTEGER CENTS (inputs are 2-decimal gauges):
+    float running sums drift with fold order, integer cents are exact
+    and match an order-free DECIMAL-routed batch oracle bit-for-bit.
+    Chunks are concatenated before the event-time sort (same contract
+    as ``ema_update_fn``)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_c, total_c, n_obs, n_resets = state.get
+        else:
+            last_c, total_c, n_obs, n_resets = None, 0, 0, 0
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        for v in pdf.sort_values(list(order_cols))["value"]:
+            cents = int(round(float(v) * 100))
+            if last_c is None or cents < last_c:
+                total_c += cents
+                if last_c is not None:
+                    n_resets += 1
+            else:
+                total_c += cents - last_c
+            last_c = cents
+            n_obs += 1
+        state.update((last_c, total_c, n_obs, n_resets))
+        yield pd.DataFrame(
+            [
+                {
+                    "series": key[0],
+                    "total": total_c / 100.0,
+                    "n_obs": n_obs,
+                    "n_resets": n_resets,
+                }
+            ]
+        )
+
+    return update
+
+
+def stream_counter_total(
+    source: DataFrame,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming reset-aware counter totals: emits one updated
+    (series, total, n_obs, n_resets) row per series per micro-batch —
+    the running `increase()` gauge a TSDB serves for monotonic
+    counters. Caller attaches the writeStream sink (update mode)."""
+    from pyspark.sql import functions as F
+
+    cols = [
+        F.col(series_col).alias("series"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    ]
+    order: tuple[str, ...] = ("ts",)
+    if tiebreak_col is not None:
+        cols.append(F.col(tiebreak_col).alias("_tie"))
+        order = ("ts", "_tie")
+    keyed = source.select(*cols).groupBy("series")
+    return keyed.applyInPandasWithState(
+        counter_total_update_fn(order),
+        outputStructType=COUNTER_OUTPUT_SCHEMA,
+        stateStructType=COUNTER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

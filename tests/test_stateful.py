@@ -103,3 +103,40 @@ def test_ema_multichunk_group_folds_in_order(spark, tmp_path):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert final["cpu"][1] == n
     assert final["cpu"][0] == _expected_ema(vals)
+
+
+def test_counter_total_update_fn_by_hand():
+    """Reset-aware totalizer: increases accumulate as deltas, a
+    backward step counts the new value whole and bumps n_resets;
+    integer-cent accumulation is exact."""
+    import pandas as pd
+
+    from refluxdb_spark.streaming.stateful import counter_total_update_fn
+
+    class FakeState:
+        exists = False
+        updated = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+            self.updated = v
+
+    fn = counter_total_update_fn(order_cols=("ts",))
+    st = FakeState()
+    # 10.00 -> 10.50 (+0.50) -> 2.25 (reset, +2.25) -> 2.75 (+0.50)
+    pdf = pd.DataFrame(
+        {"ts": [1, 2, 3, 4], "value": [10.00, 10.50, 2.25, 2.75]}
+    )
+    out = list(fn(("s",), iter([pdf]), st))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row.total == 13.25 and row.n_obs == 4 and row.n_resets == 1
+    # second batch resumes from state: 2.75 -> 3.00 (+0.25)
+    out2 = list(fn(("s",), iter([pd.DataFrame({"ts": [5], "value": [3.00]})]), st))
+    row2 = out2[0].iloc[0]
+    assert row2.total == 13.50 and row2.n_obs == 5 and row2.n_resets == 1
