@@ -80,12 +80,23 @@ def hll_estimate(
     bias correction — a documented estimator choice (±1.04/√m relative
     error) that keeps the estimate one fixed cross-engine expression.
     """
+    return hll_estimate_from_registers(hll_registers(df, col, p, by), p, by)
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    p: int = 8,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Estimate from an existing (by..., bucket, rho_max) register
+    table — the half of ``hll_estimate`` that runs AFTER merges, so
+    registers merged across days/partitions/engines (by MAX) estimate
+    with the identical fixed expression."""
     by = by or []
     m = 1 << p
     rbits = _HASH_BITS - p
     scale = 1 << (rbits + 1)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    regs = hll_registers(df, col, p, by)
     term = F.expr(f"cast(shiftleft(cast(1 as bigint), {rbits + 1} - rho_max) as bigint)")
     return (
         regs.groupBy(*by)

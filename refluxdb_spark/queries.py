@@ -5148,3 +5148,88 @@ def ts_streaming_counter_total(spark, sf_dir):
         .filter(F.col("_rk") == 1)
         .select("series", "total", "n_obs", "n_resets")
     )
+
+
+@register(
+    "sketch_hll_rolling_actives",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    h AS (
+        SELECT day,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) // 256 AS rem
+        FROM daily
+    ),
+    dregs AS (
+        SELECT day, bucket,
+               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(printf('%b', rem)) END) AS rho_max
+        FROM h GROUP BY day, bucket
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    merged AS (
+        SELECT w.day AS day, d.bucket, max(d.rho_max) AS rho_max
+        FROM days w JOIN dregs d
+          ON d.day <= w.day AND d.day >= w.day - INTERVAL 6 DAY
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT day,
+               0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+                   / CAST(sum(CAST(1 AS BIGINT) << (53 - rho_max))
+                          + (256 - count(*)) * 9007199254740992 AS DOUBLE) AS hll_estimate
+        FROM merged GROUP BY day
+    ),
+    exact AS (
+        SELECT w.day AS day, CAST(count(DISTINCT d.user_id) AS BIGINT) AS exact_distinct
+        FROM days w JOIN daily d
+          ON d.day <= w.day AND d.day >= w.day - INTERVAL 6 DAY
+        GROUP BY 1
+    )
+    SELECT est.day, est.hll_estimate, exact.exact_distinct
+    FROM est JOIN exact USING (day)
+    """,
+)
+def sketch_hll_rolling_actives(spark, sf_dir):
+    """Rolling 7-day distinct actives from MERGED daily HLL registers —
+    the reason mergeable sketches exist: daily register tables (256
+    rows/day, built once) merge by MAX across any trailing window, so
+    a year of rolling distinct counts costs 365 tiny register merges
+    instead of 365 rescans of raw events. The estimate expression is
+    the same fixed integer-exact form as sketch_hll_distinct_users;
+    the exact twin (events_rolling_7d_actives machinery) rides along
+    to show the estimator error. Registers-first is also the 100 TB
+    plan: raw events are read ONCE, everything after is day-grain."""
+    from refluxdb_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id")
+    dregs = hll_registers(daily, "user_id", p=8, by=["day"])
+    days = daily.select("day").distinct()
+    merged = (
+        dregs.alias("d")
+        .join(
+            F.broadcast(days.alias("w")),
+            (F.col("d.day") <= F.col("w.day"))
+            & (F.col("d.day") >= F.date_sub(F.col("w.day"), 6)),
+        )
+        .groupBy(F.col("w.day").alias("day"), F.col("d.bucket").alias("bucket"))
+        .agg(F.max("d.rho_max").alias("rho_max"))
+    )
+    est = hll_estimate_from_registers(merged, p=8, by=["day"])
+    exact = (
+        daily.distinct()
+        .alias("d")
+        .join(
+            F.broadcast(days.alias("w")),
+            (F.col("d.day") <= F.col("w.day"))
+            & (F.col("d.day") >= F.date_sub(F.col("w.day"), 6)),
+        )
+        .groupBy(F.col("w.day").alias("day"))
+        .agg(F.count_distinct("d.user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "day")
