@@ -261,6 +261,26 @@ class RefluxEngine:
             out.setdefault(r["series"], []).append(r["k"])
         return {k: sorted(v) for k, v in out.items()}
 
+    def tag_values(self, key: str, series: str | None = None) -> dict[str, list[str]]:
+        """``SHOW TAG VALUES WITH KEY = <key>``: distinct values of one
+        tag key per series (the third of Influx's schema-exploration
+        trio after SHOW FIELD KEYS / SHOW TAG KEYS). One map lookup +
+        distinct — no explode of the whole tag map — and
+        partition-pruned when a series is given."""
+        df = self._table()
+        if series is not None:
+            df = df.filter(F.col("series") == series)
+        rows = (
+            df.select("series", F.col("tags")[key].alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+            .collect()
+        )
+        out: dict[str, list[str]] = {}
+        for r in rows:
+            out.setdefault(r["series"], []).append(r["v"])
+        return {k: sorted(v) for k, v in out.items()}
+
     def table_versions(self) -> list[int]:
         """Table versions still on disk. Versions are COMPACTION
         lineage: appends mutate the live version; a version freezes

@@ -5233,3 +5233,69 @@ def sketch_hll_rolling_actives(spark, sf_dir):
         .agg(F.count_distinct("d.user_id").cast("bigint").alias("exact_distinct"))
     )
     return est.join(exact, "day")
+
+
+@register(
+    "pipeline_media_end_to_end",
+    """
+    WITH m AS (
+        SELECT doc_id, source,
+               CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+               sha256(text) AS sha,
+               CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) AS hv
+        FROM documents
+    ),
+    keep AS (
+        SELECT sha, min(doc_id) AS keep_id FROM m GROUP BY sha
+    ),
+    uniq AS (
+        SELECT m.* FROM m JOIN keep ON m.sha = keep.sha AND m.doc_id = keep.keep_id
+    )
+    SELECT u.source,
+           CAST((SELECT count(*) FROM m m2 WHERE m2.source = u.source) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(CASE WHEN 64 + hv % 512 >= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_wide,
+           CAST(sum(media_bytes) AS BIGINT) AS unique_bytes
+    FROM uniq u
+    GROUP BY u.source
+    """,
+)
+def pipeline_media_end_to_end(spark, sf_dir):
+    """Multimodal corpus pipeline as ONE Catalyst plan, in the order
+    that matters at 100 TB: JVM-side payload dedup FIRST (sha256
+    groupBy — cheap column expressions), so the Python decode
+    (Arrow-batched image_features, fake mode = the oracle contract)
+    only ever runs on UNIQUE payloads; then a feature filter
+    (width >= 256) and a per-source audit. Decode-after-dedup is the
+    difference between decoding 100 TB and decoding its unique
+    fraction."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = M.attach_media(docs, "payload", "image/png")
+    summ = M.media_summary(media)
+    keep = summ.groupBy("media_sha256").agg(F.min("doc_id").alias("_keep_id"))
+    uniq = summ.join(
+        keep,
+        (summ.media_sha256 == keep.media_sha256)
+        & (summ.doc_id == keep._keep_id),
+    ).select(summ["*"])
+    feats = M.image_features(uniq, id_col="doc_id", fake=True).select(
+        F.col("id").alias("doc_id"), "width"
+    )
+    n_docs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        uniq.join(feats, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.sum(F.when(F.col("width") >= 256, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_wide"),
+            F.sum("media_bytes").cast("bigint").alias("unique_bytes"),
+        )
+        .join(F.broadcast(n_docs), "source")
+        .select("source", "n_docs", "n_unique", "n_wide", "unique_bytes")
+    )

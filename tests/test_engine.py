@@ -401,3 +401,22 @@ def test_keyword_and_dotted_series_names_end_to_end(spark, tmp_path):
     # the token validator cannot prove `drop` is a name)
     with pytest.raises(ValidationError):
         eng.query("SELECT * FROM `drop`")
+
+
+def test_tag_values_listing(spark, tmp_path):
+    """SHOW TAG VALUES WITH KEY: distinct values of one tag key per
+    series, skipping rows without the key, partition-pruned per
+    series."""
+    from refluxdb_spark.engine import RefluxEngine
+
+    eng = RefluxEngine(spark, str(tmp_path / "wh_tagv"))
+    eng.write_lines([
+        "cpu,host=a,region=us value=1 1700000000000000000",
+        "cpu,host=b,region=us value=2 1700000001000000000",
+        "cpu,host=a value=3 1700000002000000000",
+        "mem,host=c value=4 1700000000000000000",
+    ])
+    assert eng.tag_values("host") == {"cpu": ["a", "b"], "mem": ["c"]}
+    assert eng.tag_values("region") == {"cpu": ["us"]}
+    assert eng.tag_values("host", series="cpu") == {"cpu": ["a", "b"]}
+    assert eng.tag_values("nosuch") == {}
