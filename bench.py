@@ -76,6 +76,8 @@ HEADLINE = [
     "dedup_shared_chunks",
     "events_rolling_7d_actives",
     "text_unigram_logprob",
+    # round-6 pipeline additions
+    "dedup_incremental_pairs",
 ]
 
 

@@ -522,6 +522,109 @@ def _lsh_candidates_from_signatures(
     )
 
 
+def _band_buckets_with_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig, bucket, bp): band buckets with the signature carried
+    inline and ``bp`` = 2-hex-char bucket prefix (the partition key a
+    persisted index prunes on — 256 partitions regardless of corpus
+    size)."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+            )
+        ).alias("bucket")
+        for b in range(bands)
+    ]
+    return (
+        sig.select("id", "sig", F.explode(F.array(*band_cols)).alias("bucket"))
+        .distinct()
+        .withColumn("bp", F.substring("bucket", 1, 2))
+    )
+
+
+def save_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+) -> None:
+    """Materialize the corpus's MinHash LSH index so FUTURE ingest
+    batches can be deduped against it without re-fingerprinting the
+    corpus (the operational shape of dedup at 100 TB: fingerprint once,
+    probe per batch — mirror of ``similarity.save_ivf_index``).
+
+    Layout: ``{path}/buckets`` = (bucket, id, sig) partitioned by
+    ``bp`` (the bucket's first 2 hex chars → 256 partitions), so a
+    probe's scan is pruned to the partitions its own buckets hash into;
+    ``{path}/meta`` records (num_hashes, bands, shingle) so the probe
+    fingerprints the new batch with the SAME hash family. Signatures
+    ride inline (×bands duplication, ~128 B/row) so the probe scores
+    candidates from pruned reads alone — no second corpus-sized join.
+    """
+    spark = df.sparkSession
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    buckets = _band_buckets_with_sig(sig, num_hashes, bands)
+    (
+        buckets.repartition("bp")
+        .write.mode("overwrite")
+        .partitionBy("bp")
+        .parquet(f"{path}/buckets")
+    )
+    spark.createDataFrame(
+        [(num_hashes, bands, shingle)], "num_hashes int, bands int, shingle int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def dedup_against_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Incremental dedup: fingerprint ONLY ``new_df`` (the ingest
+    batch) and probe the persisted corpus index for near-duplicates.
+
+    The new batch's band buckets broadcast into a join against the
+    index on (bp, bucket) — bp is the index's partition column, so the
+    scan is dynamic-partition-pruned to the partitions the batch's own
+    buckets land in (cost ∝ batch size, NOT corpus size; fence:
+    ``test_plans.py::test_incremental_dedup_index_pruned``). Matching
+    signatures score ``est_jaccard`` = fraction of agreeing MinHash
+    components — the standard unbiased Jaccard estimate — without
+    touching corpus text. Returns (new_id, index_id, est_jaccard),
+    optionally filtered to ``threshold``."""
+    meta = spark.read.parquet(f"{path}/meta").head()
+    sig_new = minhash_signatures(
+        new_df, text_col, id_col, meta.num_hashes, meta.shingle
+    )
+    probe = _band_buckets_with_sig(sig_new, meta.num_hashes, meta.bands).select(
+        F.col("id").alias("new_id"), F.col("sig").alias("_nsig"), "bucket", "bp"
+    )
+    idx = spark.read.parquet(f"{path}/buckets")
+    est = (
+        F.size(F.filter(F.zip_with("_nsig", "sig", lambda x, y: x == y), lambda v: v))
+        / F.lit(meta.num_hashes)
+    ).alias("est_jaccard")
+    pairs = (
+        F.broadcast(probe)
+        .join(idx, ["bp", "bucket"])
+        .filter(F.col("new_id") != F.col("id"))
+        .select("new_id", F.col("id").alias("index_id"), est)
+        .distinct()
+    )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("est_jaccard") >= threshold)
+    return pairs
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1231,6 +1231,80 @@ def _lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
 ORACLES["dedup_minhash_lsh_pairs"] = _lsh_oracle(16, 4)
 
 
+def _incremental_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Replay of the persisted-index probe on the UNION: signatures +
+    band buckets for ALL docs, candidates = new-batch bucket ∩ corpus
+    bucket, est_jaccard = matching signature components / num_hashes."""
+    rpb = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min((h1 + {i} * h2) % 4294967296) AS h{i}" for i in range(num_hashes)
+    )
+    band_exprs = ",\n               ".join(
+        "md5(concat_ws(',', '%d', %s)) AS b%d"
+        % (b, ", ".join(f"h{b * rpb + r}" for r in range(rpb)), b)
+        for b in range(bands)
+    )
+    band_cols = ", ".join(f"b{b}" for b in range(bands))
+    match_sum = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    {_SHINGLE_CTE},
+    {_KM_HASHED},
+    sig AS (
+        SELECT id, {mins}
+        FROM hashed GROUP BY id
+    ),
+    bandhash AS (
+        SELECT id, {band_exprs}
+        FROM sig
+    ),
+    buckets AS (
+        SELECT DISTINCT id, bucket
+        FROM (SELECT id, unnest([{band_cols}]) AS bucket FROM bandhash)
+    ),
+    cand AS (
+        SELECT DISTINCT n.id AS new_id, c.id AS index_id
+        FROM buckets n JOIN buckets c ON n.bucket = c.bucket
+        WHERE n.id % 10 = 0 AND c.id % 10 <> 0
+    )
+    SELECT cand.new_id, cand.index_id,
+           CAST(({match_sum}) AS DOUBLE) / {num_hashes} AS est_jaccard
+    FROM cand
+    JOIN sig a ON a.id = cand.new_id
+    JOIN sig b ON b.id = cand.index_id
+    """
+
+
+@register("dedup_incremental_pairs", _incremental_oracle(16, 4))
+def dedup_incremental_pairs(spark, sf_dir):
+    """INCREMENTAL dedup — the operational 100 TB shape (operators.
+    dedup.save_minhash_index + dedup_against_index): the corpus
+    (doc_id % 10 != 0) is fingerprinted ONCE into a persisted banded
+    index partitioned by bucket prefix; each ingest batch (doc_id % 10
+    == 0 here) fingerprints ONLY itself and probes the matching index
+    partitions (DPP-fenced — test_plans.py::
+    test_incremental_dedup_index_pruned). est_jaccard is the exact
+    fraction of agreeing MinHash components, so the oracle replays
+    bucket assignment + component matching on the union in SQL. The
+    index is cached per (sf_dir, documents mtime) so repeated runs
+    measure the probe, mirroring sim_ivf_persisted_topk."""
+    import os as _os
+
+    mtime = int(_os.stat(f"{sf_dir}/documents.parquet").st_mtime)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    index_path = f"/tmp/refluxdb_spark_mh/{tag}_{mtime}"
+    docs = load(spark, sf_dir, "documents")
+    if not _os.path.exists(f"{index_path}/buckets/_SUCCESS"):
+        D.save_minhash_index(
+            docs.filter(F.col("doc_id") % 10 != 0), index_path,
+            num_hashes=16, bands=4, shingle=3,
+        )
+    return D.dedup_against_index(
+        spark, index_path, docs.filter(F.col("doc_id") % 10 == 0)
+    )
+
+
 @register(
     "dedup_components_minhash",
     f"""

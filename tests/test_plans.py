@@ -214,6 +214,23 @@ def test_ivf_persisted_probe_partition_pruned(spark, sf_dir):
     )
 
 
+def test_incremental_dedup_index_pruned(spark, sf_dir):
+    """The persisted-MinHash-index probe must scan the bucket table
+    with a dynamic-partition-pruning filter on bp (the bucket-prefix
+    partition key): an ingest batch's dedup cost is proportional to the
+    BATCH, never a corpus rescan."""
+    df = QUERIES["dedup_incremental_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bucket_scan = [
+        l for l in plan.splitlines() if "FileScan" in l and "/buckets" in l
+    ]
+    assert bucket_scan, "no scan of the persisted bucket table found"
+    assert any("dynamicpruning" in l for l in bucket_scan), (
+        "bucket-table scan carries no dynamicpruning partition filter; "
+        f"got: {bucket_scan}"
+    )
+
+
 def test_decontaminate_broadcasts_bench_grams(spark, sf_dir):
     """The corpus side of decontamination must never shuffle: the eval
     gram set broadcasts into a semi-join against the exploded corpus
