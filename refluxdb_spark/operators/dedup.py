@@ -311,9 +311,12 @@ def jaccard_pairs_from_tokens(
         #    bounded, vs TWO full shuffles of the token relation for
         #    the a×b self-join the uncapped path needs.
         # toks feeds the count pass and the posting pass; posting feeds
-        # sizes and pairs — persist both (at warehouse scale these are
-        # materialized token/posting tables).
-        toks = toks.persist()
+        # sizes and pairs. Deliberately NOT persisted: measured a wash
+        # at sf0.1 (scripts/exp_persist.py — cache write+read ≈ the
+        # recompute it saves) and a cached corpus-sized relation pinned
+        # past the operator's return is the real hazard in a long-lived
+        # session. At warehouse scale the durable form of this reuse is
+        # a materialized token/posting table (see save_minhash_index).
         hot = (
             toks.groupBy(*join_keys)
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -324,7 +327,6 @@ def jaccard_pairs_from_tokens(
             toks.join(hot, join_keys, "left_anti")
             .groupBy(*join_keys)
             .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-            .persist()
         )
         # doc size over the df-filtered token space: explode the lists
         # back (narrow) + one small groupBy(id) with map-side combine
@@ -633,16 +635,22 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.8,
     shingle: int = 3,
-    cache_tokens: bool = True,
+    cache_tokens: bool = False,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: LSH candidates verified with
     exact shingle-Jaccard (only candidate pairs pay the verification
     cost). Returns (id_a, id_b, jaccard >= threshold).
 
-    ``cache_tokens`` persists the (id, shingle) relation, which both
-    the signature pass and the verification pass consume (~30% faster;
-    at warehouse scale you'd materialize the token table instead).
+    ``cache_tokens=True`` persists the (id, shingle) relation, which
+    the signature pass and the verification pass both consume — and
+    pins it for the LIFETIME OF THE RETURNED PLAN: the caller owns
+    release (``spark.catalog.clearCache()``, or rely on context-cleaner
+    GC). Off by default: measured a wash at sf0.1
+    (scripts/exp_persist.py) and unreleased corpus-sized caches
+    accumulate across calls in a long-lived session. At warehouse scale
+    the durable form of this reuse is a materialized token table /
+    persisted index (``save_minhash_index``), not executor cache.
     ``max_bucket`` caps LSH bucket size (hot-bucket guard — see
     ``minhash_lsh_candidates``); verification Jaccard is unaffected."""
     toks = _token_source(df, text_col, id_col, shingle)
@@ -764,11 +772,13 @@ def simhash_pairs(
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )
-    # persist before the self-join: both sides consume the same bucket
-    # relation, and without this the whole fingerprint pipeline (md5
-    # votes — the expensive part) re-evaluates per side (the same
-    # reuse argument as minhash_dedup_pairs' cache_tokens)
-    buckets = buckets.persist()
+    # both self-join sides consume the same bucket relation; the
+    # fingerprint pipeline (md5 votes) evaluates once per side.
+    # Deliberately NOT persisted: measured equal at sf0.1 with the
+    # cache (scripts/exp_persist.py — block write+read ≈ the recompute
+    # saved), and an operator-internal persist pins a corpus-sized
+    # relation past return with no release path — the memory hazard in
+    # a long-lived session (test_no_cached_rdds_after_dedup_operators).
     a = buckets.select(
         "c", "v", F.col("id").alias("id_a"), F.col("simhash").alias("_sa")
     )

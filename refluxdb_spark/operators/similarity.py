@@ -687,10 +687,12 @@ def rp_lsh_pairs(
     buckets = (
         fp.select("id", F.explode(band_structs).alias("_bb"))
         .select("id", F.col("_bb.band").alias("band"), F.col("_bb.bv").alias("bv"))
-        # both self-join sides read this; persist so the bits (the
-        # expensive part) compute once (same reuse argument as
-        # simhash_pairs)
-        .persist()
+        # both self-join sides read this; deliberately NOT persisted —
+        # measured FASTER without at sf0.1 (4.4 vs 5.0 s,
+        # scripts/exp_persist.py: the bit columns are cheap dot
+        # products, block write+read costs more than recompute), and an
+        # unreleased cache pins the relation across calls in a
+        # long-lived session (same decision as simhash_pairs).
     )
     a = buckets.select("band", "bv", F.col("id").alias("id_a"))
     b_side = buckets.select("band", "bv", F.col("id").alias("id_b"))

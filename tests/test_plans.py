@@ -214,6 +214,27 @@ def test_ivf_persisted_probe_partition_pruned(spark, sf_dir):
     )
 
 
+def test_no_cached_rdds_after_dedup_operators(spark, sf_dir):
+    """Cache-lifetime contract (VERDICT r5 item 3): pair operators must
+    not pin executor memory past their result — run each to completion
+    and assert the session holds zero cached RDDs. (The former
+    operator-internal persists had no release path; exp_persist.py
+    measured them a wash-or-loss at sf0.1, so they're gone.)"""
+    import refluxdb_spark.operators.dedup as D
+    import refluxdb_spark.operators.similarity as S
+    from refluxdb_spark.queries import load
+
+    spark.catalog.clearCache()
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    D.word_jaccard_pairs(docs, threshold=0.8, shingle=3, max_df=50).count()
+    D.minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.8).count()
+    D.simhash_pairs(docs, bits=32, chunks=4, max_hamming=3, max_bucket=100).count()
+    S.rp_lsh_pairs(emb).count()
+    cached = spark.sparkContext._jsc.getPersistentRDDs()
+    assert cached.size() == 0, f"cached RDDs leaked: {cached}"
+
+
 def test_incremental_dedup_index_pruned(spark, sf_dir):
     """The persisted-MinHash-index probe must scan the bucket table
     with a dynamic-partition-pruning filter on bp (the bucket-prefix
