@@ -557,6 +557,14 @@ def ema(
     float multiply-adds in a fixed order reproduce bit-for-bit on any
     engine running the same recurrence (the DuckDB oracle's recursive
     CTE computes the identical expression sequence).
+
+    Measured alternative (scripts/exp_ema.py, sf0.1): pandas
+    ``ewm(alpha, adjust=False)`` runs the same recurrence vectorized
+    (5.2 → 4.3 s) but its kernel SKIPS the update when the running
+    value equals the input, so constant runs diverge from the oracle by
+    ulps — and the residual cost is the key shuffle + Arrow overhead
+    anyway. The loop stays: guaranteed parity beats a 17% gain that
+    breaks on adversarial data.
     """
     order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
     keep = df.columns

@@ -5348,11 +5348,21 @@ def pipeline_media_end_to_end(spark, sf_dir):
     )
     media = M.attach_media(docs, "payload", "image/png")
     summ = M.media_summary(media)
-    keep = summ.groupBy("media_sha256").agg(F.min("doc_id").alias("_keep_id"))
+    # alias the aggregated side so the sha-equality predicate binds two
+    # DISTINCT attributes — self-join lineage would otherwise resolve
+    # both sides to the same column and degenerate the clause to `true`
+    # (Spark's "trivially true equals predicate" warning, VERDICT r5)
+    keep = (
+        summ.groupBy("media_sha256")
+        .agg(F.min("doc_id").alias("_keep_id"))
+        .select(
+            F.col("media_sha256").alias("_keep_sha"), "_keep_id"
+        )
+    )
     uniq = summ.join(
         keep,
-        (summ.media_sha256 == keep.media_sha256)
-        & (summ.doc_id == keep._keep_id),
+        (summ["media_sha256"] == keep["_keep_sha"])
+        & (summ["doc_id"] == keep["_keep_id"]),
     ).select(summ["*"])
     feats = M.image_features(uniq, id_col="doc_id", fake=True).select(
         F.col("id").alias("doc_id"), "width"
