@@ -30,6 +30,7 @@ Compat flags (quirk register, SURVEY §7):
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from datetime import datetime, timezone
 
@@ -42,6 +43,38 @@ from refluxdb_spark.schema import MEASUREMENT_COLUMNS, MEASUREMENTS_SCHEMA
 from refluxdb_spark.sources.lineprotocol import explode_fields, parse_lines_df
 
 _TABLE = "measurements"
+
+
+def _ROLLUP_AGGS() -> list:
+    """The continuous aggregate's measure set — shared verbatim by
+    ``maintain_rollup`` (build) and ``bucket_stats`` (query-time
+    fallback) so routed and unrouted reads are bit-identical. The sum
+    accumulates in decimal(18,2): exact for 2-decimal field values, so
+    neither shuffle order nor split between rollup build and read can
+    perturb it."""
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    ]
+
+
+# The canonical dashboard aggregate a continuous rollup exists to serve
+# (TimescaleDB's real-time-aggregate shape). Deliberately template-level:
+# the gateway is token-validated, not AST-parsed, so routing matches the
+# exact shape rather than guessing at arbitrary SQL.
+_CANONICAL_BUCKET_RE = re.compile(
+    r"^select\s+date_trunc\(\s*'(hour|minute|day)'\s*,\s*time\s*\)\s+as\s+bucket_start\s*,"
+    r"\s*count\(\s*\*\s*\)\s+as\s+n\s*,"
+    r"\s*sum\(\s*value\s*\)\s+as\s+sum_value\s*,"
+    r"\s*min\(\s*value\s*\)\s+as\s+min_value\s*,"
+    r"\s*max\(\s*value\s*\)\s+as\s+max_value"
+    r"\s+from\s+([A-Za-z_]\w*)"
+    r"\s+group\s+by\s+(?:1|bucket_start)"
+    r"(?:\s+order\s+by\s+bucket_start(?:\s+asc)?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 class RefluxEngine:
@@ -409,17 +442,122 @@ class RefluxEngine:
                 # (reference .unwrap()s the registry lookup, persistence.rs:199).
                 raise TableNotFoundError(f"table not found: {base}")
 
-    def query(self, q: str) -> DataFrame:
+    def query(self, q: str, prefer_rollup: bool = False) -> DataFrame:
         """``POST /query`` (``handlers.rs:70-93`` /
         ``persistence.rs:146-163``): validate, route ``FROM <series>``
         through per-series temp views, run through Catalyst.
+
+        ``prefer_rollup=True`` turns the maintained continuous
+        aggregate (``maintain_rollup`` — the reference's never-built
+        'Pre-calculated stats' TODO, ``persistence.rs:40``) into a
+        QUERY-TIME accelerator: a query matching the canonical
+        time-bucket-aggregate template
+
+            SELECT date_trunc('<unit>', time) AS bucket_start,
+                   count(*) AS n, sum(value) AS sum_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM <series> GROUP BY bucket_start|1
+
+        is answered from the rollup table when it is FRESH
+        (``rollup_fresh``: recorded bucket grain matches and no
+        (series, day) partition changed since maintenance), falling
+        back to an equivalent base-table aggregation otherwise — both
+        via ``bucket_stats``, so routed and fallback results are
+        IDENTICAL (the sum is the rollup's exact decimal(18,2)
+        accumulation in either path; that is a strictly stronger
+        guarantee than raw double ``sum(value)``). Non-matching
+        queries run unrouted. Eligibility is template-level by design:
+        the SQL surface is token-validated, not AST-parsed, and the
+        canonical dashboard aggregate is the shape a continuous
+        aggregate exists to serve.
 
         Returns the DataFrame (lazy); ``query_rows`` materializes with
         the reference's decoder semantics.
         """
         tables = validate_query(q, strict_compat=self.strict_compat)
+        if prefer_rollup:
+            m = _CANONICAL_BUCKET_RE.match(q.strip())
+            if m:
+                unit, series = m.group(1).lower(), m.group(2)
+                return self.bucket_stats(series, bucket=f"1 {unit}")
         self._ensure_views(tables)
         return self.spark.sql(q)
+
+    def rollup_fresh(self, name: str = "rollup_1h", bucket: str | None = None) -> bool:
+        """True iff the ``name`` rollup exists, records the asked
+        bucket grain, and its saved (series, day) partition manifest
+        matches the live table's — i.e. serving a query from it loses
+        nothing. Metadata-only (two listdirs per partition + one small
+        JSON read); no data touched."""
+        import json
+
+        from refluxdb_spark.storage import VersionedPath
+
+        manifest_path = os.path.join(self.warehouse, name + "._manifest.json")
+        vp = VersionedPath(os.path.join(self.warehouse, name))
+        if not os.path.exists(manifest_path) or not os.path.isdir(vp.current()):
+            return False
+        try:
+            with open(manifest_path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            return False
+        if "partitions" not in data:
+            return False  # legacy manifest: bucket grain unrecorded → stale
+        if bucket is not None and data.get("bucket") != bucket:
+            return False
+        return data["partitions"] == self._partition_manifest()
+
+    def bucket_stats(
+        self,
+        series: str,
+        field: str | None = None,
+        bucket: str = "1 hour",
+        name: str = "rollup_1h",
+        prefer_rollup: bool = True,
+    ) -> DataFrame:
+        """Per-bucket (n, sum, min, max) for one series — the canonical
+        continuous-aggregate read. ``field=None`` spans every field
+        name (the ``sum(value) FROM <series>`` semantics of the routed
+        SQL template); a field name restricts to that field.
+
+        When the rollup is fresh this is a scan of the small
+        pre-aggregated table re-aggregated from per-(series, name)
+        grain to per-bucket grain — cost ∝ buckets, not rows. The
+        re-aggregation stays EXACT: each stored sum_value is a
+        decimal(18,2) total (its double form round-trips back to
+        decimal losslessly), so summing across field names in decimal
+        is order-free and bit-identical to the base-table fallback,
+        which aggregates raw rows with the same ``_ROLLUP_AGGS``
+        expressions."""
+        from refluxdb_spark.operators.timeseries import time_bucket
+        from refluxdb_spark.storage import VersionedPath
+
+        if not self.series_exists(series):
+            raise TableNotFoundError(f"table not found: {series}")
+        reagg = [
+            F.sum("n").alias("n"),
+            F.sum(F.col("sum_value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        ]
+        if prefer_rollup and self.rollup_fresh(name, bucket):
+            vp = VersionedPath(os.path.join(self.warehouse, name))
+            r = self.spark.read.parquet(vp.current()).filter(F.col("series") == series)
+            if field is not None:
+                r = r.filter(F.col("name") == field)
+            return (
+                r.groupBy("bucket_start")
+                .agg(*reagg)
+                .select("bucket_start", "n", "sum_value", "min_value", "max_value")
+            )
+        base = self._table().filter(F.col("series") == series)
+        if field is not None:
+            base = base.filter(F.col("name") == field)
+        return time_bucket(
+            base, ts_col="time", bucket=bucket, by=["series"],
+            aggs=_ROLLUP_AGGS(),
+        ).select("bucket_start", "n", "sum_value", "min_value", "max_value")
 
     def query_rows(self, q: str) -> list[dict]:
         """Materialized query with reference decoder semantics
@@ -494,12 +632,7 @@ class RefluxEngine:
         from refluxdb_spark.operators.timeseries import time_bucket
         from refluxdb_spark.storage import VersionedPath
 
-        aggs = [
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        ]
+        aggs = _ROLLUP_AGGS()
         vp = VersionedPath(os.path.join(self.warehouse, name))
         manifest_path = os.path.join(self.warehouse, name + "._manifest.json")
         manifest = self._partition_manifest()
@@ -509,6 +642,10 @@ class RefluxEngine:
             try:
                 with open(manifest_path) as f:
                     prev = json.load(f)
+                # current format records {"bucket":…, "partitions":…};
+                # pre-routing manifests were the bare partition dict
+                if "partitions" in prev:
+                    prev = prev["partitions"]
             except (OSError, ValueError):
                 prev = {}
 
@@ -560,7 +697,9 @@ class RefluxEngine:
         commit()
         vp.vacuum()
         with open(manifest_path, "w") as f:
-            json.dump(manifest, f)
+            # bucket grain recorded so rollup_fresh can refuse to serve
+            # a query at a different grain than the rollup holds
+            json.dump({"bucket": bucket, "partitions": manifest}, f)
         self.spark.read.parquet(vp.current()).createOrReplaceTempView(name)
 
     def wide(self, series: str, fields: list[str] | None = None) -> DataFrame:

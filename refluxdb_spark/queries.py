@@ -897,6 +897,57 @@ def ts_streaming_rollup_durable(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register(
+    "ts_rollup_routed",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events WHERE event_type = 'error' GROUP BY 1
+    """,
+)
+def ts_rollup_routed(spark, sf_dir):
+    """Rollup-ROUTED canonical aggregate (engine.query(prefer_rollup=
+    True) → bucket_stats): the reference's 'pre-calculated stats' TODO
+    (persistence.rs:40) actually serving queries. Events land in an
+    engine warehouse (series=event_type), maintain_rollup materializes
+    the hourly continuous aggregate, and the canonical dashboard SQL is
+    answered FROM the rollup — a scan of the pre-aggregated table, not
+    the raw rows (plan fence: test_engine.py::test_rollup_routed_query;
+    freshness fallback covered there too). The oracle aggregates the
+    raw events directly, proving the routed read loses nothing. The
+    warehouse is cached per (sf_dir, events mtime) so repeated runs
+    measure the routed read, mirroring sim_ivf_persisted_topk."""
+    import os as _os
+
+    from refluxdb_spark.engine import RefluxEngine
+
+    mtime = int(_os.stat(f"{sf_dir}/events.parquet").st_mtime)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    eng = RefluxEngine(spark, f"/tmp/refluxdb_spark_rollup/{tag}_{mtime}")
+    if not eng.series_exists("error"):
+        ev = load(spark, sf_dir, "events")
+        eng.write_dataframe(
+            ev.select(
+                F.col("event_type").alias("series"),
+                F.expr("unix_micros(ts) * 1000").alias("ts"),
+                F.lit("value").alias("name"),
+                F.col("value").alias("value"),
+                F.create_map().cast("map<string,string>").alias("tags"),
+            )
+        )
+    if not eng.rollup_fresh("rollup_1h", "1 hour"):
+        eng.maintain_rollup(bucket="1 hour", name="rollup_1h", incremental=True)
+    return eng.query(
+        "SELECT date_trunc('hour', time) AS bucket_start, count(*) AS n, "
+        "sum(value) AS sum_value, min(value) AS min_value, "
+        "max(value) AS max_value FROM error GROUP BY bucket_start",
+        prefer_rollup=True,
+    )
+
+
 # =====================================================================
 # D. Large-scale pipeline operators (dedup / similarity / text /
 #    multimodal) — first-class components per BASELINE.json north star

@@ -198,6 +198,60 @@ def test_maintain_rollup_and_query(spark, tmp_path):
     assert len(rows) == 2
 
 
+def test_rollup_routed_query(spark, tmp_path):
+    """Rollup-aware routing (VERDICT r5 item 5): the canonical bucket
+    aggregate is served FROM the maintained rollup when fresh (plan
+    scans the rollup parquet, not the base table), falls back to the
+    base table when stale, and both paths return identical rows."""
+    eng = RefluxEngine(spark, str(tmp_path / "wh_route"))
+    eng.write_lines([
+        "cpuroute usage=0.5 1700000000000000000",
+        "cpuroute usage=0.7 1700000060000000000",
+        "cpuroute usage=0.9 1700010000000000000",
+    ])
+    q = (
+        "SELECT date_trunc('hour', time) AS bucket_start, count(*) AS n, "
+        "sum(value) AS sum_value, min(value) AS min_value, "
+        "max(value) AS max_value FROM cpuroute GROUP BY bucket_start"
+    )
+
+    def scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [l for l in plan.splitlines() if "FileScan" in l]
+
+    # stale (never maintained): routed query falls back to the base table
+    df_stale = eng.query(q, prefer_rollup=True)
+    assert not eng.rollup_fresh()
+    assert all("rollup_1h" not in l for l in scans(df_stale))
+    stale_rows = {tuple(r) for r in df_stale.collect()}
+    assert len(stale_rows) == 2 and sum(r[1] for r in stale_rows) == 3
+
+    eng.maintain_rollup()  # freshen
+    assert eng.rollup_fresh("rollup_1h", "1 hour")
+    df_routed = eng.query(q, prefer_rollup=True)
+    assert any("rollup_1h" in l for l in scans(df_routed)), "plan must read the rollup"
+    assert all(_TABLE_DIR not in l for l in scans(df_routed))
+    assert {tuple(r) for r in df_routed.collect()} == stale_rows
+
+    # grain mismatch: hourly rollup must not serve a daily query
+    daily = q.replace("'hour'", "'day'")
+    assert all("rollup_1h" not in l for l in scans(eng.query(daily, prefer_rollup=True)))
+
+    # new write invalidates: routed query reads base again, sees the row
+    eng.write_lines(["cpuroute usage=0.1 1700020000000000000"])
+    assert not eng.rollup_fresh()
+    df_after = eng.query(q, prefer_rollup=True)
+    assert all("rollup_1h" not in l for l in scans(df_after))
+    assert sum(r.n for r in df_after.collect()) == 4
+
+    # prefer_rollup=False never routes even when fresh
+    eng.maintain_rollup()
+    assert all("rollup_1h" not in l for l in scans(eng.query(q)))
+
+
+_TABLE_DIR = "/measurements/"
+
+
 def test_wide_view(spark, tmp_path):
     eng = RefluxEngine(spark, str(tmp_path / "wh6"))
     eng.write_lines(["m,host=a usage=0.5,temp=60.0 1700000000000000000"])

@@ -214,6 +214,19 @@ def test_ivf_persisted_probe_partition_pruned(spark, sf_dir):
     )
 
 
+def test_rollup_routed_query_reads_rollup(spark, sf_dir):
+    """ts_rollup_routed must be served from the maintained rollup
+    table (continuous-aggregate payoff), never the raw measurements —
+    scan set contains rollup_1h and no measurements path."""
+    df = QUERIES["ts_rollup_routed"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert any("rollup_1h" in l for l in scans), f"rollup not read: {scans}"
+    assert all("/measurements/" not in l for l in scans), (
+        f"routed query still scans the base table: {scans}"
+    )
+
+
 def test_no_cached_rdds_after_dedup_operators(spark, sf_dir):
     """Cache-lifetime contract (VERDICT r5 item 3): pair operators must
     not pin executor memory past their result — run each to completion
