@@ -206,14 +206,22 @@ class RefluxEngine:
         )
         n_files = max(1, n_bytes // (target_file_mb * 1024 * 1024))
         new_dir, commit = self._data.begin_rewrite()
-        (
-            df.repartition(int(n_files), "series")
-            .sortWithinPartitions("series", "time")
-            .write.mode("overwrite")
-            .partitionBy("series", "day")
-            .parquet(new_dir)
-        )
-        commit()
+        try:
+            (
+                df.repartition(int(n_files), "series")
+                .sortWithinPartitions("series", "time")
+                .write.mode("overwrite")
+                .partitionBy("series", "day")
+                .parquet(new_dir)
+            )
+            commit()
+        except BaseException:
+            # an IN-PROCESS failure (failed write, stale-pointer commit)
+            # must not wedge later maintenance behind the claimed dir:
+            # discard it and re-raise. Fail-fast stays for genuinely
+            # concurrent/crashed claims (begin_rewrite's exclusive mkdir).
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
         if vacuum:
             self._data.vacuum()
         self._views.clear()
@@ -236,27 +244,32 @@ class RefluxEngine:
         if not os.path.exists(src):
             return
         new_dir, commit = self._data.begin_rewrite()
-        for series_ent in os.listdir(src):
-            if not series_ent.startswith("series="):
-                continue
-            sdir = os.path.join(src, series_ent)
-            for day_ent in os.listdir(sdir) if os.path.isdir(sdir) else []:
-                if not day_ent.startswith("day="):
+        try:
+            for series_ent in os.listdir(src):
+                if not series_ent.startswith("series="):
                     continue
-                if day_ent[len("day="):] < cutoff:  # ISO dates sort lexically
-                    continue
-                src_part = os.path.join(sdir, day_ent)
-                dst_part = os.path.join(new_dir, series_ent, day_ent)
-                os.makedirs(dst_part, exist_ok=True)
-                for f in os.listdir(src_part):
-                    if f.startswith(("_", ".")):
+                sdir = os.path.join(src, series_ent)
+                for day_ent in os.listdir(sdir) if os.path.isdir(sdir) else []:
+                    if not day_ent.startswith("day="):
                         continue
-                    s, d = os.path.join(src_part, f), os.path.join(dst_part, f)
-                    try:
-                        os.link(s, d)
-                    except OSError:
-                        shutil.copy2(s, d)
-        commit()
+                    if day_ent[len("day="):] < cutoff:  # ISO dates sort lexically
+                        continue
+                    src_part = os.path.join(sdir, day_ent)
+                    dst_part = os.path.join(new_dir, series_ent, day_ent)
+                    os.makedirs(dst_part, exist_ok=True)
+                    for f in os.listdir(src_part):
+                        if f.startswith(("_", ".")):
+                            continue
+                        s, d = os.path.join(src_part, f), os.path.join(dst_part, f)
+                        try:
+                            os.link(s, d)
+                        except OSError:
+                            shutil.copy2(s, d)
+            commit()
+        except BaseException:
+            # see compact(): discard the claimed dir on in-process failure
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
         if vacuum:
             self._data.vacuum()
         self._views.clear()
@@ -294,12 +307,21 @@ class RefluxEngine:
             out.setdefault(r["series"], []).append(r["k"])
         return {k: sorted(v) for k, v in out.items()}
 
-    def tag_values(self, key: str, series: str | None = None) -> dict[str, list[str]]:
+    def tag_values(
+        self, key: str, series: str | None = None, limit: int = 10000
+    ) -> dict[str, list[str]]:
         """``SHOW TAG VALUES WITH KEY = <key>``: distinct values of one
         tag key per series (the third of Influx's schema-exploration
         trio after SHOW FIELD KEYS / SHOW TAG KEYS). One map lookup +
         distinct — no explode of the whole tag map — and
-        partition-pruned when a series is given."""
+        partition-pruned when a series is given.
+
+        Schema exploration returns SMALL results by contract; a tag
+        with unbounded cardinality (request id, user id) would
+        otherwise collect unbounded rows to the driver, so the distinct
+        set is capped at ``limit`` (default 10k) and exceeding it
+        raises ``ValidationError`` — the caller asked a data question
+        (use ``query``/``sql``), not a schema question."""
         df = self._table()
         if series is not None:
             df = df.filter(F.col("series") == series)
@@ -307,8 +329,15 @@ class RefluxEngine:
             df.select("series", F.col("tags")[key].alias("v"))
             .filter(F.col("v").isNotNull())
             .distinct()
+            .limit(limit + 1)
             .collect()
         )
+        if len(rows) > limit:
+            raise ValidationError(
+                f"tag key {key!r} exceeds {limit} distinct values — not a "
+                "schema-exploration question; query the data instead "
+                "(or raise limit=)"
+            )
         out: dict[str, list[str]] = {}
         for r in rows:
             out.setdefault(r["series"], []).append(r["v"])
@@ -693,8 +722,13 @@ class RefluxEngine:
         # same pointer-file commit as compact(): rewrite to a fresh
         # version dir, go live with one small-file PUT, vacuum the old
         new_dir, commit = vp.begin_rewrite()
-        df.write.mode("overwrite").parquet(new_dir)
-        commit()
+        try:
+            df.write.mode("overwrite").parquet(new_dir)
+            commit()
+        except BaseException:
+            # see compact(): discard the claimed dir on in-process failure
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
         vp.vacuum()
         with open(manifest_path, "w") as f:
             # bucket grain recorded so rollup_fresh can refuse to serve

@@ -215,7 +215,15 @@ def audio_features(
                 ) from None
             duration_ms = int(round(nf / sr * 1000)) if sr else 0
             dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
-            if dtype is None or not frames:
+            if dtype is None:
+                # 24-bit PCM (sampwidth 3) has no numpy dtype; a silent
+                # rms of 0.0 would be a WRONG answer, not a degraded one
+                raise NotImplementedError(
+                    f"WAV sample width {sw} bytes unsupported (stdlib "
+                    "decode handles 8/16/32-bit PCM); pass fake=True or "
+                    "convert the audio"
+                )
+            if not frames:
                 return duration_ms, sr, 0.0
             x = np.frombuffer(frames, dtype=dtype).astype(np.float64)
             if sw == 1:

@@ -5015,6 +5015,8 @@ def dedup_components_chain(spark, sf_dir):
     O(log diameter) rounds; the recursive-CTE oracle replays full
     reachability. Complements dedup_components[_minhash], whose
     near-clique inputs are the easy case."""
+    import math
+
     docs = load(spark, sf_dir, "documents").select("doc_id")
     nxt = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")).filter(
         F.col("id_a") >= 0
@@ -5022,7 +5024,12 @@ def dedup_components_chain(spark, sf_dir):
     chain = docs.select(F.col("doc_id").alias("id_a")).join(
         nxt, "id_a"
     )
-    return D.connected_components(chain, max_iter=15, pointer_jumping=True)
+    # pointer jumping converges in ~log2(chain length) rounds, so bound
+    # iterations by the ACTUAL node count (+slack), not a constant — a
+    # hardcoded 15 would spuriously raise past ~32k docs (ADVICE r5)
+    n = docs.count()
+    iters = max(8, math.ceil(math.log2(max(n, 2))) + 4)
+    return D.connected_components(chain, max_iter=iters, pointer_jumping=True)
 
 
 @register(

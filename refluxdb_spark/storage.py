@@ -26,7 +26,9 @@ stand-in for a conditional PUT / lock service on a real object store),
 so a second rewriter raises ``ConcurrentRewriteError`` instead of
 silently allocating the same version; ``commit`` additionally
 re-checks the pointer it was based on and raises rather than clobber a
-commit that landed in between. Appends racing a rewrite remain the
+commit that landed in between — the local read-check-write is
+serialized by an O_EXCL lock file (on a real object store both steps
+collapse into one if-match conditional PUT). Appends racing a rewrite remain the
 caller's contract (run compaction from the ingest owner) — same as any
 OPTIMIZE-style operation without a transaction log. Readers are safe
 at every instant. A crashed rewrite leaves an orphan version dir that
@@ -128,25 +130,47 @@ class VersionedPath:
     def _commit(self, version: int, expected_base: int) -> None:
         # Conditional commit: if the pointer moved since begin_rewrite,
         # this rewrite was based on stale data — raise instead of
-        # silently dropping the interleaved commit. (On a real object
-        # store: an if-match/ETag conditional PUT.)
-        live = self._read_pointer() or 0
-        if live != expected_base:
+        # silently dropping the interleaved commit. On a real object
+        # store this check-then-write is ONE if-match/ETag conditional
+        # PUT; a local read-check-write is not atomic, so it is
+        # serialized with an O_EXCL lock file (two committers passing
+        # the check concurrently could otherwise interleave the final
+        # pointer write). A committer that crashes inside the lock
+        # leaves it behind — fail-fast, cleared by ``clear_orphans()``.
+        lock = self._pointer + ".lock"
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
             raise ConcurrentRewriteError(
-                f"pointer moved {expected_base} -> {live} since "
-                f"begin_rewrite; not committing stale version {version}"
-            )
-        # Direct single-file write = the local stand-in for an object
-        # PUT. Deliberately NOT write-temp-then-rename: the whole point
-        # is to assume nothing beyond atomic single-object replace.
-        with open(self._pointer, "w") as f:
-            f.write(str(version))
+                f"commit lock held at {lock}: another commit is in "
+                "flight, or a crashed committer left it (clear_orphans() "
+                "removes stale locks)"
+            ) from None
+        os.close(fd)
+        try:
+            live = self._read_pointer() or 0
+            if live != expected_base:
+                raise ConcurrentRewriteError(
+                    f"pointer moved {expected_base} -> {live} since "
+                    f"begin_rewrite; not committing stale version {version}"
+                )
+            # Direct single-file write = the local stand-in for an object
+            # PUT. Deliberately NOT write-temp-then-rename: the whole point
+            # is to assume nothing beyond atomic single-object replace.
+            with open(self._pointer, "w") as f:
+                f.write(str(version))
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
 
     def clear_orphans(self) -> list[str]:
         """Remove version dirs NEWER than the live pointer — these were
-        never committed (in-progress or crashed rewrites). Returns the
-        removed paths. Only call when no rewrite is legitimately in
-        flight (single-administrator action, like Delta's FSCK)."""
+        never committed (in-progress or crashed rewrites) — and any
+        stale commit lock a crashed committer left. Returns the removed
+        paths. Only call when no rewrite is legitimately in flight
+        (single-administrator action, like Delta's FSCK)."""
         live_v = self._read_pointer() or 0
         removed = []
         for v in self.versions():
@@ -154,6 +178,13 @@ class VersionedPath:
                 path = f"{self.base}._v{v}"
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(path)
+        lock = self._pointer + ".lock"
+        if os.path.exists(lock):
+            try:
+                os.remove(lock)
+                removed.append(lock)
+            except OSError:
+                pass
         return removed
 
     def vacuum(self) -> None:

@@ -474,3 +474,57 @@ def test_tag_values_listing(spark, tmp_path):
     assert eng.tag_values("region") == {"cpu": ["us"]}
     assert eng.tag_values("host", series="cpu") == {"cpu": ["a", "b"]}
     assert eng.tag_values("nosuch") == {}
+    # driver-safety cap (VERDICT r5 item 7): an unbounded-cardinality
+    # tag is a data question, not a schema question — clean error, no
+    # unbounded collect
+    with pytest.raises(ValidationError, match="distinct values"):
+        eng.tag_values("host", limit=2)
+    assert eng.tag_values("host", limit=3) == {"cpu": ["a", "b"], "mem": ["c"]}
+
+
+def test_maintenance_failure_cleans_claimed_version(spark, tmp_path, monkeypatch):
+    """ADVICE r5: an IN-PROCESS maintenance failure (failed write or
+    failed commit) must remove the claimed version dir instead of
+    wedging every later maintenance run behind ConcurrentRewriteError."""
+    from unittest import mock
+
+    from refluxdb_spark.storage import _Commit
+
+    eng = RefluxEngine(spark, str(tmp_path / "wh_fail"))
+    for i in range(3):
+        eng.write_lines([f"s v={i}.0 {1700000000000000000 + i * 10**9}"])
+
+    # rollup build: commit blows up -> claimed dir discarded, retry works
+    with mock.patch.object(_Commit, "__call__", side_effect=RuntimeError("boom")):
+        with pytest.raises(RuntimeError, match="boom"):
+            eng.maintain_rollup()
+    eng.maintain_rollup()  # must not raise ConcurrentRewriteError
+    assert sum(r.n for r in eng.query("SELECT * FROM rollup_1h").collect()) == 3
+
+    # compact: the Spark write itself fails -> same contract
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    with mock.patch.object(
+        DataFrameWriter, "parquet", side_effect=RuntimeError("disk full")
+    ):
+        with pytest.raises(RuntimeError, match="disk full"):
+            eng.compact()
+    eng.compact()
+    assert len(eng.query_rows("SELECT * FROM s")) == 3
+
+
+def test_commit_lock_serializes_and_clears(tmp_path):
+    """storage commit is guarded by an O_EXCL lock file: a stale lock
+    (crashed committer) fails fast and clear_orphans removes it."""
+    from refluxdb_spark.storage import ConcurrentRewriteError, VersionedPath
+
+    vp = VersionedPath(str(tmp_path / "t"))
+    new_dir, commit = vp.begin_rewrite()
+    open(vp._pointer + ".lock", "x").close()  # crashed committer's leftover
+    with pytest.raises(ConcurrentRewriteError, match="commit lock"):
+        commit()
+    removed = vp.clear_orphans()  # discards the claimed dir AND the lock
+    assert any(p.endswith(".lock") for p in removed)
+    d2, commit2 = vp.begin_rewrite()
+    commit2()
+    assert vp.current() == d2

@@ -1368,6 +1368,30 @@ def test_audio_features_real_wav_decode(spark):
     assert got[2].rms_energy == pytest.approx(32767 / 32768, rel=1e-4)
 
 
+def test_audio_features_24bit_wav_raises(spark):
+    """ADVICE r5: 24-bit PCM (sampwidth 3) has no numpy dtype — it must
+    raise like other unsupported formats, not silently report RMS 0.0
+    beside otherwise-valid metadata."""
+    import io
+    import wave
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from refluxdb_spark.operators.multimodal import attach_media, audio_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x40" * 100)
+    df = spark.createDataFrame([(1, buf.getvalue())], "id long, payload binary")
+    media = attach_media(df, "payload", "audio/wav")
+    with pytest.raises((PythonException, Py4JJavaError), match="sample width"):
+        audio_features(media, fake=False).collect()
+
+
 def test_audio_features_non_wav_raises(spark):
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import PythonException
