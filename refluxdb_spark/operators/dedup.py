@@ -583,6 +583,32 @@ def save_minhash_index(
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def append_to_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Index an ingest batch's (deduped) survivors into the persisted
+    MinHash index — the WRITE half of the daily loop: probe
+    (``dedup_against_index``) → keep novel docs → append them so the
+    NEXT batch dedups against them too. Fingerprints with the hash
+    family recorded in ``{path}/meta`` (never the caller's idea of it);
+    rows append as new files into the same bucket-prefix partition
+    layout — object-store append semantics, no rewrite of existing
+    index files."""
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").head()
+    sig = minhash_signatures(df, text_col, id_col, meta.num_hashes, meta.shingle)
+    buckets = _band_buckets_with_sig(sig, meta.num_hashes, meta.bands)
+    (
+        buckets.repartition("bp")
+        .write.mode("append")
+        .partitionBy("bp")
+        .parquet(f"{path}/buckets")
+    )
+
+
 def dedup_against_index(
     spark,
     path: str,
@@ -891,6 +917,44 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
     return labels
+
+
+def component_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    seed: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: every doc follows its
+    connected-component REPRESENTATIVE into the same split, so near-
+    duplicates never straddle the train/eval boundary — the leakage a
+    pairwise dedup alone leaves open when splits hash per-doc. Docs in
+    no pair are their own singleton component. Split buckets come from
+    md5(seed:component) % 10 (0-7 train, 8 val, 9 test): deterministic
+    on any engine, partitioning, or run — the same hash family every
+    sampling operator here uses.
+
+    Scale: components via ``connected_components`` (bounded rounds on
+    near-clique dup graphs); singletons join back with one left-anti on
+    id; the split expression is a pure column. Returns (id, component,
+    split)."""
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    comps = connected_components(pairs, a_col, b_col)
+    singles = ids.join(comps, "id", "left_anti").withColumn(
+        "component", F.col("id")
+    )
+    allc = comps.unionByName(singles)
+    bucket = F.expr(
+        _H32.format(seed=f"{seed}:", col="cast(component as string)")
+    ) % 10
+    return allc.withColumn(
+        "split",
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
 
 
 def simhash(

@@ -1282,10 +1282,16 @@ def _lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
 ORACLES["dedup_minhash_lsh_pairs"] = _lsh_oracle(16, 4)
 
 
-def _incremental_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+def _incremental_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    new_pred: str = "n.id % 10 = 0",
+    idx_pred: str = "c.id % 10 <> 0",
+) -> str:
     """Replay of the persisted-index probe on the UNION: signatures +
-    band buckets for ALL docs, candidates = new-batch bucket ∩ corpus
-    bucket, est_jaccard = matching signature components / num_hashes."""
+    band buckets for ALL docs, candidates = new-batch bucket ∩ indexed
+    bucket (membership spelled by the two predicates), est_jaccard =
+    matching signature components / num_hashes."""
     rpb = num_hashes // bands
     mins = ",\n               ".join(
         f"min((h1 + {i} * h2) % 4294967296) AS h{i}" for i in range(num_hashes)
@@ -1317,7 +1323,7 @@ def _incremental_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     cand AS (
         SELECT DISTINCT n.id AS new_id, c.id AS index_id
         FROM buckets n JOIN buckets c ON n.bucket = c.bucket
-        WHERE n.id % 10 = 0 AND c.id % 10 <> 0
+        WHERE {new_pred} AND {idx_pred}
     )
     SELECT cand.new_id, cand.index_id,
            CAST(({match_sum}) AS DOUBLE) / {num_hashes} AS est_jaccard
@@ -1325,6 +1331,98 @@ def _incremental_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     JOIN sig a ON a.id = cand.new_id
     JOIN sig b ON b.id = cand.index_id
     """
+
+
+@register(
+    "dedup_split_assign",
+    f"""
+    WITH RECURSIVE lshp AS (
+        SELECT id_a, id_b FROM ({_lsh_oracle(16, 4)}) q
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM lshp
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM lshp
+    ),
+    cc(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON cc.node = e.src
+    ),
+    comp AS (SELECT node AS id, min(label) AS component FROM cc GROUP BY node),
+    allc AS (
+        SELECT id, component FROM comp
+        UNION ALL
+        SELECT doc_id AS id, doc_id AS component FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM comp)
+    )
+    SELECT id, component,
+           CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT id, component,
+               CAST(concat('0x', substr(md5(concat('split:',
+                    CAST(component AS VARCHAR))), 1, 8)) AS BIGINT) % 10 AS b
+        FROM allc
+    )
+    """,
+)
+def dedup_split_assign(spark, sf_dir):
+    """Near-dup-aware train/val/test split (operators.dedup.
+    component_splits): docs follow their MinHash-near-dup component
+    representative into one split, so near-duplicates can never
+    straddle the train/eval boundary — the leakage left open when a
+    pipeline dedups pairwise but splits by per-doc hash. Components
+    from the verified LSH pipeline (>= 0.8 Jaccard), singletons split
+    by their own id; 80/10/10 via md5(split:component) % 10. The
+    oracle replays LSH pairs -> recursive reachability -> the same
+    md5 bucket arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.8, shingle=3
+    )
+    return D.component_splits(docs, pairs)
+
+
+@register(
+    "dedup_index_append_probe",
+    _incremental_oracle(
+        16, 4,
+        new_pred="n.id % 4 = 2",
+        idx_pred="(c.id % 2 = 1 OR c.id % 4 = 0)",
+    ),
+)
+def dedup_index_append_probe(spark, sf_dir):
+    """The FULL daily-ingest lifecycle (operators.dedup.
+    append_to_minhash_index): corpus (odd doc_ids) indexed once →
+    batch 1 (doc_id % 4 == 0) APPENDED into the index — new files in
+    the same bucket-prefix partitions, no rewrite — → batch 2
+    (doc_id % 4 == 2) probes and must see BOTH the original corpus and
+    batch 1. Proves index growth works without re-fingerprinting
+    anything already indexed; the oracle replays bucket assignment on
+    the union with index membership = corpus ∪ batch1."""
+    import os as _os
+    import shutil as _shutil
+
+    mtime = int(_os.stat(f"{sf_dir}/documents.parquet").st_mtime)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    index_path = f"/tmp/refluxdb_spark_mh_life/{tag}_{mtime}"
+    docs = load(spark, sf_dir, "documents")
+    done_marker = f"{index_path}/.lifecycle_done"
+    if not _os.path.exists(done_marker):
+        # two-step build: rebuild from scratch if a prior attempt died
+        _shutil.rmtree(index_path, ignore_errors=True)
+        D.save_minhash_index(
+            docs.filter(F.col("doc_id") % 2 == 1), index_path,
+            num_hashes=16, bands=4, shingle=3,
+        )
+        D.append_to_minhash_index(
+            docs.filter(F.col("doc_id") % 4 == 0), index_path
+        )
+        open(done_marker, "w").close()
+    return D.dedup_against_index(
+        spark, index_path, docs.filter(F.col("doc_id") % 4 == 2)
+    )
 
 
 @register("dedup_incremental_pairs", _incremental_oracle(16, 4))
@@ -5102,6 +5200,55 @@ def ts_streaming_dedup_keys(spark, sf_dir):
         watermark="365 days",
     )
     return out.select("user_id", "event_type")
+
+
+@register(
+    "ts_streaming_incremental_dedup",
+    _incremental_oracle(16, 4),
+)
+def ts_streaming_incremental_dedup(spark, sf_dir):
+    """Streaming incremental dedup (streaming.ingest.
+    stream_probe_index): the ingest batch (doc_id % 10 == 0) arrives
+    as a STREAM, and each micro-batch probes the same persisted
+    MinHash index dedup_incremental_pairs builds, landing pairs on the
+    idempotent batch-id sink. The probe is stateless per document, so
+    the union over micro-batches equals the one-shot batch probe —
+    hence the identical FULL value oracle. This is the daily-ingest
+    loop in its production form: index once, dedup forever, streaming
+    or batch."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    mtime = int(_os.stat(f"{sf_dir}/documents.parquet").st_mtime)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    index_path = f"/tmp/refluxdb_spark_mh/{tag}_{mtime}"
+    docs = load(spark, sf_dir, "documents")
+    if not _os.path.exists(f"{index_path}/buckets/_SUCCESS"):
+        D.save_minhash_index(
+            docs.filter(F.col("doc_id") % 10 != 0), index_path,
+            num_hashes=16, bands=4, shingle=3,
+        )
+    from refluxdb_spark.streaming.ingest import stream_probe_index
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    work = tempfile.mkdtemp(prefix="reflux_stream_probe_")
+    try:
+        out = stream_probe_index(
+            spark, src, index_path,
+            sink_path=f"{work}/sink", checkpoint_dir=f"{work}/ckpt",
+        )
+        return out.select(
+            "new_id", "index_id", "est_jaccard"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register(

@@ -196,3 +196,51 @@ def stream_rollup(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def stream_probe_index(
+    spark: SparkSession,
+    source: DataFrame,
+    index_path: str,
+    sink_path: str,
+    checkpoint_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming INCREMENTAL dedup — the streaming twin of
+    ``operators.dedup.dedup_against_index``: each micro-batch of newly
+    ingested documents fingerprints only itself and probes the
+    persisted MinHash index; its near-dup pairs land on parquet via
+    the idempotent batch-id sink (replayed batches overwrite their own
+    partition — exactly-once on disk). Because the probe is STATELESS
+    per document, the union over micro-batches equals the one-shot
+    batch probe, which is what gives this streaming operator a full
+    value oracle. State cost: zero (no watermark, no store); per-batch
+    cost ∝ batch size with the index scan partition-pruned to the
+    batch's own bucket prefixes.
+
+    Processes everything currently available (availableNow) and
+    returns the accumulated pair set.
+    """
+    from refluxdb_spark.operators.dedup import dedup_against_index
+    from refluxdb_spark.streaming.sinks import idempotent_append_sink, read_sink
+
+    sink = idempotent_append_sink(sink_path)
+
+    def _probe(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            dedup_against_index(spark, index_path, batch_df, text_col, id_col),
+            batch_id,
+        )
+
+    q = (
+        source.writeStream.foreachBatch(_probe)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{sink_path}_checkpoint",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_sink(spark, sink_path)

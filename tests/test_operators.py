@@ -211,6 +211,68 @@ def test_incremental_dedup_against_saved_index(spark, tmp_path):
     assert {(r.new_id, r.index_id) for r in allp} == {(100, 1)}
 
 
+def test_append_to_minhash_index_grows_probe_set(spark, tmp_path):
+    """append_to_minhash_index: batch 2 must see batch 1's docs after
+    they are appended — index growth without re-fingerprinting the
+    existing corpus (and with the index's own recorded hash family)."""
+    from refluxdb_spark.operators.dedup import (
+        append_to_minhash_index,
+        dedup_against_index,
+        save_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content with nothing shared at all here"
+    corpus = spark.createDataFrame(
+        [(1, "unrelated words entirely here now for sure")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_grow")
+    save_minhash_index(corpus, path, num_hashes=8, bands=4, shingle=3)
+
+    batch1 = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    batch2 = spark.createDataFrame([(20, base), (21, other)], "doc_id long, text string")
+
+    # before the append, batch2's dup of batch1 is invisible
+    assert dedup_against_index(spark, path, batch2).count() == 0
+    append_to_minhash_index(batch1, path)
+    got = {(r.new_id, r.index_id): r.est_jaccard
+           for r in dedup_against_index(spark, path, batch2).collect()}
+    assert set(got) == {(20, 10)}
+    assert got[(20, 10)] == 1.0
+
+
+def test_component_splits_no_straddle(spark):
+    """component_splits: every member of a near-dup component lands in
+    the SAME split; singletons get their own; buckets follow the
+    md5(seed:component) arithmetic exactly."""
+    import hashlib
+
+    from refluxdb_spark.operators.dedup import component_splits
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    rows = {r.id: (r.component, r.split) for r in component_splits(docs, pairs).collect()}
+    assert len(rows) == 7
+    assert rows[1][0] == rows[2][0] == rows[3][0] == 1   # chained component
+    assert rows[1][1] == rows[2][1] == rows[3][1]        # same split
+    assert rows[5][0] == rows[6][0] == 5
+    assert rows[5][1] == rows[6][1]
+    for singleton in (4, 7):
+        assert rows[singleton][0] == singleton
+
+    def expected_split(component):
+        b = int(hashlib.md5(f"split:{component}".encode()).hexdigest()[:8], 16) % 10
+        return "train" if b <= 7 else ("val" if b == 8 else "test")
+
+    for i, (comp, split) in rows.items():
+        assert split == expected_split(comp), (i, comp, split)
+
+
 def test_jaccard_max_df_caps_hot_token(spark):
     """Hot-key cap (VERDICT r01 item 4): a stop-token in 100% of docs
     must not force the quadratic all-pairs join when max_df is set."""

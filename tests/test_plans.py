@@ -238,14 +238,17 @@ def test_no_cached_rdds_after_dedup_operators(spark, sf_dir):
     from refluxdb_spark.queries import load
 
     spark.catalog.clearCache()
+    # delta-based: other tests' localCheckpoint blocks legitimately
+    # outlive them; THESE operators must add nothing to the set
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     D.word_jaccard_pairs(docs, threshold=0.8, shingle=3, max_df=50).count()
     D.minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.8).count()
     D.simhash_pairs(docs, bits=32, chunks=4, max_hamming=3, max_bucket=100).count()
     S.rp_lsh_pairs(emb).count()
-    cached = spark.sparkContext._jsc.getPersistentRDDs()
-    assert cached.size() == 0, f"cached RDDs leaked: {cached}"
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), f"cached RDDs leaked: {after - before}"
 
 
 def test_incremental_dedup_index_pruned(spark, sf_dir):

@@ -185,3 +185,44 @@ def test_stream_dedup_durable_sink_idempotent(spark, tmp_path):
         sink_path=out_path, checkpoint_dir=ck,
     )
     assert out2.count() == 3
+
+
+def test_stream_probe_index_matches_batch_probe(spark, tmp_path, sf_dir):
+    """stream_probe_index: the streamed ingest batch probing the
+    persisted MinHash index yields exactly the one-shot batch probe's
+    pair set (stateless per doc => union over micro-batches == batch),
+    through the idempotent batch-id sink."""
+    from refluxdb_spark.operators.dedup import (
+        dedup_against_index,
+        save_minhash_index,
+    )
+    from refluxdb_spark.streaming.ingest import stream_probe_index
+
+    docs = load(spark, sf_dir, "documents")
+    index_path = str(tmp_path / "mh_stream_idx")
+    save_minhash_index(
+        docs.filter(F.col("doc_id") % 10 != 0), index_path,
+        num_hashes=8, bands=4, shingle=3,
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    expected = {
+        (r.new_id, r.index_id, r.est_jaccard)
+        for r in dedup_against_index(spark, index_path, batch).collect()
+    }
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    out = stream_probe_index(
+        spark, src, index_path,
+        sink_path=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r.new_id, r.index_id, r.est_jaccard) for r in out.collect()
+    }
+    assert got == expected and expected
