@@ -5588,3 +5588,320 @@ def pipeline_media_end_to_end(spark, sf_dir):
         .join(F.broadcast(n_docs), "source")
         .select("source", "n_docs", "n_unique", "n_wide", "unique_bytes")
     )
+
+
+# =====================================================================
+# K. TPC-H completion (round 6) — the five remaining queries, adapted
+#    to the testdata schema (no partsupp table, no p_container /
+#    s_address / comment columns). The part-supplier relation is
+#    derived from lineitem — GROUP BY (l_partkey, l_suppkey) — which
+#    preserves each query's operator shape (correlated scalar min,
+#    HAVING vs scalar subquery, NOT IN, nested IN) while staying
+#    oracle-exact. With these, all 22 TPC-H query shapes are covered.
+# =====================================================================
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               min(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) AS ps_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, ps_cost,
+               min(ps_cost) OVER (PARTITION BY p_partkey) AS min_cost
+        FROM part
+        JOIN ps ON p_partkey = ps_partkey
+        JOIN eu ON ps_suppkey = s_suppkey
+        WHERE p_size <= 15 AND p_type = 'STANDARD'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey
+    FROM cand WHERE ps_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier), adapted: the part-supplier
+    relation is lineitem grouped by (l_partkey, l_suppkey) with unit
+    price min(l_extendedprice / l_quantity) standing in for
+    ps_supplycost, and the region filter keeps EUROPE suppliers. The
+    correlated scalar-min subquery is decorrelated into a window min
+    over p_partkey on the already-joined candidate set — no second
+    scan of the ps relation. Unit-price division is row-level (bit
+    exact in both engines) and min is order-independent, so the
+    equality `ps_cost = min_cost` is reproducible. At scale: part is
+    filtered before the join (broadcast), the eu supplier dim is tiny
+    (broadcast), and the only big shuffle is the (partkey, suppkey)
+    aggregate lineitem already needs."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("ps_cost")
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "n_name",
+        )
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    from pyspark.sql import Window
+
+    cand = (
+        ps.join(F.broadcast(p), ps.ps_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eu), ps.ps_suppkey == F.col("s_suppkey"))
+        .withColumn(
+            "min_cost",
+            F.min("ps_cost").over(Window.partitionBy("p_partkey")),
+        )
+    )
+    return (
+        cand.filter(F.col("ps_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            "n_name", "s_name", "p_partkey", "s_suppkey",
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    """
+    WITH profit AS (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(2,1))
+                 * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%bolt%'
+    )
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM profit GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 (product-type profit by nation and year), adapted:
+    ps_supplycost becomes 0.5 * p_retailprice (no partsupp table), so
+    amount = extprice*(1-disc) - 0.5*retailprice*qty, all in exact
+    decimals (scale-5 integers — identical in both engines, summed
+    order-independently). The p_name LIKE '%bolt%' filter prunes part
+    before the broadcast join; supplier->nation is a broadcast chain;
+    the one big shuffle is the orders join on l_orderkey, then the
+    final small groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = _tpch_rev() - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.5).cast("decimal(2,1)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH ps AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS val
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(val) AS t FROM ps)
+    SELECT l_partkey AS ps_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM ps
+    WHERE val > (SELECT t FROM tot) * CAST(0.001 AS DECIMAL(4,4))
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (important stock identification), adapted: the stock
+    value of a part from NATION_3's suppliers is the exact decimal sum
+    of that nation's lineitem extendedprice for the part (no partsupp
+    availqty). The HAVING-vs-scalar-subquery shape survives: one
+    aggregate per part, one global total consumed via broadcast, and
+    the threshold product stays in exact decimals so the > comparison
+    is reproducible. At scale the per-part aggregate is the only big
+    shuffle; the global total is a single-row broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nsup = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    ps = (
+        li.join(F.broadcast(nsup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).alias("val")
+        )
+    )
+    tot = ps.agg(
+        (F.sum("val") * F.lit(0.001).cast("decimal(4,4)")).alias("thresh")
+    )
+    return (
+        ps.join(F.broadcast(tot), ps.val > F.col("thresh"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_part_supplier_counts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship), adapted: the
+    part-supplier relation is DISTINCT (l_partkey, l_suppkey) from
+    lineitem, and the 'customer complaints' NOT IN exclusion keys on
+    s_acctbal < 0 (the schema has no comment column). The NOT IN
+    subquery is a broadcast anti-join (supplier is tiny); part is
+    filtered then broadcast; the distinct + count(distinct) pair share
+    the same (partkey, suppkey) shuffle key."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select(F.col("s_suppkey").alias("_bad_sk"))
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == F.col("_bad_sk"), "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    """
+    WITH pairs AS (
+        SELECT l_suppkey AS sk, l_partkey AS pk,
+               SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                        THEN CAST(l_quantity AS DECIMAL(14,2))
+                        ELSE CAST(0 AS DECIMAL(14,2)) END) AS qty_1996,
+               SUM(CAST(l_quantity AS DECIMAL(14,2))) AS qty_all
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+          SELECT sk FROM pairs
+          WHERE pk IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            AND qty_1996 > qty_all * CAST(0.5 AS DECIMAL(2,1))
+      )
+    ORDER BY s_name
+    """,
+)
+def tpch_q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: with no
+    partsupp.availqty, a supplier qualifies when, for some part with
+    name prefix 'small', MORE than half its all-time shipped quantity
+    of that part shipped inside 1996 — preserving the nested-IN +
+    correlated-half-sum shape (the two sums share one aggregate over
+    the (suppkey, partkey) key). Quantities are exact decimals so the
+    half comparison is reproducible; part's IN-list is a broadcast
+    semi-join; the qualifying-supplier set is a tiny distinct semi-
+    joined to the NATION_5 supplier dim."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(14,2)")
+    pairs = li.groupBy(
+        F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk")
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+                & (F.col("l_shipdate") < "1997-01-01 00:00:00"),
+                q,
+            ).otherwise(F.lit(0).cast("decimal(14,2)"))
+        ).alias("qty_1996"),
+        F.sum(q).alias("qty_all"),
+    )
+    small = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    qual = (
+        pairs.join(F.broadcast(small), pairs.pk == F.col("p_partkey"), "left_semi")
+        .filter(
+            F.col("qty_1996")
+            > F.col("qty_all") * F.lit(0.5).cast("decimal(2,1)")
+        )
+        .select("sk")
+        .distinct()
+    )
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(qual, sup.s_suppkey == qual.sk, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -121,6 +121,12 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "text_unigram_logprob": 4,        # vocab agg + token join + doc agg
         "text_winnowing_shared": 3,       # fp sharing agg + join + per-doc agg
         "sim_rp_lsh_pairs": 2,            # id-pair distinct; verify joins broadcast
+        # r6 TPC-H completion (budget = measured shape):
+        "tpch_q2_min_cost_supplier": 2,   # ps agg + per-part window min
+        "tpch_q9_product_type_profit": 1, # broadcast dims; one final agg
+        "tpch_q11_important_stock": 3,    # part agg + total + threshold join
+        "tpch_q16_part_supplier_counts": 3,  # distinct + anti join + count-distinct
+        "tpch_q20_potential_promotion": 3,   # pair agg + qual distinct + semi
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
