@@ -336,3 +336,78 @@ def winnow_shared_stats(
         )
         .filter(F.col("n_shared") > 0)
     )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """RefinedWeb-style line-wise (boilerplate) dedup: REMOVE every
+    ``chunk_words``-word span that occurs verbatim in >= ``min_docs``
+    distinct documents, and rebuild each document from its surviving
+    spans in original order. Whole-doc dedup keeps boilerplate stitched
+    into otherwise-unique pages; span *stats* (shared_chunk_stats)
+    only report it — this operator actually strips it, which is the
+    transformation a training-data pipeline applies before tokenizing.
+
+    Plan at scale: spans are built by array slicing beside the scan and
+    exploded once with their position; sharing is one groupBy on the
+    span hash (map-side combined, cost proportional to token count /
+    chunk_words); the rebuild is one groupBy on the doc id collecting
+    (position, span) pairs — two key shuffles total, never pairwise,
+    and the heavy text column rides only the explode/rebuild path, not
+    the frequency aggregate. Documents whose spans are all boilerplate
+    come back with empty clean_text (left join from the original ids).
+
+    Returns (id, n_chunks, n_removed, clean_text).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks_expr = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks_expr - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(spans).alias("idx", "chunk"),
+    ).withColumn("h", F.md5(F.col("chunk")))
+    # frequency aggregate carries only the 32-char hash, not the span
+    docs_per_hash = exploded.select("id", "h").groupBy("h").agg(
+        F.count_distinct("id").alias("_docs")
+    )
+    kept = (
+        exploded.join(docs_per_hash, "h")
+        .filter(F.col("_docs") < min_docs)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"), n_chunks_expr.cast("bigint").alias("n_chunks")
+    )
+    return (
+        totals.join(kept, "id", "left")
+        .select(
+            "id",
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -5905,3 +5905,61 @@ def tpch_q20_potential_promotion(spark, sf_dir):
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "text_boilerplate_removal",
+    """
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(w[(i-1)*8+1 : i*8], ' ') AS chunk
+        FROM words,
+             UNNEST(generate_series(1, CAST(ceil(len(w)/8.0) AS INT))) AS t(i)
+    ),
+    cnt AS (
+        SELECT md5(chunk) AS h, count(DISTINCT doc_id) AS docs
+        FROM chunks GROUP BY 1
+    ),
+    kept AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(chunk, ' ' ORDER BY idx)) AS clean_fp
+        FROM chunks JOIN cnt ON md5(chunk) = h
+        WHERE docs < 3
+        GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, CAST(ceil(len(w)/8.0) AS BIGINT) AS n_chunks
+        FROM words
+    )
+    SELECT t.doc_id, t.n_chunks,
+           CAST(t.n_chunks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(k.clean_fp, md5('')) AS clean_fp
+    FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    WHERE t.n_chunks - coalesce(k.n_kept, 0) > 0
+    """,
+)
+def text_boilerplate_removal(spark, sf_dir):
+    """RefinedWeb line-wise dedup (operators.text.boilerplate_removal):
+    strip every 8-word span shared verbatim by >= 3 documents and
+    rebuild the survivors in order. Reported here as the documents
+    that actually lost spans, with the md5 fingerprint of their
+    rebuilt text (the full clean_text column is the operator's real
+    output; the fingerprint keeps the oracle compact). Two key
+    shuffles — span-hash frequency and per-doc rebuild — never
+    pairwise; the frequency aggregate carries only 32-char hashes."""
+    docs = load(spark, sf_dir, "documents")
+    out = X.boilerplate_removal(
+        docs, text_col="text", id_col="doc_id", chunk_words=8, min_docs=3
+    )
+    return (
+        out.filter(F.col("n_removed") > 0)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_chunks",
+            "n_removed",
+            F.md5("clean_text").alias("clean_fp"),
+        )
+    )

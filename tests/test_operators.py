@@ -1525,3 +1525,50 @@ def test_mad_outlier_stats_by_hand(spark):
     # two-middle (integer-div) pick
     assert got["b"].median == 2.5 and got["b"].mad == 1.0
     assert (got["b"].n, got["b"].n_outliers) == (4, 1)
+
+
+def test_boilerplate_removal_by_hand(spark):
+    """Spans shared by >= min_docs are stripped; survivors rebuild in
+    original order; a fully-boilerplate doc comes back empty (left
+    join keeps its id)."""
+    from refluxdb_spark.operators.text import boilerplate_removal
+
+    boiler = "a b c"  # one 3-word span, shared by all four docs
+    rows = [
+        (1, boiler + " x y z"),
+        (2, boiler + " p q r"),
+        (3, boiler + " u v w"),
+        (4, boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in boilerplate_removal(
+            df, chunk_words=3, min_docs=3
+        ).collect()
+    }
+    assert out[1].n_chunks == 2 and out[1].n_removed == 1
+    assert out[1].clean_text == "x y z"
+    assert out[2].clean_text == "p q r"
+    # doc 4 is all boilerplate: present, empty rebuild
+    assert out[4].n_chunks == 1 and out[4].n_removed == 1
+    assert out[4].clean_text == ""
+
+
+def test_boilerplate_removal_keeps_rare_spans_in_order(spark):
+    from refluxdb_spark.operators.text import boilerplate_removal
+
+    # 6-word docs -> two 3-word spans; only the MIDDLE span is shared.
+    rows = [
+        (1, "u1 u2 u3 s1 s2 s3 t1 t2 t3"),
+        (2, "v1 v2 v3 s1 s2 s3 w1 w2 w3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: r
+        for r in boilerplate_removal(
+            df, chunk_words=3, min_docs=2
+        ).collect()
+    }
+    assert out[1].clean_text == "u1 u2 u3 t1 t2 t3"
+    assert out[2].clean_text == "v1 v2 v3 w1 w2 w3"

@@ -127,6 +127,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "tpch_q11_important_stock": 3,    # part agg + total + threshold join
         "tpch_q16_part_supplier_counts": 3,  # distinct + anti join + count-distinct
         "tpch_q20_potential_promotion": 3,   # pair agg + qual distinct + semi
+        "text_boilerplate_removal": 3,  # span-hash freq + rebuild + id join
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
