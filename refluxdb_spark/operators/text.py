@@ -411,3 +411,36 @@ def boilerplate_removal(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # (regex, replacement token) — patterns restricted to syntax with
+    # identical semantics in Java regex (Spark) and RE2 (DuckDB):
+    # char classes, bounded repeats, \\d, \\b; no lookaround.
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction (the scrub step a training-data
+    pipeline runs before anything leaves the raw zone): per-row match
+    counts for emails / phone numbers / IPv4 addresses, plus a
+    ``redacted`` column with every match replaced by a typed
+    placeholder. Pure per-row column expressions — zero shuffle, scales
+    with the scan; counts are computed on the ORIGINAL text so
+    redaction order cannot mask overlapping matches. Patterns use only
+    the regex subset Java and RE2 interpret identically (documented on
+    PII_PATTERNS); emails redact before phones/IPs so digit runs inside
+    a replaced span are not double-counted by later passes."""
+    counts = {
+        f"n_{k}s": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        ).cast("bigint")
+        for k, (pat, _) in PII_PATTERNS.items()
+    }
+    redacted = F.col(text_col)
+    for pat, token in PII_PATTERNS.values():
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.withColumns({**counts, "redacted": redacted})

@@ -5963,3 +5963,80 @@ def text_boilerplate_removal(spark, sf_dir):
             F.md5("clean_text").alias("clean_fp"),
         )
     )
+
+
+@register(
+    "text_pii_redact",
+    """
+    WITH seeded AS (
+        SELECT doc_id,
+               text ||
+               CASE WHEN doc_id % 3 = 0
+                    THEN ' contact user' || doc_id || '@example.com now'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                    ELSE '' END AS body
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(body, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(body, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(body,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+                   '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')) AS redacted_fp
+    FROM seeded
+    WHERE doc_id % 3 = 0 OR doc_id % 5 = 0 OR doc_id % 7 = 0
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrub (operators.text.pii_stats): emails, phone numbers and
+    IPv4 addresses detected and replaced with typed placeholders. The
+    synthetic corpus carries no PII, so the query first embeds
+    deterministic doc_id-derived PII into the text (same expression in
+    both engines) and then runs the generic operator — match counts on
+    the original text, redaction fingerprint on the scrubbed text.
+    Zero-shuffle per-row expressions; patterns restricted to the
+    Java/RE2-identical regex subset (operators.text.PII_PATTERNS)."""
+    docs = load(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(""),
+    )
+    seeded = docs.select("doc_id", body.alias("body")).filter(
+        (F.col("doc_id") % 3 == 0)
+        | (F.col("doc_id") % 5 == 0)
+        | (F.col("doc_id") % 7 == 0)
+    )
+    return X.pii_stats(seeded, text_col="body").select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5("redacted").alias("redacted_fp"),
+    )

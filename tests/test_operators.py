@@ -1572,3 +1572,24 @@ def test_boilerplate_removal_keeps_rare_spans_in_order(spark):
     }
     assert out[1].clean_text == "u1 u2 u3 t1 t2 t3"
     assert out[2].clean_text == "v1 v2 v3 w1 w2 w3"
+
+
+def test_pii_stats_by_hand(spark):
+    """Counts come from the original text; redaction replaces every
+    match with its typed placeholder; rows without PII pass through
+    untouched with zero counts."""
+    from refluxdb_spark.operators.text import pii_stats
+
+    rows = [
+        (1, "mail bob@x.com and ann@y.org, call 555-123-4567"),
+        (2, "server at 192.168.0.1 and 10.0.0.2"),
+        (3, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in pii_stats(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_ips) == (2, 1, 0)
+    assert out[1].redacted == "mail [EMAIL] and [EMAIL], call [PHONE]"
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_ips) == (0, 0, 2)
+    assert out[2].redacted == "server at [IP] and [IP]"
+    assert out[3].redacted == "no pii here"
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
