@@ -714,3 +714,57 @@ def rp_lsh_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_prune(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023 shape):
+    cluster the embedding space, then inside each cluster drop every
+    vector that is cosine-similar (>= threshold) to a lower-id vector —
+    the deterministic stand-in for SemDeDup's keep-one-per-duplicate-
+    group rule. Complements cosine_dup_pairs: that op REPORTS the near-
+    dup pairs, this one makes the keep/drop DECISION a pipeline
+    actually applies before training.
+
+    Returns the PRUNED rows: (vec_id, centroid_id, dup_of, cosine)
+    where dup_of is the lowest-id cluster-mate that caused the drop
+    (argmin by id, so the survivor set is exactly {v : no lower-id
+    near-dup}; kept vectors are corpus MINUS this relation).
+
+    Scale shape: same budget as cosine_dup_pairs — per-centroid blocked
+    self-join (never a global pair matrix), one groupBy on the pruned
+    id. Deterministic end to end (seeded centroids, rounded scores), so
+    the full decision carries a value oracle."""
+    _, assigned = build_ivf_index(
+        corpus, num_centroids=num_centroids, id_col=id_col, vec_col=vec_col
+    )
+    a = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(_dot("_va", "_vb") / (_norm("_va") * _norm("_vb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    best = F.min(F.struct("id_a", "cosine")).alias("_best")
+    return (
+        pairs.groupBy(F.col("id_b").alias(id_col), "centroid_id")
+        .agg(best)
+        .select(
+            id_col,
+            "centroid_id",
+            F.col("_best.id_a").alias("dup_of"),
+            F.col("_best.cosine").alias("cosine"),
+        )
+    )

@@ -6040,3 +6040,37 @@ def text_pii_redact(spark, sf_dir):
         "doc_id", "n_emails", "n_phones", "n_ips",
         F.md5("redacted").alias("redacted_fp"),
     )
+
+
+@register(
+    "dedup_semantic_prune",
+    f"""
+    WITH {_IVF_CTES},
+    pairs AS (
+        SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(va.vv, vb.vv) /
+                     (sqrt(list_dot_product(va.vv, va.vv)) * sqrt(list_dot_product(vb.vv, vb.vv))), 6) AS cosine
+        FROM assigned a
+        JOIN assigned b USING (centroid_id)
+        JOIN v va ON a.vec_id = va.vec_id
+        JOIN v vb ON b.vec_id = vb.vec_id
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_b AS vec_id, centroid_id,
+           min(id_a) AS dup_of,
+           arg_min(cosine, id_a) AS cosine
+    FROM pairs WHERE cosine >= 0.35
+    GROUP BY id_b, centroid_id
+    """,
+)
+def dedup_semantic_prune(spark, sf_dir):
+    """SemDeDup keep/drop decision (operators.similarity.semantic_prune):
+    within each IVF cluster, drop every vector cosine-similar (>= 0.35,
+    this corpus's near-dup tail) to a lower-id cluster-mate; dup_of is
+    the argmin-id cause. The survivor set is corpus minus these rows —
+    the decision a pipeline applies before training, not just the pair
+    report. Oracle replays centroid seeding, rounded assignment, and
+    the argmin rule end to end."""
+    return S.semantic_prune(
+        load(spark, sf_dir, "embeddings"), threshold=0.35, num_centroids=16
+    )

@@ -1593,3 +1593,26 @@ def test_pii_stats_by_hand(spark):
     assert out[2].redacted == "server at [IP] and [IP]"
     assert out[3].redacted == "no pii here"
     assert (out[3].n_emails, out[3].n_phones, out[3].n_ips) == (0, 0, 0)
+
+
+def test_semantic_prune_keep_rule_by_hand(spark):
+    """Within a cluster, every vector with a lower-id near-dup is
+    pruned and points at its lowest-id cause; the lowest id of each
+    duplicate group always survives."""
+    from refluxdb_spark.operators.similarity import semantic_prune
+
+    # num_centroids=1 -> a single cluster; vectors 1,2,3 identical
+    # direction, vector 4 orthogonal.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),
+        (3, [0.5, 0.0]),
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_prune(
+        df, threshold=0.9, num_centroids=1
+    ).collect()}
+    assert set(out) == {2, 3}          # 1 survives (lowest), 4 unique
+    assert out[2].dup_of == 1 and out[3].dup_of == 1
+    assert out[2].cosine == 1.0

@@ -128,6 +128,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "tpch_q16_part_supplier_counts": 3,  # distinct + anti join + count-distinct
         "tpch_q20_potential_promotion": 3,   # pair agg + qual distinct + semi
         "text_boilerplate_removal": 3,  # span-hash freq + rebuild + id join
+        "dedup_semantic_prune": 3,      # assign agg + block join + argmin agg
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
