@@ -78,6 +78,11 @@ HEADLINE = [
     "text_unigram_logprob",
     # round-6 pipeline additions
     "dedup_incremental_pairs",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "text_boilerplate_removal",
+    "text_pii_redact",
+    "dedup_semantic_prune",
 ]
 
 

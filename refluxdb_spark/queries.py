@@ -6074,3 +6074,80 @@ def dedup_semantic_prune(spark, sf_dir):
     return S.semantic_prune(
         load(spark, sf_dir, "embeddings"), threshold=0.35, num_centroids=16
     )
+
+
+@register(
+    "ts_streaming_interval_join",
+    """
+    WITH w AS (
+        SELECT event_id AS win_id, user_id,
+               CAST(ts AS TIMESTAMP) AS win_start,
+               CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS win_end
+        FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT win_id,
+           count(*) AS n_clicks,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS click_value
+    FROM w JOIN p
+      ON p.user_id = w.user_id AND p.ts >= w.win_start AND p.ts < w.win_end
+    GROUP BY win_id
+    """,
+)
+def ts_streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join with a FULL value oracle
+    (streaming.ingest.stream_interval_join): the error stream joins
+    the click stream on user within the following hour, both sides
+    watermarked so join state is bounded by the horizon, not the
+    stream length. Run under availableNow into a memory sink, then
+    aggregated per error window — the same rows the batch interval
+    join (ts_interval_join_error_clicks) produces, proving the
+    streaming and batch formulations agree."""
+    import uuid as _uuid
+
+    from refluxdb_spark.streaming.ingest import stream_interval_join
+
+    errs = (
+        _stream_events(spark, sf_dir, "event_type", "event_id", "user_id")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("ts").alias("err_ts"),
+            F.col("event_id").alias("win_id"),
+            F.col("user_id").alias("err_user"),
+        )
+    )
+    clicks = (
+        _stream_events(spark, sf_dir, "event_type", "user_id", "value")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("click_user"),
+            "value",
+        )
+    )
+    joined = stream_interval_join(
+        errs, clicks,
+        keys=[("err_user", "click_user")],
+        left_ts="err_ts", right_ts="click_ts",
+        window="1 hour", watermark="3 hours",
+    )
+    sink = f"sij_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            _dsum("value", 12).alias("click_value"),
+        )
+    )

@@ -244,3 +244,37 @@ def stream_probe_index(
     )
     q.awaitTermination()
     return read_sink(spark, sink_path)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left-stream row with
+    every right-stream row matching on ``keys`` (pairs of (left_col,
+    right_col) names) whose event time falls in [left_ts, left_ts +
+    window). Both sides carry watermarks and the join condition
+    carries the time range, so Spark bounds the join state to the
+    watermark horizon — the configuration that holds state ∝ window,
+    not ∝ stream length, on an unbounded 100 TB/day stream (without
+    the range + watermarks, inner stream-stream join state grows
+    forever).
+
+    Callers alias columns so the two sides are disjoint (including the
+    two event-time columns). Returns the unbounded joined stream;
+    callers attach a sink.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) < F.col(left_ts) + F.expr(f"INTERVAL {window}"))
+    )
+    for lk, rk in keys:
+        cond = cond & (lw[lk] == rw[rk])
+    return lw.join(rw, cond, "inner")

@@ -226,3 +226,20 @@ def test_stream_probe_index_matches_batch_probe(spark, tmp_path, sf_dir):
         (r.new_id, r.index_id, r.est_jaccard) for r in out.collect()
     }
     assert got == expected and expected
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join emits exactly the
+    rows of the batch interval join — per-window click counts and
+    decimal-routed sums agree."""
+    from refluxdb_spark.queries import QUERIES
+
+    stream_rows = {
+        r.win_id: (r.n_clicks, r.click_value)
+        for r in QUERIES["ts_streaming_interval_join"](spark, sf_dir).collect()
+    }
+    batch_rows = {
+        r.win_id: (r.n_clicks, r.click_value)
+        for r in QUERIES["ts_interval_join_error_clicks"](spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) > 0
