@@ -386,16 +386,23 @@ def cosine_dup_pairs(
     Deterministic (seeded centroids, rounded assignment scores) — the
     full pipeline carries a value oracle. Returns (id_a, id_b, cosine)."""
     _, assigned = build_ivf_index(corpus, num_centroids=16, id_col=id_col, vec_col=vec_col)
-    a = assigned.select(
-        F.col("centroid_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    # norms computed once per VECTOR before the self-join (O(N·dim)),
+    # not once per PAIR (O(P·dim)) — same IEEE ops, ~3x less work in
+    # the block product; sqrt(dot(v,v)) here is bit-identical to the
+    # oracle's per-pair sqrt of the same value
+    withn = assigned.withColumn("_nv", _norm(vec_col))
+    a = withn.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"), F.col("_nv").alias("_na"),
     )
-    b = assigned.select(
-        F.col("centroid_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    b = withn.select(
+        F.col("centroid_id"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"), F.col("_nv").alias("_nb"),
     )
     return (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(_dot("_va", "_vb") / (_norm("_va") * _norm("_vb")), 6))
+        .withColumn("cosine", F.round(_dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -743,17 +750,21 @@ def semantic_prune(
     _, assigned = build_ivf_index(
         corpus, num_centroids=num_centroids, id_col=id_col, vec_col=vec_col
     )
-    a = assigned.select(
-        "centroid_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    # per-vector norms before the self-join — see cosine_dup_pairs
+    withn = assigned.withColumn("_nv", _norm(vec_col))
+    a = withn.select(
+        "centroid_id", F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"), F.col("_nv").alias("_na"),
     )
-    b = assigned.select(
-        "centroid_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    b = withn.select(
+        "centroid_id", F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"), F.col("_nv").alias("_nb"),
     )
     pairs = (
         a.join(b, "centroid_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cosine", F.round(_dot("_va", "_vb") / (_norm("_va") * _norm("_vb")), 6)
+            "cosine", F.round(_dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), 6)
         )
         .filter(F.col("cosine") >= threshold)
     )
