@@ -6151,3 +6151,42 @@ def ts_streaming_interval_join(spark, sf_dir):
             _dsum("value", 12).alias("click_value"),
         )
     )
+
+
+_RECURSIVE_COMPOUND_SQL = """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    seq AS (
+        SELECT d, day_value,
+               row_number() OVER (ORDER BY d) AS rn
+        FROM daily
+    ),
+    lvl(rn, idx_level) AS (
+        SELECT 1, CAST(100.0 AS DOUBLE)
+        UNION ALL
+        SELECT s.rn, l.idx_level * (1.0 + s.day_value / 100000.0)
+        FROM seq s JOIN lvl l ON s.rn = l.rn + 1
+    )
+    SELECT s.d, s.day_value, l.idx_level
+    FROM seq s JOIN lvl l ON s.rn = l.rn
+"""
+
+
+@register("sql_recursive_compound_index", _RECURSIVE_COMPOUND_SQL)
+def sql_recursive_compound_index(spark, sf_dir):
+    """Recursive CTE on the Spark SQL surface (Spark 4's WITH
+    RECURSIVE): a multiplicative daily compounding index —
+    level(1)=100, level(k)=level(k-1)*(1+day_value(k)/1e5) — the
+    recurrence a window function CANNOT express exactly (exp-sum-log
+    detours through different floating point). The IDENTICAL SQL text
+    runs on both engines; the fold order is pinned by the recursion
+    itself, so doubles multiply in the same sequence and the result is
+    bit-exact. Recursion depth = number of days (bounded by the date
+    span, not row count — the daily aggregate runs before the
+    recursion)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_COMPOUND_SQL)
