@@ -444,3 +444,47 @@ def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     for pat, token in PII_PATTERNS.values():
         redacted = F.regexp_replace(redacted, pat, token)
     return df.withColumns({**counts, "redacted": redacted})
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 10000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_bigram_frac: float = 0.05,
+    max_top_word_frac: float = 0.15,
+) -> DataFrame:
+    """Gopher-style composite document filter: the keep/drop DECISION a
+    training-data pipeline applies, not just the per-signal report.
+    Rules evaluate in fixed order — too_short, too_long, word_len,
+    repetition, top_word — and ``reason`` names the FIRST failing rule
+    ('ok' when the document survives), which is what filter-funnel
+    dashboards aggregate on. Built on repetition_stats' per-row
+    expressions plus an exact mean-word-length (integer-sum / count
+    division, bit-exact cross-engine); zero shuffle."""
+    tokens = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    total_len = F.aggregate(
+        tokens, F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.length(t).cast("bigint"),
+    )
+    mean_wl = F.when(F.size(tokens) > 0, total_len / F.size(tokens)).otherwise(
+        F.lit(0.0)
+    )
+    scored = repetition_stats(df, text_col).withColumn("mean_word_len", mean_wl)
+    reason = (
+        F.when(F.col("n_words") < min_words, "too_short")
+        .when(F.col("n_words") > max_words, "too_long")
+        .when(
+            (F.col("mean_word_len") < min_mean_word_len)
+            | (F.col("mean_word_len") > max_mean_word_len),
+            "word_len",
+        )
+        .when(F.col("dup_bigram_frac") > max_dup_bigram_frac, "repetition")
+        .when(F.col("top_word_frac") > max_top_word_frac, "top_word")
+        .otherwise("ok")
+    )
+    return scored.withColumn("reason", reason).withColumn(
+        "keep", F.col("reason") == "ok"
+    )

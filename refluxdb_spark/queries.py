@@ -6190,3 +6190,69 @@ def sql_recursive_compound_index(spark, sf_dir):
     recursion)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_RECURSIVE_COMPOUND_SQL)
+
+
+@register(
+    "text_gopher_filter",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                           t -> t != '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END AS bgs
+        FROM tok
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) / len(toks)
+                    ELSE 0.0 END AS mean_word_len,
+               CASE WHEN len(bgs) > 0
+                    THEN CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE) / len(bgs)
+                    ELSE 0.0 END AS dup_bigram_frac,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(list_max(list_transform(list_distinct(toks),
+                                                      u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS top_word_frac
+        FROM bg
+    ),
+    decided AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words < 20 THEN 'too_short'
+                    WHEN n_words > 10000 THEN 'too_long'
+                    WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_len'
+                    WHEN dup_bigram_frac > 0.05 THEN 'repetition'
+                    WHEN top_word_frac > 0.15 THEN 'top_word'
+                    ELSE 'ok' END AS reason
+        FROM m
+    )
+    SELECT reason, count(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM decided GROUP BY reason
+    """,
+)
+def text_gopher_filter(spark, sf_dir):
+    """Gopher-rule composite filter decision (operators.text.
+    gopher_filter): every document gets keep/drop plus the FIRST
+    failing rule as its reason — reported here as the filter funnel
+    (docs and words per outcome), the dashboard a data pipeline tracks
+    per ingest batch. Per-row expressions + one tiny groupBy on the
+    reason; thresholds sit inside this corpus's distribution so every
+    rule fires somewhere."""
+    docs = load(spark, sf_dir, "documents")
+    out = X.gopher_filter(
+        docs, min_words=20, max_words=10000,
+        min_mean_word_len=2.0, max_mean_word_len=12.0,
+        max_dup_bigram_frac=0.05, max_top_word_frac=0.15,
+    )
+    return out.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )

@@ -1616,3 +1616,33 @@ def test_semantic_prune_keep_rule_by_hand(spark):
     assert set(out) == {2, 3}          # 1 survives (lowest), 4 unique
     assert out[2].dup_of == 1 and out[3].dup_of == 1
     assert out[2].cosine == 1.0
+
+
+def test_gopher_filter_rules_and_precedence(spark):
+    """Each rule fires on a crafted doc; a doc failing several rules
+    reports the FIRST in the fixed order (too_short before
+    repetition)."""
+    from refluxdb_spark.operators.text import gopher_filter
+
+    rows = [
+        (1, "one two three four five six"),              # ok
+        (2, "tiny"),                                     # too_short
+        (3, " ".join(["w"] * 101)),                      # too_long (also repetition)
+        (4, "ab " * 6),                                  # word_len? no: len 2 ok -> repetition
+        (5, "aaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbb"), # word_len (mean 19.5)
+        (6, "x y " * 3),                                 # repetition (dup bigrams)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in gopher_filter(
+            df, min_words=2, max_words=100,
+            min_mean_word_len=1.0, max_mean_word_len=12.0,
+            max_dup_bigram_frac=0.3, max_top_word_frac=0.9,
+        ).collect()
+    }
+    assert out[1].reason == "ok" and out[1].keep
+    assert out[2].reason == "too_short" and not out[2].keep
+    assert out[3].reason == "too_long"      # precedence over repetition
+    assert out[5].reason == "word_len"
+    assert out[6].reason == "repetition"
