@@ -697,3 +697,84 @@ def mad_outlier_stats(
             .otherwise(0)
         ).cast("bigint").alias("n_outliers"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: list[str],
+    n_out: int = 20,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013;
+    the `lttb` TimescaleDB ships as a hyperfunction): reduce each
+    series to ``n_out`` visually-representative points — first and
+    last kept, the n-2 middle points split into n_out-2 even buckets,
+    and from each bucket the point forming the largest triangle with
+    the previously selected point and the NEXT bucket's average.
+
+    The selection is inherently sequential per series (each pick
+    depends on the previous), so like ``ema`` this is an
+    ``applyInPandas`` stateful operator: one shuffle on the key, a
+    per-group walk over n_out-2 buckets (numpy argmax per bucket).
+    Determinism: bucket bounds are pure integer arithmetic, bucket
+    averages divide exact integer sums (epoch-micros, value cents),
+    triangle areas follow one fixed IEEE expression shape, and argmax
+    ties break to the earliest point — the DuckDB oracle replays the
+    identical recursion. Series with <= n_out points pass through
+    unchanged.
+    """
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3")
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    out_cols = by + [ts_col, value_col]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*out_cols).schema.fields
+    )
+    m = int(n_out)
+
+    def walk(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n <= m:
+            return pdf[out_cols]
+        x = pdf[ts_col].astype("datetime64[us]").to_numpy().view("int64")
+        y = pdf[value_col].to_numpy()
+        cents = np.rint(y * 100).astype("int64")
+        mid = np.arange(1, n - 1)
+        k = (mid - 1) * (m - 2) // (n - 2)          # bucket of each middle point
+        cnt = np.bincount(k, minlength=m - 2)
+        # int64 accumulation: epoch-micro sums stay exact (float64
+        # bincount weights would round above 2^53)
+        sum_x = np.zeros(m - 2, dtype="int64")
+        np.add.at(sum_x, k, x[mid])
+        sum_c = np.zeros(m - 2, dtype="int64")
+        np.add.at(sum_c, k, cents[mid])
+        ax = sum_x.astype("float64") / cnt
+        ay = (sum_c.astype("float64") / 100.0) / cnt
+        sel = [0]
+        sx, sy = x[0], y[0]
+        for kk in range(m - 2):
+            pts_i = mid[k == kk]
+            if kk < m - 3:
+                tx, ty = ax[kk + 1], ay[kk + 1]
+            else:
+                tx, ty = float(x[n - 1]), y[n - 1]
+            # area ~ |(x_s - x_t)(y_p - y_s) - (x_s - x_p)(y_t - y_s)|,
+            # same expression shape as the oracle (0.5 factor dropped:
+            # argmax-invariant)
+            area = np.abs(
+                (float(sx) - tx) * (y[pts_i] - sy)
+                - (sx - x[pts_i]).astype("float64") * (ty - sy)
+            )
+            pick = pts_i[int(np.argmax(area))]     # first max = earliest point
+            sel.append(int(pick))
+            sx, sy = x[pick], y[pick]
+        sel.append(n - 1)
+        return pdf.iloc[sel][out_cols]
+
+    return df.groupBy(*by).applyInPandas(walk, schema=out_schema)

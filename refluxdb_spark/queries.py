@@ -6256,3 +6256,84 @@ def text_gopher_filter(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_words"),
     )
+
+
+@register(
+    "ts_lttb_downsample",
+    """
+    WITH RECURSIVE pts AS (
+        SELECT event_type AS series,
+               CAST(ts AS TIMESTAMP) AS ts, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS x,
+               CAST(round(value * 100) AS BIGINT) AS yc,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) - 1 AS i
+        FROM events
+    ),
+    nn AS (SELECT series, count(*) AS n FROM pts GROUP BY series),
+    b AS (
+        SELECT p.series, p.i, p.x, p.value AS y, p.yc,
+               (p.i - 1) * 18 // (nn.n - 2) AS k
+        FROM pts p JOIN nn USING (series)
+        WHERE p.i >= 1 AND p.i <= nn.n - 2 AND nn.n > 20
+    ),
+    nb AS (
+        SELECT series, k,
+               CAST(sum(x) AS DOUBLE) / count(*) AS ax,
+               (CAST(sum(yc) AS DOUBLE) / 100.0) / count(*) AS ay
+        FROM b GROUP BY series, k
+    ),
+    lastp AS (
+        SELECT p.series, CAST(p.x AS DOUBLE) AS ax, p.value AS ay, p.i
+        FROM pts p JOIN nn USING (series) WHERE p.i = nn.n - 1 AND nn.n > 20
+    ),
+    targets AS (
+        SELECT series, k - 1 AS k, ax, ay FROM nb WHERE k >= 1
+        UNION ALL
+        SELECT series, 17 AS k, ax, ay FROM lastp
+    ),
+    sel(series, k, i, x, y) AS (
+        SELECT p.series, -1, p.i, p.x, p.value
+        FROM pts p JOIN nn USING (series)
+        WHERE p.i = 0 AND nn.n > 20
+        UNION ALL
+        SELECT c.series, c.k, c.i, c.x, c.y FROM (
+            SELECT b.series, b.k, b.i, b.x, b.y,
+                   row_number() OVER (PARTITION BY b.series ORDER BY
+                       abs((CAST(s.x AS DOUBLE) - t.ax) * (b.y - s.y)
+                           - CAST(s.x - b.x AS DOUBLE) * (t.ay - s.y)) DESC,
+                       b.i ASC) AS rn
+            FROM sel s
+            JOIN b ON b.series = s.series AND b.k = s.k + 1
+            JOIN targets t ON t.series = b.series AND t.k = b.k
+        ) c WHERE c.rn = 1
+    ),
+    chosen AS (
+        SELECT series, i FROM sel
+        UNION ALL
+        SELECT series, i FROM lastp
+        UNION ALL
+        SELECT p.series, p.i FROM pts p JOIN nn USING (series)
+        WHERE nn.n <= 20
+    )
+    SELECT p.series, p.ts, p.value
+    FROM chosen c JOIN pts p ON p.series = c.series AND p.i = c.i
+    """,
+)
+def ts_lttb_downsample(spark, sf_dir):
+    """LTTB downsampling to 20 points per series (operators.timeseries.
+    lttb_downsample — TimescaleDB's `lttb` hyperfunction, Steinarsson
+    2013): first/last kept, middle points bucketed evenly, each bucket
+    contributing the point with the largest triangle against the
+    previous pick and the next bucket's average. Sequential per series
+    -> applyInPandas (one key shuffle, n_out-2 argmax steps per group);
+    the oracle replays the identical recursion as a recursive CTE —
+    integer bucket bounds, exact integer-sum averages, one fixed IEEE
+    area expression, earliest-point tiebreak."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series"), "ts", "value", "event_id"
+    )
+    return TS.lttb_downsample(
+        e, ts_col="ts", value_col="value", by=["series"],
+        n_out=20, tiebreak="event_id",
+    ).select("series", "ts", "value")

@@ -1646,3 +1646,31 @@ def test_gopher_filter_rules_and_precedence(spark):
     assert out[3].reason == "too_long"      # precedence over repetition
     assert out[5].reason == "word_len"
     assert out[6].reason == "repetition"
+
+
+def test_lttb_downsample_by_hand(spark):
+    """First/last always kept; a spike dominates its bucket's triangle
+    area; series at or under n_out pass through untouched."""
+    from datetime import datetime, timedelta
+
+    from refluxdb_spark.operators.timeseries import lttb_downsample
+
+    t0 = datetime(2024, 1, 1)
+    # flat line with one big spike at position 7 of 12 points
+    rows = [
+        ("s", t0 + timedelta(minutes=i), 100.0 if i == 7 else 1.0)
+        for i in range(12)
+    ]
+    rows += [("tiny", t0 + timedelta(minutes=i), float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    out = lttb_downsample(
+        df, ts_col="ts", value_col="value", by=["series"], n_out=5
+    )
+    got = {(r.series, r.ts, r.value) for r in out.collect()}
+    s_pts = sorted((ts, v) for (s, ts, v) in got if s == "s")
+    assert len(s_pts) == 5
+    assert s_pts[0] == (t0, 1.0)                          # first kept
+    assert s_pts[-1] == (t0 + timedelta(minutes=11), 1.0)  # last kept
+    assert ("s", t0 + timedelta(minutes=7), 100.0) in got  # spike survives
+    # tiny series (3 <= n_out) passes through complete
+    assert sum(1 for (s, _, _) in got if s == "tiny") == 3
