@@ -778,3 +778,59 @@ def lttb_downsample(
         return pdf.iloc[sel][out_cols]
 
     return df.groupBy(*by).applyInPandas(walk, schema=out_schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: list[str],
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizons: tuple[int, ...] = (1, 5),
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing with h-step
+    forecasts — the non-seasonal core of InfluxDB's HOLT_WINTERS()
+    (influxdata docs; the reference's ecosystem feature): per series,
+    level l_t = α·v_t + (1-α)·(l_{t-1}+b_{t-1}) and trend b_t =
+    β·(l_t-l_{t-1}) + (1-β)·b_{t-1}, initialized l_1=v_1, b_1=0;
+    forecast(h) = l_n + h·b_n.
+
+    Same execution shape as ``ema``: the recurrence is sequential per
+    key, so one shuffle on the key and a plain-loop walk per Arrow
+    group (fixed IEEE op order — the DuckDB oracle replays the exact
+    recurrence as a recursive CTE). Emits ONE row per series: final
+    level/trend, n_obs, and a forecast column per horizon.
+    """
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*by).schema.fields
+    )
+    fcols = [f"forecast_{h}" for h in horizons]
+    out_schema = (
+        key_schema
+        + ", `level` double, `trend` double, `n_obs` bigint, "
+        + ", ".join(f"`{c}` double" for c in fcols)
+    )
+    a, b = float(alpha), float(beta)
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy().tolist()
+        lvl = vals[0]
+        trd = 0.0
+        for v in vals[1:]:
+            prev = lvl
+            lvl = a * v + (1.0 - a) * (lvl + trd)
+            trd = b * (lvl - prev) + (1.0 - b) * trd
+        out = pdf.iloc[[0]][by].copy()
+        out["level"] = lvl
+        out["trend"] = trd
+        out["n_obs"] = len(vals)
+        for h, c in zip(horizons, fcols):
+            out[c] = lvl + h * trd
+        return out
+
+    return df.groupBy(*by).applyInPandas(walk, schema=out_schema)

@@ -6337,3 +6337,47 @@ def ts_lttb_downsample(spark, sf_dir):
         e, ts_col="ts", value_col="value", by=["series"],
         n_out=20, tiebreak="event_id",
     ).select("series", "ts", "value")
+
+
+@register(
+    "ts_holt_forecast",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT event_type AS series, value, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_total
+        FROM events
+    ),
+    r(series, rn, n_total, l, b) AS (
+        SELECT series, rn, n_total, value, CAST(0.0 AS DOUBLE)
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.series, e.rn, e.n_total,
+               0.3 * e.value + (1.0 - 0.3) * (r.l + r.b),
+               0.1 * ((0.3 * e.value + (1.0 - 0.3) * (r.l + r.b)) - r.l)
+               + (1.0 - 0.1) * r.b
+        FROM ev e JOIN r ON e.series = r.series AND e.rn = r.rn + 1
+    )
+    SELECT series, l AS level, b AS trend,
+           CAST(n_total AS BIGINT) AS n_obs,
+           l + 1 * b AS forecast_1,
+           l + 5 * b AS forecast_5
+    FROM r WHERE rn = n_total
+    """,
+)
+def ts_holt_forecast(spark, sf_dir):
+    """Holt linear smoothing + forecast per series (operators.
+    timeseries.holt_linear — the non-seasonal core of InfluxDB's
+    HOLT_WINTERS()): final level/trend state after folding every
+    observation in (ts, event_id) order, with 1-step and 5-step
+    forecasts. Full value oracle: the recursive CTE replays the exact
+    recurrence (constants written as (1.0 - a) on both sides so the
+    IEEE constant folding is identical)."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series"), "ts", "value", "event_id"
+    )
+    return TS.holt_linear(
+        e, ts_col="ts", value_col="value", by=["series"],
+        alpha=0.3, beta=0.1, horizons=(1, 5), tiebreak="event_id",
+    )

@@ -1674,3 +1674,29 @@ def test_lttb_downsample_by_hand(spark):
     assert ("s", t0 + timedelta(minutes=7), 100.0) in got  # spike survives
     # tiny series (3 <= n_out) passes through complete
     assert sum(1 for (s, _, _) in got if s == "tiny") == 3
+
+
+def test_holt_linear_by_hand(spark):
+    """Exact recurrence on a 4-point ramp, checked against the folded
+    values computed inline; a perfect linear ramp forecasts ahead on
+    the learned trend."""
+    from datetime import datetime, timedelta
+
+    from refluxdb_spark.operators.timeseries import holt_linear
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0, 12.0, 14.0, 16.0]
+    rows = [("s", t0 + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    got = holt_linear(
+        df, ts_col="ts", value_col="value", by=["series"],
+        alpha=0.5, beta=0.5, horizons=(1,),
+    ).collect()[0]
+    lvl, trd = vals[0], 0.0
+    for v in vals[1:]:
+        prev = lvl
+        lvl = 0.5 * v + 0.5 * (lvl + trd)
+        trd = 0.5 * (lvl - prev) + 0.5 * trd
+    assert got.level == lvl and got.trend == trd
+    assert got.n_obs == 4 and got.forecast_1 == lvl + 1 * trd
+    assert got.trend > 0  # ramp learned an increasing trend
