@@ -6381,3 +6381,80 @@ def ts_holt_forecast(spark, sf_dir):
         e, ts_col="ts", value_col="value", by=["series"],
         alpha=0.3, beta=0.1, horizons=(1, 5), tiebreak="event_id",
     )
+
+
+@register(
+    "affinity_part_pairs",
+    """
+    WITH sized AS (
+        SELECT l_orderkey, l_partkey
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) i
+        QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 100
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM sized),
+    supp AS (SELECT l_partkey, count(*) AS s FROM sized GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS together
+        FROM sized a JOIN sized b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, together,
+           CAST(together AS DOUBLE) * n.n / (sa.s * sb.s) AS lift
+    FROM pairs
+    JOIN supp sa ON part_a = sa.l_partkey
+    JOIN supp sb ON part_b = sb.l_partkey
+    CROSS JOIN n_orders n
+    WHERE together >= 2
+    ORDER BY together DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def affinity_part_pairs(spark, sf_dir):
+    """Market-basket co-occurrence (association mining's support/lift
+    core): part pairs ordered together, with lift = P(a,b)/P(a)P(b).
+    The pair generator is the basket self-join — quadratic in BASKET
+    size, not corpus size — guarded by the same hot-bucket discipline
+    as the dedup family: baskets over 100 distinct items are excluded
+    before pairing (window count on the self-join's own key, no extra
+    exchange). Lift divides exact integer counts in double (bit-exact
+    cross-engine); top-20 under a deterministic total order."""
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = items.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+    ).filter(F.col("_bn") <= 100).drop("_bn")
+    n_orders = sized.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    supp = sized.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = sized.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_a")
+    )
+    b = sized.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "_o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    sa = supp.select(F.col("l_partkey").alias("_pa"), F.col("s").alias("_sa"))
+    sb = supp.select(F.col("l_partkey").alias("_pb"), F.col("s").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(sa), pairs.part_a == F.col("_pa"))
+        .join(F.broadcast(sb), pairs.part_b == F.col("_pb"))
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "together",
+            (F.col("together").cast("double") * F.col("n")
+             / (F.col("_sa") * F.col("_sb"))).alias("lift"),
+        )
+        .orderBy(F.col("together").desc(), "part_a", "part_b")
+        .limit(20)
+    )
