@@ -834,3 +834,44 @@ def holt_linear(
         return out
 
     return df.groupBy(*by).applyInPandas(walk, schema=out_schema)
+
+
+def trapezoid_integral(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Area under the curve per series (InfluxDB's INTEGRAL(value, 1s)):
+    trapezoidal rule over consecutive observations, Σ (v_i + v_{i+1})/2
+    · Δt_seconds.
+
+    Exactness: each segment is one INTEGER product — (cents_i +
+    cents_{i+1}) · Δt_micros — summed as DECIMAL(38,0) (order-free),
+    with the /2 /100 /1e6 scaling applied once at the end in double.
+    One window pass (lead) and one groupBy on the same series key —
+    a single exchange. Returns (by..., n_segments, integral) in
+    value·seconds."""
+    order_cols = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(*by).orderBy(*order_cols)
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    us = F.unix_micros(F.col(ts_col))
+    seg = (
+        (cents + F.lead(cents).over(w))
+        * (F.lead(us).over(w) - us)
+    ).cast("bigint")
+    return (
+        df.withColumn("_seg", seg)
+        .filter(F.col("_seg").isNotNull())
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            (
+                F.sum(F.col("_seg").cast("decimal(38,0)")).cast("double")
+                / 2.0 / 100.0 / 1e6
+            ).alias("integral"),
+        )
+    )

@@ -6458,3 +6458,114 @@ def affinity_part_pairs(spark, sf_dir):
         .orderBy(F.col("together").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "text_bigram_logprob",
+    f"""
+    WITH tok AS (
+        SELECT doc_id AS id,
+               list_filter({_TOKENS_SQL}, t -> t != '') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cu
+        FROM (SELECT unnest(toks) AS token FROM tok) GROUP BY token
+    ),
+    tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t FROM uni),
+    big AS (
+        SELECT id, toks[i] AS prev, toks[i+1] AS cur
+        FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    bvocab AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+        FROM big GROUP BY prev, cur
+    ),
+    scored AS (
+        SELECT big.id,
+               CAST(ln(0.75 * (CAST(cb AS DOUBLE) / CAST(up.cu AS DOUBLE))
+                       + 0.25 * (CAST(uc.cu AS DOUBLE) / CAST(tot.t AS DOUBLE)))
+                    AS DECIMAL(28,18)) AS lp
+        FROM big
+        JOIN bvocab USING (prev, cur)
+        JOIN uni up ON big.prev = up.token
+        JOIN uni uc ON big.cur = uc.token
+        CROSS JOIN tot
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob2
+    FROM scored GROUP BY id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM quality scoring (operators.text.
+    bigram_logprob): avg ln(0.75·p_bigram + 0.25·p_unigram) per doc
+    under the corpus's own counts — word-ORDER-sensitive quality the
+    unigram filter can't see. Exact-integer probabilities, decimal-
+    routed sum, 6-digit round."""
+    return X.bigram_logprob(load(spark, sf_dir, "documents"), lam=0.75)
+
+
+@register(
+    "ts_integral",
+    """
+    WITH seg AS (
+        SELECT event_type AS series,
+               (CAST(round(value * 100) AS BIGINT)
+                + lead(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY event_type ORDER BY ts, event_id))
+               * (lead(epoch_us(CAST(ts AS TIMESTAMP)))
+                    OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                  - epoch_us(CAST(ts AS TIMESTAMP))) AS s
+        FROM events
+    )
+    SELECT series, CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CAST(s AS DECIMAL(38,0))) AS DOUBLE) / 2.0 / 100.0 / 1e6
+               AS integral
+    FROM seg WHERE s IS NOT NULL
+    GROUP BY series
+    """,
+)
+def ts_integral(spark, sf_dir):
+    """Trapezoidal area-under-curve per series (operators.timeseries.
+    trapezoid_integral — InfluxDB INTEGRAL() parity): each segment is
+    one integer product (cent-sum x micros-delta) summed order-free as
+    DECIMAL(38,0); scaling to value-seconds happens once in double.
+    One window + one groupBy sharing the series exchange."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series"), "ts", "value", "event_id"
+    )
+    return TS.trapezoid_integral(
+        e, ts_col="ts", value_col="value", by=["series"], tiebreak="event_id"
+    )
+
+
+@register(
+    "text_token_entropy",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, list_filter({_TOKENS_SQL}, t -> t != '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+           round(CASE WHEN len(toks) > 0 THEN
+               -list_reduce(
+                   list_transform(list_sort(list_distinct(toks)),
+                       u -> (len(list_filter(toks, x -> x = u)) / len(toks))
+                            * ln(len(list_filter(toks, x -> x = u)) / len(toks))),
+                   (a, b) -> a + b)
+           ELSE 0.0 END, 6) AS entropy
+    FROM tok
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the word distribution
+    (operators.text.token_entropy): information density in nats,
+    folded over SORTED distinct tokens so both engines accumulate in
+    the identical order, rounded to 6 digits (Math.log vs libm ln
+    differ in the final ulp on some inputs). Zero shuffle."""
+    return X.token_entropy(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_words", "n_distinct_words", "entropy"
+    )

@@ -1700,3 +1700,35 @@ def test_holt_linear_by_hand(spark):
     assert got.level == lvl and got.trend == trd
     assert got.n_obs == 4 and got.forecast_1 == lvl + 1 * trd
     assert got.trend > 0  # ramp learned an increasing trend
+
+
+def test_token_entropy_by_hand(spark):
+    import math
+
+    from refluxdb_spark.operators.text import token_entropy
+
+    rows = [(1, "a a b b"), (2, "x x x x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert out[1].entropy == round(math.log(2), 6)   # uniform over 2
+    assert out[2].entropy == 0.0                     # single symbol
+    assert out[1].n_words == 4 and out[1].n_distinct_words == 2
+
+
+def test_trapezoid_integral_by_hand(spark):
+    from datetime import datetime, timedelta
+
+    from refluxdb_spark.operators.timeseries import trapezoid_integral
+
+    t0 = datetime(2024, 1, 1)
+    # 10 -> 20 over 60s, then 20 -> 20 over 60s: 900 + 1200
+    rows = [
+        ("s", t0, 10.0),
+        ("s", t0 + timedelta(seconds=60), 20.0),
+        ("s", t0 + timedelta(seconds=120), 20.0),
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    got = trapezoid_integral(
+        df, ts_col="ts", value_col="value", by=["series"]
+    ).collect()[0]
+    assert got.n_segments == 2 and got.integral == 2100.0
