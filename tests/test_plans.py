@@ -129,6 +129,14 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "tpch_q20_potential_promotion": 3,   # pair agg + qual distinct + semi
         "text_boilerplate_removal": 3,  # span-hash freq + rebuild + id join
         "dedup_semantic_prune": 3,      # assign agg + block join + argmin agg
+        "ts_holt_forecast": 1,          # one key shuffle (applyInPandas)
+        "ts_lttb_downsample": 1,        # one key shuffle (applyInPandas)
+        "ts_integral": 1,               # lead window + agg share series key
+        "text_token_entropy": 0,        # pure per-row expressions
+        "text_pii_redact": 0,           # pure per-row expressions
+        "text_gopher_filter": 1,        # per-row rules + reason agg
+        "text_bigram_logprob": 6,       # uni/bi vocab aggs + joins + doc agg
+        "affinity_part_pairs": 8,       # basket agg shared by supp/pairs/n
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
