@@ -875,3 +875,83 @@ def trapezoid_integral(
             ).alias("integral"),
         )
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: list[str],
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 5.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint/drift detection per series (Page
+    1954; the monitoring primitive behind control-chart alerting):
+    S⁺_t = max(0, S⁺_{t-1} + (v_t - μ - kσ)), S⁻_t = max(0, S⁻_{t-1}
+    + (μ - kσ - v_t)); crossing hσ raises an alarm and resets that
+    side. μ and σ come from the series' own exact decimal moments
+    (order-free sums; identical doubles on any engine), so the whole
+    detector is reproducible.
+
+    Execution: one aggregate for the moments joined back on the series
+    key, then the EMA/Holt shape — one key shuffle, a plain-loop Arrow
+    walk per group in (ts, tiebreak) order (the recurrence resets on
+    alarms, so no window formulation exists). Emits one row per
+    series: moments, final side sums, and alarm counts."""
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*by).schema.fields
+    )
+    out_schema = (
+        key_schema
+        + ", `n_obs` bigint, `mu` double, `sigma` double"
+        + ", `alarms_up` bigint, `alarms_down` bigint"
+        + ", `s_up` double, `s_down` double"
+    )
+    moments = df.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_sx"),
+        F.sum(
+            (F.col(value_col).cast("decimal(18,2)")
+             * F.col(value_col).cast("decimal(18,2)"))
+        ).alias("_sxx"),
+    )
+    src = df.join(moments, by)
+    kf, hf = float(k_sigmas), float(h_sigmas)
+
+    def walk(pdf):
+        import math
+
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        n = int(pdf["_n"].iloc[0])
+        sx = float(pdf["_sx"].iloc[0])
+        sxx = float(pdf["_sxx"].iloc[0])
+        mu = sx / n
+        var = sxx / n - mu * mu
+        sigma = math.sqrt(var if var > 0 else 0.0)
+        k = kf * sigma
+        h = hf * sigma
+        sp = sn = 0.0
+        up = dn = 0
+        for v in pdf[value_col].to_numpy().tolist():
+            sp = max(0.0, sp + (v - mu - k))
+            if sp > h:
+                up += 1
+                sp = 0.0
+            sn = max(0.0, sn + (mu - k - v))
+            if sn > h:
+                dn += 1
+                sn = 0.0
+        out = pdf.iloc[[0]][by].copy()
+        out["n_obs"] = n
+        out["mu"] = mu
+        out["sigma"] = sigma
+        out["alarms_up"] = up
+        out["alarms_down"] = dn
+        out["s_up"] = sp
+        out["s_down"] = sn
+        return out
+
+    return src.groupBy(*by).applyInPandas(walk, schema=out_schema)

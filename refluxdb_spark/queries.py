@@ -6585,3 +6585,70 @@ def text_token_entropy(spark, sf_dir):
     return X.token_entropy(load(spark, sf_dir, "documents")).select(
         "doc_id", "n_words", "n_distinct_words", "entropy"
     )
+
+
+@register(
+    "ts_cusum_changepoints",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT event_type AS series, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    mom AS (
+        SELECT series, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM ev GROUP BY series
+    ),
+    par AS (
+        SELECT series, n, sx / n AS mu,
+               sqrt(CASE WHEN sxx / n - (sx / n) * (sx / n) > 0
+                         THEN sxx / n - (sx / n) * (sx / n)
+                         ELSE 0.0 END) AS sigma
+        FROM mom
+    ),
+    r(series, rn, sp, sn, up, dn) AS (
+        SELECT series, 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 0, 0 FROM par
+        UNION ALL
+        SELECT e.series, e.rn,
+               CASE WHEN greatest(0.0, r.sp + (e.value - p.mu - 0.5 * p.sigma))
+                         > 5.0 * p.sigma
+                    THEN 0.0
+                    ELSE greatest(0.0, r.sp + (e.value - p.mu - 0.5 * p.sigma)) END,
+               CASE WHEN greatest(0.0, r.sn + (p.mu - 0.5 * p.sigma - e.value))
+                         > 5.0 * p.sigma
+                    THEN 0.0
+                    ELSE greatest(0.0, r.sn + (p.mu - 0.5 * p.sigma - e.value)) END,
+               r.up + CASE WHEN greatest(0.0, r.sp + (e.value - p.mu - 0.5 * p.sigma))
+                                > 5.0 * p.sigma THEN 1 ELSE 0 END,
+               r.dn + CASE WHEN greatest(0.0, r.sn + (p.mu - 0.5 * p.sigma - e.value))
+                                > 5.0 * p.sigma THEN 1 ELSE 0 END
+        FROM ev e
+        JOIN r ON e.series = r.series AND e.rn = r.rn + 1
+        JOIN par p ON p.series = e.series
+    )
+    SELECT r.series, CAST(p.n AS BIGINT) AS n_obs, p.mu, p.sigma,
+           CAST(r.up AS BIGINT) AS alarms_up,
+           CAST(r.dn AS BIGINT) AS alarms_down,
+           r.sp AS s_up, r.sn AS s_down
+    FROM r JOIN par p ON r.series = p.series
+    WHERE r.rn = p.n
+    """,
+)
+def ts_cusum_changepoints(spark, sf_dir):
+    """Two-sided CUSUM drift detector per series (operators.timeseries.
+    cusum_changepoints, Page 1954): alarm-and-reset cumulative sums
+    against the series' own exact decimal moments (k=0.5σ slack,
+    h=5σ threshold). Full value oracle: the recursive CTE replays the
+    reset recurrence step-for-step — the resets make this inexpressible
+    as any window aggregate."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series"), "ts", "value", "event_id"
+    )
+    return TS.cusum_changepoints(
+        e, ts_col="ts", value_col="value", by=["series"],
+        k_sigmas=0.5, h_sigmas=5.0, tiebreak="event_id",
+    )

@@ -1732,3 +1732,24 @@ def test_trapezoid_integral_by_hand(spark):
         df, ts_col="ts", value_col="value", by=["series"]
     ).collect()[0]
     assert got.n_segments == 2 and got.integral == 2100.0
+
+
+def test_cusum_changepoints_by_hand(spark):
+    """A level shift raises an upward alarm and resets; a stable series
+    never alarms."""
+    from datetime import datetime, timedelta
+
+    from refluxdb_spark.operators.timeseries import cusum_changepoints
+
+    t0 = datetime(2024, 1, 1)
+    shifted = [10.0] * 20 + [30.0] * 10     # big persistent shift
+    stable = [10.0, 10.2] * 15
+    rows = [("a", t0 + timedelta(minutes=i), v) for i, v in enumerate(shifted)]
+    rows += [("b", t0 + timedelta(minutes=i), v) for i, v in enumerate(stable)]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    out = {r.series: r for r in cusum_changepoints(
+        df, ts_col="ts", value_col="value", by=["series"]
+    ).collect()}
+    assert out["a"].alarms_up >= 1 and out["a"].alarms_down == 0
+    assert out["b"].alarms_up == 0 and out["b"].alarms_down == 0
+    assert out["b"].s_up >= 0.0 and out["b"].s_down >= 0.0
