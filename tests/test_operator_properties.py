@@ -166,3 +166,111 @@ def test_shared_chunk_stats_python_replay(spark, texts):
         if shared > 0:
             want[i] = (len(chs), shared)
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab @.-019"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_pii_redaction_idempotent_and_clean(spark, texts):
+    """For ANY input: redacting an already-redacted text changes
+    nothing, and a redacted text contains zero residual PII matches
+    (the scrub is a fixpoint)."""
+    from refluxdb_spark.operators.text import pii_stats
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    once = pii_stats(df).select(
+        "id", F.col("redacted").alias("text")
+    )
+    twice = {r.id: r for r in pii_stats(once).collect()}
+    for i, _ in rows:
+        r = twice[i]
+        assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 0)
+        assert r.redacted == r.text
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1, max_size=12,
+        ).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    chunk_words=st.sampled_from([2, 3]),
+    min_docs=st.sampled_from([2, 3]),
+)
+@settings(max_examples=8, deadline=None)
+def test_boilerplate_removal_python_replay(spark, docs, chunk_words, min_docs):
+    """boilerplate_removal equals an exact Python replay for ANY corpus:
+    same kept spans, same order, same counts; docs never drop."""
+    import math
+    from collections import Counter
+
+    from refluxdb_spark.operators.text import boilerplate_removal
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: r
+        for r in boilerplate_removal(
+            df, chunk_words=chunk_words, min_docs=min_docs
+        ).collect()
+    }
+
+    def chunks(t):
+        w = t.split(" ")
+        n = math.ceil(len(w) / chunk_words)
+        return [
+            " ".join(w[i * chunk_words:(i + 1) * chunk_words]) for i in range(n)
+        ]
+
+    sharing = Counter()
+    for _, t in rows:
+        for c in set(chunks(t)):
+            sharing[c] += 1
+    assert set(got) == {i for i, _ in rows}
+    for i, t in rows:
+        ch = chunks(t)
+        kept = [c for c in ch if sharing[c] < min_docs]
+        assert got[i].n_chunks == len(ch)
+        assert got[i].n_removed == len(ch) - len(kept)
+        assert got[i].clean_text == " ".join(kept)
+
+
+@given(
+    n_pts=st.integers(3, 40),
+    n_out=st.integers(3, 12),
+)
+@settings(max_examples=8, deadline=None)
+def test_lttb_selection_properties(spark, n_pts, n_out):
+    """LTTB invariants for ANY series/target size: output is a subset
+    of the input, has exactly min(n, n_out) points, keeps first and
+    last, and preserves time order."""
+    from datetime import datetime, timedelta
+
+    from refluxdb_spark.operators.timeseries import lttb_downsample
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("s", t0 + timedelta(minutes=i), float((i * 37) % 11)) for i in range(n_pts)
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    out = sorted(
+        (r.ts, r.value)
+        for r in lttb_downsample(
+            df, ts_col="ts", value_col="value", by=["series"], n_out=n_out
+        ).collect()
+    )
+    assert len(out) == min(n_pts, n_out)
+    assert out[0] == (t0, 0.0)
+    assert out[-1][0] == t0 + timedelta(minutes=n_pts - 1)
+    inset = {(ts, v) for _, ts, v in rows}
+    assert all(p in inset for p in out)
