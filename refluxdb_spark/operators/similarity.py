@@ -779,3 +779,121 @@ def semantic_prune(
             F.col("_best.cosine").alias("cosine"),
         )
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    pool: int = 30,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the exemplar-selection step a curation pipeline
+    runs after ANN retrieval: greedily pick k results balancing
+    relevance against redundancy, score(d) = λ·rel(q,d) −
+    (1−λ)·max_{s∈S} sim(d,s). Plain top-k returns near-duplicates of
+    one good hit; MMR spends the same budget covering the space.
+
+    Two stages: (1) distributed — per query, rank the corpus by
+    rounded cosine and keep the top-``pool`` candidates (window over
+    the broadcast-joined queries; the corpus is scanned once); (2) the
+    greedy selection is sequential in S, so like LTTB it walks each
+    query's pool in ``applyInPandas`` — the pool (30 rows) is the
+    group, queries parallelize across executors. Determinism: rel and
+    pairwise sims round half-away-from-zero to 6 digits via exact
+    decimal arithmetic (identical to Spark's BigDecimal HALF_UP round
+    and DuckDB's round), ties break to the lowest id, and the rank-1
+    score is the bare relevance. Returns (query_id, rank, vec_id,
+    score)."""
+    q = (
+        corpus.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_cv"))
+    rel = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("qid"))
+        .withColumn(
+            "rel",
+            F.round(_dot("_cv", "_qv") / (_norm("_cv") * _norm("_qv")), 6),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("id").asc())
+    cand = (
+        rel.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= pool)
+        .select("qid", "id", "rel", "_cv")
+    )
+    out_schema = "qid bigint, rank int, vec_id bigint, score double"
+    lam_f = float(lam)
+
+    def walk(pdf):
+        import numpy as np
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6(x):
+            # exact-decimal half-up on the true binary value == Spark
+            # BigDecimal HALF_UP == DuckDB round
+            return float(
+                Decimal(float(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        rels = pdf["rel"].to_numpy()
+        vecs = [
+            [float(x) for x in v] for v in pdf["_cv"].tolist()
+        ]
+
+        def sdot(a, b):
+            # sequential fold — the accumulation order of the JVM
+            # F.aggregate and DuckDB list_dot_product (BLAS pairwise
+            # summation would differ in ulps at rounding boundaries)
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        import math
+
+        norms = [math.sqrt(sdot(v, v)) for v in vecs]
+        n = len(ids)
+        sims = np.empty((n, n))
+        for i in range(n):
+            for j in range(n):
+                sims[i, j] = r6(sdot(vecs[i], vecs[j]) / (norms[i] * norms[j]))
+        chosen = []
+        rows = []
+        for step in range(1, min(k, n) + 1):
+            best_i, best_score = None, None
+            for i in range(n):
+                if i in chosen:
+                    continue
+                if not chosen:
+                    score = rels[i]
+                else:
+                    score = lam_f * rels[i] - (1.0 - lam_f) * max(
+                        sims[i][j] for j in chosen
+                    )
+                # strict > : ids ascending, so ties keep the lowest id
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            chosen.append(best_i)
+            rows.append(
+                {
+                    "qid": int(pdf["qid"].iloc[0]),
+                    "rank": step,
+                    "vec_id": int(ids[best_i]),
+                    "score": float(best_score),
+                }
+            )
+        import pandas as _pd
+
+        return _pd.DataFrame(rows, columns=["qid", "rank", "vec_id", "score"])
+
+    return cand.groupBy("qid").applyInPandas(walk, schema=out_schema).select(
+        F.col("qid").alias("query_id"), "rank", "vec_id", "score"
+    )

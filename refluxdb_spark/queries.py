@@ -6652,3 +6652,81 @@ def ts_cusum_changepoints(spark, sf_dir):
         e, ts_col="ts", value_col="value", by=["series"],
         k_sigmas=0.5, h_sigmas=5.0, tiebreak="event_id",
     )
+
+
+@register(
+    "sim_mmr_topk",
+    """
+    WITH RECURSIVE v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, vv AS qv FROM v WHERE vec_id < 3),
+    rel AS (
+        SELECT q.qid, v.vec_id AS id,
+               round(list_dot_product(v.vv, q.qv) /
+                     (sqrt(list_dot_product(v.vv, v.vv))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel
+        FROM v CROSS JOIN q WHERE v.vec_id != q.qid
+    ),
+    cand AS (
+        SELECT qid, id, rel FROM (
+            SELECT qid, id, rel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY rel DESC, id) AS rn
+            FROM rel
+        ) WHERE rn <= 30
+    ),
+    sims AS (
+        SELECT a.qid, a.id AS ia, b.id AS ib,
+               round(list_dot_product(va.vv, vb.vv) /
+                     (sqrt(list_dot_product(va.vv, va.vv))
+                      * sqrt(list_dot_product(vb.vv, vb.vv))), 6) AS sim
+        FROM cand a
+        JOIN cand b ON a.qid = b.qid AND a.id != b.id
+        JOIN v va ON va.vec_id = a.id
+        JOIN v vb ON vb.vec_id = b.id
+    ),
+    r(qid, rank, chosen, pick, score) AS (
+        SELECT qid, 1, [id], id, rel FROM (
+            SELECT qid, id, rel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY rel DESC, id) AS rn
+            FROM cand
+        ) WHERE rn = 1
+        UNION ALL
+        SELECT x.qid, x.rank + 1, list_append(x.chosen, x.id), x.id, x.score
+        FROM (
+            SELECT z.qid, z.rank, z.chosen, z.id, z.score,
+                   row_number() OVER (PARTITION BY z.qid
+                                      ORDER BY z.score DESC, z.id) AS rn
+            FROM (
+                SELECT r.qid, r.rank, r.chosen, c.id,
+                       CAST(0.7 AS DOUBLE) * c.rel
+                       - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+                           SELECT max(s.sim) FROM sims s
+                           WHERE s.qid = c.qid AND s.ia = c.id
+                             AND list_contains(r.chosen, s.ib)
+                       ) AS score
+                FROM r
+                JOIN cand c ON c.qid = r.qid
+                           AND NOT list_contains(r.chosen, c.id)
+                WHERE r.rank < 10
+            ) z
+        ) x WHERE x.rn = 1
+    )
+    SELECT qid AS query_id, rank, pick AS vec_id, score FROM r
+    """,
+)
+def sim_mmr_topk(spark, sf_dir):
+    """MMR diversified top-10 per query (operators.similarity.mmr_topk,
+    Carbonell & Goldstein 1998): greedy λ=0.7 relevance-vs-redundancy
+    selection over each query's top-30 cosine pool — the exemplar-
+    picking step after ANN retrieval. The greedy recursion is replayed
+    by the oracle's recursive CTE (argmax with lowest-id ties, the
+    (1.0 - 0.7) literal written identically on both sides, rank-1
+    score = bare relevance); pool ranking and pairwise sims round
+    half-up to 6 via exact decimal arithmetic in both engines."""
+    return S.mmr_topk(
+        load(spark, sf_dir, "embeddings"),
+        n_queries=3, k=10, pool=30, lam=0.7,
+    )

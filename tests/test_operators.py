@@ -1753,3 +1753,26 @@ def test_cusum_changepoints_by_hand(spark):
     assert out["a"].alarms_up >= 1 and out["a"].alarms_down == 0
     assert out["b"].alarms_up == 0 and out["b"].alarms_down == 0
     assert out["b"].s_up >= 0.0 and out["b"].s_down >= 0.0
+
+
+def test_mmr_topk_prefers_diversity(spark):
+    """With a near-duplicate of the best hit in the pool, plain top-k
+    ranks the duplicate second; MMR's redundancy penalty pushes it
+    behind a less-similar but novel result."""
+    from refluxdb_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # query
+        (10, [0.9, 0.1, 0.0]),     # best hit
+        (11, [0.9, 0.11, 0.0]),    # near-duplicate of 10
+        (12, [0.5, 0.0, 0.5]),     # novel direction, decent relevance
+        (13, [0.0, 1.0, 0.0]),     # orthogonal-ish
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        (r.rank, r.vec_id)
+        for r in mmr_topk(df, n_queries=1, k=4, pool=4, lam=0.3).collect()
+    )
+    assert out[0] == (1, 10)          # relevance winner first
+    assert out[1][1] in (12, 13)      # novelty beats the near-dup
+    assert out[3][1] == 11            # the near-dup sinks to last

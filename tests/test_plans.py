@@ -138,6 +138,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "text_bigram_logprob": 6,       # uni/bi vocab aggs + joins + doc agg
         "affinity_part_pairs": 8,       # basket agg shared by supp/pairs/n
         "ts_cusum_changepoints": 1,     # moments + walk share the series key
+        "sim_mmr_topk": 2,              # pool window + per-query walk
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
