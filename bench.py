@@ -83,6 +83,13 @@ HEADLINE = [
     "text_boilerplate_removal",
     "text_pii_redact",
     "dedup_semantic_prune",
+    "ts_state_durations",
+    "ts_heartbeat_uptime",
+    "events_path_trigrams",
+    "text_readability",
+    # graph_pagerank_nations stays correctness-only: at sf0.1 its
+    # runtime is ~10 tiny-graph job launches (iteration machinery),
+    # which measures scheduler latency, not the operator's scale shape
 ]
 
 

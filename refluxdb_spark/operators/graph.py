@@ -1,0 +1,126 @@
+"""Graph analytics over relations: integer-exact PageRank.
+
+The reference stores no graphs (its tables are flat timeseries,
+``persistence.rs:35``), but a training-data pipeline does: document
+link/containment graphs, user-interaction graphs, entity co-occurrence.
+``dedup.connected_components`` covers the clustering side; this module
+adds importance ranking.
+
+Determinism design: classic PageRank sums doubles, and double sums are
+shuffle-order-dependent — the same graph can rank differently run to
+run once ranks tie within an ulp. Here every rank is a scaled BIGINT
+(``scale`` = 1e12 by default) and every step is integer arithmetic
+(``div``, ``*``, ``+``, exact BIGINT sums), so two engines — or two
+cluster layouts — produce the IDENTICAL fixpoint trajectory. That is
+what makes the operator oracle-testable (the DuckDB oracle unrolls the
+same integer recurrence) and its results reproducible at 100 TB.
+
+Scale shape: the rank table is node-sized, the edge table is the big
+relation. Each iteration broadcasts ranks onto the edge scan (no edge
+shuffle to pick up ranks) and runs ONE map-side-combined aggregation
+keyed by dst — per-iteration cost is a scan of edges plus a shuffle of
+at most |nodes| combined rows. Lineage is cut per iteration with an
+eager localCheckpoint, so 50 iterations do not build a 50-deep plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    checkpoint: bool = True,
+    checkpoint_interval: int = 8,
+) -> DataFrame:
+    """Integer-exact PageRank over a (src, dst) edge relation.
+
+    Recurrence (all BIGINT, truncating division)::
+
+        init       = scale div N
+        base       = (100 - damping_pct) * init div 100
+        contrib(v) = sum over in-edges (u, v) of  r(u) div outdeg(u)
+        r'(v)      = base + damping_pct * contrib(v) div 100
+
+    Dangling mass (nodes with no out-edges) leaks, as in the original
+    formulation — deterministic either way. Returns
+    ``(node, rank_scaled BIGINT)``; divide by ``scale`` for the usual
+    [0, 1] reading.
+
+    The node count is a driver-side scalar (``count()``): the node
+    relation is metadata-sized next to edges (the same contract as
+    ``similarity.train_kmeans_centroids`` collecting k centroids).
+    """
+    n_col = F.col("n")
+    # The edge relation feeds four consumers (nodes, deg, and every
+    # iteration's scan): persist it for the operator's lifetime so a
+    # derived edge set (joins upstream) is built once, not per
+    # consumer. Memory-and-disk, released before return — the final
+    # ranks are eagerly checkpointed first, so nothing recomputes
+    # through it. At warehouse scale the durable form of this reuse is
+    # a materialized edge table; the persist covers the derived case.
+    cache_edges = checkpoint and iterations > 0
+    if cache_edges:
+        edges = edges.persist()
+    # node-sized: checkpoint once so the per-iteration left join and the
+    # count below don't each re-scan the edge relation to re-derive it
+    nodes = (
+        edges.select(F.col(src).alias("n"))
+        .union(edges.select(F.col(dst).alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        if cache_edges:
+            edges.unpersist()
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("bigint")).select(
+            n_col.alias("node"), "rank_scaled"
+        )
+    init = scale // n_nodes
+    base = ((100 - damping_pct) * init) // 100
+
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    # outdeg rides the edge rows via a broadcast of the node-sized deg
+    # relation — the edge table is never shuffled to learn its degree
+    e = edges.select(src, dst).join(F.broadcast(deg), src)
+
+    ranks = nodes.select("n", F.lit(init).cast("bigint").alias("r"))
+    for it in range(iterations):
+        contrib = (
+            e.join(F.broadcast(ranks), e[src] == ranks["n"])
+            .select(
+                F.col(dst).alias("n"),
+                F.expr("r div outdeg").alias("c"),
+            )
+            .groupBy("n")
+            .agg(F.sum("c").alias("s"))
+        )
+        # contrib is node-sized too — broadcast keeps the whole
+        # iteration free of sort-merge machinery
+        ranks = nodes.join(F.broadcast(contrib), "n", "left").select(
+            "n",
+            (
+                F.lit(base)
+                + F.expr(f"{damping_pct} * coalesce(s, 0L) div 100")
+            ).cast("bigint").alias("r"),
+        )
+        if checkpoint and (it + 1) % checkpoint_interval == 0:
+            # cut lineage every few rounds (node-sized relation, so the
+            # cut is cheap) — checkpointing EVERY round costs a full
+            # job per iteration, which dominates on small graphs; pass
+            # checkpoint=False to keep the whole plan for audit
+            ranks = ranks.localCheckpoint(eager=True)
+    if checkpoint:
+        # materialize the final ranks BEFORE releasing the edge cache:
+        # the un-checkpointed tail of the loop still reads through it
+        ranks = ranks.localCheckpoint(eager=True)
+    if cache_edges:
+        edges.unpersist()
+    return ranks.select(n_col.alias("node"), F.col("r").alias("rank_scaled"))

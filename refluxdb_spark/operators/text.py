@@ -586,3 +586,52 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_words"),
         F.round(F.when(n > 0, h).otherwise(F.lit(0.0)), 6).alias("entropy"),
     )
+
+
+def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document, from deterministic counts.
+
+    The classic quality-filter heuristic (readability banding for
+    curriculum/quality stratification) computed entirely from integer
+    counts, so it is bit-exact across engines:
+
+    - ``n_words``: non-empty whitespace tokens;
+    - ``n_sentences``: 1 + count of sentence-ending punctuation runs
+      (``[.!?]+``) — min 1, so unpunctuated corpora degrade to the
+      one-sentence reading instead of dividing by zero;
+    - ``n_syllables``: per word, the number of vowel-group runs
+      (``[aeiouy]+``, lowercased), floored at 1 — the standard cheap
+      syllable estimator.
+
+    ``flesch = 206.835 - 1.015*(W/S) - 84.6*(Syl/W)``: both ratios are
+    int/int double divisions (exact operands), and the final expression
+    is evaluated in one fixed order — identical in any IEEE engine.
+
+    Scale: narrow per-row expressions only (split/transform/aggregate
+    inside the row) — no shuffle, no UDF; pipelines with the scan.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1), F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), F.lit(0)))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    sents = F.lit(1) + F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0)))
+    d = (
+        df.withColumn("n_words", F.size(words))
+        .withColumn("n_sentences", sents)
+        .withColumn("n_syllables", syl)
+        .filter(F.col("n_words") > 0)
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return d.withColumn(
+        "flesch",
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+    )

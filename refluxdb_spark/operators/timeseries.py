@@ -955,3 +955,99 @@ def cusum_changepoints(
         return out
 
     return src.groupBy(*by).applyInPandas(walk, schema=out_schema)
+
+
+def state_durations(
+    df: DataFrame,
+    state_col: Column | str,
+    by: list[str],
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-in-state aggregation (TimescaleDB ``state_agg`` /
+    ``duration_in`` parity): how long each key spent in each state.
+
+    A row's state holds from its timestamp until the NEXT row's
+    timestamp within the key (step function, LOCF semantics — the same
+    model as ``resample`` LOCF). The key's last row has no successor
+    and contributes no duration, exactly like ``state_agg`` over a
+    closed observation window ending at the last sample.
+
+    Returns ``(by..., state, n_entries, duration_seconds)`` where
+    ``n_entries`` counts transitions INTO the state (runs, not rows:
+    consecutive same-state rows are one entry) and ``duration_seconds``
+    is exact integer microsecond arithmetic truncated to seconds.
+
+    Scale: one window pass per key ordered by time (a single hash
+    exchange on the key — same budget as ``sessionize``), then a
+    map-side-combined aggregation on (key, state). State cardinality is
+    small by construction, so the output is dimension-sized.
+    """
+    sc = F.col(state_col) if isinstance(state_col, str) else state_col
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*by).orderBy(*order)
+    d = (
+        df.withColumn("_state", sc)
+        .withColumn("_next_us", F.lead(F.unix_micros(F.col(ts_col))).over(w))
+        .withColumn("_prev_state", F.lag("_state").over(w))
+        .withColumn(
+            "_dur_us",
+            F.coalesce(F.col("_next_us") - F.unix_micros(F.col(ts_col)), F.lit(0)),
+        )
+        .withColumn(
+            "_entered",
+            (F.col("_prev_state").isNull() | (F.col("_prev_state") != F.col("_state"))).cast("int"),
+        )
+    )
+    return (
+        d.groupBy(*by, F.col("_state").alias("state"))
+        .agg(
+            F.sum("_entered").alias("n_entries"),
+            F.expr("sum(_dur_us) div 1000000").alias("duration_seconds"),
+        )
+    )
+
+
+def heartbeat_uptime(
+    df: DataFrame,
+    by: list[str],
+    ts_col: str = "ts",
+    heartbeat_seconds: int = 300,
+) -> DataFrame:
+    """Liveness from heartbeats (TimescaleDB ``heartbeat_agg`` parity):
+    each event proves the sender alive for ``heartbeat_seconds`` after
+    it; overlapping proofs merge into continuous live intervals.
+
+    Classic interval-union via island detection: order events per key,
+    track the running maximum interval end, and start a new island
+    whenever an event begins after everything seen so far has expired.
+    All comparisons are integer microseconds — no float time math.
+
+    Returns ``(by..., n_intervals, uptime_seconds, first_seen,
+    last_expiry)``. Scale: two window passes over ONE hash exchange on
+    the key (running-max and island-id share the same sort), then a
+    two-level aggregation whose first level is island-sized.
+    """
+    hb_us = heartbeat_seconds * 1_000_000
+    w = Window.partitionBy(*by).orderBy(F.col("_s").asc())
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    d = (
+        df.select(*by, F.unix_micros(F.col(ts_col)).alias("_s"))
+        .withColumn("_e", F.col("_s") + F.lit(hb_us))
+        # prior running max of interval ends; null for the first row
+        .withColumn("_prev_max_e", F.max("_e").over(wprev))
+        .withColumn(
+            "_new_island",
+            (F.col("_prev_max_e").isNull() | (F.col("_s") > F.col("_prev_max_e"))).cast("int"),
+        )
+        .withColumn("_island", F.sum("_new_island").over(w))
+    )
+    islands = d.groupBy(*by, "_island").agg(
+        F.min("_s").alias("_is"), F.max("_e").alias("_ie")
+    )
+    return islands.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.expr("sum(_ie - _is) div 1000000").alias("uptime_seconds"),
+        F.expr("timestamp_micros(min(_is))").alias("first_seen"),
+        F.expr("timestamp_micros(max(_ie))").alias("last_expiry"),
+    )

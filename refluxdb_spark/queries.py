@@ -6730,3 +6730,332 @@ def sim_mmr_topk(spark, sf_dir):
         load(spark, sf_dir, "embeddings"),
         n_queries=3, k=10, pool=30, lam=0.7,
     )
+
+
+# =====================================================================
+# Round-6 batch 2: state/liveness aggregates, path mining, readability,
+# graph ranking
+# =====================================================================
+
+@register(
+    "ts_state_durations",
+    """
+    WITH d AS (
+        SELECT event_type,
+               CASE WHEN value < 50 THEN 'low'
+                    WHEN value < 150 THEN 'mid'
+                    ELSE 'high' END AS state,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS next_us,
+               lag(CASE WHEN value < 50 THEN 'low'
+                        WHEN value < 150 THEN 'mid'
+                        ELSE 'high' END) OVER w AS prev_state
+        FROM events
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT event_type, state,
+           CAST(SUM(CASE WHEN prev_state IS NULL OR prev_state <> state
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+           CAST(SUM(COALESCE(next_us - us, 0)) // 1000000 AS BIGINT)
+               AS duration_seconds
+    FROM d
+    GROUP BY event_type, state
+    """,
+)
+def ts_state_durations(spark, sf_dir):
+    """Time-in-state per series (operators.timeseries.state_durations;
+    TimescaleDB state_agg/duration_in parity): value bands low/mid/high
+    as states, LOCF step semantics, durations as exact integer
+    microseconds truncated to seconds, n_entries counting runs (not
+    rows). One window exchange on the series key + a dimension-sized
+    aggregation."""
+    e = load(spark, sf_dir, "events")
+    state = (
+        F.when(F.col("value") < 50, F.lit("low"))
+        .when(F.col("value") < 150, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return TS.state_durations(
+        e, state, by=["event_type"], ts_col="ts", tiebreak="event_id"
+    )
+
+
+@register(
+    "ts_heartbeat_uptime",
+    """
+    WITH d AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e,
+               max(epoch_us(CAST(ts AS TIMESTAMP)) + 300000000) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_max_e
+        FROM events
+    ),
+    i AS (
+        SELECT user_id, s, e,
+               SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island
+        FROM d
+    ),
+    isl AS (
+        SELECT user_id, island, min(s) AS iv_s, max(e) AS iv_e
+        FROM i GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(iv_e - iv_s) // 1000000 AS BIGINT) AS uptime_seconds,
+           make_timestamp(min(iv_s)) AS first_seen,
+           make_timestamp(max(iv_e)) AS last_expiry
+    FROM isl
+    GROUP BY user_id
+    """,
+)
+def ts_heartbeat_uptime(spark, sf_dir):
+    """Heartbeat liveness per user (operators.timeseries.
+    heartbeat_uptime; TimescaleDB heartbeat_agg parity): every event
+    proves the sender alive for 300s, overlapping proofs merge via
+    running-max island detection, uptime is the exact integer sum of
+    merged interval lengths. Two windows + two aggregations over a
+    single hash exchange on user_id."""
+    e = load(spark, sf_dir, "events")
+    return TS.heartbeat_uptime(e, by=["user_id"], ts_col="ts", heartbeat_seconds=300)
+
+
+@register(
+    "events_path_trigrams",
+    """
+    WITH o AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM o
+    WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 20
+    """,
+)
+def events_path_trigrams(spark, sf_dir):
+    """Top-20 behavioral trigram paths: each user's event stream in
+    time order, sliding 3-grams via two leads over ONE window exchange
+    on user_id, then a map-side-combined count. The clickstream
+    path-mining shape — n-gram cost is linear in events (3 columns per
+    row), never materializing per-user sequence arrays."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+@register(
+    "ts_latest_snapshot",
+    """
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+    FROM (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                           event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def ts_latest_snapshot(spark, sf_dir):
+    """Latest-record-wins snapshot per (user, series) — the upsert /
+    SCD compaction read view every lakehouse pipeline needs (and the
+    natural 'current value' read for the reference's timeseries model).
+    row_number over one hash exchange on the key; at warehouse scale
+    this is the query a MERGE-on-read compaction pre-materializes."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select("user_id", "event_type", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "text_readability",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    w -> w <> '')) AS BIGINT) AS n_words,
+               CAST(1 + len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                   AS n_sentences,
+               CAST(list_sum(list_transform(
+                   list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+                   w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))
+               )) AS BIGINT) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(206.835 AS DOUBLE)
+           - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+               AS flesch
+    FROM t
+    WHERE n_words > 0
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document (operators.text.
+    readability_scores): vowel-group syllable estimator, integer
+    counts, one fixed-order double expression — bit-exact across
+    engines. Narrow per-row expressions that pipeline with the scan;
+    the readability-banding stage of a quality-stratified corpus."""
+    d = load(spark, sf_dir, "documents")
+    return X.readability_scores(d).select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_syllables").cast("bigint").alias("n_syllables"),
+        "flesch",
+    )
+
+
+@register(
+    "graph_pagerank_nations",
+    """
+    WITH edges AS (
+        SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_name <> nc.n_name
+    ),
+    nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+    p AS (
+        SELECT CAST(1000000000000 // count(*) AS BIGINT) AS init,
+               CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT) AS base
+        FROM nodes
+    ),
+    r0 AS (SELECT n, (SELECT init FROM p) AS r FROM nodes),
+    r1 AS (
+        SELECT nd.n,
+               CAST((SELECT base FROM p)
+                    + (85 * COALESCE(SUM(rr.r // d.outdeg), 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.n
+        LEFT JOIN r0 rr ON rr.n = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY nd.n
+    ),
+    r2 AS (
+        SELECT nd.n,
+               CAST((SELECT base FROM p)
+                    + (85 * COALESCE(SUM(rr.r // d.outdeg), 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.n
+        LEFT JOIN r1 rr ON rr.n = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY nd.n
+    ),
+    r3 AS (
+        SELECT nd.n,
+               CAST((SELECT base FROM p)
+                    + (85 * COALESCE(SUM(rr.r // d.outdeg), 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.n
+        LEFT JOIN r2 rr ON rr.n = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY nd.n
+    ),
+    r4 AS (
+        SELECT nd.n,
+               CAST((SELECT base FROM p)
+                    + (85 * COALESCE(SUM(rr.r // d.outdeg), 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.n
+        LEFT JOIN r3 rr ON rr.n = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY nd.n
+    ),
+    r5 AS (
+        SELECT nd.n,
+               CAST((SELECT base FROM p)
+                    + (85 * COALESCE(SUM(rr.r // d.outdeg), 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes nd
+        LEFT JOIN edges e ON e.dst = nd.n
+        LEFT JOIN r4 rr ON rr.n = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY nd.n
+    )
+    SELECT n AS node, r AS rank_scaled
+    FROM r5
+    ORDER BY rank_scaled DESC, node
+    """,
+)
+def graph_pagerank_nations(spark, sf_dir):
+    """Integer-exact PageRank (operators.graph.pagerank) over the
+    nation-to-nation trade graph (supplier nation -> customer nation
+    edges from lineitem): 5 iterations, damping 0.85, every step BIGINT
+    arithmetic so both engines walk the identical trajectory — the
+    oracle unrolls the same recurrence. Per-iteration cost: one edge
+    scan with the node-sized rank table broadcast on, one combined
+    aggregation keyed by dst."""
+    from refluxdb_spark.operators import graph as G
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return G.pagerank(edges, iterations=5).orderBy(
+        F.desc("rank_scaled"), "node"
+    )

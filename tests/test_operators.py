@@ -1776,3 +1776,75 @@ def test_mmr_topk_prefers_diversity(spark):
     assert out[0] == (1, 10)          # relevance winner first
     assert out[1][1] in (12, 13)      # novelty beats the near-dup
     assert out[3][1] == 11            # the near-dup sinks to last
+
+
+def test_state_durations_by_hand(spark):
+    from refluxdb_spark.operators.timeseries import state_durations
+
+    rows = [
+        # one key, states: a(0s) a(10s) b(25s) a(40s) — last row open
+        ("k", 0, "a"), ("k", 10, "a"), ("k", 25, "b"), ("k", 40, "a"),
+    ]
+    df = spark.createDataFrame(rows, "key string, sec long, st string").selectExpr(
+        "key", "timestamp_micros(sec * 1000000) as ts", "st", "sec as tb"
+    )
+    out = {
+        (r["key"], r["state"]): (r["n_entries"], r["duration_seconds"])
+        for r in state_durations(df, "st", by=["key"], ts_col="ts", tiebreak="tb").collect()
+    }
+    # 'a': runs are [0,25) (two rows, one entry) and [40, open); durations 25 + 0
+    assert out[("k", "a")] == (2, 25)
+    # 'b': one run [25, 40)
+    assert out[("k", "b")] == (1, 15)
+
+
+def test_heartbeat_uptime_merges_overlaps(spark):
+    from refluxdb_spark.operators.timeseries import heartbeat_uptime
+
+    # heartbeats at 0s, 100s (overlap), 1000s (separate island), hb=300s
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 100), ("u", 1000)], "key string, sec long"
+    ).selectExpr("key", "timestamp_micros(sec * 1000000) as ts")
+    r = heartbeat_uptime(df, by=["key"], ts_col="ts", heartbeat_seconds=300).collect()[0]
+    assert r["n_intervals"] == 2
+    # island 1: [0, 400) = 400s; island 2: [1000, 1300) = 300s
+    assert r["uptime_seconds"] == 700
+
+
+def test_readability_scores_by_hand(spark):
+    from refluxdb_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame([(1, "the cat sat. on a mat!")], "doc_id int, text string")
+    r = readability_scores(df).collect()[0]
+    assert r["n_words"] == 6
+    assert r["n_sentences"] == 3  # 1 + two punctuation runs
+    # the(1) cat(1) sat.(1) on(1) a(1) mat!(1)
+    assert r["n_syllables"] == 6
+    expected = 206.835 - 1.015 * (6 / 3) - 84.6 * (6 / 6)
+    assert r["flesch"] == expected
+
+
+def test_pagerank_two_node_cycle(spark):
+    from refluxdb_spark.operators.graph import pagerank
+
+    # symmetric 2-cycle: ranks stay at init through every iteration
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    out = {r["node"]: r["rank_scaled"] for r in pagerank(edges, iterations=3).collect()}
+    init = 10**12 // 2
+    base = (15 * init) // 100
+    expect = base + (85 * init) // 100
+    # fixpoint after one step: base + 0.85 * r where r = expect too
+    expect2 = base + (85 * expect) // 100
+    expect3 = base + (85 * expect2) // 100
+    assert out["a"] == out["b"] == expect3
+
+
+def test_pagerank_sink_gains_rank(spark):
+    from refluxdb_spark.operators.graph import pagerank
+
+    # a -> c, b -> c: c must outrank its sources; total order deterministic
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    out = {r["node"]: r["rank_scaled"] for r in pagerank(edges, iterations=5).collect()}
+    assert out["c"] > out["a"] == out["b"]

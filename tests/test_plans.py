@@ -383,3 +383,53 @@ def test_rolling_actives_broadcasts_day_dimension(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_broadcasts_ranks_onto_edges(spark, sf_dir):
+    """Each PageRank iteration must pick up ranks via a broadcast of
+    the node-sized rank table onto the edge scan — never a sort-merge
+    shuffle of the (100 TB-scale) edge relation on src."""
+    from refluxdb_spark.operators.graph import pagerank
+
+    edges = (
+        load(spark, sf_dir, "events")
+        .selectExpr("cast(user_id as string) as src", "event_type as dst")
+        .distinct()
+    )
+    out = pagerank(edges, iterations=1, checkpoint=False)
+    plan = explain_str(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_state_durations_single_shuffle(spark, sf_dir):
+    """state_durations: one hash exchange on the series key feeds both
+    the window pass and (via partial agg) the state rollup."""
+    from refluxdb_spark.operators.timeseries import state_durations
+
+    e = load(spark, sf_dir, "events")
+    out = state_durations(
+        e, F.when(F.col("value") < 100, "lo").otherwise("hi"),
+        by=["event_type"], ts_col="ts", tiebreak="event_id",
+    )
+    # window exchange on event_type + final agg exchange on (key,state):
+    # the agg's partial side is map-side combined, so budget is 2
+    assert count_exchanges(out) <= 2
+
+
+def test_heartbeat_uptime_single_key_exchange(spark, sf_dir):
+    """heartbeat_uptime: the two window passes and both aggregation
+    levels all key on user_id — one hash exchange total."""
+    from refluxdb_spark.operators.timeseries import heartbeat_uptime
+
+    e = load(spark, sf_dir, "events")
+    out = heartbeat_uptime(e, by=["user_id"], ts_col="ts")
+    assert count_exchanges(out) <= 1
+
+
+def test_readability_zero_shuffle(spark, sf_dir):
+    """Readability is narrow per-row arithmetic — no exchange at all."""
+    from refluxdb_spark.operators.text import readability_scores
+
+    d = load(spark, sf_dir, "documents")
+    assert count_exchanges(readability_scores(d)) == 0
