@@ -87,6 +87,8 @@ HEADLINE = [
     "ts_heartbeat_uptime",
     "events_path_trigrams",
     "text_readability",
+    "ts_autocorrelation",
+    "sim_centroid_classify",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

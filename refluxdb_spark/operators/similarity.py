@@ -897,3 +897,92 @@ def mmr_topk(
     return cand.groupBy("qid").applyInPandas(walk, schema=out_schema).select(
         F.col("qid").alias("query_id"), "rank", "vec_id", "score"
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label mean vector, order-free: each component is rounded to
+    ``round_digits`` (so the float is engine-stable), cast to exact
+    DECIMAL, summed (order-independent), and divided by the count —
+    sums of raw doubles never appear, so the centroid is bit-identical
+    on any partition layout.
+
+    Scale: posexplode to (label, idx, component) — the groupBy
+    (label, idx) is map-side combined, so the shuffle carries at most
+    labels×dim rows per mapper, not the corpus. Output is
+    labels×1 rows (centroid re-assembled in index order).
+    """
+    d = df.select(
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(vec_col).alias("idx", "_v"),
+    )
+    comp = d.groupBy("_lbl", "idx").agg(
+        (
+            F.sum(
+                F.round(F.col("_v").cast("double"), round_digits).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    return comp.groupBy("_lbl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    ).select(F.col("_lbl").alias(label_col), "centroid")
+
+
+def nearest_centroid_classify(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: assign each vector to
+    the label whose centroid it is most cosine-similar to — the cheap
+    supervised sanity check on an embedding space, and the assignment
+    step of centroid-seeded clustering.
+
+    Returns (id, label, predicted, sim, correct). Similarities are
+    rounded to 6 before ranking and tie-break on predicted label, so
+    the argmax is deterministic cross-engine.
+
+    Scale: the centroid table is labels-sized — broadcast onto the
+    corpus scan (cost ∝ corpus × labels, no shuffle of vectors); the
+    argmax is a window on the vector id. Mirrors ``ivf_topk``'s
+    centroid-assignment shape.
+    """
+    cents = centroids if centroids is not None else label_centroids(
+        df, vec_col=vec_col, label_col=label_col
+    )
+    c2 = cents.select(
+        F.col(label_col).alias("predicted"), F.col("centroid").alias("_cent")
+    )
+    scored = (
+        df.select(id_col, label_col, vec_col)
+        .crossJoin(F.broadcast(c2))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(vec_col, "_cent") / (_norm(vec_col) * _norm("_cent")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("predicted"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            label_col,
+            "predicted",
+            "sim",
+            (F.col(label_col) == F.col("predicted")).alias("correct"),
+        )
+    )

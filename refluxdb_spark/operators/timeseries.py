@@ -1051,3 +1051,77 @@ def heartbeat_uptime(
         F.expr("timestamp_micros(min(_is))").alias("first_seen"),
         F.expr("timestamp_micros(max(_ie))").alias("last_expiry"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str = "value",
+    by: list[str] | None = None,
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Autocorrelation function (ACF) at lags 1..max_lag per series —
+    the seasonality/memory diagnostic behind forecasting-model choice.
+
+    ACF_k is computed as the exact Pearson correlation of the paired
+    samples (x_t, x_{t+k}): values go to integer cents, the five
+    sufficient statistics (m, Σx, Σy, Σxy, Σx², Σy²) are exact
+    order-free integer sums routed through DECIMAL, and the final
+    ``(mΣxy - ΣxΣy) / (√(mΣx²-(Σx)²)·√(mΣy²-(Σy)²))`` is one
+    fixed-order double expression — bit-identical on any engine or
+    partition layout (sums of doubles never appear).
+
+    Scale: ONE window exchange on the series key produces all lags
+    (max_lag lead columns, then an in-place explode to (lag, x, y)
+    rows); the stats aggregation is map-side combined with
+    series×max_lag output rows. Series length never hits a single
+    reducer beyond the window sort every per-series operator pays.
+    """
+    by = by or []
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*by).orderBy(*order)
+    xc = F.expr(f"cast(round({value_col} * 100) as bigint)")
+    d = df.withColumn("_xc", xc)
+    for k in range(1, max_lag + 1):
+        d = d.withColumn(f"_y{k}", F.lead("_xc", k).over(w))
+    pairs = (
+        d.select(
+            *by,
+            "_xc",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"_y{k}").alias("_yc")
+                    )
+                    for k in range(1, max_lag + 1)
+                ])
+            ).alias("_p"),
+        )
+        .select(*by, "_xc", F.col("_p.lag").alias("lag"), F.col("_p._yc").alias("_yc"))
+        .filter(F.col("_yc").isNotNull())
+    )
+    dec = "decimal(28,0)"
+    stats = pairs.groupBy(*by, "lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("_xc").cast(dec)).alias("_sx"),
+        F.sum(F.col("_yc").cast(dec)).alias("_sy"),
+        F.sum((F.col("_xc") * F.col("_yc")).cast(dec)).alias("_sxy"),
+        F.sum((F.col("_xc") * F.col("_xc")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("_yc") * F.col("_yc")).cast(dec)).alias("_syy"),
+    )
+    md = F.col("m").cast("decimal(12,0)")
+    num = (md * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    vx = (md * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vy = (md * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    return (
+        stats.withColumn("_vx", vx)
+        .withColumn("_vy", vy)
+        .filter((F.col("_vx") > 0) & (F.col("_vy") > 0))
+        .select(
+            *by,
+            "lag",
+            "m",
+            (num / (F.sqrt(F.col("_vx")) * F.sqrt(F.col("_vy")))).alias("acf"),
+        )
+    )

@@ -7059,3 +7059,108 @@ def graph_pagerank_nations(spark, sf_dir):
     return G.pagerank(edges, iterations=5).orderBy(
         F.desc("rank_scaled"), "node"
     )
+
+
+@register(
+    "ts_autocorrelation",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS xc,
+               lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS y1,
+               lead(CAST(round(value * 100) AS BIGINT), 2) OVER w AS y2,
+               lead(CAST(round(value * 100) AS BIGINT), 3) OVER w AS y3,
+               lead(CAST(round(value * 100) AS BIGINT), 4) OVER w AS y4,
+               lead(CAST(round(value * 100) AS BIGINT), 5) OVER w AS y5
+        FROM events
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    pairs AS (
+        SELECT event_type, 1 AS lag, xc, y1 AS yc FROM base WHERE y1 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 2, xc, y2 FROM base WHERE y2 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 3, xc, y3 FROM base WHERE y3 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 4, xc, y4 FROM base WHERE y4 IS NOT NULL
+        UNION ALL
+        SELECT event_type, 5, xc, y5 FROM base WHERE y5 IS NOT NULL
+    ),
+    stats AS (
+        SELECT event_type, lag,
+               CAST(count(*) AS BIGINT) AS m,
+               SUM(xc) AS sx, SUM(yc) AS sy, SUM(xc * yc) AS sxy,
+               SUM(xc * xc) AS sxx, SUM(yc * yc) AS syy
+        FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag, m,
+           CAST(m * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS acf
+    FROM stats
+    WHERE CAST(m * sxx - sx * sx AS DOUBLE) > 0
+      AND CAST(m * syy - sy * sy AS DOUBLE) > 0
+    """,
+)
+def ts_autocorrelation(spark, sf_dir):
+    """ACF at lags 1..5 per series (operators.timeseries.
+    autocorrelation): exact Pearson correlation of (x_t, x_{t+k}) from
+    integer-cent sufficient statistics — order-free DECIMAL sums, one
+    fixed-order double expression. One window exchange produces every
+    lag; the stats rollup is map-side combined."""
+    e = load(spark, sf_dir, "events")
+    return TS.autocorrelation(
+        e, value_col="value", by=["event_type"], ts_col="ts",
+        tiebreak="event_id", max_lag=5,
+    )
+
+
+@register(
+    "sim_centroid_classify",
+    """
+    WITH exploded AS (
+        SELECT label,
+               unnest(range(len(embedding))) AS idx,
+               unnest(CAST(embedding AS DOUBLE[])) AS val
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT label, idx,
+               CAST(SUM(CAST(round(val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS c
+        FROM exploded GROUP BY label, idx
+    ),
+    cents AS (
+        SELECT label AS predicted, list(c ORDER BY idx) AS cent
+        FROM comp GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, c.predicted,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cent) /
+                     (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(c.cent, c.cent))), 6) AS sim
+        FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, label, predicted, sim, (label = predicted) AS correct
+    FROM (
+        SELECT vec_id, label, predicted, sim,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, predicted) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def sim_centroid_classify(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification (operators.similarity.
+    nearest_centroid_classify): per-label mean vectors from order-free
+    decimal component sums, then each vector assigned to its most
+    cosine-similar centroid (round-6, label tiebreak). Centroids are
+    labels-sized and broadcast onto the corpus scan — vectors are never
+    shuffled; the embedding-space sanity check a training pipeline runs
+    after every re-embed."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.nearest_centroid_classify(
+        emb, vec_col="embedding", label_col="label", id_col="vec_id"
+    )

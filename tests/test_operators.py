@@ -1848,3 +1848,61 @@ def test_pagerank_sink_gains_rank(spark):
     )
     out = {r["node"]: r["rank_scaled"] for r in pagerank(edges, iterations=5).collect()}
     assert out["c"] > out["a"] == out["b"]
+
+
+def test_autocorrelation_perfect_positive(spark):
+    from refluxdb_spark.operators.timeseries import autocorrelation
+
+    # strictly linear series: ACF at every lag is exactly 1.0
+    rows = [("k", i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, sec long, value double").selectExpr(
+        "key", "timestamp_micros(sec * 1000000) as ts", "value", "sec as tb"
+    )
+    out = autocorrelation(df, by=["key"], ts_col="ts", tiebreak="tb", max_lag=2)
+    got = {r["lag"]: (r["m"], r["acf"]) for r in out.collect()}
+    # sqrt(a)*sqrt(b) vs sqrt(ab): equality only to rounding
+    assert got[1][0] == 9 and abs(got[1][1] - 1.0) < 1e-12
+    assert got[2][0] == 8 and abs(got[2][1] - 1.0) < 1e-12
+
+
+def test_autocorrelation_alternating_is_negative(spark):
+    from refluxdb_spark.operators.timeseries import autocorrelation
+
+    rows = [("k", i, 1.0 if i % 2 == 0 else -1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, sec long, value double").selectExpr(
+        "key", "timestamp_micros(sec * 1000000) as ts", "value", "sec as tb"
+    )
+    got = {
+        r["lag"]: r["acf"]
+        for r in autocorrelation(df, by=["key"], ts_col="ts", tiebreak="tb", max_lag=2).collect()
+    }
+    assert abs(got[1] - (-1.0)) < 1e-12
+    assert abs(got[2] - 1.0) < 1e-12
+
+
+def test_label_centroids_by_hand(spark):
+    from refluxdb_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [3.0, 2.0], 0), (3, [0.0, 4.0], 1)],
+        "vec_id int, embedding array<float>, label int",
+    )
+    got = {r["label"]: r["centroid"] for r in label_centroids(df).collect()}
+    assert got[0] == [2.0, 1.0]
+    assert got[1] == [0.0, 4.0]
+
+
+def test_nearest_centroid_classify_by_hand(spark):
+    from refluxdb_spark.operators.similarity import nearest_centroid_classify
+
+    # two tight clusters on orthogonal axes; everything classifies home
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1], 0), (2, [0.9, 0.0], 0),
+            (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+        ],
+        "vec_id int, embedding array<float>, label int",
+    )
+    out = nearest_centroid_classify(df).collect()
+    assert all(r["correct"] for r in out)
+    assert {r["vec_id"]: r["predicted"] for r in out} == {1: 0, 2: 0, 3: 1, 4: 1}

@@ -433,3 +433,25 @@ def test_readability_zero_shuffle(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     assert count_exchanges(readability_scores(d)) == 0
+
+
+def test_autocorrelation_budget(spark, sf_dir):
+    """ACF: one window exchange on the series key + the map-side
+    combined stats rollup — every lag rides the same sort."""
+    from refluxdb_spark.operators.timeseries import autocorrelation
+
+    e = load(spark, sf_dir, "events")
+    out = autocorrelation(e, by=["event_type"], ts_col="ts", tiebreak="event_id")
+    assert count_exchanges(out) <= 2
+
+
+def test_centroid_classify_broadcasts_centroids(spark, sf_dir):
+    """Nearest-centroid: the labels-sized centroid table broadcasts
+    onto the corpus scan — the vector relation itself is never
+    sort-merge joined."""
+    from refluxdb_spark.operators.similarity import nearest_centroid_classify
+
+    emb = load(spark, sf_dir, "embeddings")
+    plan = explain_str(nearest_centroid_classify(emb), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
