@@ -89,6 +89,9 @@ HEADLINE = [
     "text_readability",
     "ts_autocorrelation",
     "sim_centroid_classify",
+    "events_seasonal_anomaly",
+    "text_ngram_novelty",
+    "sketch_kmv_distinct_users",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -290,3 +290,83 @@ def bloom_maybe_contains(
         .withColumn(out, F.coalesce(F.col("_hits"), F.lit(0)) == k)
         .select(*by, F.col("_k").alias(col), out)
     )
+
+
+def kmv_hashes(
+    df: DataFrame,
+    col: str,
+    k: int = 32,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """K-minimum-values distinct sketch state: the k smallest 60-bit
+    md5 hashes of the distinct values per group — (by..., rank, h).
+
+    Like the HLL registers above, the state is md5-derived and
+    integer-exact, so the sketch itself is oracle-testable and
+    engine-invariant. KMV's merge is union-then-retake-k-smallest
+    (``kmv_hashes`` over the unioned state), the property that lets
+    per-day/per-partition sketches roll up without rescanning.
+
+    Scale: distinct on (by, value) collapses map-side; the top-k window
+    keeps k rows per group — state size k, independent of input.
+    """
+    by = by or []
+    h = F.expr(
+        f"cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10) as bigint)"
+    )
+    d = df.select(*by, F.col(col)).distinct().select(*by, h.alias("h")).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)]).orderBy(
+        F.col("h").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*by, "rank", "h")
+    )
+
+
+def kmv_estimate(
+    hashes: DataFrame,
+    k: int = 32,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate from KMV state: with the k-th smallest
+    hash h_k over a hash space of size 2^60, the classic estimator is
+    ``(k-1) * 2^60 / h_k``; fewer than k hashes means the state IS the
+    distinct set and the count is exact. Both branches are expressions
+    on exactly-representable doubles (2^60 and k-1 fit the mantissa
+    product), so the estimate is bit-identical cross-engine.
+    """
+    by = by or []
+    space = float(1 << 60)
+    return hashes.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_state"),
+        F.when(
+            F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+        ).otherwise(
+            F.lit(float(k - 1)) * F.lit(space) / F.max("h").cast("double")
+        ).alias("kmv_estimate"),
+    )
+
+
+def kmv_merge(
+    states: DataFrame,
+    k: int = 32,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Merge KMV states (the union of any number of ``kmv_hashes``
+    outputs): distinct hashes, re-take the k smallest per group. The
+    result is EXACTLY the state a single pass over the combined data
+    would have produced — the mergeability contract that lets per-day
+    / per-partition sketches roll up (tested:
+    ``test_kmv_merge_equals_global``)."""
+    by = by or []
+    d = states.select(*by, "h").distinct()
+    w = Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)]).orderBy(
+        F.col("h").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*by, "rank", "h")
+    )

@@ -1125,3 +1125,69 @@ def autocorrelation(
             (num / (F.sqrt(F.col("_vx")) * F.sqrt(F.col("_vy")))).alias("acf"),
         )
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: list[str] | None = None,
+    bucket_seconds: int = 3600,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per pixel-bucket keep
+    the ACTUAL rows realizing first/last/min/max — the
+    error-free-rendering guarantee line charts need (an averaged point,
+    like LTTB's buckets use, can't reproduce the drawn min/max spikes).
+
+    Four row_number orderings — (ts asc), (ts desc), (value asc, ts),
+    (value desc, ts) — all partition by (key, bucket), so Catalyst
+    plans ONE hash exchange with per-ordering sorts; a row winning
+    several roles appears once (distinct over ≤4 candidates/bucket).
+    Ties on value resolve to the earliest (ts, tiebreak) — pass a
+    unique id for cross-engine determinism.
+
+    Output: (by..., bucket_start, ts, [tiebreak,] value) — at most 4
+    rows per bucket regardless of input density, which is the point:
+    a 100 TB series downsamples to rows ∝ pixels, map-side reducible.
+    """
+    by = by or []
+    us = F.unix_micros(F.col(ts_col))
+    step = bucket_seconds * 1_000_000
+    d = df.withColumn("_b", F.expr(f"unix_micros({ts_col}) div {step}"))
+    tb_asc = [F.col(tiebreak).asc()] if tiebreak else []
+    tb_desc = [F.col(tiebreak).desc()] if tiebreak else []
+    keys = [*by, "_b"]
+    w_f = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(), *tb_asc)
+    w_l = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc(), *tb_desc)
+    w_min = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).asc(), F.col(ts_col).asc(), *tb_asc
+    )
+    w_max = Window.partitionBy(*keys).orderBy(
+        F.col(value_col).desc(), F.col(ts_col).asc(), *tb_asc
+    )
+    ranked = d.select(
+        *by,
+        "_b",
+        ts_col,
+        *( [tiebreak] if tiebreak else [] ),
+        value_col,
+        F.row_number().over(w_f).alias("_rf"),
+        F.row_number().over(w_l).alias("_rl"),
+        F.row_number().over(w_min).alias("_rmin"),
+        F.row_number().over(w_max).alias("_rmax"),
+    )
+    return (
+        ranked.filter(
+            (F.col("_rf") == 1) | (F.col("_rl") == 1)
+            | (F.col("_rmin") == 1) | (F.col("_rmax") == 1)
+        )
+        .select(
+            *by,
+            F.expr(f"timestamp_micros(_b * {step})").alias("bucket_start"),
+            ts_col,
+            *( [tiebreak] if tiebreak else [] ),
+            value_col,
+        )
+        .distinct()
+    )

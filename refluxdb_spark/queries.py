@@ -7164,3 +7164,229 @@ def sim_centroid_classify(spark, sf_dir):
     return S.nearest_centroid_classify(
         emb, vec_col="embedding", label_col="label", id_col="vec_id"
     )
+
+
+@register(
+    "ts_m4_downsample",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, ts, event_id, value, b,
+               row_number() OVER (PARTITION BY event_type, b
+                                  ORDER BY ts, event_id) AS rf,
+               row_number() OVER (PARTITION BY event_type, b
+                                  ORDER BY ts DESC, event_id DESC) AS rl,
+               row_number() OVER (PARTITION BY event_type, b
+                                  ORDER BY value, ts, event_id) AS rmin,
+               row_number() OVER (PARTITION BY event_type, b
+                                  ORDER BY value DESC, ts, event_id) AS rmax
+        FROM d
+    )
+    SELECT DISTINCT event_type,
+           make_timestamp(b * 3600000000) AS bucket_start,
+           ts, event_id, value
+    FROM r
+    WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1
+    """,
+)
+def ts_m4_downsample(spark, sf_dir):
+    """M4 downsampling (operators.timeseries.m4_downsample; Jugel et
+    al. VLDB 2014): the ≤4 actual rows per (series, hour-bucket)
+    realizing first/last/min/max — the error-free line-chart reduction.
+    Four row_number orderings share ONE hash exchange on (series,
+    bucket); output rows ∝ pixels, not input size."""
+    e = load(spark, sf_dir, "events")
+    return TS.m4_downsample(
+        e, ts_col="ts", value_col="value", by=["event_type"],
+        bucket_seconds=3600, tiebreak="event_id",
+    )
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    topk AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rank
+        FROM h
+    ),
+    state AS (SELECT event_type, h FROM topk WHERE rank <= 32),
+    est AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_state,
+               CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+                    ELSE CAST(31 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                         / CAST(max(h) AS DOUBLE)
+               END AS kmv_estimate
+        FROM state GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.n_state, e.kmv_estimate, x.exact_distinct
+    FROM est e JOIN exact x ON x.event_type = e.event_type
+    """,
+)
+def sketch_kmv_distinct_users(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketch (operators.sketches.
+    kmv_hashes/kmv_estimate, k=32) per series, reported against the
+    exact distinct count. md5-derived 60-bit hashes make the state —
+    and therefore the estimate — engine- and layout-invariant; merges
+    are union-then-retake-k-smallest (tested), so per-partition states
+    roll up without rescanning. State is k rows per group."""
+    from refluxdb_spark.operators.sketches import kmv_estimate, kmv_hashes
+
+    e = load(spark, sf_dir, "events")
+    state = kmv_hashes(e, "user_id", k=32, by=["event_type"])
+    est = kmv_estimate(state, k=32, by=["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_state", "kmv_estimate", "exact_distinct"
+    )
+
+
+@register(
+    "events_seasonal_anomaly",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    st AS (
+        SELECT event_type, hod,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(vc) AS s, SUM(vc * vc) AS s2
+        FROM c GROUP BY event_type, hod
+    ),
+    base AS (
+        SELECT event_type, hod, n,
+               CAST(s AS DOUBLE) / n AS mu_c,
+               sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                             CAST(0 AS DOUBLE))) AS sigma_c
+        FROM st
+    )
+    SELECT b.event_type, b.hod, b.n,
+           b.mu_c / 100.0 AS mu,
+           b.sigma_c / 100.0 AS sigma,
+           CAST(SUM(CASE WHEN abs(CAST(c.vc AS DOUBLE) - b.mu_c)
+                              > 2.0 * b.sigma_c THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM c JOIN base b ON b.event_type = c.event_type AND b.hod = c.hod
+    GROUP BY b.event_type, b.hod, b.n, b.mu_c, b.sigma_c
+    """,
+)
+def events_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-profile anomaly report: hour-of-day baseline (mean and
+    sigma from exact integer-cent sums) per series, then each
+    observation tested against its OWN hour's profile — the diurnal
+    twin of ts_anomaly_zscore (a global mean flags every rush hour;
+    the seasonal baseline flags deviation from the expected rush).
+    The baseline is hours×series-sized and broadcast back onto the
+    scan; two map-side-combined aggregations total."""
+    e = load(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+    )
+    st = c.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vc").cast("decimal(28,0)")).alias("s"),
+        F.sum((F.col("vc") * F.col("vc")).cast("decimal(28,0)")).alias("s2"),
+    )
+    mu_c = F.col("s").cast("double") / F.col("n")
+    base = st.select(
+        "event_type",
+        "hod",
+        "n",
+        mu_c.alias("mu_c"),
+        F.sqrt(
+            F.greatest(
+                F.col("s2").cast("double") / F.col("n") - mu_c * mu_c,
+                F.lit(0.0),
+            )
+        ).alias("sigma_c"),
+    )
+    return (
+        c.join(F.broadcast(base), ["event_type", "hod"])
+        .groupBy("event_type", "hod", "n", "mu_c", "sigma_c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("vc").cast("double") - F.col("mu_c"))
+                    > 2.0 * F.col("sigma_c"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            (F.col("mu_c") / 100.0).alias("mu"),
+            (F.col("sigma_c") / 100.0).alias("sigma"),
+            "n_outliers",
+        )
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    _SHINGLE_CTE + """,
+    firsts AS (SELECT token, min(id) AS first_id FROM toks2 GROUP BY token),
+    counts AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM toks2 GROUP BY id),
+    nov AS (SELECT first_id AS id, CAST(count(*) AS BIGINT) AS n_novel
+            FROM firsts GROUP BY first_id)
+    SELECT c.id AS doc_id, c.n_grams,
+           COALESCE(n.n_novel, 0) AS n_novel,
+           CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / CAST(c.n_grams AS DOUBLE)
+               AS novelty
+    FROM counts c LEFT JOIN nov n ON n.id = c.id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """N-gram novelty curve: a shingle is credited to the document
+    that first introduces it (min doc_id = ingestion order), and each
+    document scores the fraction of its distinct 3-gram shingles it
+    introduced — the diminishing-returns diagnostic for corpus growth
+    (falling novelty = new data is re-paraphrasing the old).
+
+    No token-level join back to documents: the per-gram first-owner
+    relation re-aggregates straight to per-doc counts, so after the
+    shingle explode everything is map-side-combined aggregation —
+    cost ∝ distinct grams, pair-free."""
+    from refluxdb_spark.operators.dedup import shingle_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = shingle_tokens(docs, "text", "doc_id", w=3)
+    firsts = toks.groupBy("token").agg(F.min("id").alias("first_id"))
+    counts = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    nov = firsts.groupBy("first_id").agg(F.count(F.lit(1)).alias("n_novel"))
+    return (
+        counts.join(nov, counts.id == nov.first_id, "left")
+        .select(
+            counts.id.alias("doc_id"),
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            (
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )

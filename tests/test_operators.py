@@ -1906,3 +1906,56 @@ def test_nearest_centroid_classify_by_hand(spark):
     out = nearest_centroid_classify(df).collect()
     assert all(r["correct"] for r in out)
     assert {r["vec_id"]: r["predicted"] for r in out} == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_m4_downsample_by_hand(spark):
+    from refluxdb_spark.operators.timeseries import m4_downsample
+
+    # one bucket (3600s): first@0, max@10, min@20, last@30 — plus a
+    # middle row that must NOT survive
+    rows = [("k", 0, 5.0), ("k", 10, 9.0), ("k", 15, 6.0), ("k", 20, 1.0), ("k", 30, 5.5)]
+    df = spark.createDataFrame(rows, "key string, sec long, value double").selectExpr(
+        "key", "timestamp_micros(sec * 1000000) as ts", "value", "sec as tb"
+    )
+    out = m4_downsample(df, by=["key"], bucket_seconds=3600, tiebreak="tb")
+    got = sorted((r["tb"], r["value"]) for r in out.collect())
+    assert got == [(0, 5.0), (10, 9.0), (20, 1.0), (30, 5.5)]
+
+
+def test_m4_downsample_collapsed_roles(spark):
+    from refluxdb_spark.operators.timeseries import m4_downsample
+
+    # single row per bucket: all four roles collapse to one output row
+    df = spark.createDataFrame([("k", 0, 5.0)], "key string, sec long, value double").selectExpr(
+        "key", "timestamp_micros(sec * 1000000) as ts", "value", "sec as tb"
+    )
+    assert m4_downsample(df, by=["key"], tiebreak="tb").count() == 1
+
+
+def test_kmv_merge_equals_global(spark):
+    """KMV merge property: union of two partitions' states, re-taken
+    k-smallest, estimates exactly like the sketch of the full data."""
+    from refluxdb_spark.operators.sketches import kmv_estimate, kmv_hashes
+
+    df = spark.range(0, 500).selectExpr("'g' as grp", "id as v")
+    a = df.filter("v < 250")
+    b = df.filter("v >= 250")
+    whole = kmv_estimate(kmv_hashes(df, "v", k=32, by=["grp"]), k=32, by=["grp"])
+    from refluxdb_spark.operators.sketches import kmv_merge
+
+    merged_state = kmv_merge(
+        kmv_hashes(a, "v", k=32, by=["grp"]).union(
+            kmv_hashes(b, "v", k=32, by=["grp"])
+        ),
+        k=32, by=["grp"],
+    )
+    merged = kmv_estimate(merged_state, k=32, by=["grp"])
+    assert whole.collect()[0]["kmv_estimate"] == merged.collect()[0]["kmv_estimate"]
+
+
+def test_kmv_exact_below_k(spark):
+    from refluxdb_spark.operators.sketches import kmv_estimate, kmv_hashes
+
+    df = spark.range(0, 10).selectExpr("'g' as grp", "id as v")
+    r = kmv_estimate(kmv_hashes(df, "v", k=32, by=["grp"]), k=32, by=["grp"]).collect()[0]
+    assert r["n_state"] == 10 and r["kmv_estimate"] == 10.0

@@ -455,3 +455,14 @@ def test_centroid_classify_broadcasts_centroids(spark, sf_dir):
     plan = explain_str(nearest_centroid_classify(emb), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_m4_single_exchange(spark, sf_dir):
+    """M4: all four row_number orderings partition by (key, bucket) —
+    one hash exchange, per-ordering sorts only."""
+    from refluxdb_spark.operators.timeseries import m4_downsample
+
+    e = load(spark, sf_dir, "events")
+    out = m4_downsample(e, by=["event_type"], bucket_seconds=3600, tiebreak="event_id")
+    # window exchange + the final distinct's exchange
+    assert count_exchanges(out) <= 2
