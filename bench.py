@@ -92,6 +92,8 @@ HEADLINE = [
     "events_seasonal_anomaly",
     "text_ngram_novelty",
     "sketch_kmv_distinct_users",
+    "sample_ess_report",
+    "skew_salted_join_counts",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -7390,3 +7390,206 @@ def text_ngram_novelty(spark, sf_dir):
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "graph_triangles_nations",
+    """
+    WITH edges AS (
+        SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_name <> nc.n_name
+          AND l.l_quantity >= 49
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges
+    ),
+    deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY n
+    ),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+    SELECT agg.n_nodes, ne.n_edges, agg.n_wedges, tri.n_triangles,
+           CAST(3 AS DOUBLE) * CAST(tri.n_triangles AS DOUBLE)
+               / CAST(agg.n_wedges AS DOUBLE) AS global_clustering
+    FROM agg, ne, tri
+    """,
+)
+def graph_triangles_nations(spark, sf_dir):
+    """Triangle count + global clustering coefficient (operators.graph.
+    triangle_stats; node-iterator++ with degree orientation) over the
+    high-quantity nation trade graph. The orientation bounds per-node
+    wedge fan-out and generates each triangle once; the count is
+    orientation-invariant, so the oracle counts canonically a<b<c.
+    Triadic closure is THE cohesion metric for interaction graphs."""
+    from refluxdb_spark.operators import graph as G
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return G.triangle_stats(edges)
+
+
+@register(
+    "sample_ess_report",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) * SUM(n_chars) AS DOUBLE)
+               / CAST(SUM(n_chars * n_chars) AS DOUBLE) AS ess,
+           (CAST(SUM(n_chars) * SUM(n_chars) AS DOUBLE)
+               / CAST(SUM(n_chars * n_chars) AS DOUBLE)) / count(*) AS ess_ratio
+    FROM documents
+    GROUP BY source
+    """,
+)
+def sample_ess_report(spark, sf_dir):
+    """Effective sample size of an importance weighting (Kish 1965:
+    ESS = (Σw)²/Σw²), per source with document length as the weight —
+    the health check before any weighted sampling stage (ESS/n near 1
+    = weights are mild; near 1/n = a handful of documents dominate
+    and the 'sample' is an illusion). Exact integer sums routed
+    through DECIMAL; one map-side-combined aggregation."""
+    d = load(spark, sf_dir, "documents")
+    s = F.sum(F.col("n_chars").cast("decimal(28,0)"))
+    s2 = F.sum((F.col("n_chars") * F.col("n_chars")).cast("decimal(28,0)"))
+    ess = (s * s).cast("double") / s2.cast("double")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        ess.alias("ess"),
+        (ess / F.count(F.lit(1))).alias("ess_ratio"),
+    )
+
+
+@register(
+    "skew_salted_join_counts",
+    """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def skew_salted_join_counts(spark, sf_dir):
+    """The salted-join tool (operators.skew.salted_join) proven
+    equivalent to the plain join it replaces: lineitem joins supplier
+    through a deterministic content-derived salt that spreads each hot
+    suppkey over 8 reducers (the mid-size-dimension skew case where
+    the dimension is too big to broadcast but cheap to replicate 8x).
+    The oracle is the UNSALTED join — identical revenue per nation
+    proves salting changes the layout, never the result."""
+    from refluxdb_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("_price"),
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(li, sup, on=["s_suppkey"], salt=8)
+    return (
+        joined.join(
+            F.broadcast(nat), joined.s_nationkey == nat.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("_price").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "ts_streaming_liveness",
+    """
+    WITH per AS (
+        SELECT user_id,
+               max(CAST(ts AS TIMESTAMP)) AS last_seen,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM events GROUP BY user_id
+    ),
+    g AS (SELECT max(CAST(ts AS TIMESTAMP)) AS gmax FROM events)
+    SELECT p.user_id, p.last_seen, p.n_obs,
+           (epoch_us(g.gmax) - epoch_us(p.last_seen)) <= 300000000 AS is_alive
+    FROM per p, g
+    """,
+)
+def ts_streaming_liveness(spark, sf_dir):
+    """Third custom stateful streaming operator (streaming.stateful.
+    stream_liveness): a persistent per-sender last-seen registry via
+    applyInPandasWithState — the device-registry state behind
+    heartbeat/down-detection. Max/count state is micro-batch-order
+    insensitive, so the drained registry equals the batch oracle
+    exactly; aliveness (seen within 300s of the stream head) is
+    computed against the registry at read time, as a monitor would."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+    from refluxdb_spark.streaming.stateful import stream_liveness
+
+    src = _stream_events(spark, sf_dir, "user_id")
+    out = stream_liveness(src, key_col="user_id", ts_col="ts")
+    sink = f"live_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("key").orderBy(F.col("n_obs").desc())
+    reg = (
+        spark.table(sink)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("key", "last_seen_us", "n_obs")
+    )
+    gmax = reg.agg(F.max("last_seen_us").alias("gmax"))
+    return (
+        reg.crossJoin(F.broadcast(gmax))
+        .select(
+            F.col("key").alias("user_id"),
+            F.expr("timestamp_micros(last_seen_us)").alias("last_seen"),
+            "n_obs",
+            ((F.col("gmax") - F.col("last_seen_us")) <= 300_000_000).alias(
+                "is_alive"
+            ),
+        )
+    )

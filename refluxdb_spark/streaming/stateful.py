@@ -209,3 +209,80 @@ def stream_counter_total(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LIVENESS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("last_seen_us", LongType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+LIVENESS_STATE_SCHEMA = StructType(
+    [
+        StructField("last_seen_us", LongType()),
+        StructField("n_obs", LongType()),
+    ]
+)
+
+
+def liveness_update_fn():
+    """Per-sender liveness registry: persistent (last_seen, n_obs)
+    state updated by event-time max — the device-registry state behind
+    heartbeat/down-detection (the streaming twin of
+    ``timeseries.heartbeat_uptime``'s batch view). Max/count are
+    order-insensitive, so the emitted state equals the batch oracle
+    regardless of micro-batch boundaries."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_us, n_obs = state.get
+        else:
+            last_us, n_obs = None, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            mx = int(pdf["_us"].max())
+            if last_us is None or mx > last_us:
+                last_us = mx
+            n_obs += len(pdf)
+        if last_us is None:
+            return
+        state.update((last_us, n_obs))
+        yield pd.DataFrame(
+            [{"key": key[0], "last_seen_us": last_us, "n_obs": n_obs}]
+        )
+
+    return update
+
+
+def stream_liveness(
+    source: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming last-seen registry: one updated (key, last_seen_us,
+    n_obs) row per sender per micro-batch. Liveness itself ("alive =
+    seen within the horizon") is a comparison against the clock at
+    READ time, so it stays out of the state — the registry is the
+    durable part. Caller attaches the sink (update mode)."""
+    from pyspark.sql import functions as F
+
+    keyed = (
+        source.select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(ts_col)).alias("_us"),
+        )
+        .groupBy("key")
+    )
+    return keyed.applyInPandasWithState(
+        liveness_update_fn(),
+        outputStructType=LIVENESS_OUTPUT_SCHEMA,
+        stateStructType=LIVENESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1959,3 +1959,29 @@ def test_kmv_exact_below_k(spark):
     df = spark.range(0, 10).selectExpr("'g' as grp", "id as v")
     r = kmv_estimate(kmv_hashes(df, "v", k=32, by=["grp"]), k=32, by=["grp"]).collect()[0]
     assert r["n_state"] == 10 and r["kmv_estimate"] == 10.0
+
+
+def test_triangle_stats_k4(spark):
+    from refluxdb_spark.operators.graph import triangle_stats
+
+    # complete graph on 4 nodes: C(4,3)=4 triangles, 12 wedges,
+    # clustering 1.0; edges fed with duplicates/reversals to prove
+    # canonicalization
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+             ("b", "c"), ("b", "d"), ("c", "d"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = triangle_stats(df).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 12, 4)
+    assert r["global_clustering"] == 1.0
+
+
+def test_triangle_stats_triangle_free(spark):
+    from refluxdb_spark.operators.graph import triangle_stats
+
+    # star graph: wedges but no triangles
+    df = spark.createDataFrame(
+        [("hub", "x"), ("hub", "y"), ("hub", "z")], "src string, dst string"
+    )
+    r = triangle_stats(df).collect()[0]
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 3
+    assert r["global_clustering"] == 0.0

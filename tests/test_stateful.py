@@ -140,3 +140,32 @@ def test_counter_total_update_fn_by_hand():
     out2 = list(fn(("s",), iter([pd.DataFrame({"ts": [5], "value": [3.00]})]), st))
     row2 = out2[0].iloc[0]
     assert row2.total == 13.50 and row2.n_obs == 5 and row2.n_resets == 1
+
+
+def test_liveness_update_fn_by_hand():
+    """Registry state folds max/count across chunk boundaries."""
+    import pandas as pd
+
+    from refluxdb_spark.streaming.stateful import liveness_update_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    st = FakeState()
+    fn = liveness_update_fn()
+    out1 = list(fn((7,), iter([pd.DataFrame({"_us": [100, 300]})]), st))
+    assert st.get == (300, 2)
+    out2 = list(fn((7,), iter([pd.DataFrame({"_us": [250]}), pd.DataFrame({"_us": [900]})]), st))
+    assert st.get == (900, 4)
+    assert out2[0].iloc[0]["last_seen_us"] == 900
+    assert out1[0].iloc[0]["n_obs"] == 2
