@@ -94,6 +94,8 @@ HEADLINE = [
     "sketch_kmv_distinct_users",
     "sample_ess_report",
     "skew_salted_join_counts",
+    "ts_bollinger_bands",
+    "ts_rsi",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -1191,3 +1191,117 @@ def m4_downsample(
         )
         .distinct()
     )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: list[str] | None = None,
+    window_rows: int = 20,
+    n_sigma: float = 2.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Bollinger bands over the trailing ``window_rows`` observations
+    per series: rolling mean ± n_sigma · rolling (population) stddev,
+    plus breach flags — the mean-reversion envelope every market/ops
+    dashboard draws.
+
+    Determinism: the rolling Σ and Σ² are integer-cent sums over a ROWS
+    frame (exact, order-free once the frame is fixed by (ts, tiebreak)),
+    and mean/σ/bands derive in one fixed double expression — the same
+    frame arithmetic an oracle window replays bit-for-bit. Rows before
+    a full window emit null bands (warm-up, standard convention).
+
+    Scale: ONE window exchange on the series key; the frame walk is
+    O(1) per row (Spark maintains running frame aggregates).
+    """
+    by = by or []
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*by).orderBy(*order).rowsBetween(-(window_rows - 1), 0)
+    wn = Window.partitionBy(*by).orderBy(*order)
+    vc = F.expr(f"cast(round({value_col} * 100) as bigint)")
+    d = (
+        df.withColumn("_vc", vc)
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_s", F.sum(F.col("_vc").cast("decimal(28,0)")).over(w))
+        .withColumn(
+            "_s2", F.sum((F.col("_vc") * F.col("_vc")).cast("decimal(28,0)")).over(w)
+        )
+        .withColumn("_rn", F.row_number().over(wn))
+    )
+    mu_c = F.col("_s").cast("double") / F.col("_n")
+    var_c = F.col("_s2").cast("double") / F.col("_n") - mu_c * mu_c
+    sigma_c = F.sqrt(F.greatest(var_c, F.lit(0.0)))
+    full = F.col("_rn") >= window_rows
+    mid = F.when(full, mu_c / 100.0)
+    sig = F.when(full, sigma_c / 100.0)
+    upper = F.when(full, (mu_c + F.lit(n_sigma) * sigma_c) / 100.0)
+    lower = F.when(full, (mu_c - F.lit(n_sigma) * sigma_c) / 100.0)
+    return (
+        d.withColumn("mid", mid)
+        .withColumn("upper", upper)
+        .withColumn("lower", lower)
+        .withColumn(
+            "breach",
+            F.when(
+                full,
+                F.when(F.col("_vc").cast("double") > (mu_c + F.lit(n_sigma) * sigma_c), F.lit("above"))
+                .when(F.col("_vc").cast("double") < (mu_c - F.lit(n_sigma) * sigma_c), F.lit("below"))
+                .otherwise(F.lit("inside")),
+            ),
+        )
+        .drop("_vc", "_n", "_s", "_s2", "_rn")
+    )
+
+
+def rsi(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: list[str] | None = None,
+    period: int = 14,
+    tiebreak: str | None = None,
+    out: str = "rsi",
+) -> DataFrame:
+    """Relative Strength Index (Cutler's SMA variant) over the trailing
+    ``period`` price changes per series: RSI = 100 - 100/(1 + avg
+    gain / avg loss) — the overbought/oversold oscillator.
+
+    Cutler's simple-moving-average form is used deliberately: unlike
+    Wilder's recursive smoothing it is a pure ROWS-frame aggregate, so
+    it shares the single window exchange and stays oracle-replayable.
+    Gains/losses are integer cents from lag deltas; the ratio is one
+    fixed-order double expression. All-loss windows pin RSI to 0,
+    all-gain to 100 (loss sum 0), the standard convention; rows
+    without a full period emit null.
+    """
+    by = by or []
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    wn = Window.partitionBy(*by).orderBy(*order)
+    wf = Window.partitionBy(*by).orderBy(*order).rowsBetween(-(period - 1), 0)
+    vc = F.expr(f"cast(round({value_col} * 100) as bigint)")
+    d = (
+        df.withColumn("_vc", vc)
+        .withColumn("_d", F.col("_vc") - F.lag("_vc").over(wn))
+        .withColumn("_g", F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0)))
+        .withColumn("_l", F.when(F.col("_d") < 0, -F.col("_d")).otherwise(F.lit(0)))
+        .withColumn("_rn", F.row_number().over(wn))
+        .withColumn("_sg", F.sum(F.col("_g").cast("decimal(28,0)")).over(wf))
+        .withColumn("_sl", F.sum(F.col("_l").cast("decimal(28,0)")).over(wf))
+    )
+    full = F.col("_rn") >= period + 1  # first row has no delta
+    val = (
+        F.lit(100.0)
+        * F.col("_sg").cast("double")
+        / (F.col("_sg").cast("double") + F.col("_sl").cast("double"))
+    )
+    return d.withColumn(
+        out,
+        F.when(
+            full,
+            F.when(
+                (F.col("_sg") == 0) & (F.col("_sl") == 0), F.lit(50.0)
+            ).otherwise(val),
+        ),
+    ).drop("_vc", "_d", "_g", "_l", "_rn", "_sg", "_sl")

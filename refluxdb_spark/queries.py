@@ -7593,3 +7593,103 @@ def ts_streaming_liveness(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "ts_bollinger_bands",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               CAST(round(value * 100) AS BIGINT) AS vc,
+               count(*) OVER wf AS n,
+               SUM(CAST(round(value * 100) AS BIGINT)) OVER wf AS s,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) OVER wf AS s2,
+               row_number() OVER wo AS rn
+        FROM events
+        WINDOW wo AS (PARTITION BY event_type
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id),
+               wf AS (PARTITION BY event_type
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    b AS (
+        SELECT event_type, ts, event_id, value, vc, rn,
+               CAST(s AS DOUBLE) / n AS mu_c,
+               sqrt(greatest(CAST(s2 AS DOUBLE) / n
+                             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                             CAST(0 AS DOUBLE))) AS sigma_c
+        FROM d
+    )
+    SELECT event_type, ts, event_id, value,
+           CASE WHEN rn >= 20 THEN mu_c / 100.0 END AS mid,
+           CASE WHEN rn >= 20 THEN (mu_c + 2.0 * sigma_c) / 100.0 END AS upper,
+           CASE WHEN rn >= 20 THEN (mu_c - 2.0 * sigma_c) / 100.0 END AS lower,
+           CASE WHEN rn >= 20 THEN
+               CASE WHEN CAST(vc AS DOUBLE) > mu_c + 2.0 * sigma_c THEN 'above'
+                    WHEN CAST(vc AS DOUBLE) < mu_c - 2.0 * sigma_c THEN 'below'
+                    ELSE 'inside' END
+           END AS breach
+    FROM b
+    """,
+)
+def ts_bollinger_bands(spark, sf_dir):
+    """Bollinger bands (operators.timeseries.bollinger_bands): rolling
+    mean ± 2σ over the trailing 20 observations per series with breach
+    flags — rolling Σ/Σ² as exact integer-cent frame sums, bands one
+    fixed-order double expression, warm-up rows null. One window
+    exchange; O(1) per row via running frame aggregates."""
+    e = load(spark, sf_dir, "events")
+    out = TS.bollinger_bands(
+        e, ts_col="ts", value_col="value", by=["event_type"],
+        window_rows=20, n_sigma=2.0, tiebreak="event_id",
+    )
+    return out.select(
+        "event_type", "ts", "event_id", "value", "mid", "upper", "lower", "breach"
+    )
+
+
+@register(
+    "ts_rsi",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               CAST(round(value * 100) AS BIGINT)
+                   - lag(CAST(round(value * 100) AS BIGINT)) OVER wo AS delta,
+               row_number() OVER wo AS rn
+        FROM events
+        WINDOW wo AS (PARTITION BY event_type
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    g AS (
+        SELECT event_type, ts, event_id, value, rn,
+               SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER wf AS sg,
+               SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER wf AS sl
+        FROM d
+        WINDOW wf AS (PARTITION BY event_type
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, ts, event_id, value,
+           CASE WHEN rn >= 15 THEN
+               CASE WHEN sg = 0 AND sl = 0 THEN CAST(50 AS DOUBLE)
+                    ELSE CAST(100 AS DOUBLE) * CAST(sg AS DOUBLE)
+                         / (CAST(sg AS DOUBLE) + CAST(sl AS DOUBLE))
+               END
+           END AS rsi
+    FROM g
+    """,
+)
+def ts_rsi(spark, sf_dir):
+    """Relative Strength Index, Cutler's SMA variant (operators.
+    timeseries.rsi, period 14): 100·Σgain/(Σgain+Σloss) over trailing
+    deltas — chosen over Wilder's recursive smoothing precisely
+    because the SMA form is a pure ROWS-frame aggregate (single window
+    exchange, oracle-replayable). Gains/losses are exact cent deltas;
+    flat windows pin to 50, warm-up rows null."""
+    e = load(spark, sf_dir, "events")
+    out = TS.rsi(
+        e, ts_col="ts", value_col="value", by=["event_type"],
+        period=14, tiebreak="event_id",
+    )
+    return out.select("event_type", "ts", "event_id", "value", "rsi")

@@ -1985,3 +1985,51 @@ def test_triangle_stats_triangle_free(spark):
     r = triangle_stats(df).collect()[0]
     assert r["n_triangles"] == 0 and r["n_wedges"] == 3
     assert r["global_clustering"] == 0.0
+
+
+def test_bollinger_bands_by_hand(spark):
+    from refluxdb_spark.operators.timeseries import bollinger_bands
+
+    # window_rows=2: at row2 mean of (1,3)=2, pop sigma=1 -> bands [0,4]
+    rows = [("k", 0, 1.0), ("k", 1, 3.0), ("k", 2, 10.0)]
+    df = spark.createDataFrame(rows, "key string, sec long, value double").selectExpr(
+        "key", "timestamp_micros(sec * 1000000) as ts", "value", "sec as tb"
+    )
+    out = {r["tb"]: r for r in bollinger_bands(
+        df, by=["key"], window_rows=2, n_sigma=2.0, tiebreak="tb"
+    ).collect()}
+    assert out[0]["mid"] is None  # warm-up
+    assert out[1]["mid"] == 2.0 and out[1]["upper"] == 4.0 and out[1]["lower"] == 0.0
+    assert out[1]["breach"] == "inside"
+    # row2 window (3,10): mean 6.5, sigma 3.5 -> upper 13.5; 10 inside
+    assert out[2]["mid"] == 6.5 and out[2]["breach"] == "inside"
+
+
+def test_bollinger_breach_above(spark):
+    from refluxdb_spark.operators.timeseries import bollinger_bands
+
+    # the frame includes the current row (classic bands), so the spike
+    # inflates its own sigma — needs a long stable run to breach
+    rows = [("k", i, 10.0) for i in range(9)] + [("k", 9, 99.0)]
+    df = spark.createDataFrame(rows, "key string, sec long, value double").selectExpr(
+        "key", "timestamp_micros(sec * 1000000) as ts", "value", "sec as tb"
+    )
+    out = {r["tb"]: r["breach"] for r in bollinger_bands(
+        df, by=["key"], window_rows=10, tiebreak="tb"
+    ).collect()}
+    assert out[9] == "above"
+
+
+def test_rsi_by_hand(spark):
+    from refluxdb_spark.operators.timeseries import rsi
+
+    # period=2; deltas: +1, +1, -2, 0
+    rows = [("k", 0, 1.0), ("k", 1, 2.0), ("k", 2, 3.0), ("k", 3, 1.0), ("k", 4, 1.0)]
+    df = spark.createDataFrame(rows, "key string, sec long, value double").selectExpr(
+        "key", "timestamp_micros(sec * 1000000) as ts", "value", "sec as tb"
+    )
+    out = {r["tb"]: r["rsi"] for r in rsi(df, by=["key"], period=2, tiebreak="tb").collect()}
+    assert out[0] is None and out[1] is None  # warm-up: rn < period+1
+    assert out[2] == 100.0          # gains only (+1,+1)
+    assert out[3] == 100.0 * 100 / (100 + 200)  # +1 gain, 2 loss in cents
+    assert out[4] == 0.0            # window (-2, 0): losses only
