@@ -96,6 +96,7 @@ HEADLINE = [
     "skew_salted_join_counts",
     "ts_bollinger_bands",
     "ts_rsi",
+    "text_rag_chunks",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

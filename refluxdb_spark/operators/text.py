@@ -635,3 +635,58 @@ def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         "flesch",
         F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
     )
+
+
+def rag_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-size overlapping token-window chunking — the RAG/context
+    preparation primitive: split each document into windows of
+    ``chunk_tokens`` whitespace tokens with ``overlap`` tokens shared
+    between neighbors (stride = chunk_tokens - overlap), re-joined to
+    text. The final window is the shortened tail; a document shorter
+    than one chunk yields itself as chunk 0.
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text). chunk_id is
+    the 0-based window index — (id, chunk_id) is the stable chunk key
+    downstream embedding/dedup stages join on.
+
+    Scale: pure per-row array arithmetic (split → sequence of starts →
+    slice+join per start, exploded in place) — no shuffle, no UDF;
+    chunk count per doc is ceil((n-overlap)/stride), so output size is
+    input tokens × (1 + overlap/stride), a constant factor.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    # start positions 1, 1+stride, ..., with the last start rounded UP
+    # to the next stride multiple so the tail tokens are always covered
+    # (a stop of size-chunk+1 would drop them whenever stride doesn't
+    # divide evenly); greatest() keeps single-chunk docs at one start
+    starts = F.expr(
+        f"sequence(1, (greatest(size(_toks) - {chunk_tokens}, 0) + {stride - 1})"
+        f" div {stride} * {stride} + 1, {stride})"
+    )
+    chunks = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.slice(F.col("_toks"), s, chunk_tokens),
+            )
+        ).alias("chunk_id", "_chunk"),
+    )
+    return chunks.select(
+        "id",
+        "chunk_id",
+        F.size("_chunk").alias("n_chunk_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )

@@ -7693,3 +7693,195 @@ def ts_rsi(spark, sf_dir):
         period=14, tiebreak="event_id",
     )
     return out.select("event_type", "ts", "event_id", "value", "rsi")
+
+
+def _lsh_recall_oracle(num_hashes: int = 16, bands: int = 4, t: float = 0.5) -> str:
+    """Candidate-generation recall of MinHash banding vs exact shingle
+    Jaccard: the bucket CTEs replay _lsh_oracle's pipeline up to the
+    candidate pairs; truth is the full exact pair set at threshold t."""
+    rpb = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min((h1 + {i} * h2) % 4294967296) AS h{i}" for i in range(num_hashes)
+    )
+    band_exprs = ",\n               ".join(
+        "md5(concat_ws(',', '%d', %s)) AS b%d"
+        % (b, ", ".join(f"h{b * rpb + r}" for r in range(rpb)), b)
+        for b in range(bands)
+    )
+    band_cols = ", ".join(f"b{b}" for b in range(bands))
+    return f"""
+    {_SHINGLE_CTE},
+    {_KM_HASHED},
+    sig AS (
+        SELECT id, {mins}
+        FROM hashed GROUP BY id
+    ),
+    bandhash AS (
+        SELECT id, {band_exprs}
+        FROM sig
+    ),
+    buckets AS (
+        SELECT DISTINCT id, bucket
+        FROM (SELECT id, unnest([{band_cols}]) AS bucket FROM bandhash)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+        WHERE a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
+    inter AS (
+        SELECT ta.id AS id_a, tb.id AS id_b, count(*) AS i
+        FROM toks2 ta JOIN toks2 tb ON tb.token = ta.token AND ta.id < tb.id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {t}
+    ),
+    hits AS (
+        SELECT t.id_a, t.id_b
+        FROM truth t JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hit,
+           CAST((SELECT count(*) FROM hits) AS DOUBLE)
+               / CAST((SELECT count(*) FROM truth) AS DOUBLE) AS recall
+    """
+
+
+@register("dedup_lsh_recall", _lsh_recall_oracle(16, 4, 0.5))
+def dedup_lsh_recall(spark, sf_dir):
+    """Candidate-generation recall of the MinHash/LSH banding (16
+    hashes, 4 bands) against exact 3-shingle Jaccard at threshold 0.5
+    — the eval harness a dedup pipeline runs before trusting its
+    approximation at scale (the dedup twin of sim_ivf_recall). One
+    row: truth/candidate/hit counts + recall. Truth is the uncapped
+    exact pair set; candidates come straight from the banding, before
+    any verify filter."""
+    docs = load(spark, sf_dir, "documents")
+    truth = D.word_jaccard_pairs(docs, threshold=0.5, shingle=3).select(
+        "id_a", "id_b"
+    )
+    cand = D.minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3)
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    h = hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            (
+                F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+@register(
+    "text_rag_chunks",
+    """
+    WITH base AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    ),
+    nz AS (SELECT id, toks FROM base WHERE len(toks) > 0),
+    starts AS (
+        SELECT id, toks,
+               unnest(range(1, (greatest(len(toks) - 64, 0) + 47) // 48 * 48 + 2, 48)) AS s
+        FROM nz
+    )
+    SELECT id, CAST((s - 1) // 48 AS INT) AS chunk_id,
+           CAST(len(toks[s : s + 63]) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[s : s + 63], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def text_rag_chunks(spark, sf_dir):
+    """RAG chunking (operators.text.rag_chunks): 64-token windows with
+    16-token overlap (stride 48), last start rounded up so tail tokens
+    are always covered; (doc_id, chunk_id) is the stable chunk key the
+    embedding/dedup stages join on. Pure per-row array arithmetic —
+    no shuffle, no UDF; output ∝ input × (1 + overlap/stride)."""
+    docs = load(spark, sf_dir, "documents")
+    out = X.rag_chunks(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
+    return out.select(
+        "id", "chunk_id",
+        F.col("n_chunk_tokens").cast("int").alias("n_chunk_tokens"),
+        "chunk_text",
+    )
+
+
+@register(
+    "graph_link_prediction_nations",
+    """
+    WITH edges AS (
+        SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_name <> nc.n_name
+          AND l.l_quantity >= 49
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+    ),
+    nbrs AS (
+        SELECT a AS u, b AS n FROM und UNION ALL SELECT b, a FROM und
+    ),
+    cand AS (
+        SELECT w1.n AS x, w2.n AS y, CAST(count(*) AS BIGINT) AS common_neighbors
+        FROM nbrs w1 JOIN nbrs w2 ON w2.u = w1.u AND w1.n < w2.n
+        GROUP BY 1, 2
+    ),
+    nonedge AS (
+        SELECT c.x, c.y, c.common_neighbors
+        FROM cand c
+        LEFT JOIN und e ON e.a = c.x AND e.b = c.y
+        WHERE e.a IS NULL
+    )
+    SELECT x AS node_a, y AS node_b, common_neighbors
+    FROM nonedge
+    ORDER BY common_neighbors DESC, node_a, node_b
+    LIMIT 20
+    """,
+)
+def graph_link_prediction_nations(spark, sf_dir):
+    """Common-neighbor link prediction (operators.graph.
+    common_neighbor_link_prediction; Liben-Nowell & Kleinberg 2003)
+    over the high-quantity trade graph: for non-adjacent nation pairs,
+    the shared-neighbor count ranks 'who trades next'. Wedges via one
+    adjacency self-join on the center; hub centers are cap-able with
+    max_degree (LSH hot-bucket discipline); top-20 fully tiebroken."""
+    from refluxdb_spark.operators import graph as G
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return G.common_neighbor_link_prediction(edges, k=20)

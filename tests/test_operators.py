@@ -2033,3 +2033,64 @@ def test_rsi_by_hand(spark):
     assert out[2] == 100.0          # gains only (+1,+1)
     assert out[3] == 100.0 * 100 / (100 + 200)  # +1 gain, 2 loss in cents
     assert out[4] == 0.0            # window (-2, 0): losses only
+
+
+def test_rag_chunks_tail_covered(spark):
+    from refluxdb_spark.operators.text import rag_chunks
+
+    # 10 tokens, chunk 4, overlap 1 (stride 3): starts 1,4,7 cover all
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = sorted(
+        (r["chunk_id"], r["chunk_text"]) for r in rag_chunks(
+            df, chunk_tokens=4, overlap=1
+        ).collect()
+    )
+    assert [c for c, _ in out] == [0, 1, 2]
+    assert out[0][1] == "w0 w1 w2 w3"
+    assert out[1][1] == "w3 w4 w5 w6"
+    assert out[2][1] == "w6 w7 w8 w9"
+    # tail token present
+    assert out[-1][1].endswith("w9")
+
+
+def test_rag_chunks_short_doc_single_chunk(spark):
+    from refluxdb_spark.operators.text import rag_chunks
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    out = rag_chunks(df, chunk_tokens=64, overlap=16).collect()
+    assert len(out) == 1 and out[0]["chunk_text"] == "a b" and out[0]["n_chunk_tokens"] == 2
+
+
+def test_rag_chunks_uneven_tail_start(spark):
+    from refluxdb_spark.operators.text import rag_chunks
+
+    # 6 tokens, chunk 4, overlap 1 (stride 3): starts 1, 4 — the tail
+    # window is the shortened remainder, never dropped
+    text = "a b c d e f"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = {r["chunk_id"]: r["chunk_text"] for r in rag_chunks(
+        df, chunk_tokens=4, overlap=1
+    ).collect()}
+    assert out == {0: "a b c d", 1: "d e f"}
+
+
+def test_link_prediction_by_hand(spark):
+    from refluxdb_spark.operators.graph import common_neighbor_link_prediction
+
+    # path a-b-c plus b-d: non-edges (a,c),(a,d),(c,d) each share b
+    edges = [("a", "b"), ("b", "c"), ("b", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {(r["node_a"], r["node_b"]): r["common_neighbors"]
+           for r in common_neighbor_link_prediction(df).collect()}
+    assert out == {("a", "c"): 1, ("a", "d"): 1, ("c", "d"): 1}
+
+
+def test_link_prediction_max_degree_drops_hub(spark):
+    from refluxdb_spark.operators.graph import common_neighbor_link_prediction
+
+    # star: hub has degree 3; capping at 2 removes every wedge center
+    edges = [("hub", "x"), ("hub", "y"), ("hub", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert common_neighbor_link_prediction(df, max_degree=2).count() == 0
+    assert common_neighbor_link_prediction(df).count() == 3
