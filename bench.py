@@ -97,6 +97,7 @@ HEADLINE = [
     "ts_bollinger_bands",
     "ts_rsi",
     "text_rag_chunks",
+    "pipeline_chunk_dedup",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

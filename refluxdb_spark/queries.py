@@ -7885,3 +7885,117 @@ def graph_link_prediction_nations(spark, sf_dir):
         .distinct()
     )
     return G.common_neighbor_link_prediction(edges, k=20)
+
+
+@register(
+    "ts_streaming_ohlc",
+    """
+    WITH ev AS (
+        SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS bucket_start,
+               value
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, bucket_start, value,
+               row_number() OVER (PARTITION BY event_type, bucket_start
+                                  ORDER BY ts, event_id) AS rn_f,
+               row_number() OVER (PARTITION BY event_type, bucket_start
+                                  ORDER BY ts DESC, event_id DESC) AS rn_l
+        FROM ev
+    )
+    SELECT event_type,
+           min(CASE WHEN rn_f = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rn_l = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n,
+           bucket_start
+    FROM ranked GROUP BY event_type, bucket_start
+    """,
+)
+def ts_streaming_ohlc(spark, sf_dir):
+    """Streaming OHLC candles (streaming.ingest.stream_ohlc):
+    watermarked hourly windows whose open/close come from min_by /
+    max_by over a (ts, event_id) ordering struct — commutative
+    aggregates, so state merges identically under any micro-batch
+    schedule and the drained table equals the batch window oracle
+    row-for-row. Five scalars of state per open (series, window)."""
+    from refluxdb_spark.streaming.ingest import stream_ohlc
+
+    src = _stream_events(spark, sf_dir, "event_type", "event_id", "value")
+    return stream_ohlc(
+        spark, src, ts_col="ts", by=["event_type"], bucket="1 hour",
+        tiebreak_col="event_id",
+    ).select("event_type", "open", "high", "low", "close", "n", "bucket_start")
+
+
+@register(
+    "pipeline_chunk_dedup",
+    """
+    WITH base AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    ),
+    nz AS (SELECT id, toks FROM base WHERE len(toks) > 0),
+    starts AS (
+        SELECT id, toks,
+               unnest(range(1, (greatest(len(toks) - 64, 0) + 47) // 48 * 48 + 2, 48)) AS s
+        FROM nz
+    ),
+    chunks AS (
+        SELECT id, CAST((s - 1) // 48 AS INT) AS chunk_id,
+               md5(array_to_string(toks[s : s + 63], ' ')) AS fp
+        FROM starts
+    ),
+    keep AS (
+        SELECT fp, min(id * 100000 + chunk_id) AS keep_key,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM chunks GROUP BY fp
+    )
+    SELECT c.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN k.keep_key = c.id * 100000 + c.chunk_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k.keep_key = c.id * 100000 + c.chunk_id
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS keep_rate
+    FROM chunks c JOIN keep k ON k.fp = c.fp
+    GROUP BY c.id
+    """,
+)
+def pipeline_chunk_dedup(spark, sf_dir):
+    """Chunk-level exact dedup over the RAG chunking (rag_chunks →
+    md5 fingerprint → first-key-wins): per document, how many of its
+    chunks survive global chunk dedup — the dedup-at-chunk-granularity
+    stage a RAG corpus runs AFTER chunking (overlapping boilerplate
+    collapses here even when whole documents differ). Chunking is
+    per-row array work; the dedup is ONE exchange on the fingerprint
+    and the keep decision re-joins on it."""
+    from refluxdb_spark.operators.text import rag_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    ch = rag_chunks(docs, "text", "doc_id", chunk_tokens=64, overlap=16).select(
+        "id",
+        "chunk_id",
+        F.md5("chunk_text").alias("fp"),
+        (F.col("id") * 100000 + F.col("chunk_id")).alias("ck"),
+    )
+    keep = ch.groupBy("fp").agg(F.min("ck").alias("keep_key"))
+    return (
+        ch.join(keep, "fp")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("keep_key") == F.col("ck"), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n_chunks")).alias("keep_rate"),
+        )
+    )

@@ -278,3 +278,55 @@ def stream_interval_join(
     for lk, rk in keys:
         cond = cond & (lw[lk] == rw[rk])
     return lw.join(rw, cond, "inner")
+
+
+def stream_ohlc(
+    spark: SparkSession,
+    source: DataFrame,
+    ts_col: str,
+    by: list[str] | None = None,
+    bucket: str = "1 hour",
+    watermark: str = "1 day",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Watermarked streaming OHLC candles — the financial/TSDB
+    downsampling read maintained AS data arrives instead of recomputed
+    per dashboard refresh.
+
+    open/close use ``min_by``/``max_by`` over a (ts [, tiebreak])
+    ordering struct: unlike first()/last(), these are true commutative
+    aggregates, so the streaming state merges identically under any
+    micro-batch schedule and the drained result equals the batch
+    window formulation row-for-row (the oracle replays it with
+    row_number). State per (group, window) is five scalars; the
+    watermark bounds how many windows stay open.
+    """
+    by = by or []
+    ordc = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    ordst = F.struct(*ordc)
+    agged = (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), bucket).alias("_w"), *by)
+        .agg(
+            F.min_by(F.col(value_col), ordst).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), ordst).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            *by, "open", "high", "low", "close", "n",
+            F.col("_w.start").alias("bucket_start"),
+        )
+    )
+    sink_table = f"ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agged.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
