@@ -98,6 +98,9 @@ HEADLINE = [
     "ts_rsi",
     "text_rag_chunks",
     "pipeline_chunk_dedup",
+    "ts_week_over_week",
+    "sketch_hll_intersection",
+    "text_langid_confusion",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -7999,3 +7999,253 @@ def pipeline_chunk_dedup(spark, sf_dir):
             (F.col("n_kept").cast("double") / F.col("n_chunks")).alias("keep_rate"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    WITH pred AS ({_langid_oracle()})
+    SELECT lang AS actual, lang_pred AS predicted,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: predicted (marker-count heuristic,
+    operators.text.lang_id) vs labeled language, counted per cell —
+    the eval readout that decides whether the cheap classifier is good
+    enough to route documents at scale. One map-side-combined
+    aggregation over the per-row classifier."""
+    out = X.lang_id(load(spark, sf_dir, "documents"))
+    return out.groupBy(
+        F.col("lang").alias("actual"), F.col("lang_pred").alias("predicted")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "orders_rfm_segmentation",
+    """
+    WITH rfm AS (
+        SELECT o_custkey AS custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey, last_order, frequency, monetary,
+               CAST(ntile(5) OVER (ORDER BY last_order DESC, custkey) AS INT) AS r,
+               CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f,
+               CAST(ntile(5) OVER (ORDER BY monetary DESC, custkey) AS INT) AS m
+        FROM rfm
+    )
+    SELECT custkey, last_order, frequency, monetary, r, f, m,
+           concat(r, '-', f, '-', m) AS segment
+    FROM scored
+    """,
+)
+def orders_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency/frequency/monetary quintiles
+    (ntile with custkey tiebreak → fully deterministic banding) and
+    the concatenated segment label — the classic marketing cut, here
+    as three global ntile windows over the customer-sized aggregate
+    (the window input is customers, not orders — a 100 TB order log
+    collapses to its customer dimension before any global sort)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_order").desc(), F.col("custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc())
+    return (
+        rfm.withColumn("r", F.ntile(5).over(wr))
+        .withColumn("f", F.ntile(5).over(wf))
+        .withColumn("m", F.ntile(5).over(wm))
+        .withColumn(
+            "segment", F.concat_ws("-", F.col("r"), F.col("f"), F.col("m"))
+        )
+    )
+
+
+@register(
+    "ts_week_over_week",
+    """
+    WITH wk AS (
+        SELECT event_type,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS week_start,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS sc
+        FROM events GROUP BY event_type, week_start
+    ),
+    seq AS (
+        SELECT event_type, week_start,
+               CAST(sc AS DOUBLE) / 100.0 AS total,
+               lag(sc) OVER (PARTITION BY event_type ORDER BY week_start)
+                   AS prev_sc
+        FROM wk
+    )
+    SELECT event_type, week_start, total,
+           CAST(prev_sc AS DOUBLE) / 100.0 AS prev_total,
+           CASE WHEN prev_sc IS NOT NULL AND prev_sc <> 0 THEN
+               CAST(sc * 100 AS DOUBLE) / CAST(prev_sc AS DOUBLE) - 100.0
+           END AS wow_pct
+    FROM (SELECT event_type, week_start, total, prev_sc,
+                 CAST(round(total * 100) AS BIGINT) AS sc FROM seq)
+    """,
+)
+def ts_week_over_week(spark, sf_dir):
+    """Week-over-week growth per series: weekly totals from exact cent
+    sums, previous week via lag on the week-grain relation (window
+    input ∝ weeks×series, not events), WoW%% as one fixed-order double
+    expression — the canonical trend readout every ops dashboard
+    carries. Null on the first week and on zero baselines."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    wk = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("week", F.col("ts")).alias("week_start"),
+        )
+        .agg(
+            F.sum(F.expr("cast(round(value * 100) as bigint)").cast("decimal(28,0)"))
+            .cast("bigint")
+            .alias("sc")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    return (
+        wk.withColumn("prev_sc", F.lag("sc").over(w))
+        .select(
+            "event_type",
+            "week_start",
+            (F.col("sc").cast("double") / 100.0).alias("total"),
+            (F.col("prev_sc").cast("double") / 100.0).alias("prev_total"),
+            F.when(
+                F.col("prev_sc").isNotNull() & (F.col("prev_sc") != 0),
+                (F.col("sc") * 100).cast("double") / F.col("prev_sc").cast("double")
+                - 100.0,
+            ).alias("wow_pct"),
+        )
+    )
+
+
+@register(
+    "sketch_hll_intersection",
+    """
+    WITH ha AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) // 256 AS rem
+        FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) // 256 AS rem
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ra AS (
+        SELECT bucket,
+               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(printf('%b', rem)) END) AS rho_max
+        FROM ha GROUP BY bucket
+    ),
+    rb AS (
+        SELECT bucket,
+               max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(printf('%b', rem)) END) AS rho_max
+        FROM hb GROUP BY bucket
+    ),
+    ru AS (
+        SELECT bucket, max(rho_max) AS rho_max
+        FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY bucket
+    ),
+    ea AS (
+        SELECT 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+               / CAST(sum(CAST(1 AS BIGINT) << (53 - rho_max))
+                      + (256 - count(*)) * 9007199254740992 AS DOUBLE) AS est
+        FROM ra
+    ),
+    eb AS (
+        SELECT 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+               / CAST(sum(CAST(1 AS BIGINT) << (53 - rho_max))
+                      + (256 - count(*)) * 9007199254740992 AS DOUBLE) AS est
+        FROM rb
+    ),
+    eu AS (
+        SELECT 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+               / CAST(sum(CAST(1 AS BIGINT) << (53 - rho_max))
+                      + (256 - count(*)) * 9007199254740992 AS DOUBLE) AS est
+        FROM ru
+    ),
+    exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    )
+    SELECT ea.est AS est_clicks, eb.est AS est_purchases, eu.est AS est_union,
+           ea.est + eb.est - eu.est AS est_intersection,
+           exact.exact_intersection
+    FROM ea, eb, eu, exact
+    """,
+)
+def sketch_hll_intersection(spark, sf_dir):
+    """Set-intersection estimate from HLL registers by inclusion-
+    exclusion: |A∩B| ≈ est(A) + est(B) - est(A∪B), where the union
+    sketch is the MAX-merge of the two register tables — no rescan of
+    either input. Reported against the exact intersection. The
+    audience-overlap question (clickers ∩ purchasers) every analytics
+    store answers from sketches at scale; registers are
+    engine-invariant, so all three estimates (and the derived
+    intersection) are bit-exact."""
+    from refluxdb_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    e = load(spark, sf_dir, "events")
+    ra = hll_registers(e.filter(F.col("event_type") == "click"), "user_id", p=8)
+    rb = hll_registers(e.filter(F.col("event_type") == "purchase"), "user_id", p=8)
+    ru = (
+        ra.union(rb)
+        .groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    ea = hll_estimate_from_registers(ra, p=8).select(
+        F.col("hll_estimate").alias("est_clicks")
+    )
+    eb = hll_estimate_from_registers(rb, p=8).select(
+        F.col("hll_estimate").alias("est_purchases")
+    )
+    eu = hll_estimate_from_registers(ru, p=8).select(
+        F.col("hll_estimate").alias("est_union")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        clicks.intersect(buys)
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .select(
+            "est_clicks",
+            "est_purchases",
+            "est_union",
+            (
+                F.col("est_clicks") + F.col("est_purchases") - F.col("est_union")
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )
