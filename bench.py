@@ -101,6 +101,8 @@ HEADLINE = [
     "ts_week_over_week",
     "sketch_hll_intersection",
     "text_langid_confusion",
+    "events_interarrival_stats",
+    "text_vocab_growth",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -8249,3 +8249,164 @@ def sketch_hll_intersection(spark, sf_dir):
             "exact_intersection",
         )
     )
+
+
+@register(
+    "orders_pareto_concentration",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, rev_c,
+               row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rn,
+               SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM cust
+    ),
+    tot AS (
+        SELECT SUM(rev_c) AS tot_c, CAST(count(*) AS BIGINT) AS n_customers
+        FROM cust
+    )
+    SELECT t.n_customers,
+           CAST(min(r.rn) AS BIGINT) AS top_customers,
+           CAST(min(r.rn) AS DOUBLE) / CAST(t.n_customers AS DOUBLE)
+               AS top_fraction,
+           CAST(min(r.cum_c) AS DOUBLE) / CAST(t.tot_c AS DOUBLE)
+               AS revenue_share
+    FROM ranked r, tot t
+    WHERE r.cum_c * 10 >= t.tot_c * 8
+    GROUP BY t.n_customers, t.tot_c
+    """,
+)
+def orders_pareto_concentration(spark, sf_dir):
+    """Pareto (80/20) revenue concentration: the smallest top-spender
+    prefix covering 80%% of revenue — threshold found by exact integer
+    comparison (cum·10 ≥ tot·8, no float boundary), revenue in exact
+    cents. Orders collapse to the customer dimension before the one
+    global sort (the RFM contract); min(cum_c) under the filter is the
+    crossing prefix's own cumulative share."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = Window.orderBy(F.col("rev_c").desc(), F.col("o_custkey").asc())
+    ranked = cust.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum_c", F.sum("rev_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = cust.agg(
+        F.sum("rev_c").alias("tot_c"), F.count(F.lit(1)).alias("n_customers")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_c") * 10 >= F.col("tot_c") * 8)
+        .groupBy("n_customers", "tot_c")
+        .agg(
+            F.min("rn").cast("bigint").alias("top_customers"),
+            F.min("cum_c").alias("_cum"),
+        )
+        .select(
+            "n_customers",
+            "top_customers",
+            (
+                F.col("top_customers").cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("top_fraction"),
+            (F.col("_cum").cast("double") / F.col("tot_c").cast("double")).alias(
+                "revenue_share"
+            ),
+        )
+    )
+
+
+@register(
+    "text_vocab_growth",
+    f"""
+    WITH toks AS (
+        SELECT source, unnest(list_filter({_TOKENS_SQL}, t -> t != '')) AS token
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT token) AS BIGINT) AS vocab,
+           CAST(count(DISTINCT token) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS type_token_ratio
+    FROM toks GROUP BY source
+    """,
+)
+def text_vocab_growth(spark, sf_dir):
+    """Vocabulary growth per source (Heaps'-law diagnostic): token
+    volume, distinct vocabulary, and the type-token ratio — falling
+    TTR across sources of similar size flags templated/repetitive
+    feeds before any pairwise dedup runs. One aggregation with
+    count-distinct (Spark plans the two-level expand); tokens are the
+    shared normalized stream every text operator uses."""
+    from refluxdb_spark.operators.text import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(normalize_text("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("vocab"),
+        (
+            F.countDistinct("token").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    """
+    WITH d AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS p50_us,
+           quantile_cont(gap_us, 0.95) AS p95_us,
+           CAST(max(gap_us) AS BIGINT) AS max_us
+    FROM d WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark, sf_dir):
+    """Interarrival-time distribution per series: exact integer
+    microsecond gaps from one lag window, then exact interpolated
+    quantiles (Spark percentile ≡ DuckDB quantile_cont on identical
+    integer inputs) — the sampling-health readout that catches dying
+    senders and burst clustering. Window + aggregation share the
+    series key."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts"))
+    d = e.withColumn("gap_us", us - F.lag(us).over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_us"),
+        F.expr("percentile(gap_us, 0.95)").alias("p95_us"),
+        F.max("gap_us").alias("max_us"),
+    )
