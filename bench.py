@@ -103,6 +103,7 @@ HEADLINE = [
     "text_langid_confusion",
     "events_interarrival_stats",
     "text_vocab_growth",
+    "text_jsd_source_drift",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -690,3 +690,57 @@ def rag_chunks(
         F.size("_chunk").alias("n_chunk_tokens"),
         F.array_join("_chunk", " ").alias("chunk_text"),
     )
+
+
+def jsd_source_drift(df: DataFrame, text_col: str = "text", by: str = "source") -> DataFrame:
+    """Jensen–Shannon divergence of each source's token distribution
+    from the whole-corpus distribution — the drift detector that flags
+    a feed whose language shifted (new boilerplate, new domain, new
+    spam) before any model downstream notices.
+
+    JSD(P‖Q) = ½ΣP·ln(P/M) + ½ΣQ·ln(Q/M), M = (P+Q)/2, computed over
+    the full corpus vocabulary per source (absent tokens contribute
+    only the Q side). Determinism follows ``unigram_logprob``'s
+    contract: probabilities are exact integer ratios, each ln term is
+    computed once from identical doubles, cast to DECIMAL(28,18) so
+    the per-source sums are order-free, and the result rounds to 6.
+
+    Scale: the global vocabulary is Zipf-small — the (source × vocab)
+    grid it cross-joins into is sources×|V| rows, map-side aggregable;
+    the corpus token stream is read once for both count tables.
+    """
+    toks = df.select(
+        F.col(by).alias("src"),
+        F.explode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    sv = toks.groupBy("src", "token").agg(F.count(F.lit(1)).alias("cs"))
+    ns = sv.groupBy("src").agg(F.sum("cs").cast("bigint").alias("n_s"))
+    g = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = g.agg(F.sum("c").cast("bigint").alias("n"))
+    grid = (
+        ns.crossJoin(F.broadcast(g))
+        .join(sv, ["src", "token"], "left")
+        .crossJoin(F.broadcast(n))
+    )
+    p = F.coalesce(F.col("cs"), F.lit(0)).cast("double") / F.col("n_s").cast("double")
+    q = F.col("c").cast("double") / F.col("n").cast("double")
+    m = (p + q) / F.lit(2.0)
+    tp = F.when(F.col("cs").isNotNull(), p * F.log(p / m)).otherwise(F.lit(0.0))
+    tq = q * F.log(q / m)
+    dec = "decimal(28,18)"
+    return (
+        grid.groupBy(F.col("src").alias(by))
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.round(
+                (
+                    F.sum(tp.cast(dec)).cast("double")
+                    + F.sum(tq.cast(dec)).cast("double")
+                )
+                / 2.0,
+                6,
+            ).alias("jsd"),
+        )
+    )

@@ -8410,3 +8410,52 @@ def events_interarrival_stats(spark, sf_dir):
         F.expr("percentile(gap_us, 0.95)").alias("p95_us"),
         F.max("gap_us").alias("max_us"),
     )
+
+
+@register(
+    "text_jsd_source_drift",
+    f"""
+    WITH toks AS (
+        SELECT source AS src, unnest(list_filter({_TOKENS_SQL}, t -> t != '')) AS token
+        FROM documents
+    ),
+    sv AS (SELECT src, token, CAST(count(*) AS BIGINT) AS cs FROM toks GROUP BY src, token),
+    ns AS (SELECT src, CAST(sum(cs) AS BIGINT) AS n_s FROM sv GROUP BY src),
+    g AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+    grid AS (
+        SELECT ns.src, ns.n_s, g.token, g.c, sv.cs, tot.n
+        FROM ns CROSS JOIN g
+        LEFT JOIN sv ON sv.src = ns.src AND sv.token = g.token
+        CROSS JOIN tot
+    ),
+    terms AS (
+        SELECT src, n_s,
+               CAST(CASE WHEN cs IS NOT NULL THEN
+                   (CAST(coalesce(cs, 0) AS DOUBLE) / CAST(n_s AS DOUBLE))
+                   * ln((CAST(coalesce(cs, 0) AS DOUBLE) / CAST(n_s AS DOUBLE))
+                        / ((CAST(coalesce(cs, 0) AS DOUBLE) / CAST(n_s AS DOUBLE)
+                            + CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+                   ELSE 0.0 END AS DECIMAL(28,18)) AS tp,
+               CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                        / ((CAST(coalesce(cs, 0) AS DOUBLE) / CAST(n_s AS DOUBLE)
+                            + CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0))
+                   AS DECIMAL(28,18)) AS tq
+        FROM grid
+    )
+    SELECT src AS source, max(n_s) AS n_tokens,
+           round((CAST(sum(tp) AS DOUBLE) + CAST(sum(tq) AS DOUBLE)) / 2.0, 6)
+               AS jsd
+    FROM terms GROUP BY src
+    """,
+)
+def text_jsd_source_drift(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's token distribution
+    from the whole corpus (operators.text.jsd_source_drift) — the
+    drift detector that flags a feed whose language shifted before
+    downstream models notice. Probabilities are exact integer ratios;
+    each ln term is DECIMAL(28,18)-routed so the per-source sums are
+    order-free (the unigram_logprob contract); the (source × vocab)
+    grid is Zipf-small."""
+    return X.jsd_source_drift(load(spark, sf_dir, "documents"))

@@ -2094,3 +2094,28 @@ def test_link_prediction_max_degree_drops_hub(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     assert common_neighbor_link_prediction(df, max_degree=2).count() == 0
     assert common_neighbor_link_prediction(df).count() == 3
+
+
+def test_jsd_zero_for_single_source(spark):
+    from refluxdb_spark.operators.text import jsd_source_drift
+
+    # one source == the corpus: P = Q, JSD exactly 0
+    df = spark.createDataFrame(
+        [(1, "a b c a", "s1"), (2, "b c d", "s1")], "doc_id int, text string, source string"
+    )
+    r = jsd_source_drift(df).collect()
+    assert len(r) == 1 and r[0]["jsd"] == 0.0
+
+
+def test_jsd_positive_for_disjoint_sources(spark):
+    from refluxdb_spark.operators.text import jsd_source_drift
+
+    # disjoint vocabularies: both sources diverge from the pooled corpus
+    df = spark.createDataFrame(
+        [(1, "aa aa aa", "s1"), (2, "bb bb bb", "s2")],
+        "doc_id int, text string, source string",
+    )
+    got = {r["source"]: r["jsd"] for r in jsd_source_drift(df).collect()}
+    # hand value: 0.5·ln(4/3) + 0.25·ln(2/3) + 0.25·ln(2) ≈ 0.2158
+    assert abs(got["s1"] - 0.215762) < 1e-6
+    assert got["s1"] == got["s2"]
