@@ -104,6 +104,9 @@ HEADLINE = [
     "events_interarrival_stats",
     "text_vocab_growth",
     "text_jsd_source_drift",
+    "orders_cohort_ltv",
+    "sim_hard_negatives",
+    "orders_ship_latency_percentiles",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -8459,3 +8459,223 @@ def text_jsd_source_drift(spark, sf_dir):
     order-free (the unigram_logprob contract); the (source × vocab)
     grid is Zipf-small."""
     return X.jsd_source_drift(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE))
+                   AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT f.cohort_month,
+               CAST((extract(year FROM CAST(o.o_orderdate AS DATE))
+                     - extract(year FROM f.cohort_month)) * 12
+                    + (extract(month FROM CAST(o.o_orderdate AS DATE))
+                       - extract(month FROM f.cohort_month)) AS INT)
+                   AS month_offset,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+               o.o_custkey
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT cohort_month, month_offset,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM j GROUP BY cohort_month, month_offset
+    """,
+)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue and active counts per month offset — the LTV table
+    every growth dashboard plots. First-order months are a
+    customer-dim aggregate joined back (broadcast-size next to the
+    order log); revenue is decimal-exact; month offsets by integer
+    calendar arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")).alias(
+            "cohort_month"
+        )
+    )
+    j = o.join(F.broadcast(firsts), "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year(F.col("o_orderdate").cast("date")) - F.year("cohort_month")) * 12
+            + (F.month(F.col("o_orderdate").cast("date")) - F.month("cohort_month"))
+        ).cast("int").alias("month_offset"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_custkey",
+    )
+    return j.groupBy("cohort_month", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("price").cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "sim_hard_negatives",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel,
+               CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 3
+    ),
+    c AS (
+        SELECT vec_id AS neg_id, label AS nlabel,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, qlabel, neg_id, nlabel,
+               round(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)
+                   AS cosine
+        FROM q CROSS JOIN c
+        WHERE nlabel <> qlabel
+    )
+    SELECT query_id, neg_id, nlabel AS neg_label, cosine,
+           CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neg_id, nlabel, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neg_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: for each anchor, the top-5 most
+    cosine-similar vectors with a DIFFERENT label — the contrastive-
+    training sampler (easy negatives teach nothing; these are the ones
+    worth a gradient). Same broadcast-queries/scan-corpus shape as
+    sim_cosine_topk with the label-mismatch filter pushed beside the
+    scan; round-6 + id tiebreak keeps the ranking cross-engine."""
+    from refluxdb_spark.operators.similarity import _dot, _norm
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("qlabel"))
+        .withColumn(
+            "cosine",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neg_id", "neg_label", "cosine", "rank")
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    """
+    WITH edges AS (
+        SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_name <> nc.n_name
+          AND l.l_quantity >= 49
+    ),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+    deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY n
+    )
+    SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY d
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree distribution of the high-quantity trade graph — the
+    first diagnostic before any wedge/pair operator runs (it sizes the
+    hot-bucket caps: max degree bounds wedge fan-out). Two map-side
+    combined aggregations over the canonical undirected edge set."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+@register(
+    "orders_ship_latency_percentiles",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           quantile_cont(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE), 0.5)
+               AS p50_days,
+           quantile_cont(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE), 0.95)
+               AS p95_days,
+           CAST(max(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS max_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def orders_ship_latency_percentiles(spark, sf_dir):
+    """Order-to-ship latency distribution by priority class: exact
+    integer day deltas, interpolated p50/p95 (percentile ≡
+    quantile_cont on identical inputs) — the fulfillment-SLA readout.
+    One fact-fact join on the order key feeding a map-side-combined
+    aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr("percentile(days, 0.5)").alias("p50_days"),
+        F.expr("percentile(days, 0.95)").alias("p95_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
