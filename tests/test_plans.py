@@ -139,6 +139,30 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "affinity_part_pairs": 8,       # basket agg shared by supp/pairs/n
         "ts_cusum_changepoints": 1,     # moments + walk share the series key
         "sim_mmr_topk": 2,              # pool window + per-query walk
+        # r6 batch-2 additions (budget = measured shape):
+        "ts_state_durations": 1,        # window + state rollup share the key
+        "ts_heartbeat_uptime": 1,       # both windows + both aggs on user_id
+        "events_path_trigrams": 2,      # user window + trigram count
+        "ts_latest_snapshot": 1,        # one row_number on the entity key
+        "text_readability": 0,          # pure per-row array arithmetic
+        "ts_autocorrelation": 1,        # all lags ride one series window
+        "sim_centroid_classify": 3,     # centroid agg x2 + argmax window
+        "ts_m4_downsample": 2,          # 4 orderings share the bucket key + distinct
+        "events_seasonal_anomaly": 2,   # moment agg + outlier count (broadcast back)
+        "text_ngram_novelty": 3,        # gram explode -> 3 combined aggs, pair-free
+        "sample_ess_report": 1,         # one moment aggregation
+        "skew_salted_join_counts": 1,   # salted spread; dim broadcast; one agg
+        "ts_bollinger_bands": 1,        # frame sums ride one series window
+        "ts_rsi": 1,                    # lag + frame sums on the same window
+        "text_rag_chunks": 0,           # per-row slicing beside the scan
+        "pipeline_chunk_dedup": 2,      # fingerprint exchange + per-doc rollup
+        "ts_week_over_week": 2,         # weekly agg + week-grain lag
+        "text_langid_confusion": 1,     # per-row classifier + one count
+        "events_interarrival_stats": 1, # lag window + agg share the series key
+        "text_vocab_growth": 2,         # count-distinct expand (two-level)
+        "orders_cohort_ltv": 3,         # firsts agg + join-back + cohort rollup
+        "sim_hard_negatives": 1,        # queries broadcast; rank window only
+        "orders_ship_latency_percentiles": 1,  # order-key join + one agg
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
