@@ -8679,3 +8679,108 @@ def orders_ship_latency_percentiles(spark, sf_dir):
         F.expr("percentile(days, 0.95)").alias("p95_days"),
         F.max("days").cast("bigint").alias("max_days"),
     )
+
+
+@register(
+    "orders_gini_revenue",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev_c,
+               CAST(row_number() OVER (ORDER BY rev_c, o_custkey) AS BIGINT) AS i
+        FROM cust
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               SUM(rev_c) AS tot,
+               SUM(i * rev_c) AS iw
+        FROM ranked
+    )
+    SELECT n AS n_customers,
+           CAST(tot AS DOUBLE) / 100.0 AS total_revenue,
+           CAST(2 * iw AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+           - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+    FROM agg
+    """,
+)
+def orders_gini_revenue(spark, sf_dir):
+    """Gini coefficient of customer revenue — the inequality companion
+    to the Pareto report, from the exact rank-weighted formula
+    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) - (n+1)/n over ascending cent-exact revenue
+    (rank·cents products summed DECIMAL-routed, one fixed-order double
+    expression at the end). Orders collapse to the customer dimension
+    before the one global sort."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = Window.orderBy(F.col("rev_c").asc(), F.col("o_custkey").asc())
+    ranked = cust.withColumn("i", F.row_number().over(w).cast("bigint"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev_c").cast("decimal(28,0)")).alias("tot"),
+        F.sum((F.col("i") * F.col("rev_c")).cast("decimal(38,0)")).alias("iw"),
+    )
+    n_d = F.col("n").cast("double")
+    tot_d = F.col("tot").cast("double")
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        (tot_d / 100.0).alias("total_revenue"),
+        (
+            (F.lit(2) * F.col("iw")).cast("double") / (n_d * tot_d)
+            - (n_d + 1.0) / n_d
+        ).alias("gini"),
+    )
+
+
+@register(
+    "events_user_behavior_entropy",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k
+        FROM events GROUP BY user_id, event_type
+    ),
+    n AS (SELECT user_id, CAST(SUM(k) AS BIGINT) AS n FROM c GROUP BY user_id),
+    terms AS (
+        SELECT c.user_id,
+               CAST((CAST(c.k AS DOUBLE) / CAST(n.n AS DOUBLE))
+                    * ln(CAST(c.k AS DOUBLE) / CAST(n.n AS DOUBLE))
+                    AS DECIMAL(28,18)) AS t,
+               n.n
+        FROM c JOIN n ON n.user_id = c.user_id
+    )
+    SELECT user_id, max(n) AS n_events,
+           round(-CAST(sum(t) AS DOUBLE), 6) AS entropy
+    FROM terms GROUP BY user_id
+    """,
+)
+def events_user_behavior_entropy(spark, sf_dir):
+    """Behavioral Shannon entropy per user over their event-type mix —
+    low entropy = single-purpose (or bot-like) accounts, high =
+    diverse engagement; the behavioral twin of text_token_entropy.
+    Probabilities are exact integer ratios; ln terms DECIMAL-routed so
+    the per-user sum is order-free. Event-type cardinality is tiny, so
+    both aggregations are map-side combined on user_id."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    n = c.groupBy("user_id").agg(F.sum("k").cast("bigint").alias("n"))
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    t = (p * F.log(p)).cast("decimal(28,18)")
+    return (
+        c.join(n, "user_id")
+        .select("user_id", "n", t.alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.round(-F.sum("t").cast("double"), 6).alias("entropy"),
+        )
+    )
