@@ -8784,3 +8784,102 @@ def events_user_behavior_entropy(spark, sf_dir):
             F.round(-F.sum("t").cast("double"), 6).alias("entropy"),
         )
     )
+
+
+@register(
+    "dedup_cdc_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS id, t.token, t.pos
+        FROM documents,
+             LATERAL (SELECT unnest(list_filter({_TOKENS_SQL}, x -> x != '')) AS token,
+                             generate_subscripts(list_filter({_TOKENS_SQL}, x -> x != ''), 1) AS pos) t
+    ),
+    flagged AS (
+        SELECT id, token, pos,
+               CASE WHEN CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) % 16 = 0
+                    THEN 1 ELSE 0 END AS bnd
+        FROM toks
+    ),
+    assigned AS (
+        SELECT id, token, pos,
+               SUM(bnd) OVER (PARTITION BY id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS chunk_id
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT id, coalesce(chunk_id, 0) AS chunk_id,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS fp,
+               CAST(count(*) AS BIGINT) AS n_toks
+        FROM assigned GROUP BY id, coalesce(chunk_id, 0)
+    ),
+    share AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS n_owners FROM chunks GROUP BY fp
+    )
+    SELECT c.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN s.n_owners > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared,
+           CAST(SUM(CASE WHEN s.n_owners > 1 THEN c.n_toks ELSE 0 END) AS BIGINT)
+               AS shared_tokens
+    FROM chunks c JOIN share s ON s.fp = c.fp
+    GROUP BY c.id
+    """,
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (FastCDC's idea at word grain):
+    chunk boundaries fall where the token's hash ≡ 0 mod 16, so an
+    insertion early in a document only perturbs ONE chunk — fixed-size
+    chunking (dedup_shared_chunks) re-aligns everything after the edit
+    and misses the overlap; CDC is what real dedup storage uses. Per
+    document: chunk count and how much of it is shared verbatim with
+    other documents. Boundary flags ride the exploded token stream;
+    chunk ids are one running sum per doc; chunk fingerprints and the
+    share report are two combined aggregations."""
+    from pyspark.sql import Window
+    from refluxdb_spark.operators.text import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(
+            F.filter(F.split(normalize_text("text"), " "), lambda t: t != "")
+        ).alias("pos", "token"),
+    )
+    bnd = (
+        F.expr("cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)") % 16 == 0
+    ).cast("int")
+    w = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    assigned = toks.withColumn("bnd", bnd).withColumn(
+        "chunk_id", F.coalesce(F.sum("bnd").over(w), F.lit(0))
+    )
+    chunks = (
+        assigned.groupBy("id", "chunk_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                        lambda s: s["token"],
+                    ),
+                    " ",
+                )
+            ).alias("fp"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+    share = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_owners"))
+    return (
+        chunks.join(share, "fp")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_owners") > 1, 1).otherwise(0)).alias("n_shared"),
+            F.sum(
+                F.when(F.col("n_owners") > 1, F.col("n_toks")).otherwise(0)
+            ).alias("shared_tokens"),
+        )
+    )
