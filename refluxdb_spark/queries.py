@@ -8883,3 +8883,84 @@ def dedup_cdc_chunks(spark, sf_dir):
             ).alias("shared_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_rag_end_to_end",
+    """
+    WITH base AS (
+        SELECT doc_id AS id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    ),
+    kept AS (SELECT id, toks FROM base WHERE len(toks) >= 20),
+    starts AS (
+        SELECT id, toks,
+               unnest(range(1, (greatest(len(toks) - 64, 0) + 47) // 48 * 48 + 2, 48)) AS s
+        FROM kept
+    ),
+    chunks AS (
+        SELECT id, CAST((s - 1) // 48 AS INT) AS chunk_id,
+               CAST(len(toks[s : s + 63]) AS BIGINT) AS n_toks,
+               md5(array_to_string(toks[s : s + 63], ' ')) AS fp,
+               id * 100000 + CAST((s - 1) // 48 AS BIGINT) AS ck
+        FROM starts
+    ),
+    keep AS (SELECT fp, min(ck) AS keep_key FROM chunks GROUP BY fp),
+    surv AS (
+        SELECT c.id, c.ck, c.n_toks
+        FROM chunks c JOIN keep k ON k.fp = c.fp AND k.keep_key = c.ck
+    ),
+    laid AS (
+        SELECT CAST(id % 4 AS BIGINT) AS shard, ck, n_toks,
+               coalesce(SUM(n_toks) OVER (
+                   PARTITION BY id % 4
+                   ORDER BY CAST(concat('0x', substr(md5(concat('pack',
+                                CAST(ck AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000,
+                            ck
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prev_total
+        FROM surv
+    )
+    SELECT shard, CAST(prev_total // 512 AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM laid
+    GROUP BY shard, bin_id
+    """,
+)
+def pipeline_rag_end_to_end(spark, sf_dir):
+    """RAG corpus preparation end-to-end, composed as ONE Catalyst
+    plan: length-filter documents (≥20 tokens) → 64/16 overlapping
+    chunking (rag_chunks) → global exact chunk dedup (md5, first-key
+    wins) → pack survivors into 512-token training bins per shard
+    (pack_bins' deterministic content-hash layout, sharded so each
+    packing window sorts a shard, not the world). The per-shard bin
+    manifest is what a sequence-building job consumes. Every stage is
+    the already-oracled operator; the composition itself is what this
+    query gates."""
+    from refluxdb_spark.operators.sampling import pack_bins
+    from refluxdb_spark.operators.text import rag_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    kept = docs.filter(F.size(toks) >= 20)
+    ch = rag_chunks(kept, "text", "doc_id", chunk_tokens=64, overlap=16).select(
+        "id",
+        (F.col("id") * 100000 + F.col("chunk_id").cast("bigint")).alias("ck"),
+        F.col("n_chunk_tokens").cast("bigint").alias("n_toks"),
+        F.md5("chunk_text").alias("fp"),
+    )
+    keep = ch.groupBy("fp").agg(F.min("ck").alias("keep_key"))
+    surv = (
+        ch.join(keep, "fp")
+        .filter(F.col("keep_key") == F.col("ck"))
+        .select((F.col("id") % 4).cast("bigint").alias("shard"), "ck", "n_toks")
+    )
+    packed = pack_bins(
+        surv, size_col="n_toks", budget=512, key_col="ck", by=["shard"]
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+    )
