@@ -274,3 +274,107 @@ def test_lttb_selection_properties(spark, n_pts, n_out):
     assert out[-1][0] == t0 + timedelta(minutes=n_pts - 1)
     inset = {(ts, v) for _, ts, v in rows}
     assert all(p in inset for p in out)
+
+
+@given(
+    n_tokens=st.integers(1, 200),
+    chunk=st.integers(2, 32),
+    overlap=st.integers(0, 16),
+)
+@settings(max_examples=15, deadline=None)
+def test_rag_chunks_cover_and_overlap(spark, n_tokens, chunk, overlap):
+    """Chunking invariants for any (n, chunk, overlap): every token
+    appears in at least one chunk; non-tail chunks are full-size;
+    consecutive chunks overlap by exactly ``overlap`` tokens (tail may
+    overlap more, never less); reassembling chunk texts at the stride
+    reproduces the document."""
+    from refluxdb_spark.operators.text import rag_chunks
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    stride = chunk - overlap
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(
+        (r["chunk_id"], r["chunk_text"].split(" ")) for r in
+        rag_chunks(df, chunk_tokens=chunk, overlap=overlap).collect()
+    )
+    seen = set()
+    for cid, toks in rows:
+        start = cid * stride
+        assert toks == [f"t{i}" for i in range(start, min(start + chunk, n_tokens))]
+        seen.update(range(start, start + len(toks)))
+    assert seen == set(range(n_tokens))
+    if len(rows) > 1:
+        for (_, a), (_, b) in zip(rows, rows[1:]):
+            assert len(set(a) & set(b)) >= overlap
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1, max_size=15,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_pagerank_matches_python_replay(spark, edges):
+    """Integer PageRank equals the sequential integer replay exactly
+    on arbitrary small graphs (self-loops dropped by the caller here,
+    duplicate edges NOT deduped — each contributes to outdeg, matching
+    the operator's contract)."""
+    from refluxdb_spark.operators.graph import pagerank
+
+    edges = [(f"n{a}", f"n{b}") for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(df, iterations=3).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    scale = 10**12
+    init = scale // n
+    base = (15 * init) // 100
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: init for v in nodes}
+    for _ in range(3):
+        contrib = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += r[s] // outdeg[s]
+        r = {v: base + (85 * contrib[v]) // 100 for v in nodes}
+    assert got == r
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 2)),
+        min_size=1, max_size=25,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_state_durations_conservation(spark, rows, ):
+    """Per key: total duration across states equals (last_ts -
+    first_ts) — the step-function model conserves the observed span —
+    and n_entries counts runs of the deduplicated state sequence."""
+    from refluxdb_spark.operators.timeseries import state_durations
+
+    data = [(f"k{k}", t, f"s{s}", i) for i, (k, t, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "key string, sec long, st string, tb long").selectExpr(
+        "key", "timestamp_micros(sec * 1000000) as ts", "st", "tb"
+    )
+    out = state_durations(df, "st", by=["key"], ts_col="ts", tiebreak="tb").collect()
+    total = {}
+    entries = {}
+    for r in out:
+        total[r["key"]] = total.get(r["key"], 0) + r["duration_seconds"]
+        entries[r["key"]] = entries.get(r["key"], 0) + r["n_entries"]
+    for key in {d[0] for d in data}:
+        seq = sorted((t, tb, s) for kk, t, s, tb in data if kk == key)
+        assert total[key] == seq[-1][0] - seq[0][0]
+        runs = 1
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            if a != b:
+                runs += 1
+        assert entries[key] == runs
