@@ -109,6 +109,7 @@ HEADLINE = [
     "orders_ship_latency_percentiles",
     "events_user_behavior_entropy",
     "pipeline_rag_end_to_end",
+    "orders_open_backlog_daily",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -8964,3 +8964,55 @@ def pipeline_rag_end_to_end(spark, sf_dir):
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_toks").cast("bigint").alias("total_tokens"),
     )
+
+
+@register(
+    "orders_open_backlog_daily",
+    """
+    WITH spans AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS open_day,
+               max(CAST(l.l_shipdate AS DATE)) AS close_day
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+    ),
+    deltas AS (
+        SELECT open_day AS day, 1 AS d FROM spans
+        UNION ALL
+        SELECT close_day + INTERVAL 1 DAY, -1 FROM spans
+    ),
+    daily AS (
+        SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY day
+    )
+    SELECT CAST(day AS DATE) AS day,
+           CAST(SUM(delta) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def orders_open_backlog_daily(spark, sf_dir):
+    """Open-order backlog per day by sweep line: each order contributes
+    +1 at its open day and -1 the day after its last shipment, the
+    day-grain deltas aggregate map-side, and ONE running sum over the
+    day dimension yields the concurrent-interval count — the interval-
+    overlap pattern that never explodes an order into its days-open
+    (cost ∝ orders + days, not orders × duration). The fulfillment
+    dashboard's WIP curve."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("open_day"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("close_day"))
+    )
+    deltas = spans.select(F.col("open_day").alias("day"), F.lit(1).alias("d")).union(
+        spans.select(F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").cast("bigint").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.sum("delta").over(w).cast("bigint").alias("open_orders")
+    )
