@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from refluxdb_spark.errors import NoDataError, TableNotFoundError, ValidationError
-from refluxdb_spark.gateway import validate_query
+from refluxdb_spark.gateway import ast_validate, validate_query
 from refluxdb_spark.schema import MEASUREMENT_COLUMNS, MEASUREMENTS_SCHEMA
 from refluxdb_spark.sources.lineprotocol import explode_fields, parse_lines_df
 
@@ -504,6 +504,9 @@ class RefluxEngine:
         the reference's decoder semantics.
         """
         tables = validate_query(q, strict_compat=self.strict_compat)
+        # second, AST-grade layer: Catalyst's own parser decides what
+        # the text IS — defense-in-depth over the token rules above
+        ast_validate(self.spark, q)
         if prefer_rollup:
             m = _CANONICAL_BUCKET_RE.match(q.strip())
             if m:

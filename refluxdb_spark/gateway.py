@@ -11,8 +11,10 @@ The reference gateway is three layers (SURVEY §2.1 O11-O13):
 3. execution of the FULL ORIGINAL TEXT against that series' GlueSQL
    database (``persistence.rs:198-201``).
 
-Ours is token-based (no AST dependency available, but tokens beat
-substrings): statements are split outside string literals, exactly one
+Ours is two layers — token rules plus an AST-grade check through
+Catalyst's own parser (``ast_validate``; no third-party SQL-AST
+dependency is available in this environment, but Spark's parser is the
+one authority on what the text will execute as). The token layer: statements are split outside string literals, exactly one
 is allowed, it must start with SELECT (CTE ``WITH … SELECT`` allowed),
 mutation keywords are matched as whole tokens — so ``created_at`` is NOT
 rejected (documented Q3 divergence; a ``strict_compat`` flag restores
@@ -163,3 +165,42 @@ def validate_query(query: str, strict_compat: bool = False) -> list[str]:
     if not tables:
         raise ValidationError("no table reference found")
     return tables
+
+
+def ast_validate(spark, query: str) -> str | None:
+    """AST-grade statement-type check using Spark's OWN SQL parser —
+    the one authority on what the text will execute as (closing the
+    token validator's residual dialect-corner risk; the reference's
+    analogue is the gluesql sqlparser check at ``utils/db.rs:110-132``).
+
+    The parsed plan is rejected when it is a Catalyst ``Command`` or a
+    ``ParsedStatement`` — empirically this covers every mutation, DDL,
+    and utility form (INSERT/DELETE/UPDATE/MERGE/CREATE/DROP/ALTER/
+    TRUNCATE/EXPLAIN/SET/CACHE/DESCRIBE/SHOW ...), while every pure
+    query (SELECT, WITH, set ops, VALUES, TABLE) parses to an ordinary
+    logical plan. Unparseable text (including multi-statement input)
+    raises. Returns the plan's class simple name on success, or None
+    when the parser is unreachable (callers then rely on the token
+    verdict alone — the layers are defense-in-depth, both always run
+    when available).
+    """
+    try:
+        jparser = spark._jsparkSession.sessionState().sqlParser()
+        jcls = spark._jvm.java.lang.Class
+        cmd = jcls.forName("org.apache.spark.sql.catalyst.plans.logical.Command")
+        stmt = jcls.forName(
+            "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement"
+        )
+    except Exception:
+        return None  # parser handle unavailable; token layer still ran
+    try:
+        plan = jparser.parsePlan(query)
+    except Exception as exc:
+        first = str(exc).splitlines()[0] if str(exc) else "syntax error"
+        raise ValidationError(f"SQL parse error: {first[:200]}")
+    name = plan.getClass().getSimpleName()
+    if cmd.isInstance(plan) or stmt.isInstance(plan):
+        raise ValidationError(
+            f"only SELECT queries are allowed (statement parses as {name})"
+        )
+    return name

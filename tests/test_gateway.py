@@ -225,3 +225,67 @@ def test_lateral_shapes_parse_in_spark(spark):
     ]:
         assert validate_query(q)
         spark.sql(q)
+
+
+class TestAstValidate:
+    """AST-grade layer: Catalyst's parser decides the statement type."""
+
+    def test_pure_queries_pass(self, spark):
+        from refluxdb_spark.gateway import ast_validate
+
+        for q in [
+            "SELECT 1",
+            "WITH x AS (SELECT 1 AS a) SELECT * FROM x",
+            "SELECT 1 UNION SELECT 2",
+            "SELECT * FROM t WHERE name = 'DROP TABLE x'",
+        ]:
+            assert ast_validate(spark, q) is not None
+
+    def test_mutations_and_utilities_rejected(self, spark):
+        import pytest
+
+        from refluxdb_spark.errors import ValidationError
+        from refluxdb_spark.gateway import ast_validate
+
+        for q in [
+            "INSERT INTO t VALUES (1)",
+            "DELETE FROM t WHERE 1=1",
+            "UPDATE t SET a=1",
+            "MERGE INTO t USING s ON t.a=s.a WHEN MATCHED THEN DELETE",
+            "CREATE TABLE t (a INT)",
+            "DROP TABLE t",
+            "ALTER TABLE t ADD COLUMN b INT",
+            "TRUNCATE TABLE t",
+            "EXPLAIN SELECT 1",
+            "SET spark.x=1",
+            "CACHE TABLE t",
+            "SHOW TABLES",
+            "DESCRIBE TABLE t",
+        ]:
+            with pytest.raises(ValidationError):
+                ast_validate(spark, q)
+
+    def test_multi_statement_is_a_parse_error(self, spark):
+        import pytest
+
+        from refluxdb_spark.errors import ValidationError
+        from refluxdb_spark.gateway import ast_validate
+
+        with pytest.raises(ValidationError):
+            ast_validate(spark, "SELECT 1; SELECT 2")
+
+    def test_engine_query_runs_both_layers(self, spark, tmp_path):
+        import pytest
+
+        from refluxdb_spark.engine import RefluxEngine
+        from refluxdb_spark.errors import ValidationError
+
+        eng = RefluxEngine(spark, str(tmp_path / "wh"))
+        eng.write_lines(["m,host=a value=1.5 1000000000000000000"])
+        assert eng.query("SELECT name, value FROM m").count() == 1
+        # statements the TOKEN layer alone already rejects, and ones
+        # only grammar understanding can classify, both 400
+        with pytest.raises(ValidationError):
+            eng.query("EXPLAIN SELECT * FROM m")
+        with pytest.raises(ValidationError):
+            eng.query("INSERT INTO m VALUES (1)")
