@@ -289,3 +289,30 @@ class TestAstValidate:
             eng.query("EXPLAIN SELECT * FROM m")
         with pytest.raises(ValidationError):
             eng.query("INSERT INTO m VALUES (1)")
+
+
+@given(ws=_WS, mut=_MUT, t=_TBL, case=st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_fuzz_ast_layer_rejects_mutations_too(spark, ws, mut, t, case):
+    """Both validation layers independently reject every fuzzed
+    mutation — the AST layer by Catalyst's grammar, regardless of
+    casing/whitespace/comment obfuscation."""
+    from refluxdb_spark.gateway import ast_validate
+
+    q = ws + mut.format(t=t)
+    if case:
+        q = q.lower()
+    with pytest.raises(ValidationError):
+        ast_validate(spark, q)
+
+
+@given(c1=_COL, c2=_COL, t=_TBL, lit=_LIT, ws=_WS)
+@settings(max_examples=40, deadline=None)
+def test_fuzz_ast_layer_accepts_selects(spark, c1, c2, t, lit, ws):
+    """Every SELECT the token layer accepts (including blocklist words
+    inside string literals) also passes the grammar layer — the two
+    layers never disagree on the accepted surface."""
+    from refluxdb_spark.gateway import ast_validate
+
+    q = f"SELECT {c1}, {c2} FROM {t}{ws} WHERE {c1} != {lit}"
+    assert ast_validate(spark, q) is not None
