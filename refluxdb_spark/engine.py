@@ -591,14 +591,16 @@ class RefluxEngine:
             aggs=_ROLLUP_AGGS(),
         ).select("bucket_start", "n", "sum_value", "min_value", "max_value")
 
-    def query_rows(self, q: str) -> list[dict]:
+    def query_rows(self, q: str, prefer_rollup: bool = False) -> list[dict]:
         """Materialized query with reference decoder semantics
         (``utils/db.rs:8-56``): in strict-compat mode an empty result is
         an error (Q5) and the projection must be the full 6-column shape
         (Q2); default mode returns whatever the query projected, tags
         included (Q7 fix — the reference always decodes tags as empty).
+        ``prefer_rollup`` forwards to ``query`` (continuous-aggregate
+        routing for the canonical bucket shape).
         """
-        df = self.query(q)
+        df = self.query(q, prefer_rollup=prefer_rollup)
         if self.strict_compat and [c.lower() for c in df.columns] != MEASUREMENT_COLUMNS:
             raise ValidationError(
                 "strict-compat decoder requires projection "
@@ -608,6 +610,38 @@ class RefluxEngine:
         if self.strict_compat and not rows:
             raise NoDataError("No data found for query")  # utils/db.rs:15-17
         return rows
+
+    def table_stats(self) -> dict:
+        """Operational observability report from directory METADATA
+        only (no parquet footer reads): per-(series, day) partition
+        file counts and byte sizes plus table totals — the same inputs
+        the compaction planner (``compact``) and the incremental-rollup
+        manifest consume, exposed for dashboards/capacity planning.
+        O(#files) listing; at warehouse scale this is the catalog's
+        file manifest, not a filesystem walk."""
+        stats: dict = {
+            "n_partitions": 0,
+            "n_files": 0,
+            "total_bytes": 0,
+            "partitions": [],
+        }
+        src = self._path
+        if not os.path.exists(src):
+            return stats
+        for root, _dirs, files in os.walk(src):
+            pq = [f for f in files if f.endswith(".parquet")]
+            if not pq:
+                continue
+            rel = os.path.relpath(root, src)
+            nbytes = sum(os.path.getsize(os.path.join(root, f)) for f in pq)
+            stats["partitions"].append(
+                {"partition": rel, "n_files": len(pq), "bytes": nbytes}
+            )
+            stats["n_partitions"] += 1
+            stats["n_files"] += len(pq)
+            stats["total_bytes"] += nbytes
+        stats["partitions"].sort(key=lambda p: p["partition"])
+        return stats
 
     def _partition_manifest(self) -> dict[str, list[float]]:
         """Fingerprint of every (series, day) partition: file count +

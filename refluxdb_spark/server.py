@@ -79,6 +79,9 @@ class _Handler(BaseHTTPRequestHandler):
             if url.path == "/":
                 # GET / (handlers.rs:24-32)
                 self._send(200, self.engine.list_series())
+            elif url.path == "/stats":
+                # GET /stats: metadata-only table observability
+                self._send(200, self.engine.table_stats())
             elif url.path.startswith("/range/"):
                 # GET /range/{ts}?start&end (handlers.rs:34-66)
                 series = unquote(url.path[len("/range/") :])
@@ -113,11 +116,15 @@ class _Handler(BaseHTTPRequestHandler):
                 code = 200 if not n_dead else 400
                 self._send(code, {"written": n, "rejected": n_dead})
             elif url.path == "/query":
-                # POST /query, form field q (handlers.rs:70-79)
-                q = parse_qs(body).get("q", [None])[0]
+                # POST /query, form field q (handlers.rs:70-79);
+                # optional rollup=1 routes the canonical bucket shape
+                # through the maintained continuous aggregate
+                form = parse_qs(body)
+                q = form.get("q", [None])[0]
                 if q is None:
                     q = body  # also accept a raw SQL body
-                self._send(200, self.engine.query_rows(q))
+                rollup = form.get("rollup", ["0"])[0] in ("1", "true")
+                self._send(200, self.engine.query_rows(q, prefer_rollup=rollup))
             else:
                 self._send(404, {"error": "not found"})
         except TableNotFoundError as e:

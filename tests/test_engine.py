@@ -528,3 +528,24 @@ def test_commit_lock_serializes_and_clears(tmp_path):
     d2, commit2 = vp.begin_rewrite()
     commit2()
     assert vp.current() == d2
+
+
+def test_table_stats_metadata_report(spark, tmp_path):
+    from refluxdb_spark.engine import RefluxEngine
+
+    eng = RefluxEngine(spark, str(tmp_path / "wh"))
+    assert eng.table_stats() == {
+        "n_partitions": 0, "n_files": 0, "total_bytes": 0, "partitions": []
+    }
+    eng.write_lines([
+        "cpu,host=a value=1.0 1000000000000000000",
+        "mem,host=a value=2.0 1000000000000000000",
+    ])
+    st = eng.table_stats()
+    assert st["n_partitions"] >= 2 and st["n_files"] >= 2 and st["total_bytes"] > 0
+    parts = [p["partition"] for p in st["partitions"]]
+    assert any("series=cpu" in p for p in parts)
+    assert any("series=mem" in p for p in parts)
+    # report matches the sum of its own partitions
+    assert st["n_files"] == sum(p["n_files"] for p in st["partitions"])
+    assert st["total_bytes"] == sum(p["bytes"] for p in st["partitions"])

@@ -103,3 +103,29 @@ def test_udp_bad_line_echoes_error(served):
         s.sendto(b"bad x=oops 1000\n", ("127.0.0.1", udp.port))
         echoed, _ = s.recvfrom(1024)
     assert echoed.startswith(b"error:")
+
+
+def test_stats_endpoint_and_rollup_query_param(spark, tmp_path):
+    import json
+    import urllib.request
+
+    from refluxdb_spark.engine import RefluxEngine
+    from refluxdb_spark.server import serve_http
+
+    eng = RefluxEngine(spark, str(tmp_path / "wh"))
+    eng.write_lines(["cpu,host=a value=1.0 1000000000000000000"])
+    srv = serve_http(eng, port=0)
+    port = srv.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats") as r:
+            st = json.loads(r.read())
+        assert st["n_partitions"] >= 1 and st["total_bytes"] > 0
+        body = "q=SELECT name, value FROM cpu&rollup=0"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query", data=body.encode(), method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            rows = json.loads(r.read())
+        assert rows[0]["value"] == 1.0
+    finally:
+        srv.shutdown()
