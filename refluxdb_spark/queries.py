@@ -9016,3 +9016,58 @@ def orders_open_backlog_daily(spark, sf_dir):
     return daily.select(
         "day", F.sum("delta").over(w).cast("bigint").alias("open_orders")
     )
+
+
+@register(
+    "sample_mixture_epochs",
+    f"""
+    WITH toks AS (
+        SELECT source,
+               CAST(SUM(len(list_filter({_TOKENS_SQL}, t -> t != ''))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_tokens,
+               sqrt(CAST(n_tokens AS DOUBLE)) AS wgt
+        FROM toks
+    ),
+    tot AS (SELECT SUM(CAST(wgt AS DECIMAL(28,6))) AS wsum FROM w)
+    SELECT w.source, w.n_tokens,
+           w.wgt / CAST(tot.wsum AS DOUBLE) AS mix_share,
+           (w.wgt / CAST(tot.wsum AS DOUBLE)) * 10000000.0
+               / CAST(w.n_tokens AS DOUBLE) AS epochs_at_10m
+    FROM w, tot
+    """,
+)
+def sample_mixture_epochs(spark, sf_dir):
+    """Mixture-epoch planning: temperature-weighted source shares
+    (α=0.5 → weight ∝ √tokens) and the EPOCH MULTIPLIER each source is
+    seen at a 10M-token budget — the number every data-mixture design
+    reviews before training (epochs ≫ 1 on a small source means it
+    will be memorized). Token counts are exact; weights are sqrt of
+    identical doubles; the weight sum is DECIMAL-routed (order-free)
+    before the one fixed-order share expression."""
+    from refluxdb_spark.operators.text import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split(normalize_text("text"), " "), lambda t: t != ""))
+            .cast("bigint")
+        ).cast("bigint").alias("n_tokens")
+    )
+    w = toks.withColumn("wgt", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = w.agg(F.sum(F.col("wgt").cast("decimal(28,6)")).alias("wsum"))
+    share = F.col("wgt") / F.col("wsum").cast("double")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            share.alias("mix_share"),
+            (share * 10000000.0 / F.col("n_tokens").cast("double")).alias(
+                "epochs_at_10m"
+            ),
+        )
+    )
