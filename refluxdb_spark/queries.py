@@ -9071,3 +9071,63 @@ def sample_mixture_epochs(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "sample_curriculum_phases",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    w -> w <> '')) AS BIGINT) AS n_words,
+               CAST(1 + len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                   AS n_sentences,
+               CAST(list_sum(list_transform(
+                   list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+                   w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))
+               )) AS BIGINT) AS n_syllables
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, n_words,
+               CAST(206.835 AS DOUBLE)
+               - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                   AS flesch
+        FROM t WHERE n_words > 0
+    ),
+    banded AS (
+        SELECT doc_id, n_words, flesch,
+               CAST(ntile(3) OVER (ORDER BY flesch DESC, doc_id) AS INT) AS phase
+        FROM scored
+    )
+    SELECT phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           min(flesch) AS min_flesch,
+           max(flesch) AS max_flesch
+    FROM banded GROUP BY phase
+    """,
+)
+def sample_curriculum_phases(spark, sf_dir):
+    """Curriculum phase banding: documents split into three equal
+    phases by descending Flesch readability (easy → hard — the
+    curriculum-learning data ordering), with per-phase volume and
+    score-range stats. The readability scores are the bit-exact
+    readability_scores expressions; banding is one deterministic
+    ntile over the doc-dimension (doc_id tiebreak), per the RFM
+    global-sort contract."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    scored = X.readability_scores(d).select(
+        "doc_id", F.col("n_words").cast("bigint").alias("n_words"), "flesch"
+    )
+    w = Window.orderBy(F.col("flesch").desc(), F.col("doc_id").asc())
+    banded = scored.withColumn("phase", F.ntile(3).over(w))
+    return banded.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.min("flesch").alias("min_flesch"),
+        F.max("flesch").alias("max_flesch"),
+    )
