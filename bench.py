@@ -111,6 +111,8 @@ HEADLINE = [
     "pipeline_rag_end_to_end",
     "orders_open_backlog_daily",
     "sample_mixture_epochs",
+    "events_bot_signals",
+    "ts_seasonality_strength",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

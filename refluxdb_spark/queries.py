@@ -24,6 +24,11 @@ bit-for-bit):
 - **Hashes** are md5-based (identical in any engine), never
   engine-native ``hash()``.
 - **LIMIT** only ever follows a deterministic total ORDER BY.
+- **Large-magnitude double terms** (where the 6th decimal sits at the
+  ulp, so round-then-decimal is engine-unstable) are summed by an
+  ORDERED left fold instead: Spark ``aggregate(array_sort(...))`` ≡
+  DuckDB ``list_reduce(list(... ORDER BY key))`` — identical
+  sequential IEEE adds (see ts_seasonality_strength).
 """
 
 from __future__ import annotations
@@ -9130,4 +9135,283 @@ def sample_curriculum_phases(spark, sf_dir):
         F.sum("n_words").cast("bigint").alias("total_words"),
         F.min("flesch").alias("min_flesch"),
         F.max("flesch").alias("max_flesch"),
+    )
+
+
+@register(
+    "events_new_users_daily",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+        GROUP BY user_id
+    )
+    SELECT first_day AS day,
+           CAST(count(*) AS BIGINT) AS new_users,
+           CAST(SUM(count(*)) OVER (ORDER BY first_day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM firsts GROUP BY first_day
+    """,
+)
+def events_new_users_daily(spark, sf_dir):
+    """Daily new-user acquisition + cumulative growth curve: first-seen
+    day per user (one combined aggregation), then a day-grain rollup
+    with a running total over the day dimension — the growth chart
+    every product dashboard opens with. Window input ∝ days, never
+    events."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@register(
+    "ts_seasonality_strength",
+    """
+    WITH c AS (
+        SELECT event_type,
+               CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               SUM(vc) AS s, SUM(vc * vc) AS s2
+        FROM c GROUP BY event_type
+    ),
+    h AS (
+        SELECT event_type, hod, CAST(count(*) AS BIGINT) AS nh, SUM(vc) AS sh
+        FROM c GROUP BY event_type, hod
+    ),
+    between_ AS (
+        -- between-group (hour-profile) sum of squares: sum nh * mean_h^2.
+        -- 24 double terms summed by an ORDERED left fold (list_reduce
+        -- over hod order) — identical sequential IEEE adds on both
+        -- engines; a decimal-cast route fails here because the terms'
+        -- magnitude (~1e10) puts the 6th decimal at the double's ulp
+        SELECT event_type,
+               list_reduce(list((CAST(sh AS DOUBLE) / nh) * (CAST(sh AS DOUBLE) / nh)
+                                * nh ORDER BY hod),
+                           (a, b) -> a + b) AS ssb
+        FROM h GROUP BY event_type
+    )
+    SELECT g.event_type,
+           g.n,
+           (b.ssb - (CAST(g.s AS DOUBLE) / g.n) * (CAST(g.s AS DOUBLE) / g.n) * g.n)
+           / (CAST(g.s2 AS DOUBLE) - (CAST(g.s AS DOUBLE) / g.n)
+              * (CAST(g.s AS DOUBLE) / g.n) * g.n) AS seasonality_strength
+    FROM g JOIN between_ b ON b.event_type = g.event_type
+    """,
+)
+def ts_seasonality_strength(spark, sf_dir):
+    """Seasonality strength per series: the fraction of total variance
+    explained by the hour-of-day profile (between-group SS over total
+    SS — one-way ANOVA's R²) — near 1 means bucket rollups by hour
+    capture the series, near 0 means the diurnal profile is noise.
+    All moments from exact integer cents; the per-hour term sum is
+    DECIMAL-routed; the final ratio is one fixed-order double
+    expression. Two map-side-combined aggregations."""
+    e = load(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.expr("cast(round(value * 100) as bigint)").alias("vc"),
+    )
+    g = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vc").cast("decimal(28,0)")).alias("s"),
+        F.sum((F.col("vc") * F.col("vc")).cast("decimal(28,0)")).alias("s2"),
+    )
+    h = c.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.col("vc").cast("decimal(28,0)")).alias("sh"),
+    )
+    mean_h = F.col("sh").cast("double") / F.col("nh")
+    # 24 double terms per series, summed by an ORDERED left fold over
+    # hod (array_sort + aggregate) — the same sequential IEEE adds the
+    # oracle's list_reduce performs; decimal-routing fails here because
+    # the terms' magnitude (~1e10) puts the 6th decimal at the ulp
+    between = (
+        h.withColumn("_term", mean_h * mean_h * F.col("nh"))
+        .groupBy("event_type")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hod", "_term"))),
+                    lambda s_: s_["_term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("ssb")
+        )
+    )
+    mu_term = (F.col("s").cast("double") / F.col("n")) * (
+        F.col("s").cast("double") / F.col("n")
+    ) * F.col("n")
+    return g.join(between, "event_type").select(
+        "event_type",
+        "n",
+        (
+            (F.col("ssb") - mu_term)
+            / (F.col("s2").cast("double") - mu_term)
+        ).alias("seasonality_strength"),
+    )
+
+
+@register(
+    "events_bot_signals",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k
+        FROM events GROUP BY user_id, event_type
+    ),
+    n AS (SELECT user_id, CAST(SUM(k) AS BIGINT) AS n_events FROM c GROUP BY user_id),
+    ent AS (
+        SELECT c.user_id,
+               round(-CAST(SUM(CAST((CAST(c.k AS DOUBLE) / CAST(n.n_events AS DOUBLE))
+                    * ln(CAST(c.k AS DOUBLE) / CAST(n.n_events AS DOUBLE))
+                    AS DECIMAL(28,18))) AS DOUBLE), 6) AS entropy
+        FROM c JOIN n ON n.user_id = c.user_id
+        GROUP BY c.user_id
+    ),
+    gaps AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS g
+        FROM events
+    ),
+    gm AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+               SUM(g) AS sg, SUM(CAST(g AS HUGEINT) * g) AS sg2
+        FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+    ),
+    cv AS (
+        SELECT user_id,
+               sqrt(greatest(CAST(sg2 AS DOUBLE) / m
+                             - (CAST(sg AS DOUBLE) / m) * (CAST(sg AS DOUBLE) / m),
+                             CAST(0 AS DOUBLE)))
+               / (CAST(sg AS DOUBLE) / m) AS gap_cv
+        FROM gm WHERE sg > 0
+    )
+    SELECT n.user_id, n.n_events, e.entropy, v.gap_cv,
+           CAST(CASE WHEN e.entropy < 0.9 THEN 1 ELSE 0 END
+                + CASE WHEN v.gap_cv < 0.8 THEN 1 ELSE 0 END
+                + CASE WHEN n.n_events > 150 THEN 1 ELSE 0 END AS INT) AS bot_score
+    FROM n
+    JOIN ent e ON e.user_id = n.user_id
+    JOIN cv v ON v.user_id = n.user_id
+    """,
+)
+def events_bot_signals(spark, sf_dir):
+    """Bot/automation scoring per user — the data-cleaning gate a
+    training pipeline runs on interaction logs before using them as
+    supervision: low behavioral entropy (single-purpose), low
+    interarrival coefficient of variation (machine-regular cadence),
+    and high volume each add a point. Entropy terms DECIMAL-routed,
+    gap moments exact integer microseconds, rule thresholds integer
+    comparisons on fixed-order doubles. One window + three combined
+    aggregations, all keyed on user_id."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    n = c.groupBy("user_id").agg(F.sum("k").cast("bigint").alias("n_events"))
+    p = F.col("k").cast("double") / F.col("n_events").cast("double")
+    ent = (
+        c.join(n, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(-F.sum((p * F.log(p)).cast("decimal(28,18)")).cast("double"), 6)
+            .alias("entropy")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    us = F.unix_micros(F.col("ts"))
+    gaps = e.withColumn("g", us - F.lag(us).over(w)).filter(F.col("g").isNotNull())
+    gm = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("g").cast("decimal(28,0)")).alias("sg"),
+        # cast BEFORE squaring: µs gaps reach ~1e12, whose long square
+        # overflows; the decimal product is exact
+        F.sum(F.col("g").cast("decimal(19,0)") * F.col("g").cast("decimal(19,0)")).alias("sg2"),
+    )
+    mean_g = F.col("sg").cast("double") / F.col("m")
+    cv = gm.filter(F.col("sg") > 0).select(
+        "user_id",
+        (
+            F.sqrt(
+                F.greatest(
+                    F.col("sg2").cast("double") / F.col("m") - mean_g * mean_g,
+                    F.lit(0.0),
+                )
+            )
+            / mean_g
+        ).alias("gap_cv"),
+    )
+    return (
+        n.join(ent, "user_id")
+        .join(cv, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "entropy",
+            "gap_cv",
+            (
+                F.when(F.col("entropy") < 0.9, 1).otherwise(0)
+                + F.when(F.col("gap_cv") < 0.8, 1).otherwise(0)
+                + F.when(F.col("n_events") > 150, 1).otherwise(0)
+            ).cast("int").alias("bot_score"),
+        )
+    )
+
+
+@register(
+    "orders_repeat_rate",
+    """
+    WITH cust AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS repeat_customers,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS repeat_rate,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN rev END) AS DOUBLE)
+               / CAST(SUM(rev) AS DOUBLE) AS repeat_revenue_share
+    FROM cust
+    """,
+)
+def orders_repeat_rate(spark, sf_dir):
+    """Repeat-purchase economics: the share of customers with 2+
+    orders and the share of revenue they carry — decimal-exact sums,
+    two fixed-order ratios, one customer-dimension aggregation."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    rep = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return cust.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(rep).cast("bigint").alias("repeat_customers"),
+        (F.sum(rep).cast("double") / F.count(F.lit(1))).alias("repeat_rate"),
+        (
+            F.sum(F.when(F.col("n_orders") >= 2, F.col("rev"))).cast("double")
+            / F.sum("rev").cast("double")
+        ).alias("repeat_revenue_share"),
     )
