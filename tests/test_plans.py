@@ -163,6 +163,16 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "orders_cohort_ltv": 3,         # firsts agg + join-back + cohort rollup
         "sim_hard_negatives": 1,        # queries broadcast; rank window only
         "orders_ship_latency_percentiles": 1,  # order-key join + one agg
+        # r6 batch-3 additions (budget = measured shape):
+        "orders_gini_revenue": 2,       # customer agg + one global sort
+        "dedup_cdc_chunks": 3,          # token window + chunk agg + share agg
+        "orders_open_backlog_daily": 4, # spans agg + delta agg + day cumsum
+        "sample_mixture_epochs": 3,     # token agg + weight-sum broadcast back
+        "events_new_users_daily": 3,    # firsts + day rollup + day cumsum
+        "orders_repeat_rate": 2,        # customer agg + global fold
+        "ts_seasonality_strength": 3,   # global + per-hour moment aggs
+        "sample_curriculum_phases": 1,  # one doc-dimension ntile + rollup
+        "ts_ema_per_user": 1,           # repartition(key) + batch walk
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
