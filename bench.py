@@ -140,6 +140,25 @@ def main() -> None:
     # index on DISK intentionally survives: amortized build is that
     # query's design.)
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Machine calibration: a fixed probe whose cost is independent of
+    # this repo's code (plain parquet scan + hash aggregate over
+    # lineitem, built-ins only). Round-over-round bench totals are run
+    # on whatever VM the driver provisions, and measured drift between
+    # identical code on two VMs has been ~1.4x — the probe gives the
+    # reader a denominator: compare `queries[...] / calibration_sec`
+    # across rounds, not raw seconds.
+    li = load(spark, sf_dir, "lineitem")
+    cal_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            {"l_quantity": "sum", "l_extendedprice": "avg"}
+        ).count()
+        cal_samples.append(time.time() - t0)
+    calibration = round(sorted(cal_samples)[1], 3)
+    print(f"# calibration probe: median {calibration}s of "
+          f"{[round(s, 3) for s in cal_samples]}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -166,6 +185,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps,
+                "calibration_sec": calibration,
                 "sf": sf,
             }
         )

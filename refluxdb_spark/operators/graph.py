@@ -270,3 +270,58 @@ def common_neighbor_link_prediction(
             "common_neighbors",
         )
     )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 10,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any seed to each
+    reachable node, bounded by ``max_depth`` — reachability layering
+    (crawl-frontier expansion, citation-depth attribution, blast-radius
+    analysis) over an edge relation.
+
+    Frontier expansion, not matrix powering: each round joins the
+    CURRENT frontier (nodes first reached last round) against the edge
+    table, anti-joins the visited set, and stamps the new nodes with
+    the round number — by induction that stamp IS the minimum depth,
+    so no min-aggregation over all walks is ever materialized (the
+    walk space is exponential; the visited set is node-bounded).
+
+    Scale shape: the frontier and visited relations are node-sized and
+    ride broadcast joins onto the edge scan — the edge table (the 100
+    TB side) is never shuffled; per round costs one edge scan + one
+    node-sized distinct. Lineage is cut each round with an eager
+    localCheckpoint (same contract as ``pagerank``). Early-exits when
+    the frontier empties, so ``max_depth`` is a diameter bound, not a
+    cost floor.
+
+    Returns ``(node, depth BIGINT)`` — seeds at depth 0, unreachable
+    nodes absent. The reference has no graph surface (its tables are
+    flat series, persistence.rs:35); this is north-star pipeline
+    tooling."""
+    visited = (
+        seeds.select(F.col("node"), F.lit(0).cast("bigint").alias("depth"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("node", src)), src
+            )
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
+            .select("node", F.lit(d).cast("bigint").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -744,3 +744,36 @@ def jsd_source_drift(df: DataFrame, text_col: str = "text", by: str = "source") 
             ).alias("jsd"),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist filtering: count occurrences of blocked
+    terms per document (word-grain, on the normalized token stream all
+    text operators share) and emit the keep/drop decision plus the
+    evidence — total hits, distinct blocked terms matched, and the
+    first (lexicographically smallest) matched term for triage.
+
+    The term list is CONFIG-sized (C4's per-language badword lists run
+    a few hundred entries), so membership is a literal-array column
+    expression evaluated inside whole-stage codegen: zero shuffle,
+    zero joins, the corpus is scanned once. If the blocklist ever
+    outgrows config scale (millions of phrases), switch to the
+    explode-tokens → broadcast-join shape instead — same output
+    contract, one map-side-combined aggregate keyed by doc.
+
+    Appends (n_bad_hits, n_bad_terms, first_bad, keep) to the input
+    columns; ``keep`` is true iff no blocked term occurs."""
+    blocked = F.array(*[F.lit(t) for t in sorted(terms)])
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    bad = F.filter(toks, lambda t: F.array_contains(blocked, t))
+    return df.select(
+        *df.columns,
+        F.size(bad).cast("bigint").alias("n_bad_hits"),
+        F.size(F.array_distinct(bad)).cast("bigint").alias("n_bad_terms"),
+        F.array_min(bad).alias("first_bad"),
+        (F.size(bad) == 0).alias("keep"),
+    )

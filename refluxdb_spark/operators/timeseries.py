@@ -1327,3 +1327,83 @@ def rsi(
             ).otherwise(val),
         ),
     ).drop("_vc", "_d", "_g", "_l", "_rn", "_sg", "_sl")
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the median of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i) over i<j, plus the median-residual
+    intercept — the robust-regression twin of a least-squares fit (up
+    to ~29% wild outliers leave the estimate unmoved, where one spike
+    drags an OLS slope arbitrarily).
+
+    Determinism: slopes are single IEEE divisions of bit-exact doubles
+    (identical everywhere), and both medians use the exact
+    two-middle-rank machinery of ``mad_outlier_stats`` — no
+    approximate percentiles anywhere. The intercept is
+    median(y_i - slope·x_i) with the per-group slope joined back, each
+    residual one fixed-order multiply-subtract.
+
+    Scale contract: pair generation is a per-group self-join —
+    O(n_g²) in the GROUP's point count, deliberately so (that is the
+    estimator). Feed it a BUCKETED series (e.g. daily aggregates:
+    n_g = days, pairs = days²/2 — bounded by the time range, not by
+    event volume), never raw events. The self-join and both median
+    windows share the group key, so the whole plan is one exchange
+    family on ``by``.
+
+    Returns (by..., n_points, n_pairs, slope, intercept)."""
+    by = by or []
+    a = df.select(*by, F.col(x_col).alias("_xa"), F.col(y_col).alias("_ya"))
+    b = df.select(*by, F.col(x_col).alias("_xb"), F.col(y_col).alias("_yb"))
+    pairs = (
+        (a.join(b, by) if by else a.crossJoin(b))
+        .filter(F.col("_xa") < F.col("_xb"))
+        .select(
+            *by,
+            (
+                (F.col("_yb") - F.col("_ya")) / (F.col("_xb") - F.col("_xa"))
+            ).alias("_slope"),
+        )
+    )
+
+    def _median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*by).orderBy(F.col(col).asc())
+        wp = Window.partitionBy(*by)
+        ranked = frame.select(
+            *by,
+            F.col(col),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(wp).alias("_n"),
+        )
+        return (
+            ranked.filter(
+                (F.col("_rn") == F.expr("(_n + 1) div 2"))
+                | (F.col("_rn") == F.expr("(_n + 2) div 2"))
+            )
+            .groupBy(*by)
+            .agg(F.avg(col).alias(out), F.max("_n").cast("bigint").alias(out + "_n"))
+        )
+
+    med = _median(pairs, "_slope", "slope")
+    resid = (df.join(med, by) if by else df.crossJoin(F.broadcast(med))).select(
+        *by,
+        "slope",
+        (F.col(y_col) - F.col("slope") * F.col(x_col)).alias("_resid"),
+    )
+    imed = _median(resid, "_resid", "intercept")
+    counts = df.groupBy(*by).agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    out = counts.join(med, by).join(imed, by) if by else counts.crossJoin(
+        F.broadcast(med)
+    ).crossJoin(F.broadcast(imed))
+    return out.select(
+        *by,
+        "n_points",
+        F.col("slope_n").alias("n_pairs"),
+        "slope",
+        "intercept",
+    )

@@ -9415,3 +9415,272 @@ def orders_repeat_rate(spark, sf_dir):
             / F.sum("rev").cast("double")
         ).alias("repeat_revenue_share"),
     )
+
+
+# =====================================================================
+# Round-6 batch 4: BFS reachability, robust trend, blocklist filter,
+# soft-dedup cluster weights
+# =====================================================================
+
+# Deterministic sparsifier shared by the BFS query's two engines: keep
+# a trade edge iff its 32-bit md5 bucket lands below 3 of 10 — a ~30%
+# pseudo-random subgraph (the full nation-trade graph is near-complete,
+# which would make every BFS depth 0 or 1; the sparse subgraph has real
+# layering). md5 is engine-identical, so both sides keep the same edges.
+_TRADE_EDGES_SPARSE_SQL = """
+    edges AS (
+        SELECT src, dst FROM (
+            SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE ns.n_name <> nc.n_name
+        )
+        WHERE CAST(concat('0x', substr(md5(concat(src, '|', dst)), 1, 8))
+                   AS BIGINT) % 10 < 3
+    )
+"""
+
+
+@register(
+    "graph_bfs_depths_trade",
+    f"""
+    WITH RECURSIVE {_TRADE_EDGES_SPARSE_SQL.strip()},
+    seeds AS (
+        SELECT n_name AS node FROM nation
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'AMERICA'
+    ),
+    walk(node, depth) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, w.depth + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.depth < 6
+    )
+    SELECT node, CAST(min(depth) AS BIGINT) AS depth
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_depths_trade(spark, sf_dir):
+    """Multi-source BFS layering (operators.graph.bfs_depths) over a
+    deterministically sparsified nation-trade graph, seeded from one
+    region's nations: min-hop distance per reachable node. The oracle
+    is the same reachability as a depth-bounded recursive CTE with a
+    min-aggregate — the Spark side never materializes the walk space
+    (frontier expansion visits each node once)."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    reg = load(spark, sf_dir, "region")
+    ns = nat.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+    )
+    nc = nat.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.select("l_suppkey", "l_orderkey")
+        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .filter(
+            F.expr(
+                "conv(substring(md5(concat(src, '|', dst)), 1, 8), 16, 10)"
+            ).cast("bigint") % 10
+            < 3
+        )
+    )
+    seeds = (
+        nat.join(
+            F.broadcast(reg.filter(F.col("r_name") == "AMERICA")),
+            nat.n_regionkey == F.col("r_regionkey"),
+        )
+        .select(F.col("n_name").alias("node"))
+    )
+    from refluxdb_spark.operators import graph as G
+
+    return G.bfs_depths(edges, seeds, max_depth=6)
+
+
+@register(
+    "ts_theil_sen_trend",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS sc,
+               count(*) AS cnt
+        FROM events GROUP BY event_type, day
+    ),
+    pts AS (
+        SELECT event_type,
+               CAST(day - DATE '1970-01-01' AS BIGINT) AS x,
+               CAST(sc AS DOUBLE) / cnt / 100.0 AS y
+        FROM daily
+    ),
+    prs AS (
+        SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS s
+        FROM pts a JOIN pts b
+          ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    med AS (
+        SELECT event_type, avg(s) AS slope, CAST(max(n) AS BIGINT) AS n_pairs
+        FROM (
+            SELECT event_type, s,
+                   row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM prs
+        ) WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY event_type
+    ),
+    resid AS (
+        SELECT p.event_type, p.y - m.slope * p.x AS r
+        FROM pts p JOIN med m ON p.event_type = m.event_type
+    ),
+    imed AS (
+        SELECT event_type, avg(r) AS intercept
+        FROM (
+            SELECT event_type, r,
+                   row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM resid
+        ) WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        GROUP BY event_type
+    ),
+    cnts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+        FROM pts GROUP BY event_type
+    )
+    SELECT c.event_type, n_points, n_pairs, slope, intercept
+    FROM cnts c
+    JOIN med m ON m.event_type = c.event_type
+    JOIN imed i ON i.event_type = c.event_type
+    """,
+)
+def ts_theil_sen_trend(spark, sf_dir):
+    """Theil–Sen robust trend per series
+    (operators.timeseries.theil_sen) over DAY-bucketed exact-cent
+    averages: pairwise-slope median + median-residual intercept. The
+    pair stage is O(days²) per series — bounded by the time range via
+    the bucketing contract, not by event volume; the oracle replays
+    the identical pair set and two-middle medians."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)").cast("decimal(28,0)"))
+        .cast("bigint")
+        .alias("sc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    pts = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        (F.col("sc").cast("double") / F.col("cnt") / F.lit(100.0)).alias("y"),
+    )
+    return TS.theil_sen(pts, "x", "y", by=["event_type"])
+
+
+# Blocklist stand-in for the C4 badwords list, drawn from the synthetic
+# corpus vocabulary so the filter exercises real matches at sf0.01.
+_BLOCKTERMS = ["spark", "shuffle", "panic"]
+
+
+@register(
+    "text_blocklist_filter",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               list_filter(string_split({_NORM_SQL.format(col='text')}, ' '),
+                           t -> t != '') AS toks
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, source,
+               list_filter(toks,
+                           t -> list_contains(['panic', 'shuffle', 'spark'], t))
+                   AS bad
+        FROM base
+    )
+    SELECT doc_id, source,
+           CAST(len(bad) AS BIGINT) AS n_bad_hits,
+           CAST(len(list_distinct(bad)) AS BIGINT) AS n_bad_terms,
+           list_min(bad) AS first_bad,
+           len(bad) = 0 AS keep
+    FROM hits
+    """,
+)
+def text_blocklist_filter(spark, sf_dir):
+    """Blocklist keep/drop filtering (operators.text.blocklist_filter):
+    word-grain hits against a config-sized term list as pure column
+    expressions — zero shuffle, corpus scanned once. Emits the
+    evidence columns (hit count, distinct terms, first term) that an
+    audit of a 100 TB filter sweep needs."""
+    docs = load(spark, sf_dir, "documents")
+    out = X.blocklist_filter(docs, _BLOCKTERMS)
+    return out.select(
+        "doc_id", "source", "n_bad_hits", "n_bad_terms", "first_bad", "keep"
+    )
+
+
+@register(
+    "dedup_cluster_weights",
+    _CC_ORACLE.replace(
+        "SELECT node AS id, min(label) AS component FROM cc GROUP BY node",
+        """, comp AS (SELECT node AS id, min(label) AS component
+                    FROM cc GROUP BY node),
+    alldocs AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ),
+    csize AS (
+        SELECT component, count(*) AS n FROM alldocs GROUP BY component
+    )
+    SELECT a.doc_id, a.component,
+           CAST(n AS BIGINT) AS cluster_size,
+           CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS weight
+    FROM alldocs a JOIN csize s ON s.component = a.component""",
+    ),
+)
+def dedup_cluster_weights(spark, sf_dir):
+    """Soft dedup (SlimPajama-style): instead of dropping near-dups,
+    weight each document by 1/cluster_size so a family of n near-copies
+    contributes one document's worth of training mass. Components from
+    exact shingle-Jaccard >= 0.8 pairs (dedup_components machinery);
+    singletons keep weight 1. int/int double division — bit-exact."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.word_jaccard_pairs(docs, threshold=0.8, shingle=3)
+    comp = D.connected_components(pairs)
+    alldocs = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    csize = alldocs.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return alldocs.join(csize, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+    )

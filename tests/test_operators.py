@@ -2119,3 +2119,97 @@ def test_jsd_positive_for_disjoint_sources(spark):
     # hand value: 0.5·ln(4/3) + 0.25·ln(2/3) + 0.25·ln(2) ≈ 0.2158
     assert abs(got["s1"] - 0.215762) < 1e-6
     assert got["s1"] == got["s2"]
+
+
+# ---------------------------------------------------------------------
+# bfs_depths / theil_sen / blocklist_filter (round-6 batch 4)
+# ---------------------------------------------------------------------
+
+
+def test_bfs_depths_chain_and_unreachable(spark):
+    from refluxdb_spark.operators.graph import bfs_depths
+
+    # 1 -> 2 -> 3 -> 4, and isolated 9 -> 10 (unreachable from seed 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 10)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_depths_min_over_branches(spark):
+    from refluxdb_spark.operators.graph import bfs_depths
+
+    # two paths to 4: 1->4 (depth 1) and 1->2->3->4; min wins
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds).collect()}
+    assert got[4] == 1 and got[3] == 2
+
+
+def test_bfs_depths_max_depth_bound(spark):
+    from refluxdb_spark.operators.graph import bfs_depths
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src int, dst int")
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds, max_depth=2).collect()}
+    assert 4 not in got and got[3] == 2
+
+
+def test_bfs_depths_multi_seed(spark):
+    from refluxdb_spark.operators.graph import bfs_depths
+
+    # seeds at both ends of a chain: depths meet in the middle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 4), (4, 3)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,), (5,)], "node int")
+    got = {r["node"]: r["depth"] for r in bfs_depths(edges, seeds).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_theil_sen_exact_line(spark):
+    from refluxdb_spark.operators.timeseries import theil_sen
+
+    # perfect line y = 2x + 1: every pairwise slope is 2, intercept 1
+    pts = spark.createDataFrame(
+        [("a", x, 2.0 * x + 1.0) for x in range(10)],
+        "series string, x long, y double",
+    )
+    r = theil_sen(pts, "x", "y", by=["series"]).collect()[0]
+    assert r["slope"] == 2.0 and r["intercept"] == 1.0
+    assert r["n_points"] == 10 and r["n_pairs"] == 45
+
+
+def test_theil_sen_outlier_resistant(spark):
+    from refluxdb_spark.operators.timeseries import theil_sen
+
+    # y = x with one wild outlier: the median slope stays 1.0 while an
+    # OLS fit would be dragged far above it
+    rows = [("a", float(x)) for x in range(21)]
+    pts = [(s, i, 1000.0 if i == 20 else y) for i, (s, y) in enumerate(rows)]
+    df = spark.createDataFrame(pts, "series string, x long, y double")
+    r = theil_sen(df, "x", "y", by=["series"]).collect()[0]
+    assert r["slope"] == 1.0
+
+
+def test_blocklist_filter_counts_and_keep(spark):
+    from refluxdb_spark.operators.text import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "Clean text only here"),
+            (2, "spark and SPARK again, plus shuffle"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in blocklist_filter(df, ["spark", "shuffle"]).collect()}
+    assert got[1]["keep"] and got[1]["n_bad_hits"] == 0 and got[1]["first_bad"] is None
+    # case-folded by normalize_text: 'spark' twice + 'shuffle' once
+    assert not got[2]["keep"] and got[2]["n_bad_hits"] == 3
+    assert got[2]["n_bad_terms"] == 2 and got[2]["first_bad"] == "shuffle"
+    assert got[3]["keep"] and got[3]["n_bad_hits"] == 0
