@@ -9594,6 +9594,10 @@ def ts_theil_sen_trend(spark, sf_dir):
         .alias("x"),
         (F.col("sc").cast("double") / F.col("cnt") / F.lit(100.0)).alias("y"),
     )
+    # materialize the bucket-grain relation once: theil_sen's plan
+    # consumes it four times (both self-join sides, residuals, counts)
+    # and without the cut each copy would re-scan events
+    pts = pts.localCheckpoint(eager=True)
     return TS.theil_sen(pts, "x", "y", by=["event_type"])
 
 
