@@ -325,3 +325,66 @@ def bfs_depths(
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def stationary_distribution(
+    transitions: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "n",
+    iterations: int = 8,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Stationary distribution of a weighted Markov chain by
+    integer-exact power iteration — where do user journeys settle,
+    given the observed transition counts? The Markov twin of
+    ``pagerank`` (no damping, row-stochastic weights from counts).
+
+    Recurrence (all BIGINT, truncating division)::
+
+        init   = scale div N
+        r'(j)  = Σ_i  (r(i) * w(i,j)) div out(i)
+
+    with out(i) = Σ_j w(i,j). States without outgoing transitions
+    absorb their mass (it leaks, deterministically — same contract as
+    pagerank's dangling nodes). Integer arithmetic makes the whole
+    trajectory engine-identical, so the oracle can unroll the same
+    recurrence.
+
+    Scale shape: the state set is category-sized (event types, page
+    ids); every join broadcasts the state-sized rank/out relations
+    onto the transition relation. Returns (state, mass_scaled BIGINT);
+    divide by ``scale`` for probabilities."""
+    t = transitions.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"),
+        F.col(weight).cast("bigint").alias("_w"),
+    ).persist()
+    states = (
+        t.select(F.col("_s").alias("state"))
+        .union(t.select("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = states.count()
+    if n == 0:
+        t.unpersist()
+        return states.withColumn("mass_scaled", F.lit(0).cast("bigint"))
+    out = t.groupBy("_s").agg(F.sum("_w").alias("_out"))
+    te = t.join(F.broadcast(out), "_s")
+    ranks = states.select("state", F.lit(scale // n).cast("bigint").alias("r"))
+    for _ in range(iterations):
+        ranks = (
+            te.join(F.broadcast(ranks), te["_s"] == ranks["state"])
+            .select(F.col("_d").alias("state"),
+                    F.expr("(r * _w) div _out").alias("c"))
+            .groupBy("state")
+            .agg(F.sum("c").cast("bigint").alias("r"))
+        )
+        # keep absorbed states present at mass 0 so the relation stays
+        # state-complete for the next broadcast
+        ranks = states.join(F.broadcast(ranks), "state", "left").select(
+            "state", F.coalesce(F.col("r"), F.lit(0)).cast("bigint").alias("r")
+        ).localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    t.unpersist()
+    return ranks.select("state", F.col("r").alias("mass_scaled"))

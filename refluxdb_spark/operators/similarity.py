@@ -986,3 +986,56 @@ def nearest_centroid_classify(
             (F.col(label_col) == F.col("predicted")).alias("correct"),
         )
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """k-nearest-neighbor classification: majority label among the k
+    most cosine-similar labeled corpus vectors per query — the
+    non-parametric twin of ``nearest_centroid_classify`` (kNN sees
+    local structure a single centroid averages away; the standard
+    embedding-quality probe and weak-labeling primitive).
+
+    Plan shape: ``cosine_topk``'s broadcast(queries) x corpus scan
+    does the heavy lifting; the (queries x k)-sized neighbor list then
+    broadcasts back onto the corpus to pick up labels — the corpus is
+    scanned twice, shuffled never. Votes resolve deterministically:
+    most votes, then best (lowest) rank among that label's neighbors,
+    then label ascending — so the output is engine-identical even on
+    vote ties.
+
+    Returns (query_id, predicted, votes BIGINT, best_rank BIGINT)."""
+    top = cosine_topk(
+        corpus,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        lab.join(F.broadcast(top), "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("votes"),
+            F.min("rank").cast("bigint").alias("best_rank"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("best_rank").asc(), F.col("_nl").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("_nl").alias("predicted"), "votes", "best_rank")
+    )

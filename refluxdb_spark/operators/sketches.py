@@ -370,3 +370,63 @@ def kmv_merge(
         .filter(F.col("rank") <= k)
         .select(*by, "rank", "h")
     )
+
+
+def ams_f2_estimate(
+    df: DataFrame,
+    key_col: str,
+    estimators: int = 16,
+    group_size: int = 4,
+    seed: str = "ams",
+) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) tug-of-war sketch of the second
+    frequency moment F2 = Σ_key count(key)² — the self-join-size /
+    skew statistic that decides salting and join strategy, estimated
+    in O(estimators) space instead of a per-key aggregate.
+
+    Each estimator i keeps one counter S_i = Σ_rows sign_i(key) with
+    sign_i(key) = ±1 from the low bit of a 32-bit md5 (engine-exact);
+    E[S_i²] = F2. The classic variance reduction applies: mean within
+    each group of ``group_size`` estimators, then the exact two-middle
+    median across groups. Every S_i is an integer (map-side-combined
+    BIGINT sum — the sketch is LINEAR, so partition/day/engine partials
+    merge by addition), and the final mean/median arithmetic is
+    fixed-order — the estimate is bit-identical everywhere.
+
+    Returns one row: (f2_est DOUBLE, n_estimators BIGINT). Compare
+    against the exact F2 to report sketch error (see the registered
+    query); at 100 TB only the sketch is computable in one pass over
+    an unbounded key domain."""
+    est = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.explode(F.sequence(F.lit(0), F.lit(estimators - 1))).alias("i"),
+    ).select(
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed), F.col("i").cast("string"),
+                                   F.lit(":"), F.col("_k"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint") % 2 * 2 - 1
+        ).alias("sign"),
+    )
+    s = est.groupBy("i").agg(F.sum("sign").cast("bigint").alias("s"))
+    means = (
+        s.groupBy((F.col("i") / group_size).cast("int").alias("g"))
+        .agg(
+            (F.sum(F.col("s") * F.col("s")).cast("double") / F.lit(float(group_size)))
+            .alias("m")
+        )
+    )
+    n_groups = estimators // group_size
+    w = Window.orderBy(F.col("m").asc())
+    mid = means.select("m", F.row_number().over(w).alias("_rn")).filter(
+        (F.col("_rn") == (n_groups + 1) // 2) | (F.col("_rn") == (n_groups + 2) // 2)
+    )
+    return mid.agg(
+        F.avg("m").alias("f2_est"),
+        F.lit(estimators).cast("bigint").alias("n_estimators"),
+    )

@@ -42,6 +42,7 @@ from refluxdb_spark.operators import dedup as D
 from refluxdb_spark.operators import multimodal as M
 from refluxdb_spark.operators import sampling as Smp
 from refluxdb_spark.operators import similarity as S
+from refluxdb_spark.operators import sketches as SK
 from refluxdb_spark.operators import text as X
 from refluxdb_spark.operators import timeseries as TS
 from refluxdb_spark.streaming.ingest import stream_rollup
@@ -9687,4 +9688,195 @@ def dedup_cluster_weights(spark, sf_dir):
         "component",
         "cluster_size",
         (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+    )
+
+
+@register(
+    "sim_knn_classify",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+               label AS true_label
+        FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+               label
+        FROM embeddings WHERE vec_id >= 20
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, label,
+               round(list_dot_product(qv, cv) /
+                     (sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv))), 6) AS cosine
+        FROM q CROSS JOIN c
+    ),
+    top AS (
+        SELECT query_id, label, rank FROM (
+            SELECT query_id, label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    votes AS (
+        SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes,
+               CAST(min(rank) AS BIGINT) AS best_rank
+        FROM top GROUP BY query_id, label
+    ),
+    pick AS (
+        SELECT query_id, label AS predicted, votes, best_rank FROM (
+            SELECT query_id, label, votes, best_rank,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY votes DESC, best_rank, label)
+                       AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id, q.true_label, p.predicted, p.votes, p.best_rank,
+           (q.true_label = p.predicted) AS correct
+    FROM pick p JOIN q ON q.query_id = p.query_id
+    """,
+)
+def sim_knn_classify(spark, sf_dir):
+    """kNN majority-vote classification (operators.similarity.
+    knn_classify): holdout queries (vec_id < 20) labeled by their 5
+    nearest labeled corpus vectors (vec_id >= 20). Deterministic vote
+    resolution (votes desc, best rank, label); corpus broadcast-
+    scanned twice, never shuffled."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    qs = emb.filter(F.col("vec_id") < 20)
+    pred = S.knn_classify(corpus, qs, k=5)
+    truth = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id", "true_label", "predicted", "votes", "best_rank",
+        (F.col("true_label") == F.col("predicted")).alias("correct"),
+    )
+
+
+@register(
+    "sketch_ams_f2",
+    """
+    WITH est AS (
+        SELECT t.i,
+               CAST(SUM((CAST(concat('0x', substr(md5(concat('ams',
+                         CAST(t.i AS VARCHAR), ':',
+                         CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                         % 2) * 2 - 1) AS BIGINT) AS s
+        FROM events CROSS JOIN (SELECT unnest(range(16)) AS i) t
+        GROUP BY t.i
+    ),
+    means AS (
+        SELECT CAST(i // 4 AS INT) AS g,
+               CAST(SUM(s * s) AS DOUBLE) / 4.0 AS m
+        FROM est GROUP BY g
+    ),
+    med AS (
+        SELECT avg(m) AS f2_est FROM (
+            SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means
+        ) WHERE rn = 2 OR rn = 3
+    ),
+    exact AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM (
+            SELECT CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id
+        )
+    )
+    SELECT f2_exact, f2_est, CAST(16 AS BIGINT) AS n_estimators,
+           (f2_est - CAST(f2_exact AS DOUBLE)) / CAST(f2_exact AS DOUBLE)
+               AS rel_err
+    FROM exact CROSS JOIN med
+    """,
+)
+def sketch_ams_f2(spark, sf_dir):
+    """AMS tug-of-war F2 sketch (operators.sketches.ams_f2_estimate)
+    of the events-per-user frequency vector, reported against the
+    exact F2 with relative error — the one-pass, O(16)-space
+    self-join-size/skew probe. Linear counters: partition partials
+    merge by addition."""
+    e = load(spark, sf_dir, "events")
+    est = SK.ams_f2_estimate(e, key_col="user_id")
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "f2_exact", "f2_est", "n_estimators",
+        (
+            (F.col("f2_est") - F.col("f2_exact").cast("double"))
+            / F.col("f2_exact").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+# Unrolled integer power iteration shared shape with the pagerank
+# oracle: 4 rounds of r'(j) = Σ_i (r(i)·w(i,j)) div out(i).
+_MARKOV_ROUND = """
+    r{n} AS (
+        SELECT st.s,
+               CAST(COALESCE(SUM((rr.r * tr.n) // ow.o), 0) AS BIGINT) AS r
+        FROM states st
+        LEFT JOIN tr ON tr.t = st.s
+        LEFT JOIN r{p} rr ON rr.s = tr.f
+        LEFT JOIN outw ow ON ow.f = tr.f
+        GROUP BY st.s
+    )"""
+
+
+@register(
+    "events_markov_stationary",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY CAST(ts AS TIMESTAMP),
+                                               event_id) AS next_type
+        FROM events
+    ),
+    tr AS (
+        SELECT event_type AS f, next_type AS t, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY f, t
+    ),
+    states AS (SELECT f AS s FROM tr UNION SELECT t FROM tr),
+    outw AS (SELECT f, SUM(n) AS o FROM tr GROUP BY f),
+    r0 AS (
+        SELECT s, CAST((SELECT 1000000000000 // count(*) FROM states)
+                       AS BIGINT) AS r
+        FROM states
+    ),""" + ",".join(
+        _MARKOV_ROUND.format(n=i, p=i - 1) for i in range(1, 5)
+    ) + """
+    SELECT s AS state, r AS mass_scaled FROM r4
+    """,
+)
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-journey Markov chain
+    (operators.graph.stationary_distribution over the
+    events_transition_matrix relation): 4 rounds of integer-exact
+    power iteration, scale 1e12 — where the observed transition
+    dynamics settle. State-sized relations broadcast per round; the
+    oracle unrolls the identical BIGINT recurrence."""
+    from pyspark.sql import Window
+
+    from refluxdb_spark.operators import graph as G
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tr = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("f"), F.col("next_type").alias("t")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return G.stationary_distribution(
+        tr, src="f", dst="t", weight="n", iterations=4
     )

@@ -2213,3 +2213,68 @@ def test_blocklist_filter_counts_and_keep(spark):
     assert not got[2]["keep"] and got[2]["n_bad_hits"] == 3
     assert got[2]["n_bad_terms"] == 2 and got[2]["first_bad"] == "shuffle"
     assert got[3]["keep"] and got[3]["n_bad_hits"] == 0
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from refluxdb_spark.operators.similarity import knn_classify
+
+    # query [1,0]; corpus: two 'a' near it, one 'b' nearer, k=3 ->
+    # 'a' wins 2 votes to 1 despite 'b' holding rank 1
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.01], "b"),
+            (11, [1.0, 0.2], "a"),
+            (12, [1.0, 0.3], "a"),
+            (13, [0.0, 1.0], "c"),
+        ],
+        "vec_id int, embedding array<double>, label string",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    r = knn_classify(corpus, q, k=3).collect()[0]
+    assert r["predicted"] == "a" and r["votes"] == 2
+
+    # 1-1 vote tie at k=2: best_rank breaks it toward the closer label
+    r2 = knn_classify(corpus, q, k=2).collect()[0]
+    assert r2["predicted"] == "b" and r2["best_rank"] == 1
+
+
+def test_ams_f2_single_key_is_exact(spark):
+    from refluxdb_spark.operators.sketches import ams_f2_estimate
+
+    # one distinct key, n rows: every estimator is ±n, so S² = n² and
+    # the mean-median collapses to the exact F2
+    n = 7
+    df = spark.createDataFrame([("u",)] * n, "k string")
+    r = ams_f2_estimate(df, key_col="k").collect()[0]
+    assert r["f2_est"] == float(n * n)
+    assert r["n_estimators"] == 16
+
+
+def test_markov_stationary_absorbing_state(spark):
+    from refluxdb_spark.operators.graph import stationary_distribution
+
+    # a -> b, b -> b: all mass flows to the absorbing state b
+    tr = spark.createDataFrame(
+        [("a", "b", 1), ("b", "b", 1)], "src string, dst string, n long"
+    )
+    got = {
+        r["state"]: r["mass_scaled"]
+        for r in stationary_distribution(tr, iterations=3).collect()
+    }
+    assert got["a"] == 0 and got["b"] == 10**12
+
+
+def test_markov_stationary_two_cycle(spark):
+    from refluxdb_spark.operators.graph import stationary_distribution
+
+    # deterministic 2-cycle: mass swaps each round, init split survives
+    tr = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 2)], "src string, dst string, n long"
+    )
+    got = {
+        r["state"]: r["mass_scaled"]
+        for r in stationary_distribution(tr, iterations=4).collect()
+    }
+    assert got["a"] == got["b"] == 10**12 // 2
