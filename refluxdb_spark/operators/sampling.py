@@ -292,3 +292,39 @@ def temperature_sample(
         .filter(_hash_bucket(key_col, seed) < F.col("_mix_threshold"))
         .drop("_mix_source", "_mix_threshold")
     )
+
+
+def importance_sample(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    seed: str = "imp0",
+    out: str = "kept",
+) -> DataFrame:
+    """Score-proportional (importance) downsampling: keep each row
+    with probability equal to its per-row ``score_col`` in [0, 1] —
+    the soft quality filter (FineWeb-style) that keeps SOME low-score
+    documents instead of imposing a hard cutoff, preserving
+    distributional coverage while shifting mass toward quality.
+
+    Determinism: keep iff h32(seed, key) < floor(score · 2³²) — the
+    32-bit md5 uniform compared against an integer threshold derived
+    from the score by one floor on an exactly-reproducible double.
+    Membership depends only on (seed, key, score): stable under
+    repartition, retry, engine, and re-run — an A/B of two filter
+    configs reuses the same randomness. Pure column expressions
+    appended beside the scan (zero shuffle); flag, don't drop, so the
+    keep decision can be audited before the filter is applied."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    thresh = F.floor(F.col(score_col).cast("double") * F.lit(4294967296.0)).cast(
+        "bigint"
+    )
+    return df.select(*df.columns, (h < thresh).alias(out))

@@ -9880,3 +9880,182 @@ def events_markov_stationary(spark, sf_dir):
     return G.stationary_distribution(
         tr, src="f", dst="t", weight="n", iterations=4
     )
+
+
+@register(
+    "ts_streaming_zscore",
+    """
+    WITH ordered AS (
+        SELECT event_type AS series, event_id, value,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               count(*) OVER w AS n_prior,
+               SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) OVER w AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY event_type
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT series, event_id, value,
+               (c - CAST(s AS DOUBLE) / n_prior)
+                   / sqrt(CAST(s2 AS DOUBLE) / n_prior
+                          - (CAST(s AS DOUBLE) / n_prior)
+                            * (CAST(s AS DOUBLE) / n_prior)) AS z,
+               CAST(n_prior AS BIGINT) AS n_prior
+        FROM ordered
+        WHERE n_prior >= 30
+          AND CAST(s2 AS DOUBLE) / n_prior
+              - (CAST(s AS DOUBLE) / n_prior)
+                * (CAST(s AS DOUBLE) / n_prior) > 0
+    )
+    SELECT series, event_id, value, z, n_prior
+    FROM scored WHERE abs(z) > 3
+    """,
+)
+def ts_streaming_zscore(spark, sf_dir):
+    """Third custom stateful streaming operator (streaming.stateful.
+    stream_zscore): running-baseline anomaly detection — each value
+    scored against the integer prefix moments (n, Σcents, Σcents²) of
+    all PRIOR values in its series, alerts at |z| > 3 after a 30-obs
+    warm-up. Integer state makes the FULL value oracle possible: the
+    batch twin is a cumulative window frame (unbounded preceding → 1
+    preceding) with the identical fixed-order double scoring
+    expression, so every emitted z matches bit-for-bit."""
+    import uuid as _uuid
+
+    from refluxdb_spark.streaming.stateful import stream_zscore
+
+    src = _stream_events(spark, sf_dir, "event_type", "event_id", "value")
+    out = stream_zscore(
+        src, series_col="event_type", ts_col="ts", value_col="value",
+        tiebreak_col="event_id",
+    )
+    sink = f"zsc_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("series", "event_id", "value", "z", "n_prior")
+
+
+@register(
+    "sample_importance_downsample",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               list_filter(string_split({_NORM_SQL.format(col='text')}, ' '),
+                           t -> t != '') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS score
+        FROM base WHERE len(toks) > 0
+    )
+    SELECT doc_id, source, score,
+           CAST(concat('0x', substr(md5(concat('imp0',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               < CAST(floor(score * 4294967296.0) AS BIGINT) AS kept
+    FROM scored
+    """,
+)
+def sample_importance_downsample(spark, sf_dir):
+    """Importance downsampling (operators.sampling.importance_sample):
+    keep probability = type-token ratio (distinct/total words — an
+    int/int quality proxy), md5-uniform vs floor(score·2³²). The soft
+    quality filter that preserves tail coverage; flag-not-drop for
+    auditability. Zero shuffle."""
+    from refluxdb_spark.operators.dedup import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda t: t != "")
+    scored = (
+        docs.withColumn("_toks", toks)
+        .filter(F.size("_toks") > 0)
+        .select(
+            "doc_id", "source",
+            (
+                F.size(F.array_distinct("_toks")).cast("double")
+                / F.size("_toks")
+            ).alias("score"),
+        )
+    )
+    return Smp.importance_sample(scored, "score", "doc_id")
+
+
+@register(
+    "ts_forecast_baseline_backtest",
+    """
+    WITH daily AS (
+        SELECT event_type AS series, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS c
+        FROM events GROUP BY series, day
+    ),
+    lagged AS (
+        SELECT series, day, c,
+               lag(c, 1) OVER w AS f_persist,
+               lag(c, 7) OVER w AS f_seasonal
+        FROM daily WINDOW w AS (PARTITION BY series ORDER BY day)
+    ),
+    long AS (
+        SELECT series, 'persistence' AS model, c, f_persist AS f
+        FROM lagged WHERE f_persist IS NOT NULL
+        UNION ALL
+        SELECT series, 'seasonal_naive' AS model, c, f_seasonal AS f
+        FROM lagged WHERE f_seasonal IS NOT NULL
+    )
+    SELECT series, model,
+           CAST(count(*) AS BIGINT) AS n_forecasts,
+           CAST(SUM(abs(c - f)) AS DOUBLE) / count(*) / 100.0 AS mae,
+           CAST(SUM(abs(c - f)) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS wape
+    FROM long GROUP BY series, model
+    """,
+)
+def ts_forecast_baseline_backtest(spark, sf_dir):
+    """Rolling-origin backtest of the two canonical forecast
+    baselines — persistence (yesterday's total) and seasonal-naive
+    (same weekday last week) — per series over daily integer-cent
+    totals: MAE and WAPE (Σ|err|/Σactual, the ratio-of-exact-ints
+    alternative to sMAPE's banned per-term double mean). The
+    evaluation harness any forecasting operator (holt_linear) must
+    beat before it ships; window input is day-grain, so the backtest
+    costs one events scan + bucket-sized windows."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("series"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)").cast("decimal(28,0)"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("series").orderBy("day")
+    lagged = daily.select(
+        "series", "c",
+        F.lag("c", 1).over(w).alias("f_persist"),
+        F.lag("c", 7).over(w).alias("f_seasonal"),
+    )
+    longd = (
+        lagged.filter(F.col("f_persist").isNotNull())
+        .select("series", F.lit("persistence").alias("model"), "c",
+                F.col("f_persist").alias("f"))
+        .unionAll(
+            lagged.filter(F.col("f_seasonal").isNotNull())
+            .select("series", F.lit("seasonal_naive").alias("model"), "c",
+                    F.col("f_seasonal").alias("f"))
+        )
+    )
+    ae = F.abs(F.col("c") - F.col("f"))
+    return longd.groupBy("series", "model").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_forecasts"),
+        (F.sum(ae).cast("double") / F.count(F.lit(1)) / F.lit(100.0)).alias("mae"),
+        (F.sum(ae).cast("double") / F.sum("c").cast("double")).alias("wape"),
+    )

@@ -13,6 +13,7 @@ scales by key partitioning.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 from typing import Any
 
@@ -283,6 +284,120 @@ def stream_liveness(
         liveness_update_fn(),
         outputStructType=LIVENESS_OUTPUT_SCHEMA,
         stateStructType=LIVENESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ZSCORE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("series", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+        StructField("n_prior", LongType()),
+    ]
+)
+
+ZSCORE_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sum_cents", LongType()),
+        StructField("sumsq_cents", LongType()),
+    ]
+)
+
+
+def zscore_update_fn(
+    z_threshold: float = 3.0,
+    min_prior: int = 30,
+    order_cols: tuple[str, ...] = ("ts", "_tie"),
+):
+    """Streaming anomaly detector state: per-series prefix moments
+    (n, Σcents, Σcents²) as INTEGERS, each arriving value scored
+    against the moments of all PRIOR values — the running-baseline
+    z-score a monitoring pipeline raises alerts from.
+
+    Integer state is what makes the full value oracle possible: the
+    batch twin computes the identical prefix sums with a cumulative
+    window frame (rows unbounded preceding → 1 preceding), and the
+    per-row score is one fixed-order double expression on both sides
+    (mean = sum/n; var = sumsq/n − mean²; z = (x − mean)/√var — IEEE
+    ops on identical operands, bit-exact everywhere). Sums of cents²
+    stay in BIGINT: overflow at ~9·10¹⁸ ≈ 10⁹ observations/series at
+    full-scale values — shard the series key before that.
+
+    Emits only anomalies (|z| > threshold after ``min_prior``
+    warm-up, positive variance). Batches are folded in
+    ``order_cols`` event-time order; cross-batch correctness relies on
+    the source replaying in time order (same contract as the EMA and
+    counter folds)."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, s, s2 = state.get
+        else:
+            n, s, s2 = 0, 0, 0
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        rows = []
+        for _, r in pdf.sort_values(list(order_cols)).iterrows():
+            cents = int(round(float(r["value"]) * 100))
+            if n >= min_prior:
+                mean = s / n
+                var = s2 / n - mean * mean
+                if var > 0.0:
+                    z = (cents - mean) / math.sqrt(var)
+                    if abs(z) > z_threshold:
+                        rows.append(
+                            {
+                                "series": key[0],
+                                "event_id": int(r["_tie"]),
+                                "value": float(r["value"]),
+                                "z": z,
+                                "n_prior": n,
+                            }
+                        )
+            n += 1
+            s += cents
+            s2 += cents * cents
+        state.update((n, s, s2))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return update
+
+
+def stream_zscore(
+    source: DataFrame,
+    series_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    z_threshold: float = 3.0,
+    min_prior: int = 30,
+) -> DataFrame:
+    """Streaming running-baseline z-score anomalies: emits one row per
+    anomalous event (append semantics). Caller attaches the
+    writeStream sink."""
+    from pyspark.sql import functions as F
+
+    keyed = source.select(
+        F.col(series_col).alias("series"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+        F.col(tiebreak_col).alias("_tie"),
+    ).groupBy("series")
+    return keyed.applyInPandasWithState(
+        zscore_update_fn(z_threshold, min_prior),
+        outputStructType=ZSCORE_OUTPUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -169,3 +169,63 @@ def test_liveness_update_fn_by_hand():
     assert st.get == (900, 4)
     assert out2[0].iloc[0]["last_seen_us"] == 900
     assert out1[0].iloc[0]["n_obs"] == 2
+
+
+def test_zscore_update_fn_by_hand():
+    """Running-baseline z-score: each value scored against PRIOR
+    moments only; warm-up suppresses early alerts; state carries
+    integer moments across batches."""
+    import math
+
+    import pandas as pd
+
+    from refluxdb_spark.streaming.stateful import zscore_update_fn
+
+    class FakeState:
+        exists = False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = zscore_update_fn(z_threshold=3.0, min_prior=4, order_cols=("ts", "_tie"))
+    st = FakeState()
+    # warm-up: 4 identical values (var 0 -> never alerts), then a spike
+    pdf = pd.DataFrame(
+        {
+            "ts": [1, 2, 3, 4, 5],
+            "_tie": [1, 2, 3, 4, 5],
+            "value": [1.0, 1.0, 1.0, 1.0, 50.0],
+        }
+    )
+    out = list(fn(("s",), iter([pdf]), st))
+    # var of prior==0 for row 5 -> no alert, but state now holds it
+    assert out == []
+    assert st.get == (5, 5400, 25040000)  # n, Σcents, Σcents²
+    # second batch: 1.0 against mean 10.8, std from integer moments
+    out2 = list(
+        fn(("s",), iter([pd.DataFrame({"ts": [6], "_tie": [6], "value": [1.0]})]), st)
+    )
+    n, s, s2 = 5, 5400, 25040000
+    mean = s / n
+    var = s2 / n - mean * mean
+    z = (100 - mean) / math.sqrt(var)
+    if abs(z) > 3.0:
+        assert len(out2) == 1 and out2[0].iloc[0].z == z
+    else:
+        assert out2 == []
+
+
+def test_importance_sample_extremes(spark):
+    from refluxdb_spark.operators.sampling import importance_sample
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 0.0), (4, 0.0)], "doc_id int, score double"
+    )
+    got = {r["doc_id"]: r["kept"] for r in importance_sample(df, "score", "doc_id").collect()}
+    # score 1.0 -> threshold 2^32 > any 32-bit hash; score 0 -> threshold 0
+    assert got[1] and got[2] and not got[3] and not got[4]
