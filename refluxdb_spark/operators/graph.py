@@ -388,3 +388,76 @@ def stationary_distribution(
     ranks = ranks.localCheckpoint(eager=True)
     t.unpersist()
     return ranks.select("state", F.col("r").alias("mass_scaled"))
+
+
+def resource_allocation_link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 20,
+    scale: int = 10**12,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by the resource-allocation index (Zhou, Lü &
+    Zhang 2009): RA(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/deg(z) — common
+    neighbors, but a shared HUB counts for little while a shared
+    low-degree node is strong evidence. Consistently outperforms raw
+    common-neighbor counts on real graphs.
+
+    Determinism: the 1/deg terms are summed as SCALED INTEGERS
+    (``scale div deg``, BIGINT) — order-free exact addition, so the
+    score (and its tiebroken top-k) is engine-identical. This is why
+    RA is used here rather than Adamic-Adar: 1/ln(deg) needs a
+    transcendental whose final ulp differs between engines, 1/deg is
+    rational.
+
+    Same wedge shape and hub discipline as
+    ``common_neighbor_link_prediction``: per-center fan-out d², capped
+    by ``max_degree``; center degree rides the wedge join via a
+    broadcast of the node-sized degree relation. Returns top-k
+    (node_a, node_b, ra_scaled BIGINT, common_neighbors BIGINT)."""
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbrs = und.select(F.col("a").alias("u"), F.col("b").alias("n")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("n"))
+    )
+    deg = nbrs.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    if max_degree is not None:
+        nbrs = nbrs.join(
+            F.broadcast(deg.filter(F.col("d") > max_degree).select("u")),
+            "u",
+            "left_anti",
+        )
+    nbrs = nbrs.join(F.broadcast(deg), "u").withColumn(
+        "w", F.expr(f"{scale} div d").cast("bigint")
+    )
+    w1 = nbrs.select("u", "w", F.col("n").alias("x"))
+    w2 = nbrs.select("u", F.col("n").alias("y"))
+    cand = (
+        w1.join(w2, "u")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.sum("w").cast("bigint").alias("ra_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        )
+        .join(
+            und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+    )
+    return (
+        cand.orderBy(F.desc("ra_scaled"), "x", "y")
+        .limit(k)
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            "ra_scaled",
+            "common_neighbors",
+        )
+    )

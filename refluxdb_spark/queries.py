@@ -10059,3 +10059,268 @@ def ts_forecast_baseline_backtest(spark, sf_dir):
         (F.sum(ae).cast("double") / F.count(F.lit(1)) / F.lit(100.0)).alias("mae"),
         (F.sum(ae).cast("double") / F.sum("c").cast("double")).alias("wape"),
     )
+
+
+@register(
+    "graph_link_ra_nations",
+    """
+    WITH edges AS (
+        SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_name <> nc.n_name
+          AND l.l_quantity >= 49
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+    ),
+    nbrs AS (
+        SELECT a AS u, b AS n FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT u, count(*) AS d FROM nbrs GROUP BY u),
+    wn AS (
+        SELECT nbrs.u, nbrs.n, CAST(1000000000000 // d AS BIGINT) AS w
+        FROM nbrs JOIN deg ON deg.u = nbrs.u
+    ),
+    cand AS (
+        SELECT w1.n AS x, w2.n AS y,
+               CAST(SUM(w1.w) AS BIGINT) AS ra_scaled,
+               CAST(count(*) AS BIGINT) AS common_neighbors
+        FROM wn w1 JOIN nbrs w2 ON w2.u = w1.u AND w1.n < w2.n
+        GROUP BY 1, 2
+    ),
+    nonedge AS (
+        SELECT c.x, c.y, c.ra_scaled, c.common_neighbors
+        FROM cand c
+        LEFT JOIN und e ON e.a = c.x AND e.b = c.y
+        WHERE e.a IS NULL
+    )
+    SELECT x AS node_a, y AS node_b, ra_scaled, common_neighbors
+    FROM nonedge
+    ORDER BY ra_scaled DESC, node_a, node_b
+    LIMIT 20
+    """,
+)
+def graph_link_ra_nations(spark, sf_dir):
+    """Resource-allocation link prediction (operators.graph.
+    resource_allocation_link_prediction; Zhou/Lü/Zhang 2009) on the
+    high-quantity trade graph: shared neighbors weighted 1/deg as
+    scaled integers (order-free exact sums — the reason RA is chosen
+    over Adamic-Adar's transcendental weights). Same wedge shape and
+    hub cap as the common-neighbor baseline."""
+    from refluxdb_spark.operators import graph as G
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return G.resource_allocation_link_prediction(edges, k=20)
+
+
+def _minhash_est_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """Estimate-vs-exact oracle: the _lsh_oracle candidate machinery,
+    then matching-component counts against exact shingle Jaccard."""
+    rpb = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min((h1 + {i} * h2) % 4294967296) AS h{i}" for i in range(num_hashes)
+    )
+    band_exprs = ",\n               ".join(
+        "md5(concat_ws(',', '%d', %s)) AS b%d"
+        % (b, ", ".join(f"h{b * rpb + r}" for r in range(rpb)), b)
+        for b in range(bands)
+    )
+    band_cols = ", ".join(f"b{b}" for b in range(bands))
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    {_SHINGLE_CTE},
+    {_KM_HASHED},
+    sig AS (
+        SELECT id, {mins}
+        FROM hashed GROUP BY id
+    ),
+    bandhash AS (
+        SELECT id, {band_exprs}
+        FROM sig
+    ),
+    buckets AS (
+        SELECT DISTINCT id, bucket
+        FROM (SELECT id, unnest([{band_cols}]) AS bucket FROM bandhash)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+        WHERE a.id < b.id
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks2 GROUP BY id),
+    inter0 AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN toks2 ta ON ta.id = c.id_a
+        JOIN toks2 tb ON tb.id = c.id_b AND tb.token = ta.token
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               CAST(({match_sum}) AS DOUBLE) / {num_hashes} AS est_jaccard,
+               CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / (sza.sz + szb.sz - COALESCE(i.i, 0)) AS exact_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.id = c.id_a
+        JOIN sig sb ON sb.id = c.id_b
+        JOIN sizes sza ON sza.id = c.id_a
+        JOIN sizes szb ON szb.id = c.id_b
+        LEFT JOIN inter0 i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    )
+    SELECT id_a, id_b, est_jaccard, exact_jaccard,
+           abs(est_jaccard - exact_jaccard) AS abs_err
+    FROM scored
+    """
+
+
+@register("dedup_minhash_estimate_error", None)
+def dedup_minhash_estimate_error(spark, sf_dir):
+    """Sketch-accuracy evaluation for MinHash: on every LSH candidate
+    pair, the signature estimate (matching components / num_hashes —
+    an int/int ratio) against the exact shingle Jaccard, with the
+    absolute error. The dedup twin of sim_ivf_recall: it measures how
+    much the 16-hash signature can be trusted before the exact-verify
+    stage, on the pairs that stage would actually see."""
+    docs = load(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, num_hashes=16, shingle=3)
+    cand = D.minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle=3)
+    toks = D.shingle_tokens(docs, w=3)
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(toks.withColumnRenamed("id", "id_a"), "id_a")
+        .join(toks.withColumnRenamed("id", "id_b"), ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("_sa", "_sb", lambda a, b: a == b), lambda x: x
+        )
+    )
+    out = (
+        cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb")), "id_b")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("_sza")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("_szb")), "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b",
+            (matches.cast("double") / F.lit(16)).alias("est_jaccard"),
+            (
+                F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.coalesce(F.col("i"), F.lit(0)))
+            ).alias("exact_jaccard"),
+        )
+    )
+    return out.select(
+        "id_a", "id_b", "est_jaccard", "exact_jaccard",
+        F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias("abs_err"),
+    )
+
+
+ORACLES["dedup_minhash_estimate_error"] = _minhash_est_oracle(16, 4)
+
+
+@register(
+    "events_attribution_last_touch",
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                          IGNORE NULLS) OVER w AS attr_us,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END
+                          IGNORE NULLS) OVER w AS attr_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN attr_us IS NOT NULL
+                     AND t_us - attr_us <= 86400000000
+                THEN attr_type ELSE 'unattributed' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS attributed_revenue
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase credits the
+    most recent prior view/click by the same user within a 24 h
+    lookback (ignore-nulls last over the cumulative frame — no
+    per-purchase join, no event explosion); outside the window the
+    conversion is 'unattributed'. One window shuffle on user, then a
+    channel-sized aggregate of exact cent revenue — the standard
+    conversion-credit readout, linear in events at any scale."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    qual_us = F.when(
+        F.col("event_type").isin("view", "click"), F.unix_micros(F.col("ts"))
+    )
+    qual_ty = F.when(F.col("event_type").isin("view", "click"), F.col("event_type"))
+    seq = e.select(
+        "event_type", "value",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.last(qual_us, ignorenulls=True).over(w).alias("attr_us"),
+        F.last(qual_ty, ignorenulls=True).over(w).alias("attr_type"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("attr_us").isNotNull()
+                & ((F.col("t_us") - F.col("attr_us")) <= 86400000000),
+                F.col("attr_type"),
+            )
+            .otherwise(F.lit("unattributed"))
+            .alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            (
+                F.sum(
+                    F.expr("cast(round(value * 100) as bigint)").cast(
+                        "decimal(28,0)"
+                    )
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("attributed_revenue"),
+        )
+    )

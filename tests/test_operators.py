@@ -2278,3 +2278,61 @@ def test_markov_stationary_two_cycle(spark):
         for r in stationary_distribution(tr, iterations=4).collect()
     }
     assert got["a"] == got["b"] == 10**12 // 2
+
+
+def test_resource_allocation_prefers_low_degree_neighbor(spark):
+    from refluxdb_spark.operators.graph import (
+        resource_allocation_link_prediction,
+    )
+
+    # hub h connects a-b-c-d; private node p connects only a and b.
+    # (a,b) share {h, p}: RA = 1/4 + 1/2; (c,d) share {h}: RA = 1/4.
+    edges = spark.createDataFrame(
+        [("h", x) for x in "abcd"] + [("p", "a"), ("p", "b")],
+        "src string, dst string",
+    )
+    rows = resource_allocation_link_prediction(edges, k=10).collect()
+    got = {(r["node_a"], r["node_b"]): r for r in rows}
+    s = 10**12
+    assert got[("a", "b")]["ra_scaled"] == s // 4 + s // 2
+    assert got[("a", "b")]["common_neighbors"] == 2
+    assert got[("c", "d")]["ra_scaled"] == s // 4
+    # ranking: (h,p) share the two degree-2 nodes (RA = 1.0) and top
+    # the list; (a,b) outranks (c,d)
+    assert (rows[0]["node_a"], rows[0]["node_b"]) == ("h", "p")
+    order = [(r["node_a"], r["node_b"]) for r in rows]
+    assert order.index(("a", "b")) < order.index(("c", "d"))
+
+
+def test_attribution_last_touch_window(spark, sf_dir):
+    # semantic check on the registered query's machinery: a purchase
+    # 25h after the only click is unattributed
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [
+            (1, 100, "click", "2024-01-01 00:00:00", 1.0),
+            (2, 100, "purchase", "2024-01-02 01:00:00", 5.0),  # 25h later
+            (3, 200, "view", "2024-01-01 00:00:00", 1.0),
+            (4, 200, "purchase", "2024-01-01 12:00:00", 7.0),  # within 24h
+        ],
+        "event_id long, user_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    qual = F.when(F.col("event_type").isin("view", "click"), F.unix_micros("ts"))
+    qty = F.when(F.col("event_type").isin("view", "click"), F.col("event_type"))
+    seq = e.select(
+        "event_type", F.unix_micros("ts").alias("t"),
+        F.last(qual, ignorenulls=True).over(w).alias("a_us"),
+        F.last(qty, ignorenulls=True).over(w).alias("a_ty"),
+    ).filter(F.col("event_type") == "purchase")
+    got = {
+        (r["a_ty"], (r["t"] - r["a_us"]) <= 86400000000)
+        for r in seq.collect()
+    }
+    assert ("click", False) in got and ("view", True) in got
