@@ -30,13 +30,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _coverage_order(names: list[str]) -> list[str]:
-    """Order query names for driver sampling: (1) never checked by any
-    CORRECTNESS_r*.json snapshot, (2) checked but whose most recent row
-    is not a pass (errors or mismatches — e.g. the r03 ts-schema
-    breakage), (3) passing, **stalest verification first** (oldest
-    round with a green row), so long-green queries cycle back through
-    the driver sample instead of going unrechecked indefinitely
-    (r4 verdict item 2). Stable order within ties."""
+    """Order query names for driver sampling (the driver records the
+    FIRST 50): (1) checked but whose most recent row is not a pass
+    (errors or mismatches — must re-verify first), (2) green but whose
+    last pass is ≥2 rounds old (the staleness backlog the r5 verdict
+    tracks — a multi-round-old driver row is weaker evidence than the
+    local oracle mirror's current green, so these retire before new
+    queries enter), stalest first, (3) never driver-checked (they have
+    local-mirror evidence and rotate in as backlog clears), (4) green
+    within the last two rounds, stalest first. Stable within ties."""
     last_round: dict[str, int] = {}
     last_pass: dict[str, int] = {}
     here = os.path.dirname(__file__)
@@ -53,13 +55,17 @@ def _coverage_order(names: list[str]) -> list[str]:
             if isinstance(r, dict) and r.get("hash_match"):
                 last_pass[name] = max(last_pass.get(name, -1), rnd)
 
+    max_round = max(last_round.values(), default=0)
+
     def key(n: str):
         if n not in last_round:
-            return (0, 0, names.index(n))  # never driver-checked
+            return (2, 0, names.index(n))  # never driver-checked
         lp = last_pass.get(n, -1)
         if lp < last_round[n]:
-            return (1, 0, names.index(n))  # latest row is red
-        return (2, lp, names.index(n))  # green: stalest first
+            return (0, 0, names.index(n))  # latest row is red
+        if lp <= max_round - 2:
+            return (1, lp, names.index(n))  # stale green backlog
+        return (3, lp, names.index(n))  # recently green
 
     return sorted(names, key=key)
 
