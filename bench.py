@@ -113,6 +113,8 @@ HEADLINE = [
     "sample_mixture_epochs",
     "events_bot_signals",
     "ts_seasonality_strength",
+    "sim_ivf_append_topk",
+    "dedup_source_overlap",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

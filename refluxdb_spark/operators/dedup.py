@@ -1102,3 +1102,46 @@ def word_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Cross-source near-duplicate overlap matrix: for each unordered
+    source pair, how many verified near-dup pairs straddle it and how
+    similar they are — the audit a corpus curator runs before mixing
+    sources (is CommonCrawl re-serving the Wikipedia slice? is one
+    dump a superset of another?). Consumes any (id_a, id_b) pair
+    relation (MinHash/LSH, SimHash, containment), so the quadratic
+    work is already bucketed+capped upstream; this is two id-equi
+    joins against the (id, source) projection — at 100 TB the pair
+    relation is the sparse survivor set (≪ corpus), so it broadcasts
+    against the corpus-sized projection and never shuffles the corpus.
+    Sources are normalized least/greatest so (a,b) and (b,a) pool.
+    Score aggregates are max/min (order-free, bit-exact on any
+    engine/partitioning — a grouped float avg is summation-order-
+    sensitive). Returns (source_a, source_b, dup_pairs, max_score,
+    min_score)."""
+    score_col = [c for c in pairs.columns if c not in (a_col, b_col)][0]
+    sa = docs.select(F.col(id_col).alias(a_col), F.col(source_col).alias("_sa"))
+    sb = docs.select(F.col(id_col).alias(b_col), F.col(source_col).alias("_sb"))
+    return (
+        pairs.join(sa, a_col)
+        .join(sb, b_col)
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            F.col(score_col),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("dup_pairs"),
+            F.max(score_col).alias("max_score"),
+            F.min(score_col).alias("min_score"),
+        )
+    )

@@ -469,6 +469,48 @@ def save_ivf_index(
     )
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Index an embedding batch into the persisted IVF index WITHOUT
+    retraining — the write half of the vector-index daily loop
+    (mirror of ``dedup.append_to_minhash_index`` for the ANN side):
+    new vectors are assigned to the SAVED centroid table (one
+    broadcast join, same rounded-score + centroid-id tiebreak as
+    ``build_ivf_index``, so placement is reproducible) and appended as
+    new files into the existing ``centroid_id`` partition layout —
+    object-store append semantics, no rewrite of indexed files.
+    Centroids drift as the corpus grows; production periodically
+    rebuilds with ``save_ivf_index(train_iters>0)`` while probes keep
+    reading the previous snapshot (storage.py's versioned-commit
+    pattern). Probes via ``load_ivf_topk`` see old + appended vectors
+    uniformly because both live in the same partitioned table."""
+    centroids = df.sparkSession.read.parquet(f"{path}/centroids")
+    scored = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_sim",
+            F.round(_dot("_v", "_centvec") / (_norm("_v") * _norm("_centvec")), 6),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("cid").alias(id_col), F.col("_v").alias(vec_col), "centroid_id")
+    )
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/assigned")
+    )
+
+
 def load_ivf_topk(
     spark,
     path: str,

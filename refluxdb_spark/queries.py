@@ -10324,3 +10324,83 @@ def events_attribution_last_touch(spark, sf_dir):
             ).alias("attributed_revenue"),
         )
     )
+
+
+@register(
+    "sim_ivf_append_topk",
+    f"""
+    WITH {_IVF_TOPK_CTES}
+    SELECT query_id, neighbor_id, cosine, rank FROM ivf_ranked
+    """,
+)
+def sim_ivf_append_topk(spark, sf_dir):
+    """The vector-index DAILY-INGEST lifecycle (operators.similarity.
+    append_to_ivf_index — the ANN mirror of dedup_index_append_probe):
+    the base corpus (vec_id < 16 or vec_id % 5 != 3) is indexed once
+    via save_ivf_index; the ingest batch (the remaining vectors) is
+    assigned to the SAVED centroids — no retrain, one broadcast join —
+    and appended as new files into the same centroid_id partition
+    layout. A probe must then see base + appended vectors uniformly.
+    Assignment is per-vector and deterministic (rounded score,
+    centroid-id tiebreak) and the base holds all 16 lowest vec_ids, so
+    centroids — and therefore the final index — equal the full-corpus
+    build, and the query shares sim_ivf_persisted_topk's oracle. The
+    index is cached per (sf_dir, embeddings mtime) with a done-marker
+    so repeated runs measure the probe, not the lifecycle."""
+    import os as _os
+    import shutil as _shutil
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    mtime = int(_os.stat(emb_path).st_mtime)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    index_path = f"/tmp/refluxdb_spark_ivf_life/{tag}_{mtime}"
+    emb = load(spark, sf_dir, "embeddings")
+    base_pred = (F.col("vec_id") < 16) | (F.col("vec_id") % 5 != 3)
+    done_marker = f"{index_path}/.lifecycle_done"
+    if not _os.path.exists(done_marker):
+        # two-step build: rebuild from scratch if a prior attempt died
+        _shutil.rmtree(index_path, ignore_errors=True)
+        S.save_ivf_index(emb.filter(base_pred), index_path, num_centroids=16)
+        S.append_to_ivf_index(emb.filter(~base_pred), index_path)
+        open(done_marker, "w").close()
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.load_ivf_topk(spark, index_path, queries, k=5, nprobe=4)
+
+
+@register(
+    "dedup_source_overlap",
+    f"""
+    WITH pr AS (
+        SELECT id_a, id_b, jaccard FROM ({_lsh_oracle(16, 4)}) q
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS dup_pairs,
+           max(pr.jaccard) AS max_jaccard,
+           min(pr.jaccard) AS min_jaccard
+    FROM pr
+    JOIN documents da ON pr.id_a = da.doc_id
+    JOIN documents db ON pr.id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_overlap(spark, sf_dir):
+    """Cross-source near-duplicate overlap matrix (operators.dedup.
+    source_overlap_matrix): for each unordered source pair, how many
+    verified MinHash/LSH near-dup pairs (>= 0.8 Jaccard) straddle it —
+    the audit a corpus curator runs before mixing sources (is one dump
+    re-serving another's slice?). The pair relation is the sparse
+    bucketed+capped survivor set, so the matrix costs two id-equi
+    joins against the (id, source) projection, never a corpus
+    shuffle. max/min jaccard are order-free exact aggregates (a
+    grouped float avg would be summation-order-sensitive across
+    engines)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.8, shingle=3
+    )
+    return D.source_overlap_matrix(docs, pairs).select(
+        "source_a", "source_b", "dup_pairs",
+        F.col("max_score").alias("max_jaccard"),
+        F.col("min_score").alias("min_jaccard"),
+    )

@@ -2336,3 +2336,67 @@ def test_attribution_last_touch_window(spark, sf_dir):
         for r in seq.collect()
     }
     assert ("click", False) in got and ("view", True) in got
+
+
+def test_append_to_ivf_index_equals_full_build(spark, sf_dir, tmp_path):
+    """append_to_ivf_index: base-build + batch-append must equal the
+    single full-corpus build — assignment is per-vector deterministic
+    against the SAVED centroids, and the appended files land in the
+    same centroid_id partition layout the probe prunes on."""
+    from refluxdb_spark.operators.similarity import (
+        append_to_ivf_index,
+        load_ivf_topk,
+        save_ivf_index,
+    )
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 3")
+    # base holds the 8 lowest ids, so centroids match the full build
+    base = emb.filter((F.col("vec_id") < 8) | (F.col("vec_id") % 3 != 1))
+    batch = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") % 3 == 1))
+    assert batch.count() > 0
+
+    save_ivf_index(base, str(tmp_path / "inc"), num_centroids=8)
+    append_to_ivf_index(batch, str(tmp_path / "inc"))
+    save_ivf_index(emb, str(tmp_path / "full"), num_centroids=8)
+
+    inc = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in load_ivf_topk(spark, str(tmp_path / "inc"), q, k=5, nprobe=4).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in load_ivf_topk(spark, str(tmp_path / "full"), q, k=5, nprobe=4).collect()
+    }
+    assert inc == full
+    # appended rows physically live in the pre-existing partition dirs
+    import os
+    parts = {d for d in os.listdir(str(tmp_path / "inc" / "assigned"))
+             if d.startswith("centroid_id=")}
+    full_parts = {d for d in os.listdir(str(tmp_path / "full" / "assigned"))
+                  if d.startswith("centroid_id=")}
+    assert parts == full_parts
+
+
+def test_source_overlap_matrix(spark):
+    """source_overlap_matrix: pairs pool under least/greatest source
+    normalization with exact order-free score aggregates."""
+    from refluxdb_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "cc"), (2, "wiki"), (3, "cc"), (4, "books"), (5, "wiki")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (5, 3, 0.8), (1, 3, 1.0)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {
+        (r.source_a, r.source_b): (r.dup_pairs, r.max_score, r.min_score)
+        for r in source_overlap_matrix(docs, pairs).collect()
+    }
+    # (1,2)=cc-wiki 0.9 and (5,3)=wiki-cc 0.8 pool into one cell
+    assert got[("cc", "wiki")] == (2, 0.9, 0.8)
+    assert got[("cc", "cc")] == (1, 1.0, 1.0)
+    assert len(got) == 2

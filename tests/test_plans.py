@@ -173,6 +173,9 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "ts_seasonality_strength": 3,   # global + per-hour moment aggs
         "sample_curriculum_phases": 1,  # one doc-dimension ntile + rollup
         "ts_ema_per_user": 1,           # repartition(key) + batch walk
+        # r6 batch-5 additions (budget = measured shape):
+        "sim_ivf_append_topk": 3,       # probe window + rank + pruned scan
+        "dedup_source_overlap": 5,      # LSH pipeline + two source joins
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
