@@ -115,6 +115,7 @@ HEADLINE = [
     "ts_seasonality_strength",
     "sim_ivf_append_topk",
     "dedup_source_overlap",
+    "events_column_profile",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

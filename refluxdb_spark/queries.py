@@ -10404,3 +10404,36 @@ def dedup_source_overlap(spark, sf_dir):
         F.col("max_score").alias("max_jaccard"),
         F.col("min_score").alias("min_jaccard"),
     )
+
+
+def _profile_oracle() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    parts = [
+        f"""
+    SELECT '{c}' AS "column",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS null_fraction,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM events
+    """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("events_column_profile", _profile_oracle())
+def events_column_profile(spark, sf_dir):
+    """Data-quality column profile of the events table (operators.
+    profiling.profile_columns): null counts/fractions and exact
+    cardinalities for every column, computed in ONE aggregation job —
+    the sanity pass a pipeline runs over each new partition before
+    trusting it. Exact count_distinct here (the oracle gate); at
+    100 TB the exact=False path swaps in HLL approx_count_distinct,
+    removing the Expand so the profile is one map-side-combined pass.
+    The long format comes from exploding a struct array over the
+    single aggregated row — no per-column jobs."""
+    from refluxdb_spark.operators.profiling import profile_columns
+
+    return profile_columns(load(spark, sf_dir, "events"))

@@ -2400,3 +2400,27 @@ def test_source_overlap_matrix(spark):
     assert got[("cc", "wiki")] == (2, 0.9, 0.8)
     assert got[("cc", "cc")] == (1, 1.0, 1.0)
     assert len(got) == 2
+
+
+def test_profile_columns_exact_and_approx(spark):
+    """profile_columns: exact counts match hand-computed truth; the
+    approx (HLL) scale path keeps the same shape with estimates in
+    rsd range and plans WITHOUT the Expand the exact path needs."""
+    from refluxdb_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "a"), (5, None)],
+        "id long, tag string",
+    )
+    got = {r.column: r for r in profile_columns(df).collect()}
+    assert got["id"].n_rows == 5 and got["id"].n_nulls == 0
+    assert got["id"].n_distinct == 5
+    assert got["tag"].n_nulls == 2 and got["tag"].n_distinct == 2
+    assert got["tag"].null_fraction == 0.4
+
+    approx = profile_columns(df, exact=False)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # HLL path: one pass, no k-fold blowup
+    a = {r.column: r for r in approx.collect()}
+    assert a["tag"].n_nulls == 2            # nulls stay exact
+    assert 1 <= a["tag"].n_distinct <= 3    # estimate near truth at tiny n

@@ -176,6 +176,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # r6 batch-5 additions (budget = measured shape):
         "sim_ivf_append_topk": 3,       # probe window + rank + pruned scan
         "dedup_source_overlap": 5,      # LSH pipeline + two source joins
+        "events_column_profile": 2,     # expand distinct (exact path) + final
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
