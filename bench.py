@@ -116,6 +116,7 @@ HEADLINE = [
     "sim_ivf_append_topk",
     "dedup_source_overlap",
     "events_column_profile",
+    "string_fuzzy_title_pairs",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

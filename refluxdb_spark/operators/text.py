@@ -777,3 +777,83 @@ def blocklist_filter(
         F.array_min(bad).alias("first_bad"),
         (F.size(bad) == 0).alias("keep"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    str_col: str,
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    q: int = 3,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Fuzzy string self-join via q-gram prefix filtering (the
+    Gravano et al. VLDB'01 approximate-string-join shape): all pairs
+    within Levenshtein distance ``max_dist``, WITHOUT the quadratic
+    cross join.
+
+    Filter soundness: one edit destroys at most ``q`` of a string's
+    q-grams, so after ``max_dist`` edits at most ``q*max_dist`` are
+    gone — among a string's first ``q*max_dist + 1`` grams at least
+    one survives as a substring of any partner within distance. The
+    candidate join therefore pairs the lower id's PREFIX grams (that
+    bounded set) against the higher id's full gram set, plus the
+    band-join length filter |len_a - len_b| <= max_dist; only
+    survivors pay the exact ``levenshtein`` verify. Recall 1 by the
+    theorem; precision from the verify.
+
+    Scale: the gram relation is (id, gram) distinct — corpus-linear
+    with constant fan-out (~len grams/string); the candidate join is
+    bucketed by gram, so hot grams (shared boilerplate prefixes)
+    bound the quadratic term per bucket. ``max_gram_df`` drops grams
+    whose document frequency exceeds the cap from candidate
+    GENERATION (the LSH hot-bucket discipline; lowers recall only for
+    pairs whose every shared prefix gram is that common — audit with
+    ``hot_tokens`` upstream). Returns (id_a, id_b, dist)."""
+    s = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
+    grams = s.select(
+        "_id",
+        F.length("_s").alias("_len"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(_s) - {q - 1}, 1)),"
+                f" i -> struct(i as pos, substring(_s, i, {q}) as gram))"
+            )
+        ).alias("_g"),
+    ).select("_id", "_len", F.col("_g.pos").alias("_pos"), F.col("_g.gram").alias("_gram"))
+    if max_gram_df is not None:
+        hot = (
+            grams.select("_id", "_gram")
+            .distinct()
+            .groupBy("_gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("_gram")
+        )
+        grams = grams.join(F.broadcast(hot), "_gram", "left_anti")
+    prefix = (
+        grams.filter(F.col("_pos") <= q * max_dist + 1)
+        .select(F.col("_id").alias("_ida"), F.col("_len").alias("_la"), "_gram")
+        .distinct()
+    )
+    full = grams.select(
+        F.col("_id").alias("_idb"), F.col("_len").alias("_lb"), "_gram"
+    ).distinct()
+    cand = (
+        prefix.join(full, "_gram")
+        .filter(
+            (F.col("_ida") < F.col("_idb"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+        )
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    sa = s.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa"))
+    sb = s.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(sa, "_ida")
+        .join(sb, "_idb")
+        .withColumn("dist", F.levenshtein("_sa", "_sb").cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "dist")
+    )

@@ -10437,3 +10437,48 @@ def events_column_profile(spark, sf_dir):
     from refluxdb_spark.operators.profiling import profile_columns
 
     return profile_columns(load(spark, sf_dir, "events"))
+
+
+@register(
+    "string_fuzzy_title_pairs",
+    """
+    WITH t AS (SELECT doc_id AS id, substr(text, 1, 40) AS s FROM documents),
+    ge AS (
+        SELECT id, length(s) AS len,
+               unnest(list_transform(range(1, greatest(length(s) - 2, 1) + 1),
+                      i -> struct_pack(pos := i, g := substr(s, i, 3)))) AS e
+        FROM t
+    ),
+    ga AS (SELECT id, len, e.pos AS pos, e.g AS g FROM ge),
+    pre AS (SELECT DISTINCT id, len, g FROM ga WHERE pos <= 7),
+    alls AS (SELECT DISTINCT id, len, g FROM ga),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM pre a JOIN alls b ON a.g = b.g
+        WHERE a.id < b.id AND abs(a.len - b.len) <= 2
+    ),
+    v AS (
+        SELECT c.id_a, c.id_b,
+               CAST(levenshtein(ta.s, tb.s) AS INT) AS dist
+        FROM cand c JOIN t ta ON c.id_a = ta.id JOIN t tb ON c.id_b = tb.id
+    )
+    SELECT id_a, id_b, dist FROM v WHERE dist <= 2
+    """,
+)
+def string_fuzzy_title_pairs(spark, sf_dir):
+    """Approximate-string self-join (operators.text.
+    edit_distance_pairs): document 'titles' (first 40 chars) within
+    Levenshtein distance 2, found via q-gram PREFIX filtering
+    (Gravano et al. VLDB'01) instead of a quadratic cross join — one
+    edit kills <= q grams, so a partner within distance 2 must share
+    one of the first q*2+1 = 7 grams; candidates are a gram-bucketed
+    join plus the |len| band filter, and only survivors pay the exact
+    levenshtein. The bibliographic-dedup primitive for short keys
+    where shingle/MinHash machinery is overkill. The oracle replays
+    gram generation, the prefix bound, and the verify in SQL."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("title")
+    )
+    return X.edit_distance_pairs(
+        docs, "title", id_col="doc_id", max_dist=2, q=3
+    )

@@ -2424,3 +2424,45 @@ def test_profile_columns_exact_and_approx(spark):
     a = {r.column: r for r in approx.collect()}
     assert a["tag"].n_nulls == 2            # nulls stay exact
     assert 1 <= a["tag"].n_distinct <= 3    # estimate near truth at tiny n
+
+
+def test_edit_distance_pairs_recall_and_cap(spark):
+    """edit_distance_pairs: q-gram prefix filtering finds EVERY pair
+    within max_dist (recall 1 vs the brute-force cross join), and the
+    max_gram_df hot-gram cap drops only cap-affected candidates."""
+    from refluxdb_spark.operators.text import edit_distance_pairs
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "approximate string matching"),
+        (2, "approximate string matchin"),   # dist 1 to #1
+        (3, "approximate strong matching"),  # dist 2 to #1
+        (4, "completely different text"),
+        (5, "entirely other content here"),
+        (6, "approximate string matching"),  # dist 0 to #1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, "s", max_dist=2).collect()
+    }
+    # brute-force truth
+    a = df.selectExpr("doc_id as id_a", "s as sa")
+    truth = {
+        (r.id_a, r.id_b): r.d
+        for r in a.crossJoin(df.selectExpr("doc_id as id_b", "s as sb"))
+        .filter("id_a < id_b")
+        .withColumn("d", F.expr("levenshtein(sa, sb)"))
+        .filter("d <= 2")
+        .collect()
+    }
+    assert got == truth and (1, 2) in got and got[(1, 6)] == 0
+
+    # hot-gram cap: every doc_id shares gram 'app'? no — cap at df>=2
+    # drops the 'approximate...' prefix grams shared by 4 docs, so
+    # those pairs disappear; disjoint strings never paired anyway
+    capped = {
+        (r.id_a, r.id_b)
+        for r in edit_distance_pairs(df, "s", max_dist=2, max_gram_df=2).collect()
+    }
+    assert capped.issubset(set(got))

@@ -177,6 +177,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "sim_ivf_append_topk": 3,       # probe window + rank + pruned scan
         "dedup_source_overlap": 5,      # LSH pipeline + two source joins
         "events_column_profile": 2,     # expand distinct (exact path) + final
+        "string_fuzzy_title_pairs": 3,  # gram distinct + candidate join + verify
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
