@@ -787,40 +787,51 @@ def edit_distance_pairs(
     q: int = 3,
     max_gram_df: int | None = None,
 ) -> DataFrame:
-    """Fuzzy string self-join via q-gram prefix filtering (the
-    Gravano et al. VLDB'01 approximate-string-join shape): all pairs
-    within Levenshtein distance ``max_dist``, WITHOUT the quadratic
+    """Fuzzy string self-join via positional q-gram COUNT filtering
+    (Gravano et al. VLDB'01 approximate string joins): all pairs
+    within Levenshtein distance ``max_dist``, without the quadratic
     cross join.
 
     Filter soundness: one edit destroys at most ``q`` of a string's
-    q-grams, so after ``max_dist`` edits at most ``q*max_dist`` are
-    gone — among a string's first ``q*max_dist + 1`` grams at least
-    one survives as a substring of any partner within distance. The
-    candidate join therefore pairs the lower id's PREFIX grams (that
-    bounded set) against the higher id's full gram set, plus the
-    band-join length filter |len_a - len_b| <= max_dist; only
-    survivors pay the exact ``levenshtein`` verify. Recall 1 by the
-    theorem; precision from the verify.
+    positional q-grams and shifts surviving grams' positions by at
+    most ``max_dist``, so two strings within distance share at least
+    ``len - q + 1 - q*max_dist`` grams at positions differing by
+    <= ``max_dist`` (plus the |len_a - len_b| <= max_dist band). The
+    candidate join buckets by gram, constrains |pos_a - pos_b|, and
+    the per-pair matched-position COUNT must reach the a-side's
+    threshold — on small-vocabulary corpora where any single common
+    gram pairs half the corpus, the count threshold is what keeps the
+    candidate set near the true pair set. Only survivors pay the
+    exact ``levenshtein`` verify; recall 1 by the lemma. Strings too
+    short to carry a positive threshold (len < q*(max_dist+1))
+    fall back to a length-banded pair join within the short bucket —
+    bounded by the short-string population, which a key/title column
+    keeps tiny.
 
-    Scale: the gram relation is (id, gram) distinct — corpus-linear
-    with constant fan-out (~len grams/string); the candidate join is
-    bucketed by gram, so hot grams (shared boilerplate prefixes)
-    bound the quadratic term per bucket. ``max_gram_df`` drops grams
+    Scale: the gram relation is corpus-linear with constant fan-out;
+    the join is bucketed by gram with the position window cutting
+    aligned-cluster blowup ~len-fold; the count filter collapses
+    map-side per (pair). ``max_gram_df`` additionally drops grams
     whose document frequency exceeds the cap from candidate
-    GENERATION (the LSH hot-bucket discipline; lowers recall only for
-    pairs whose every shared prefix gram is that common — audit with
-    ``hot_tokens`` upstream). Returns (id_a, id_b, dist)."""
+    generation (LSH hot-bucket discipline; with the count filter this
+    can lose recall on pairs made ONLY of capped grams — audit before
+    enabling). Returns (id_a, id_b, dist)."""
+    d = max_dist
+    short_len = q * (d + 1)  # threshold <= 0 below this
     s = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
-    grams = s.select(
+    slong = s.filter(F.length("_s") >= short_len)
+    grams = slong.select(
         "_id",
         F.length("_s").alias("_len"),
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length(_s) - {q - 1}, 1)),"
-                f" i -> struct(i as pos, substring(_s, i, {q}) as gram))"
+                f"transform(sequence(1, greatest(length(_s) - {q - 1}, 1),"
+                f" 1), i -> struct(i as pos, substring(_s, i, {q}) as gram))"
             )
         ).alias("_g"),
-    ).select("_id", "_len", F.col("_g.pos").alias("_pos"), F.col("_g.gram").alias("_gram"))
+    ).select(
+        "_id", "_len", F.col("_g.pos").alias("_pos"), F.col("_g.gram").alias("_gram")
+    )
     if max_gram_df is not None:
         hot = (
             grams.select("_id", "_gram")
@@ -831,29 +842,65 @@ def edit_distance_pairs(
             .select("_gram")
         )
         grams = grams.join(F.broadcast(hot), "_gram", "left_anti")
-    prefix = (
-        grams.filter(F.col("_pos") <= q * max_dist + 1)
-        .select(F.col("_id").alias("_ida"), F.col("_len").alias("_la"), "_gram")
-        .distinct()
+    # position rides the JOIN KEY as a coarse bucket (width d+1, the
+    # banded range-join trick): |pos_a - pos_b| <= d implies bucket
+    # distance <= 1, so the b-side replicates into its 3 adjacent
+    # buckets and a hot gram's blowup is bounded by its POSITION-LOCAL
+    # density, not its corpus-wide frequency squared. The exact
+    # position window applies as the residual filter.
+    w = d + 1
+    ga = grams.select(
+        F.col("_id").alias("_ida"), F.col("_len").alias("_la"),
+        F.col("_pos").alias("_pa"), "_gram",
+        F.floor(F.col("_pos") / w).alias("_bk"),
     )
-    full = grams.select(
-        F.col("_id").alias("_idb"), F.col("_len").alias("_lb"), "_gram"
-    ).distinct()
+    gb = grams.select(
+        F.col("_id").alias("_idb"), F.col("_len").alias("_lb"),
+        F.col("_pos").alias("_pb"), "_gram",
+        F.explode(
+            F.array(*[F.floor(F.col("_pos") / w) + i for i in (-1, 0, 1)])
+        ).alias("_bk"),
+    )
     cand = (
-        prefix.join(full, "_gram")
+        ga.join(gb, ["_gram", "_bk"])
         .filter(
             (F.col("_ida") < F.col("_idb"))
-            & (F.abs(F.col("_la") - F.col("_lb")) <= max_dist)
+            & (F.abs(F.col("_la") - F.col("_lb")) <= d)
+            & (F.abs(F.col("_pa") - F.col("_pb")) <= d)
+        )
+        .groupBy("_ida", "_idb", "_la")
+        .agg(F.count_distinct(F.col("_pa")).alias("_nm"))
+        .filter(F.col("_nm") >= F.col("_la") - F.lit(q - 1) - F.lit(q * d))
+        .select("_ida", "_idb")
+    )
+    # short strings: threshold non-positive -> length-banded pair join
+    # over the near-short bucket (len < short_len + d), requiring at
+    # least one SIDE to be genuinely short — symmetric, so a pair
+    # straddling the boundary is caught regardless of which id is
+    # smaller; |len diff| <= d keeps everything in-bucket
+    near = s.filter(F.length("_s") < short_len + d)
+    short_pairs = (
+        near.select(F.col("_id").alias("_ida"), F.col("_s").alias("_x"))
+        .crossJoin(
+            near.select(F.col("_id").alias("_idb"), F.col("_s").alias("_y"))
+        )
+        .filter(
+            (F.col("_ida") < F.col("_idb"))
+            & (F.abs(F.length("_x") - F.length("_y")) <= d)
+            & (
+                (F.length("_x") < short_len)
+                | (F.length("_y") < short_len)
+            )
         )
         .select("_ida", "_idb")
-        .distinct()
     )
+    allc = cand.unionByName(short_pairs).distinct()
     sa = s.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa"))
     sb = s.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
     return (
-        cand.join(sa, "_ida")
+        allc.join(sa, "_ida")
         .join(sb, "_idb")
         .withColumn("dist", F.levenshtein("_sa", "_sb").cast("int"))
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") <= d)
         .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "dist")
     )

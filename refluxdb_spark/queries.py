@@ -10443,24 +10443,38 @@ def events_column_profile(spark, sf_dir):
     "string_fuzzy_title_pairs",
     """
     WITH t AS (SELECT doc_id AS id, substr(text, 1, 40) AS s FROM documents),
+    tl AS (SELECT * FROM t WHERE length(s) >= 24),
     ge AS (
         SELECT id, length(s) AS len,
-               unnest(list_transform(range(1, greatest(length(s) - 2, 1) + 1),
-                      i -> struct_pack(pos := i, g := substr(s, i, 3)))) AS e
-        FROM t
+               unnest(list_transform(range(1, greatest(length(s) - 7, 1) + 1),
+                      i -> struct_pack(pos := i, g := substr(s, i, 8)))) AS e
+        FROM tl
     ),
     ga AS (SELECT id, len, e.pos AS pos, e.g AS g FROM ge),
-    pre AS (SELECT DISTINCT id, len, g FROM ga WHERE pos <= 7),
-    alls AS (SELECT DISTINCT id, len, g FROM ga),
     cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM pre a JOIN alls b ON a.g = b.g
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM ga a JOIN ga b ON a.g = b.g
         WHERE a.id < b.id AND abs(a.len - b.len) <= 2
+              AND abs(a.pos - b.pos) <= 2
+        GROUP BY a.id, b.id, a.len
+        HAVING count(DISTINCT a.pos) >= a.len - 7 - 16
+    ),
+    shorts AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM t a JOIN t b ON a.id < b.id
+        WHERE length(a.s) < 26 AND length(b.s) < 26
+              AND abs(length(a.s) - length(b.s)) <= 2
+              AND (length(a.s) < 24 OR length(b.s) < 24)
+    ),
+    allc AS (
+        SELECT DISTINCT id_a, id_b FROM (
+            SELECT * FROM cand UNION ALL SELECT * FROM shorts
+        )
     ),
     v AS (
         SELECT c.id_a, c.id_b,
                CAST(levenshtein(ta.s, tb.s) AS INT) AS dist
-        FROM cand c JOIN t ta ON c.id_a = ta.id JOIN t tb ON c.id_b = tb.id
+        FROM allc c JOIN t ta ON c.id_a = ta.id JOIN t tb ON c.id_b = tb.id
     )
     SELECT id_a, id_b, dist FROM v WHERE dist <= 2
     """,
@@ -10468,17 +10482,21 @@ def events_column_profile(spark, sf_dir):
 def string_fuzzy_title_pairs(spark, sf_dir):
     """Approximate-string self-join (operators.text.
     edit_distance_pairs): document 'titles' (first 40 chars) within
-    Levenshtein distance 2, found via q-gram PREFIX filtering
-    (Gravano et al. VLDB'01) instead of a quadratic cross join — one
-    edit kills <= q grams, so a partner within distance 2 must share
-    one of the first q*2+1 = 7 grams; candidates are a gram-bucketed
-    join plus the |len| band filter, and only survivors pay the exact
-    levenshtein. The bibliographic-dedup primitive for short keys
-    where shingle/MinHash machinery is overkill. The oracle replays
-    gram generation, the prefix bound, and the verify in SQL."""
+    Levenshtein distance 2, found via positional q-gram COUNT
+    filtering (Gravano et al. VLDB'01) instead of a quadratic cross
+    join — two strings within distance 2 share >= len - 2 - q*2
+    grams at positions differing by <= 2, so candidates come from a
+    (gram, position-bucket)-keyed join with a per-pair matched-count
+    threshold (q=8: long grams keep the gram relation selective on a
+    small-vocabulary corpus where any common short gram pairs half
+    the docs); only survivors pay the exact levenshtein. The
+    bibliographic-dedup primitive for short keys where shingle/
+    MinHash machinery is overkill. The oracle replays gram
+    generation, the count threshold, the short-string fallback, and
+    the verify in SQL."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 40).alias("title")
     )
     return X.edit_distance_pairs(
-        docs, "title", id_col="doc_id", max_dist=2, q=3
+        docs, "title", id_col="doc_id", max_dist=2, q=8
     )

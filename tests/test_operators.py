@@ -2440,6 +2440,10 @@ def test_edit_distance_pairs_recall_and_cap(spark):
         (4, "completely different text"),
         (5, "entirely other content here"),
         (6, "approximate string matching"),  # dist 0 to #1
+        (7, "abcdefghi"),  # long (>= q*(d+1)) with SMALLER id than its
+        (8, "abcdefg"),    # short partner (dist 2) — boundary straddle
+        (9, "abc"),        # short-short pair, dist 1
+        (10, "abd"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, s string")
     got = {
