@@ -143,15 +143,39 @@ class RefluxEngine:
         finally:
             parsed.unpersist()
 
-    def write_dataframe(self, rows: DataFrame) -> None:
+    def write_dataframe(
+        self, rows: DataFrame, record_metrics: bool = False
+    ) -> dict | None:
         """Append pre-shaped rows (series, tags, ts, name, value) — the
         bulk/streaming ingest entry (used by streaming.foreachBatch).
 
         Rows are sorted by time within each output partition so parquet
         row-group min/max stats make later time-range scans skip pages
         — the lake-table equivalent of the reference's per-series
-        B-tree time locality."""
+        B-tree time locality.
+
+        ``record_metrics=True`` attaches a ``Dataset.observe`` to the
+        write: (rows, null_values, min/max event time in micros)
+        computed BY the write job itself — no second scan of the batch,
+        the idiomatic Spark shape for per-batch ingest observability.
+        The metrics row is appended to ``{warehouse}/ingest_metrics``
+        (a tiny auditable ledger — the streaming SLA/lag dashboards
+        read it instead of rescanning the table) and returned."""
         out = self._finalize_rows(rows)
+        obs = None
+        if record_metrics:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+                    "null_values"
+                ),
+                F.min(F.unix_micros("time")).alias("min_time_us"),
+                F.max(F.unix_micros("time")).alias("max_time_us"),
+            )
         (
             out.sortWithinPartitions("series", "time")
             .write.mode("append")
@@ -159,6 +183,29 @@ class RefluxEngine:
             .parquet(self._path)
         )
         self._views.clear()
+        if obs is None:
+            return None
+        m = {k: (0 if v is None else int(v)) for k, v in obs.get.items()}
+        self.spark.createDataFrame(
+            [(m["rows"], m["null_values"], m["min_time_us"], m["max_time_us"])],
+            "rows bigint, null_values bigint, min_time_us bigint, max_time_us bigint",
+        ).withColumn("recorded_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(os.path.join(self.warehouse, "ingest_metrics"))
+        return m
+
+    def ingest_metrics(self) -> DataFrame:
+        """The per-batch ingest ledger written by
+        ``write_dataframe(record_metrics=True)`` — empty if no metered
+        writes happened yet."""
+        p = os.path.join(self.warehouse, "ingest_metrics")
+        if not os.path.exists(p):
+            return self.spark.createDataFrame(
+                [],
+                "rows bigint, null_values bigint, min_time_us bigint,"
+                " max_time_us bigint, recorded_at timestamp",
+            )
+        return self.spark.read.parquet(p)
 
     def write_dead_letters(self, bad: DataFrame) -> None:
         """Persist rejected lines (error + raw) to the dead-letter
@@ -273,6 +320,105 @@ class RefluxEngine:
         if vacuum:
             self._data.vacuum()
         self._views.clear()
+
+    def erase(
+        self,
+        predicate: str,
+        series: str | None = None,
+        vacuum: bool = True,
+    ) -> dict[str, int]:
+        """Targeted erasure (GDPR right-to-be-forgotten / bad-ingest
+        surgery): remove every row matching the SQL ``predicate``
+        (e.g. ``"tags['user'] = 'u42'"``), optionally scoped to one
+        series. The reference BLOCKS user-facing DELETE (parity,
+        ``gateway.py``); this is the ADMIN maintenance path alongside
+        ``compact``/``apply_retention``.
+
+        Partition-pruned rewrite: only (series, day) partitions that
+        actually CONTAIN matching rows are rewritten (minus matches,
+        order preserved); every untouched partition HARDLINKS into the
+        fresh version tree — at 100 TB erasing one user touches the
+        handful of partitions their rows live in, never the table.
+        Object-store-safe via the same begin_rewrite/pointer-commit
+        protocol as compaction (no renames, crash leaves the live
+        table intact). The kept-row count comes from a
+        ``Dataset.observe`` on the rewrite itself — no second scan.
+
+        ``vacuum=True`` (default) drops superseded versions so the
+        erased bytes are actually gone — the GDPR contract; pass
+        ``vacuum=False`` to retain time travel (``table_as_of`` still
+        shows pre-erasure data until vacuumed, so audit THEN vacuum).
+
+        Returns {"erased": n, "rewritten_partitions": p, "kept": k}.
+        """
+        from pyspark.sql import Observation
+
+        df = self._table()
+        target = df.filter(F.expr(predicate))
+        if series is not None:
+            target = target.filter(F.col("series") == series)
+        affected = {
+            # day may surface as DATE from partition discovery; the
+            # directory names and concat_ws keys are its str() form
+            (r["series"], str(r["day"]))
+            for r in target.select("series", "day").distinct().collect()
+        }
+        if not affected:
+            return {"erased": 0, "rewritten_partitions": 0, "kept": 0}
+        n_erased = target.count()
+        src = self._path
+        new_dir, commit = self._data.begin_rewrite()
+        try:
+            for series_ent in os.listdir(src):
+                if not series_ent.startswith("series="):
+                    continue
+                sdir = os.path.join(src, series_ent)
+                sval = series_ent[len("series="):]
+                for day_ent in os.listdir(sdir) if os.path.isdir(sdir) else []:
+                    if not day_ent.startswith("day="):
+                        continue
+                    if (sval, day_ent[len("day="):]) in affected:
+                        continue  # rewritten below, not linked
+                    src_part = os.path.join(sdir, day_ent)
+                    dst_part = os.path.join(new_dir, series_ent, day_ent)
+                    os.makedirs(dst_part, exist_ok=True)
+                    for f in os.listdir(src_part):
+                        if f.startswith(("_", ".")):
+                            continue
+                        s, d = os.path.join(src_part, f), os.path.join(dst_part, f)
+                        try:
+                            os.link(s, d)
+                        except OSError:
+                            shutil.copy2(s, d)
+            in_affected = F.concat_ws("\x00", "series", "day").isin(
+                [f"{s}\x00{d}" for s, d in affected]
+            )
+            erase_match = F.expr(predicate)
+            if series is not None:
+                erase_match = erase_match & (F.col("series") == series)
+            keep = df.filter(in_affected & ~erase_match)
+            obs = Observation("erase")
+            (
+                keep.observe(obs, F.count(F.lit(1)).alias("kept"))
+                .sortWithinPartitions("series", "time")
+                .write.mode("append")
+                .partitionBy("series", "day")
+                .parquet(new_dir)
+            )
+            kept = int(obs.get["kept"])
+            commit()
+        except BaseException:
+            # see compact(): discard the claimed dir on in-process failure
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
+        if vacuum:
+            self._data.vacuum()
+        self._views.clear()
+        return {
+            "erased": int(n_erased),
+            "rewritten_partitions": len(affected),
+            "kept": kept,
+        }
 
     def field_keys(self, series: str | None = None) -> dict[str, list[str]]:
         """``SHOW FIELD KEYS``: distinct field names per series (every

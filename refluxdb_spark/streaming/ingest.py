@@ -37,16 +37,24 @@ def stream_ingest_lines(
     lines_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    record_metrics: bool = False,
 ) -> StreamingQuery:
     """Stream line-protocol text files from ``lines_dir`` into the
-    engine's measurements table via foreachBatch append."""
+    engine's measurements table via foreachBatch append.
+
+    ``record_metrics=True`` meters each micro-batch through the
+    engine's observe()-based ingest ledger (rows, nulls, event-time
+    bounds — computed by the write job itself, no second scan), the
+    feed for ingest-lag/SLA dashboards."""
     raw = engine.spark.readStream.format("text").load(lines_dir)
     parsed = parse_lines_df(raw)
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
-            engine.write_dataframe(explode_fields(batch_df))
+            engine.write_dataframe(
+                explode_fields(batch_df), record_metrics=record_metrics
+            )
             bad = batch_df.filter(batch_df.error.isNotNull())
             # DataFrame isEmpty stays in the codegen path; .rdd.isEmpty()
             # would deoptimize and launch an extra job per micro-batch

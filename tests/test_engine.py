@@ -549,3 +549,78 @@ def test_table_stats_metadata_report(spark, tmp_path):
     # report matches the sum of its own partitions
     assert st["n_files"] == sum(p["n_files"] for p in st["partitions"])
     assert st["total_bytes"] == sum(p["bytes"] for p in st["partitions"])
+
+
+def test_erase_targeted_rows_partition_pruned(spark, tmp_path):
+    """engine.erase: matching rows disappear; only partitions that
+    contained matches are rewritten — untouched partitions HARDLINK
+    into the new version (same inode); counts are audited and the
+    kept count comes from the observe() on the rewrite itself."""
+    import os
+
+    eng = RefluxEngine(spark, str(tmp_path / "wh_erase"))
+    # two days (86400s apart), two hosts
+    eng.write_lines([
+        "cpu,host=a usage=0.1 1234567890000000000",
+        "cpu,host=b usage=0.2 1234567891000000000",
+        "cpu,host=a usage=0.3 1234654290000000000",
+        "mem,host=a used=0.9 1234567890000000000",
+    ])
+    # untouched partition inode before erase (mem has no host=b rows)
+    src = eng._path
+    mem_dir = [os.path.join(r, f)
+               for r, _, fs in os.walk(os.path.join(src))
+               for f in fs if f.endswith(".parquet") and "series=mem" in r]
+    assert mem_dir
+    ino_before = os.stat(mem_dir[0]).st_ino
+
+    res = eng.erase("tags['host'] = 'b'", vacuum=False)
+    assert res["erased"] == 1
+    assert res["rewritten_partitions"] == 1  # only cpu/day1 held host=b
+    assert res["kept"] == 1                  # host=a row in that partition
+
+    rows = eng.query_rows("SELECT * FROM cpu ORDER BY time")
+    assert [r["value"] for r in rows] == [0.1, 0.3]
+    assert all(r["tags"]["host"] == "a" for r in rows)
+    assert len(eng.query_rows("SELECT * FROM mem")) == 1
+
+    # untouched partition carried over as a hardlink (same inode)
+    mem_after = [os.path.join(r, f)
+                 for r, _, fs in os.walk(eng._path)
+                 for f in fs if f.endswith(".parquet") and "series=mem" in r]
+    assert os.stat(mem_after[0]).st_ino == ino_before
+
+    # vacuum=False retains pre-erasure time travel
+    versions = eng.table_versions()
+    old = eng.table_as_of(versions[-2])
+    assert old.filter("tags['host'] = 'b'").count() == 1
+
+    # no-match erase: no new version, zeros
+    v_before = len(eng.table_versions())
+    assert eng.erase("tags['host'] = 'zzz'") == {
+        "erased": 0, "rewritten_partitions": 0, "kept": 0,
+    }
+    assert len(eng.table_versions()) == v_before
+
+
+def test_write_dataframe_observed_metrics(spark, tmp_path):
+    """record_metrics=True: per-batch ingest metrics come from an
+    observe() ON the write job (no second scan), land in the
+    ingest_metrics ledger, and match the written rows."""
+    from refluxdb_spark.sources.lineprotocol import explode_fields, parse_lines_df
+
+    eng = RefluxEngine(spark, str(tmp_path / "wh_obs"))
+    raw = spark.createDataFrame(
+        [("cpu,host=a usage=0.5,temp=60.0 1700000000000000000",),
+         ("cpu,host=b usage=0.7 1700000060000000000",)],
+        "value string",
+    )
+    m = eng.write_dataframe(explode_fields(parse_lines_df(raw)), record_metrics=True)
+    assert m["rows"] == 3 and m["null_values"] == 0
+    assert m["min_time_us"] == 1700000000000000
+    assert m["max_time_us"] == 1700000060000000
+    led = eng.ingest_metrics().collect()
+    assert len(led) == 1 and led[0]["rows"] == 3
+    # un-metered write adds no ledger row and returns None
+    assert eng.write_dataframe(explode_fields(parse_lines_df(raw))) is None
+    assert eng.ingest_metrics().count() == 1
