@@ -117,6 +117,7 @@ HEADLINE = [
     "dedup_source_overlap",
     "events_column_profile",
     "string_fuzzy_title_pairs",
+    "events_funnel_windowed",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

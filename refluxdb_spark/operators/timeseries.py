@@ -1407,3 +1407,63 @@ def theil_sen(
         "slope",
         "intercept",
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[tuple[str, Column]],
+    window_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Windowed strict funnel (ClickHouse ``windowFunnel`` parity —
+    the Amplitude/Heap conversion semantics ``funnel``'s min-timestamp
+    shortcut can't express): a user reaches step k if SOME step-1
+    event starts a chain where every later step happens strictly
+    after the previous one and the WHOLE chain fits inside
+    ``window_us`` of that step-1 event. Min-timestamps alone both
+    under-count (a later signup may start a valid chain even when the
+    earliest click precedes the earliest signup) and ignore deadlines.
+
+    Plan: a frontier of (user, chain_start, last_step_time) extended
+    one step at a time by an equi-join on the user plus the time-range
+    residual, then collapsed per (user, chain_start) to the MINIMUM
+    last-step time — greedy-optimal, since an earlier completion of
+    step k admits a superset of step-k+1 events; the frontier never
+    exceeds the user's step-1 event count, so each round is one
+    bounded join + one map-side-combined min. Returns one row of
+    ``step{i}_{name}`` counts: distinct users whose max depth >= i.
+    """
+    t = F.unix_micros(F.col(ts_col))
+    frontier = (
+        df.filter(steps[0][1])
+        .select(F.col(user_col).alias("_u"), t.alias("_t0"), t.alias("_tp"))
+        .distinct()
+    )
+    # levels carry duplicates; the single final count_distinct dedups,
+    # saving one exchange per level
+    levels = [frontier.select("_u")]
+    for _, pred in steps[1:]:
+        nxt = df.filter(pred).select(F.col(user_col).alias("_u"), t.alias("_tn"))
+        frontier = (
+            frontier.join(nxt, "_u")
+            .filter(
+                (F.col("_tn") > F.col("_tp"))
+                & (F.col("_tn") <= F.col("_t0") + F.lit(window_us))
+            )
+            .groupBy("_u", "_t0")
+            .agg(F.min("_tn").alias("_tp"))
+        )
+        levels.append(frontier.select("_u"))
+    marked = None
+    for i, lv in enumerate(levels):
+        lv = lv.withColumn("_lvl", F.lit(i + 1))
+        marked = lv if marked is None else marked.unionByName(lv)
+    return marked.agg(
+        *[
+            F.count_distinct(F.when(F.col("_lvl") >= i + 1, F.col("_u")))
+            .cast("bigint")
+            .alias(f"step{i + 1}_{name}")
+            for i, (name, _) in enumerate(steps)
+        ]
+    )

@@ -10500,3 +10500,59 @@ def string_fuzzy_title_pairs(spark, sf_dir):
     return X.edit_distance_pairs(
         docs, "title", id_col="doc_id", max_dist=2, q=8
     )
+
+
+@register(
+    "events_funnel_windowed",
+    """
+    WITH s0 AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t0
+        FROM events WHERE event_type = 'signup'
+    ),
+    f1 AS (SELECT DISTINCT user_id, t0, t0 AS tp FROM s0),
+    clicks AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tn
+        FROM events WHERE event_type = 'click'
+    ),
+    f2 AS (
+        SELECT f1.user_id, f1.t0, min(c.tn) AS tp
+        FROM f1 JOIN clicks c ON f1.user_id = c.user_id
+        WHERE c.tn > f1.tp AND c.tn <= f1.t0 + 86400000000
+        GROUP BY f1.user_id, f1.t0
+    ),
+    purchases AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    f3 AS (
+        SELECT f2.user_id, f2.t0, min(p.tn) AS tp
+        FROM f2 JOIN purchases p ON f2.user_id = p.user_id
+        WHERE p.tn > f2.tp AND p.tn <= f2.t0 + 86400000000
+        GROUP BY f2.user_id, f2.t0
+    )
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM f1) AS step1_signup,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM f2) AS step2_click,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM f3) AS step3_purchase
+    """,
+)
+def events_funnel_windowed(spark, sf_dir):
+    """Windowed strict funnel (operators.timeseries.window_funnel;
+    ClickHouse windowFunnel parity): signup -> click -> purchase where
+    the whole chain fits within 24 h of SOME signup event, each step
+    strictly after the previous — semantics the min-timestamp funnel
+    cannot express (it both ignores deadlines and misses chains
+    started by a non-earliest signup). Greedy frontier joins keep the
+    state per user bounded by their signup count; the oracle replays
+    the same frontier extension in SQL."""
+    e = load(spark, sf_dir, "events")
+    return TS.window_funnel(
+        e,
+        user_col="user_id",
+        ts_col="ts",
+        steps=[
+            ("signup", F.col("event_type") == "signup"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        window_us=86_400_000_000,
+    )

@@ -2470,3 +2470,49 @@ def test_edit_distance_pairs_recall_and_cap(spark):
         for r in edit_distance_pairs(df, "s", max_dist=2, max_gram_df=2).collect()
     }
     assert capped.issubset(set(got))
+
+
+def test_window_funnel_semantics(spark):
+    """window_funnel: deadline enforced from chain start; a chain
+    started by a LATER step-1 event counts even when the earliest
+    step-1 precedes the earliest step-2 (the min-timestamp funnel's
+    blind spot); out-of-window completions don't count."""
+    from refluxdb_spark.operators.timeseries import funnel, window_funnel
+    import pyspark.sql.functions as F
+
+    H = 3_600_000_000  # 1h in us
+    rows = [
+        # u1: signup @0h, click @2h, purchase @20h -> full chain in 24h
+        (1, "signup", 0), (1, "click", 2 * H), (1, "purchase", 20 * H),
+        # u2: click @1h BEFORE first signup @2h; second chain signup@2h,
+        # click@3h, purchase@30h (purchase outside 24h of signup) -> depth 2
+        (2, "click", 1 * H), (2, "signup", 2 * H), (2, "click", 3 * H),
+        (2, "purchase", 30 * H),
+        # u3: earliest signup @0h, clicks only before it; later signup
+        # @50h starts a valid chain click@51h purchase@52h -> depth 3
+        # (min-timestamp funnel sees click(min)=49h > signup(min)=0h ok,
+        #  purchase 52h > 49h ok -> also 3; deadline is what differs: )
+        (3, "click", 49 * H), (3, "signup", 0), (3, "signup", 50 * H),
+        (3, "click", 51 * H), (3, "purchase", 52 * H),
+        # u4: signup @0h only -> depth 1
+        (4, "signup", 0),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t) for u, e, t in rows], "user_id long, event_type string, t_us long"
+    ).withColumn("ts", F.timestamp_micros(F.col("t_us")))
+    steps = [
+        ("signup", F.col("event_type") == "signup"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    got = window_funnel(df, "user_id", "ts", steps, window_us=24 * H).collect()[0]
+    assert got.step1_signup == 4
+    assert got.step2_click == 3   # u1, u2, u3
+    assert got.step3_purchase == 2  # u1, u3 (u2's purchase at 30h > 26h deadline)
+
+    # contrast: the min-timestamp funnel misses u2 entirely (earliest
+    # click precedes earliest signup, so its ordering test fails even
+    # though signup@2h -> click@3h is a valid chain) — the blind spot
+    # this operator closes
+    legacy = funnel(df, "user_id", "ts", steps).collect()[0]
+    assert legacy.step2_click == 2  # u1, u3 only

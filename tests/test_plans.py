@@ -178,6 +178,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "dedup_source_overlap": 5,      # LSH pipeline + two source joins
         "events_column_profile": 2,     # expand distinct (exact path) + final
         "string_fuzzy_title_pairs": 3,  # gram distinct + candidate join + verify
+        "events_funnel_windowed": 7,    # 2 frontier join+min rounds + final
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
