@@ -118,6 +118,7 @@ HEADLINE = [
     "events_column_profile",
     "string_fuzzy_title_pairs",
     "events_funnel_windowed",
+    "text_pmi_pairs",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -904,3 +904,91 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= d)
         .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "dist")
     )
+
+
+def pmi_cooccur(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over co-occurring word pairs — the
+    collocation/word-association miner (phrase detection, embedding
+    pre-analysis, topic drift): PMI(a,b) = ln(p(a,b) / (p(a) p(b)))
+    with p(a,b) from pairs within ``window`` tokens and p(a) from the
+    unigram distribution.
+
+    Determinism: all counts are exact integers; each pair's PMI is one
+    fixed-order expression over the same integers on any engine
+    (ln((n_ab/N_pairs) / ((n_a/N)·(n_b/N))), parenthesization
+    mirrored in the oracle), rounded to 6 digits. No float ever sums.
+
+    Scale: co-occurring pairs come from ``window`` lead columns over
+    ONE doc-keyed window — in-place, never a token self-join; pair and
+    unigram counts are map-side-combined aggs (Zipf-small outputs);
+    the tiny totals broadcast back. ``min_pair_count`` keeps the
+    long tail out of the result (and kills the unstable-PMI noise
+    floor). Returns (token_a, token_b, n_pair, pmi)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+        ).alias("_pos", "_tok"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    # all window offsets explode from ONE lead pass (a per-offset
+    # union would re-run the doc-keyed window once per offset)
+    with_leads = toks.select(
+        "_tok",
+        *[F.lead("_tok", i).over(w).alias(f"_l{i}") for i in range(1, window + 1)],
+    )
+    # least/greatest SKIP nulls, so a missing lead must null the whole
+    # struct (not collapse to a bogus (tok, tok) pair at stream ends)
+    pair = F.explode(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"_l{i}").isNotNull(),
+                    F.struct(
+                        F.least("_tok", f"_l{i}").alias("a"),
+                        F.greatest("_tok", f"_l{i}").alias("b"),
+                    ),
+                )
+                for i in range(1, window + 1)
+            ]
+        )
+    ).alias("_p")
+    pair_counts = (
+        with_leads.select(pair)
+        .filter(F.col("_p").isNotNull())
+        .groupBy(
+            F.col("_p.a").alias("token_a"), F.col("_p.b").alias("token_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    uni = toks.groupBy("_tok").agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    totals = F.broadcast(
+        uni.agg(F.sum("_n").cast("bigint").alias("_nt")).crossJoin(
+            pair_counts.agg(F.sum("n_pair").cast("bigint").alias("_np"))
+        )
+    )
+    ua = uni.select(F.col("_tok").alias("token_a"), F.col("_n").alias("_na"))
+    ub = uni.select(F.col("_tok").alias("token_b"), F.col("_n").alias("_nb"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair").cast("double") / F.col("_np").cast("double"))
+            / (
+                (F.col("_na").cast("double") / F.col("_nt").cast("double"))
+                * (F.col("_nb").cast("double") / F.col("_nt").cast("double"))
+            )
+        ),
+        6,
+    ).alias("pmi")
+    return (
+        pair_counts.filter(F.col("n_pair") >= min_pair_count)
+        .join(F.broadcast(ua), "token_a")
+        .join(F.broadcast(ub), "token_b")
+        .crossJoin(totals)
+        .select("token_a", "token_b", "n_pair", pmi)
+    )

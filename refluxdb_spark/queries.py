@@ -10556,3 +10556,57 @@ def events_funnel_windowed(spark, sf_dir):
         ],
         window_us=86_400_000_000,
     )
+
+
+@register(
+    "text_pmi_pairs",
+    """
+    WITH base AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS toks
+        FROM documents
+    ),
+    pt AS (
+        SELECT id, e.pos AS pos, e.tok AS tok FROM (
+            SELECT id,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                          i -> struct_pack(pos := i, tok := toks[i]))) AS e
+            FROM base
+        )
+    ),
+    prs AS (
+        SELECT least(a.tok, b.tok) AS token_a,
+               greatest(a.tok, b.tok) AS token_b
+        FROM pt a JOIN pt b
+          ON a.id = b.id AND b.pos - a.pos IN (1, 2)
+    ),
+    pc AS (
+        SELECT token_a, token_b, CAST(count(*) AS BIGINT) AS n_pair
+        FROM prs GROUP BY 1, 2
+    ),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM pt GROUP BY tok),
+    tot AS (
+        SELECT (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS nt,
+               (SELECT CAST(sum(n_pair) AS BIGINT) FROM pc) AS np
+    )
+    SELECT pc.token_a, pc.token_b, pc.n_pair,
+           round(ln((CAST(pc.n_pair AS DOUBLE) / CAST(tot.np AS DOUBLE))
+                    / ((CAST(ua.n AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+                       * (CAST(ub.n AS DOUBLE) / CAST(tot.nt AS DOUBLE)))), 6) AS pmi
+    FROM pc
+    JOIN uni ua ON pc.token_a = ua.tok
+    JOIN uni ub ON pc.token_b = ub.tok
+    CROSS JOIN tot
+    WHERE pc.n_pair >= 5
+    """,
+)
+def text_pmi_pairs(spark, sf_dir):
+    """PMI collocation mining (operators.text.pmi_cooccur): word
+    pairs co-occurring within a 2-token window scored by pointwise
+    mutual information against the corpus unigram distribution — the
+    phrase-detection / word-association pass. Pairs come from two
+    lead columns over ONE doc-keyed window (in-place, never a token
+    self-join); PMI is one fixed-order expression over exact integer
+    counts (oracle mirrors the parenthesization), no float sums."""
+    docs = load(spark, sf_dir, "documents")
+    return X.pmi_cooccur(docs, window=2, min_pair_count=5)

@@ -2516,3 +2516,29 @@ def test_window_funnel_semantics(spark):
     # this operator closes
     legacy = funnel(df, "user_id", "ts", steps).collect()[0]
     assert legacy.step2_click == 2  # u1, u3 only
+
+
+def test_pmi_cooccur_values(spark):
+    """pmi_cooccur: exact-count PMI on a corpus small enough to check
+    by hand; unordered pooling; min_pair_count filter."""
+    import math
+    from refluxdb_spark.operators.text import pmi_cooccur
+
+    # "a b" always adjacent; "c" never adjacent to "a"
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c c a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.token_a, r.token_b): (r.n_pair, r.pmi)
+        for r in pmi_cooccur(docs, window=2, min_pair_count=2).collect()
+    }
+    # windows of 1 and 2 over both docs; unigrams: a=5, b=5, c=2, N=12
+    # pairs within window 2 (doc1: 5+4=9, doc2: 5+4=9) -> N_pairs=18
+    assert ("a", "b") in got
+    n_ab, pmi_ab = got[("a", "b")]
+    p_ab = n_ab / 18
+    expect = round(math.log(p_ab / ((5 / 12) * (5 / 12))), 6)
+    assert pmi_ab == expect
+    assert ("a", "a") in got  # a _ a at distance 2 in doc1
+    assert all(n >= 2 for n, _ in got.values())

@@ -179,6 +179,10 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "events_column_profile": 2,     # expand distinct (exact path) + final
         "string_fuzzy_title_pairs": 3,  # gram distinct + candidate join + verify
         "events_funnel_windowed": 7,    # 2 frontier join+min rounds + final
+        # static count includes the totals' re-walk of the shared pair/
+        # unigram lineage; identical exchanges dedupe at runtime
+        # (ReusedExchange under AQE)
+        "text_pmi_pairs": 9,
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
