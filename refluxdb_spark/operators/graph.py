@@ -461,3 +461,53 @@ def resource_allocation_link_prediction(
             "common_neighbors",
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    rounds: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), made deterministic: labels start as each node's own id;
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken by the smallest label. A FIXED round count
+    (synchronous LPA can oscillate on bipartite-ish structures, so
+    convergence looping is deliberately not the contract) with the
+    (count desc, label asc) pick makes the result a pure function of
+    the edge set — replayable by the SQL oracle round for round.
+
+    Scale: the label table is node-sized — it broadcasts onto the
+    edge scan each round (the PageRank pattern; edges never shuffle);
+    the (node, label) frequency agg is map-side combined; each round
+    localCheckpoints to cut lineage. Rounds are O(1) by design (2-3
+    rounds give the useful coarse communities; more rounds just bleed
+    labels across weak bridges). Returns (node, community)."""
+    from pyspark.sql import Window
+
+    und = edges.select(
+        F.col(a_col).alias("n"), F.col(b_col).alias("m")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("n"), F.col(a_col).alias("m"))
+    ).distinct()
+    labels = und.select(F.col("n").alias("node")).distinct().withColumn(
+        "community", F.col("node")
+    )
+    for _ in range(rounds):
+        nbr = und.join(
+            F.broadcast(labels.withColumnRenamed("node", "m")), "m"
+        ).select("n", "community")
+        counts = nbr.groupBy("n", "community").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        w = Window.partitionBy("n").orderBy(
+            F.col("_c").desc(), F.col("community").asc()
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("n").alias("node"), "community")
+            .localCheckpoint(eager=True)
+        )
+    return labels

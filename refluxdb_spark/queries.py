@@ -10610,3 +10610,69 @@ def text_pmi_pairs(spark, sf_dir):
     counts (oracle mirrors the parenthesization), no float sums."""
     docs = load(spark, sf_dir, "documents")
     return X.pmi_cooccur(docs, window=2, min_pair_count=5)
+
+
+def _lpa_round(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT n AS node, community FROM (
+            SELECT u.n, p.community,
+                   row_number() OVER (
+                       PARTITION BY u.n
+                       ORDER BY count(*) DESC, p.community ASC
+                   ) AS rn
+            FROM und_sym u JOIN {prev} p ON u.m = p.node
+            GROUP BY u.n, p.community
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_communities_parts",
+    f"""
+    WITH pr AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+        SELECT pa, pb FROM pr GROUP BY pa, pb HAVING count(*) >= 3
+    ),
+    und_sym AS (
+        SELECT pa AS n, pb AS m FROM e
+        UNION
+        SELECT pb AS n, pa AS m FROM e
+    ),
+    l0 AS (SELECT DISTINCT n AS node, n AS community FROM und_sym),
+    {_lpa_round("l0", "l1")},
+    {_lpa_round("l1", "l2")}
+    SELECT node AS part, community FROM l2
+    """,
+)
+def graph_communities_parts(spark, sf_dir):
+    """Label-propagation communities (operators.graph.
+    label_propagation) over the co-purchase part graph (parts sharing
+    an order >= 3 times): two synchronous most-frequent-neighbor
+    rounds with smallest-label tiebreak — deterministic by
+    construction, so the oracle replays both rounds. Product-community
+    mining, the coarse-clustering complement to connected components
+    (which merge anything touching; LPA keeps weakly-bridged clusters
+    apart). Labels broadcast onto the edge scan each round; edges
+    never shuffle."""
+    from refluxdb_spark.operators import graph as G
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= 3)
+        .select("pa", "pb")
+    )
+    return G.label_propagation(edges, "pa", "pb", rounds=2).select(
+        F.col("node").alias("part"), "community"
+    )

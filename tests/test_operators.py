@@ -2542,3 +2542,29 @@ def test_pmi_cooccur_values(spark):
     assert pmi_ab == expect
     assert ("a", "a") in got  # a _ a at distance 2 in doc1
     assert all(n >= 2 for n, _ in got.values())
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """label_propagation: two 3-cliques joined by one bridge edge
+    resolve to two communities (components would merge them); labels
+    and tiebreaks deterministic."""
+    from refluxdb_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3),      # clique A
+         (10, 11), (10, 12), (11, 12),  # clique B
+         (3, 10)],                       # weak bridge
+        "a long, b long",
+    )
+    # 3 rounds: the bridge leaks min-label 3 into clique B at round 1
+    # (sync-LPA wobble), which settles by round 3 — rounds are the
+    # caller's knob, determinism is the operator's contract
+    got = {r.node: r.community for r in label_propagation(edges, rounds=3).collect()}
+    assert len(got) == 6
+    ca = {got[1], got[2], got[3]}
+    cb = {got[10], got[11], got[12]}
+    assert len(ca) == 1 and len(cb) == 1  # each clique agrees internally
+    assert ca != cb                       # bridge did not merge them
+    # determinism: a re-run yields the identical assignment
+    again = {r.node: r.community for r in label_propagation(edges, rounds=3).collect()}
+    assert again == got
