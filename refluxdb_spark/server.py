@@ -43,6 +43,8 @@ from datetime import datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
+from pyspark.sql import functions as F
+
 from refluxdb_spark.engine import RefluxEngine
 from refluxdb_spark.errors import (
     NoDataError,
@@ -82,6 +84,19 @@ class _Handler(BaseHTTPRequestHandler):
             elif url.path == "/stats":
                 # GET /stats: metadata-only table observability
                 self._send(200, self.engine.table_stats())
+            elif url.path == "/metrics/ingest":
+                # GET /metrics/ingest: the observe()-metered per-batch
+                # ingest ledger (rows/nulls/event-time bounds) — the
+                # SLA/lag feed, read from the tiny ledger table, never
+                # by rescanning measurements
+                rows = [
+                    r.asDict(recursive=True)
+                    for r in self.engine.ingest_metrics()
+                    .orderBy(F.col("recorded_at").desc())
+                    .limit(1000)
+                    .collect()
+                ]
+                self._send(200, rows)
             elif url.path.startswith("/range/"):
                 # GET /range/{ts}?start&end (handlers.rs:34-66)
                 series = unquote(url.path[len("/range/") :])

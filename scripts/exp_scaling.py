@@ -1,0 +1,134 @@
+"""Weak-scaling experiment: measure headline operators at 1x / 3x / 10x
+the sf0.1 data volume on the same local[32] session, to check the
+shapes SCALE.md claims — near-linear cost for scan/agg/window ops,
+bounded superlinearity for the bucketed pair generators.
+
+Scaled tables are synthesized from sf0.1 by replicating rows with
+per-copy key offsets (users, orders, doc ids) so the WORKLOAD scales
+weakly: 10x documents with 10x distinct contents (each copy's text is
+word-rotated by the copy index, so copies do not near-dup against each
+other), 10x events over 10x users with the same per-user series
+length. Results print as a markdown table for SCALE.md §9.
+
+Usage: python scripts/exp_scaling.py [factors...]   (default 1 3 10)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from refluxdb_spark.queries import QUERIES  # noqa: E402
+from refluxdb_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/refluxdb_spark_scaling"
+
+# (query name, table the factor applies to)
+MEASURED = [
+    ("tpch_q1_pricing_summary", "lineitem"),
+    ("ts_ema_per_user", "events"),
+    ("events_rolling_7d_actives", "events"),
+    ("dedup_minhash_lsh_pairs", "documents"),
+    ("sim_cosine_topk", "embeddings"),
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_scaled(spark, factor: int) -> str:
+    out = f"{WORK}/x{factor}"
+    if os.path.exists(f"{out}/.done"):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if factor == 1:
+            scaled = df
+        else:
+            copies = []
+            for k in range(factor):
+                c = df
+                if t == "events":
+                    c = (
+                        c.withColumn("user_id", F.col("user_id") + F.lit(k * 10**7))
+                        .withColumn("event_id", F.col("event_id") + F.lit(k * 10**12))
+                    )
+                elif t == "documents":
+                    # rotate words by k so copies don't near-dup each other
+                    c = c.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10**9))
+                    if k:
+                        toks = F.split(F.col("text"), " ")
+                        rot = F.concat(
+                            F.slice(toks, k + 1, 10**6),
+                            F.slice(toks, 1, k),
+                        )
+                        c = c.withColumn("text", F.array_join(rot, " "))
+                elif t == "embeddings":
+                    c = c.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10**9))
+                    if k:
+                        # flip sign of one dimension per copy: distinct vectors
+                        c = c.withColumn(
+                            "embedding",
+                            F.transform(
+                                "embedding",
+                                lambda x, i: F.when(
+                                    i == k % 16, -x
+                                ).otherwise(x),
+                            ),
+                        )
+                elif t == "lineitem":
+                    c = c.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 10**9))
+                elif t == "orders":
+                    c = c.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * 10**9))
+                copies.append(c)
+            scaled = copies[0]
+            for c in copies[1:]:
+                scaled = scaled.unionByName(c)
+        scaled.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    open(f"{out}/.done", "w").close()
+    return out
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    spark = get_spark(app_name="refluxdb_spark_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict[int, float]] = {q: {} for q, _ in MEASURED}
+    for f in factors:
+        sf_dir = build_scaled(spark, f)
+        for q, _tbl in MEASURED:
+            fn = QUERIES[q]
+            fn(spark, sf_dir).count()  # warm
+            samples = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+            samples.sort()
+            results[q][f] = round(samples[1], 2)
+            print(f"# x{f} {q}: {results[q][f]}s {samples}", file=sys.stderr)
+    base = factors[0]
+    print("| query | " + " | ".join(f"x{f}" for f in factors)
+          + " | x10/x1 cost ratio |")
+    print("|---|" + "---|" * (len(factors) + 1))
+    for q, _ in MEASURED:
+        r = results[q]
+        ratio = round(r[factors[-1]] / r[base], 1) if r[base] else float("nan")
+        print(f"| {q} | " + " | ".join(f"{r[f]}s" for f in factors)
+              + f" | {ratio}x |")
+
+
+if __name__ == "__main__":
+    main()

@@ -129,3 +129,20 @@ def test_stats_endpoint_and_rollup_query_param(spark, tmp_path):
         assert rows[0]["value"] == 1.0
     finally:
         srv.shutdown()
+
+
+def test_metrics_ingest_endpoint(served):
+    """GET /metrics/ingest serves the observe()-metered ledger (empty
+    until a metered write happens, then the per-batch rows)."""
+    from refluxdb_spark.sources.lineprotocol import explode_fields, parse_lines_df
+
+    eng, port, _ = served
+    status, body = _http("GET", port, "/metrics/ingest")
+    assert status == 200 and body == []
+    raw = eng.spark.createDataFrame(
+        [("metered,host=m v=1.5 1700000000000000000",)], "value string"
+    )
+    eng.write_dataframe(explode_fields(parse_lines_df(raw)), record_metrics=True)
+    status, body = _http("GET", port, "/metrics/ingest")
+    assert status == 200 and len(body) == 1
+    assert body[0]["rows"] == 1 and body[0]["null_values"] == 0
