@@ -10676,3 +10676,67 @@ def graph_communities_parts(spark, sf_dir):
     return G.label_propagation(edges, "pa", "pb", rounds=2).select(
         F.col("node").alias("part"), "community"
     )
+
+
+@register(
+    "orders_ship_hazard",
+    """
+    WITH lat AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    ev AS (
+        SELECT days, CAST(count(*) AS BIGINT) AS n_events
+        FROM lat GROUP BY days
+    )
+    SELECT days AS day_offset, n_events,
+           CAST(SUM(n_events) OVER (
+               ORDER BY days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_at_risk,
+           CAST(n_events AS DOUBLE) / SUM(n_events) OVER (
+               ORDER BY days DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS hazard
+    FROM ev
+    """,
+)
+def orders_ship_hazard(spark, sf_dir):
+    """Discrete-time survival analysis of order fulfillment: for each
+    day offset since order placement, how many line items were still
+    unshipped entering that day (n_at_risk, the reverse cumulative
+    event count) and what fraction shipped exactly then (hazard =
+    n_events / n_at_risk, the Kaplan-Meier input ratio). The hazard
+    curve is the time-to-event readout the plain latency percentiles
+    flatten away — where fulfillment stalls, not just how long it
+    takes. No censoring here (every item eventually ships in TPC-H);
+    a live table would add a censored-at-snapshot count the same way.
+    Plan: the day-grain event histogram is one map-side-combined agg;
+    n_at_risk is one running sum over the day dimension (rows ∝ the
+    latency range, not order volume); hazard is an exact int/int
+    division in double."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    ev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).cast("bigint").alias("day_offset")
+        )
+        .groupBy("day_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    w = Window.orderBy(F.col("day_offset").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = F.sum("n_events").over(w).cast("bigint")
+    return ev.select(
+        "day_offset",
+        "n_events",
+        at_risk.alias("n_at_risk"),
+        (F.col("n_events").cast("double") / at_risk.cast("double")).alias("hazard"),
+    )
