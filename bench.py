@@ -119,6 +119,7 @@ HEADLINE = [
     "string_fuzzy_title_pairs",
     "events_funnel_windowed",
     "text_pmi_pairs",
+    "orders_ship_hazard",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -183,6 +183,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # unigram lineage; identical exchanges dedupe at runtime
         # (ReusedExchange under AQE)
         "text_pmi_pairs": 9,
+        "orders_ship_hazard": 2,        # day histogram + running-sum sort
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
