@@ -120,6 +120,8 @@ HEADLINE = [
     "events_funnel_windowed",
     "text_pmi_pairs",
     "orders_ship_hazard",
+    "text_feature_hash",
+    "events_burst_days",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -992,3 +992,46 @@ def pmi_cooccur(
         .crossJoin(totals)
         .select("token_a", "token_b", "n_pair", pmi)
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+    seed: str = "fh0",
+) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al. ICML'09 /
+    Vowpal Wabbit): each token maps to bucket h(token) % B with sign
+    ±1 from an independent hash bit, and a document's feature vector
+    is the signed count per bucket — fixed dimensionality with no
+    vocabulary artifact to build, ship, or keep consistent across
+    batches (THE property that matters for incremental pipelines: a
+    new batch hashes identically with zero coordination). The signed
+    sum keeps the estimator unbiased under collisions.
+
+    Determinism: bucket and sign derive from md5(seed‖token) — the
+    module-wide hash family, identical on any engine/partitioning.
+    Long output (id, bucket, weight) — the sparse form downstream
+    trainers consume; pivot to dense arrays only at the consumer.
+
+    Scale: explode → one (id, bucket) map-side-combined aggregation;
+    output ≤ min(tokens, B) rows per doc. Returns (id, bucket,
+    weight)."""
+    from refluxdb_spark.operators.dedup import _H32
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+        ).alias("_tok"),
+    )
+    h = F.expr(_H32.format(seed=f"{seed}:", col="_tok"))
+    bucket = (h % num_buckets).cast("int")
+    sign = F.when((h / F.lit(num_buckets)).cast("bigint") % 2 == 0, 1).otherwise(-1)
+    return (
+        toks.select("id", bucket.alias("bucket"), sign.alias("_s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("_s").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

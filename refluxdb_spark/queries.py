@@ -10740,3 +10740,104 @@ def orders_ship_hazard(spark, sf_dir):
         at_risk.alias("n_at_risk"),
         (F.col("n_events").cast("double") / at_risk.cast("double")).alias("hazard"),
     )
+
+
+@register(
+    "text_feature_hash",
+    """
+    WITH base AS (
+        SELECT doc_id AS id,
+               list_filter(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '') AS toks
+        FROM documents
+    ),
+    tk AS (SELECT id, unnest(toks) AS tok FROM base),
+    hv AS (
+        SELECT id,
+               CAST(concat('0x', substring(md5(concat('fh0:', tok)), 1, 8)) AS BIGINT) AS h
+        FROM tk
+    ),
+    hashed AS (
+        SELECT id,
+               CAST(h % 256 AS INT) AS bucket,
+               CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM hv
+    )
+    SELECT id, bucket, CAST(sum(s) AS BIGINT) AS weight
+    FROM hashed GROUP BY id, bucket
+    HAVING sum(s) != 0
+    """,
+)
+def text_feature_hash(spark, sf_dir):
+    """Hashing-trick features (operators.text.feature_hash): 256-dim
+    signed bag-of-words with bucket and sign from md5(seed||token) —
+    fixed dimensionality, no vocabulary artifact, so every future
+    ingest batch hashes identically with zero coordination (the
+    incremental-pipeline property tf-idf lacks). One explode + one
+    map-side-combined aggregation; sparse long output."""
+    docs = load(spark, sf_dir, "documents")
+    return X.feature_hash(docs, num_buckets=256)
+
+
+@register(
+    "events_burst_days",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT event_type, day, n,
+               CAST(sum(n) OVER w AS BIGINT) AS base_n,
+               CAST(count(*) OVER w AS BIGINT) AS base_days
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n, base_n, base_days,
+           CAST(n AS DOUBLE) * CAST(base_days AS DOUBLE) / CAST(base_n AS DOUBLE)
+               AS burst_ratio,
+           (base_days >= 3 AND
+            CAST(n AS DOUBLE) * CAST(base_days AS DOUBLE) / CAST(base_n AS DOUBLE) >= 2.0)
+               AS is_burst
+    FROM b WHERE base_days > 0
+    """,
+)
+def events_burst_days(spark, sf_dir):
+    """Day-grain burst detection (Kleinberg-lite trending signal):
+    each (event_type, day) volume against its trailing baseline — the
+    mean of the previous up to 7 OBSERVED days (rows-frame semantics,
+    stated rather than calendar-gap-filled: a silent day simply
+    doesn't dilute the baseline). burst_ratio = n * base_days / base_n
+    is a fixed-order expression over exact integer counts; a burst
+    needs >= 3 baseline days and >= 2x volume. One map-side-combined
+    day histogram plus one type-keyed window — rows ∝ types x days,
+    never event volume."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    b = d.select(
+        "event_type", "day", "n",
+        F.sum("n").over(w).cast("bigint").alias("base_n"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("base_days"),
+    ).filter(F.col("base_days") > 0)
+    ratio = (
+        F.col("n").cast("double")
+        * F.col("base_days").cast("double")
+        / F.col("base_n").cast("double")
+    )
+    return b.select(
+        "event_type", "day", "n", "base_n", "base_days",
+        ratio.alias("burst_ratio"),
+        ((F.col("base_days") >= 3) & (ratio >= 2.0)).alias("is_burst"),
+    )

@@ -2568,3 +2568,29 @@ def test_label_propagation_two_cliques_with_bridge(spark):
     # determinism: a re-run yields the identical assignment
     again = {r.node: r.community for r in label_propagation(edges, rounds=3).collect()}
     assert again == got
+
+
+def test_feature_hash_properties(spark):
+    """feature_hash: identical tokens collapse into one bucket with
+    summed signed weight; disjoint batches hash consistently (the
+    no-vocabulary-artifact property); zero weights drop."""
+    from refluxdb_spark.operators.text import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    got = {(r.id, r.bucket): r.weight for r in feature_hash(df, num_buckets=64).collect()}
+    # doc 1 alpha bucket weight = 2x doc 2 alpha weight
+    b2 = {b: w for (i, b), w in got.items() if i == 2}
+    b1 = {b: w for (i, b), w in got.items() if i == 1}
+    shared = set(b1) & set(b2)
+    assert any(b1[b] == 2 * b2[b] for b in shared)  # 'alpha' bucket
+    # batch-consistency: hashing doc 2 alone yields identical features
+    alone = {
+        (r.id, r.bucket): r.weight
+        for r in feature_hash(
+            df.filter("doc_id = 2"), num_buckets=64
+        ).collect()
+    }
+    assert alone == {(i, b): w for (i, b), w in got.items() if i == 2}

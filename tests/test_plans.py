@@ -184,6 +184,8 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # (ReusedExchange under AQE)
         "text_pmi_pairs": 9,
         "orders_ship_hazard": 2,        # day histogram + running-sum sort
+        "text_feature_hash": 1,         # one (id, bucket) combined agg
+        "events_burst_days": 2,         # day histogram + type-keyed window
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
