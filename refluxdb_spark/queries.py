@@ -10841,3 +10841,46 @@ def events_burst_days(spark, sf_dir):
         ratio.alias("burst_ratio"),
         ((F.col("base_days") >= 3) & (ratio >= 2.0)).alias("is_burst"),
     )
+
+
+@register(
+    "ts_streaming_enriched_revenue",
+    """
+    SELECT n.n_name, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+               AS revenue,
+           CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS bucket_start
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY n.n_name, bucket_start
+    """,
+)
+def ts_streaming_enriched_revenue(spark, sf_dir):
+    """Stream-static enrichment (streaming.ingest.
+    stream_static_enriched): the purchase stream joins the STATIC
+    customer->nation dimension per micro-batch (broadcast — the dim
+    never shuffles the stream) and rolls up exact-cent revenue into
+    watermarked daily windows per nation. Row-local join + commutative
+    integer-cent sums make the drained table equal the batch
+    join+aggregate row-for-row under any micro-batch schedule; the
+    oracle is exactly that batch formulation."""
+    _ensure_session_confs(spark)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    dim = cust.join(nat, "c_nationkey").select("user_id", "n_name")
+    src = _stream_events(spark, sf_dir, "event_type", "user_id", "value").filter(
+        F.col("event_type") == "purchase"
+    )
+    from refluxdb_spark.streaming.ingest import stream_static_enriched
+
+    return stream_static_enriched(
+        spark, src, dim, on=["user_id"], ts_col="ts",
+        by=["n_name"], bucket="1 day",
+    ).select("n_name", "n", "revenue", "bucket_start")

@@ -338,3 +338,48 @@ def stream_ohlc(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def stream_static_enriched(
+    spark: SparkSession,
+    source: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    ts_col: str,
+    by: list[str],
+    value_col: str = "value",
+    bucket: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-static enrichment + windowed rollup: each micro-batch
+    joins against a STATIC dimension (broadcast — Spark re-plans the
+    join per batch, so a small dim never shuffles the stream) and
+    aggregates exact integer cents per (window, dims). The canonical
+    "events × reference data" streaming shape: sessionless, the state
+    is just the open windows, and the drained result equals the batch
+    join+agg row-for-row because both the join (row-local) and the
+    cent sums (commutative integer adds) are micro-batch-order
+    insensitive."""
+    cents = F.sum(
+        F.expr(f"cast(round({value_col} * 100) as bigint)")
+    ).cast("bigint")
+    agged = (
+        source.join(F.broadcast(dim), on)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), bucket).alias("_w"), *by)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (cents.cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+        .select(*by, "n", "revenue", F.col("_w.start").alias("bucket_start"))
+    )
+    sink_table = f"enriched_{uuid.uuid4().hex[:8]}"
+    q = (
+        agged.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
