@@ -511,3 +511,51 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph where
+    every node keeps degree >= k, found by iterative peeling (remove
+    all nodes with degree < k, recompute, repeat to fixpoint) — the
+    standard coarse centrality/robustness filter (spam rings and
+    well-knit communities survive; tendrils and chains peel away).
+
+    Deterministic: peeling has a unique fixpoint (the k-core is
+    well-defined), so round order cannot change the answer — only the
+    round COUNT at which it stabilizes, bounded by ``max_rounds``
+    with a loud failure rather than a silent partial peel.
+
+    Scale: each round is one degree aggregation (map-side combined)
+    plus two semi-joins of the edge relation against the surviving
+    node set; the edge table shrinks monotonically, and rounds are
+    bounded by the peeling depth (tiny for real graphs — long chains
+    peel log-free one layer per round, the worst case). Lineage cut
+    per round. Returns (node, degree_in_core)."""
+    und = edges.select(
+        F.col(a_col).alias("n"), F.col(b_col).alias("m")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("n"), F.col(a_col).alias("m"))
+    ).distinct()
+    cur = und.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = cur.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("n")
+        n_before = cur.count()
+        cur = (
+            cur.join(keep, "n", "left_semi")
+            .join(keep.withColumnRenamed("n", "m"), "m", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if cur.count() == n_before:
+            return (
+                cur.groupBy("n")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("degree_in_core"))
+                .select(F.col("n").alias("node"), "degree_in_core")
+            )
+    raise RuntimeError(f"k-core peeling did not stabilize in {max_rounds} rounds")

@@ -10884,3 +10884,68 @@ def ts_streaming_enriched_revenue(spark, sf_dir):
         spark, src, dim, on=["user_id"], ts_col="ts",
         by=["n_name"], bucket="1 day",
     ).select("n_name", "n", "revenue", "bucket_start")
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Peeling unrolled: each round keeps edges whose BOTH endpoints
+    have degree >= k. The k-core is a unique fixpoint, so unrolling
+    MORE rounds than peeling needs is exact (extra rounds are
+    no-ops); the Spark operator verifies convergence and raises
+    otherwise, keeping the two in lockstep."""
+    parts = []
+    prev = "e0"
+    # AS MATERIALIZED: each round references its predecessor three
+    # times; without materialization DuckDB inlines the chain into a
+    # 3^rounds expansion of the base scan
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    d{r} AS MATERIALIZED (SELECT n, count(*) AS d FROM {prev} GROUP BY n),
+    k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {k}),
+    e{r} AS MATERIALIZED (
+        SELECT e.n, e.m FROM {prev} e
+        WHERE e.n IN (SELECT n FROM k{r}) AND e.m IN (SELECT n FROM k{r})
+    )""")
+        prev = f"e{r}"
+    return f"""
+    WITH pr AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    ed AS (SELECT pa, pb FROM pr GROUP BY pa, pb HAVING count(*) >= 2),
+    e0 AS MATERIALIZED (
+        SELECT pa AS n, pb AS m FROM ed
+        UNION
+        SELECT pb AS n, pa AS m FROM ed
+    ),{','.join(parts)[1:]}
+    SELECT n AS node, CAST(count(*) AS BIGINT) AS degree_in_core
+    FROM {prev} GROUP BY n
+    """
+
+
+@register("graph_kcore_parts", _kcore_oracle(3, 14))
+def graph_kcore_parts(spark, sf_dir):
+    """3-core of the co-purchase part graph (operators.graph.kcore):
+    iterative peeling to the unique fixpoint — the robustness filter
+    that keeps only parts embedded in well-knit co-purchase
+    neighborhoods (every survivor has >= 3 surviving neighbors).
+    Each round is one map-side-combined degree agg + two semi-joins
+    on a monotonically shrinking edge set; the oracle unrolls 14
+    peel rounds (sf0.01 stabilizes in 9; extra rounds are no-ops at
+    the fixpoint, and the operator raises if it ever fails to
+    converge within its bound, keeping both sides in lockstep)."""
+    from refluxdb_spark.operators import graph as G
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= 2)
+        .select("pa", "pb")
+    )
+    return G.kcore(edges, k=3, a_col="pa", b_col="pb")

@@ -2594,3 +2594,19 @@ def test_feature_hash_properties(spark):
         ).collect()
     }
     assert alone == {(i, b): w for (i, b), w in got.items() if i == 2}
+
+
+def test_kcore_peels_tendrils(spark):
+    """kcore: a triangle with a pendant chain — the 2-core is exactly
+    the triangle (chain peels layer by layer); k above the max degree
+    empties; degrees reported within the core."""
+    from refluxdb_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),   # triangle
+         (3, 4), (4, 5), (5, 6)],  # pendant chain
+        "a long, b long",
+    )
+    got = {r.node: r.degree_in_core for r in kcore(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert kcore(edges, k=3).count() == 0
