@@ -122,6 +122,7 @@ HEADLINE = [
     "orders_ship_hazard",
     "text_feature_hash",
     "events_burst_days",
+    "ts_winsorized_stats",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -10949,3 +10949,84 @@ def graph_kcore_parts(spark, sf_dir):
         .select("pa", "pb")
     )
     return G.kcore(edges, k=3, a_col="pa", b_col="pb")
+
+
+@register(
+    "ts_winsorized_stats",
+    """
+    WITH v AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    bounds AS (
+        SELECT event_type,
+               max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS lo,
+               max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS hi,
+               CAST(max(n) AS BIGINT) AS n
+        FROM v GROUP BY event_type
+    )
+    SELECT e.event_type, b.n, b.lo, b.hi,
+           CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(CAST(round(least(greatest(e.value, b.lo), b.hi) * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 / b.n AS winsorized_mean
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.n, b.lo, b.hi
+    """,
+)
+def ts_winsorized_stats(spark, sf_dir):
+    """Winsorized (clipped) robust mean per series — the outlier-
+    resistant aggregate between the plain mean (spike-dragged) and
+    the median (throws information away): values clip to the
+    NEAREST-RANK p05/p95 bounds, chosen over interpolated percentiles
+    deliberately — nearest-rank bounds are actual data values (2-dec
+    here), so every clipped value stays exactly representable and the
+    mean routes through integer cents (order-free on any engine or
+    partitioning; an interpolated bound would reintroduce float-sum
+    skew). One rank window per series + one bounds broadcast back
+    over the scan; the robust-stats sibling of MAD and Theil-Sen."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    v = e.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = v.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.05 * F.col("n")).cast("bigint"), F.col("value"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"), F.col("value"))
+        ).alias("hi"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            (
+                F.sum(F.expr(
+                    "cast(round(least(greatest(value, lo), hi) * 100) as bigint)"
+                ).cast("decimal(28,0)")).cast("double")
+                / F.lit(100.0)
+                / F.first("n")
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type", "n", "lo", "hi",
+            "n_clipped_lo", "n_clipped_hi", "winsorized_mean",
+        )
+    )

@@ -186,6 +186,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "orders_ship_hazard": 2,        # day histogram + running-sum sort
         "text_feature_hash": 1,         # one (id, bucket) combined agg
         "events_burst_days": 2,         # day histogram + type-keyed window
+        "ts_winsorized_stats": 2,       # rank window + clipped-cent agg
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
