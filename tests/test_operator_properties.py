@@ -378,3 +378,92 @@ def test_state_durations_conservation(spark, rows, ):
             if a != b:
                 runs += 1
         assert entries[key] == runs
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=2),
+)
+@settings(max_examples=8, deadline=None)
+def test_edit_distance_pairs_recall_property(spark, strings, d):
+    """Property (the Gravano filter soundness bound): for ANY string
+    set and max_dist, edit_distance_pairs returns EXACTLY the pairs
+    the brute-force cross join finds — the count filter and the
+    short-string fallback must never lose a pair (recall 1), and the
+    levenshtein verify kills every false candidate (precision 1)."""
+    from refluxdb_spark.operators.text import edit_distance_pairs
+
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "s", max_dist=d, q=3).collect()
+    }
+    a = df.selectExpr("doc_id as id_a", "s as sa")
+    b = df.selectExpr("doc_id as id_b", "s as sb")
+    truth = {
+        (r.id_a, r.id_b, r.d)
+        for r in a.crossJoin(b)
+        .filter("id_a < id_b")
+        .withColumn("d", F.expr("levenshtein(sa, sb)"))
+        .filter(F.col("d") <= d)
+        .collect()
+    }
+    assert got == truth
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user
+            st.integers(min_value=0, max_value=2),   # step index
+            st.integers(min_value=0, max_value=50),  # hour
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=8, deadline=None)
+def test_window_funnel_matches_bruteforce(spark, events, win_h):
+    """Property: window_funnel's greedy frontier equals the
+    brute-force 'exists a strictly increasing chain from some step-1
+    event with everything inside the window' definition."""
+    from refluxdb_spark.operators.timeseries import window_funnel
+
+    H = 3_600_000_000
+    names = ["s0", "s1", "s2"]
+    rows = [(u, names[k], t * H) for u, k, t in events]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, t_us long"
+    ).withColumn("ts", F.timestamp_micros(F.col("t_us")))
+    steps = [(n, F.col("event_type") == n) for n in names]
+    got = window_funnel(df, "user_id", "ts", steps, window_us=win_h * H).collect()[0]
+
+    # brute force per user in python
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for u, k, t in events:
+        per_user.setdefault(u, []).append((k, t * H))
+    counts = [0, 0, 0]
+    for u, evs in per_user.items():
+        best = 0
+        starts = [t for k, t in evs if k == 0]
+        for t0 in starts:
+            depth, tp = 1, t0
+            for lvl in (1, 2):
+                nxt = [
+                    t for k, t in evs
+                    if k == lvl and t > tp and t <= t0 + win_h * H
+                ]
+                if not nxt:
+                    break
+                tp = min(nxt)
+                depth = lvl + 1
+            best = max(best, depth)
+        for i in range(best):
+            counts[i] += 1
+    assert [got.step1_s0, got.step2_s1, got.step3_s2] == counts
