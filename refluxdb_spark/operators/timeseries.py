@@ -1409,6 +1409,38 @@ def theil_sen(
     )
 
 
+def _funnel_frontiers(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[tuple[str, Column]],
+    window_us: int,
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared greedy-frontier builder for the windowed funnel family:
+    returns (per-level user relations [dupes ok — consumers dedup],
+    final frontier (user, chain_start, min last-step time))."""
+    t = F.unix_micros(F.col(ts_col))
+    frontier = (
+        df.filter(steps[0][1])
+        .select(F.col(user_col).alias("_u"), t.alias("_t0"), t.alias("_tp"))
+        .distinct()
+    )
+    levels = [frontier.select("_u")]
+    for _, pred in steps[1:]:
+        nxt = df.filter(pred).select(F.col(user_col).alias("_u"), t.alias("_tn"))
+        frontier = (
+            frontier.join(nxt, "_u")
+            .filter(
+                (F.col("_tn") > F.col("_tp"))
+                & (F.col("_tn") <= F.col("_t0") + F.lit(window_us))
+            )
+            .groupBy("_u", "_t0")
+            .agg(F.min("_tn").alias("_tp"))
+        )
+        levels.append(frontier.select("_u"))
+    return levels, frontier
+
+
 def window_funnel(
     df: DataFrame,
     user_col: str,
@@ -1434,27 +1466,7 @@ def window_funnel(
     bounded join + one map-side-combined min. Returns one row of
     ``step{i}_{name}`` counts: distinct users whose max depth >= i.
     """
-    t = F.unix_micros(F.col(ts_col))
-    frontier = (
-        df.filter(steps[0][1])
-        .select(F.col(user_col).alias("_u"), t.alias("_t0"), t.alias("_tp"))
-        .distinct()
-    )
-    # levels carry duplicates; the single final count_distinct dedups,
-    # saving one exchange per level
-    levels = [frontier.select("_u")]
-    for _, pred in steps[1:]:
-        nxt = df.filter(pred).select(F.col(user_col).alias("_u"), t.alias("_tn"))
-        frontier = (
-            frontier.join(nxt, "_u")
-            .filter(
-                (F.col("_tn") > F.col("_tp"))
-                & (F.col("_tn") <= F.col("_t0") + F.lit(window_us))
-            )
-            .groupBy("_u", "_t0")
-            .agg(F.min("_tn").alias("_tp"))
-        )
-        levels.append(frontier.select("_u"))
+    levels, _ = _funnel_frontiers(df, user_col, ts_col, steps, window_us)
     marked = None
     for i, lv in enumerate(levels):
         lv = lv.withColumn("_lvl", F.lit(i + 1))
@@ -1466,4 +1478,26 @@ def window_funnel(
             .alias(f"step{i + 1}_{name}")
             for i, (name, _) in enumerate(steps)
         ]
+    )
+
+
+def funnel_conversion_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[tuple[str, Column]],
+    window_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Time-to-convert for users completing the WHOLE windowed funnel:
+    per converting user, the fastest chain's duration (last-step time
+    minus chain start, minimized over starting step-1 events). The
+    greedy frontier's per-(user, start) minimum last-step time makes
+    the per-start duration already minimal, so one groupBy(user) min
+    finishes it. Exact integer microseconds — the conversion-latency
+    feed for funnel SLA percentiles. Returns (user, fastest_us)."""
+    _, frontier = _funnel_frontiers(df, user_col, ts_col, steps, window_us)
+    return (
+        frontier.groupBy("_u")
+        .agg(F.min(F.col("_tp") - F.col("_t0")).cast("bigint").alias("fastest_us"))
+        .select(F.col("_u").alias("user"), "fastest_us")
     )

@@ -11030,3 +11030,57 @@ def ts_winsorized_stats(spark, sf_dir):
             "n_clipped_lo", "n_clipped_hi", "winsorized_mean",
         )
     )
+
+
+@register(
+    "events_funnel_convert_time",
+    """
+    WITH s0 AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t0
+        FROM events WHERE event_type = 'signup'
+    ),
+    f1 AS (SELECT DISTINCT user_id, t0, t0 AS tp FROM s0),
+    clicks AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tn
+        FROM events WHERE event_type = 'click'
+    ),
+    f2 AS (
+        SELECT f1.user_id, f1.t0, min(c.tn) AS tp
+        FROM f1 JOIN clicks c ON f1.user_id = c.user_id
+        WHERE c.tn > f1.tp AND c.tn <= f1.t0 + 86400000000
+        GROUP BY f1.user_id, f1.t0
+    ),
+    purchases AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    f3 AS (
+        SELECT f2.user_id, f2.t0, min(p.tn) AS tp
+        FROM f2 JOIN purchases p ON f2.user_id = p.user_id
+        WHERE p.tn > f2.tp AND p.tn <= f2.t0 + 86400000000
+        GROUP BY f2.user_id, f2.t0
+    )
+    SELECT user_id AS user, CAST(min(tp - t0) AS BIGINT) AS fastest_us
+    FROM f3 GROUP BY user_id
+    """,
+)
+def events_funnel_convert_time(spark, sf_dir):
+    """Funnel conversion latency (operators.timeseries.
+    funnel_conversion_times): for each user completing signup ->
+    click -> purchase within 24 h of some signup, the FASTEST chain's
+    duration in exact integer microseconds — the SLA feed the step
+    counts alone don't give. The greedy frontier's per-start minimum
+    last-step time is already duration-minimal per start, so one
+    groupBy(user) min finishes it; oracle replays the frontier."""
+    e = load(spark, sf_dir, "events")
+    return TS.funnel_conversion_times(
+        e,
+        user_col="user_id",
+        ts_col="ts",
+        steps=[
+            ("signup", F.col("event_type") == "signup"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        window_us=86_400_000_000,
+    )
