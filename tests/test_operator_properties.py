@@ -467,3 +467,41 @@ def test_window_funnel_matches_bruteforce(spark, events, win_h):
         for i in range(best):
             counts[i] += 1
     assert [got.step1_s0, got.step2_s1, got.step3_s2] == counts
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+@settings(max_examples=8, deadline=None)
+def test_kcore_matches_reference_peel(spark, raw_edges, k):
+    """Property: kcore equals a plain-Python peel-to-fixpoint on any
+    small random graph (self-loops dropped, duplicates collapse)."""
+    from refluxdb_spark.operators.graph import kcore
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.degree_in_core for r in kcore(df, k=k).collect()}
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, ns in adj.items() if len(ns) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    expect = {n: len(ns) for n, ns in adj.items() if ns}
+    assert got == expect
