@@ -897,6 +897,10 @@ def edit_distance_pairs(
     allc = cand.unionByName(short_pairs).distinct()
     sa = s.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa"))
     sb = s.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    # measured (sf0.1): broadcasting the candidate set here is a LOSS
+    # (3.9s vs 3.4s) — the broadcast serializes the whole gram-join
+    # pipeline before the verify can start; the shuffle join overlaps
+    # candidate generation with the string-side scans instead
     return (
         allc.join(sa, "_ida")
         .join(sb, "_idb")
