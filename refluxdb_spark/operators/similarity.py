@@ -1081,3 +1081,187 @@ def knn_classify(
         .filter(F.col("_rn") == 1)
         .select("query_id", F.col("_nl").alias("predicted"), "votes", "best_rank")
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. TPAMI'11): the
+    vector space splits into ``num_subspaces`` contiguous subvectors,
+    each with its own ``num_codewords``-entry codebook. Codewords are
+    DETERMINISTIC — the lowest-id corpus vectors' subvectors (the
+    ``seed_centroids`` convention; production refines them with
+    per-subspace k-means exactly as IVF does with train_iters>0,
+    trading oracle-exactness for quantization error). Returns
+    (subspace, code, cw) — subspaces x codewords rows, broadcast-tiny.
+    """
+    dim_expr = F.size(F.col(vec_col))
+    seeds = corpus.orderBy(F.col(id_col).asc()).limit(num_codewords).select(
+        F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"), dim_expr.alias("_d")
+    )
+    sub = F.explode(
+        F.expr(
+            f"transform(sequence(0, {num_subspaces - 1}), s -> struct("
+            f"s as subspace, slice(_v, s * (_d div {num_subspaces}) + 1,"
+            f" _d div {num_subspaces}) as cw))"
+        )
+    ).alias("_e")
+    w = Window.partitionBy("_e.subspace").orderBy(F.col("_sid").asc())
+    return (
+        seeds.select("_sid", sub)
+        .select(
+            F.col("_e.subspace").alias("subspace"),
+            (F.row_number().over(w) - 1).alias("code"),
+            F.col("_e.cw").alias("cw"),
+        )
+    )
+
+
+def _l2sq(a, b) -> Column:
+    """Fixed-order squared L2 distance of two float arrays (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    num_subspaces: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each corpus vector as ``num_subspaces`` small codes:
+    per subspace, the codeword minimizing rounded squared L2 (code
+    tiebreak — the IVF assignment convention, so placement is
+    engine-exact). The encoded table is the memory story of PQ: a
+    64-float vector becomes 8 bytes. One broadcast join (codebooks are
+    subspaces x codewords rows); argmin via one window on
+    (vector, subspace). Returns (id, codes array<int> in subspace
+    order)."""
+    dim_expr = F.size(F.col(vec_col))
+    sub = F.explode(
+        F.expr(
+            f"transform(sequence(0, {num_subspaces - 1}), s -> struct("
+            f"s as subspace, slice(_v, s * (_d div {num_subspaces}) + 1,"
+            f" _d div {num_subspaces}) as sv))"
+        )
+    ).alias("_e")
+    pieces = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), dim_expr.alias("_d")
+    ).select("id", sub).select(
+        "id", F.col("_e.subspace").alias("subspace"), F.col("_e.sv").alias("sv")
+    )
+    # integer micro-distances (round(d * 1e6) as bigint): per-subspace
+    # comparisons AND the ADC sum downstream stay order-free exact —
+    # a float sum of 8 table entries would be summation-order-sensitive
+    scored = pieces.join(F.broadcast(codebooks), "subspace").withColumn(
+        "_dist",
+        F.round(_l2sq(F.col("sv"), F.col("cw")) * F.lit(1_000_000.0)).cast("long"),
+    )
+    w = Window.partitionBy("id", "subspace").orderBy(
+        F.col("_dist").asc(), F.col("code").asc()
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "subspace", "code")
+    )
+    return (
+        best.groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))).alias("_sc")
+        )
+        .select(
+            "id", F.expr("transform(_sc, e -> e.code)").alias("codes")
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (the FAISS ``IndexPQ`` read path):
+    queries stay full-precision; each query precomputes a distance
+    TABLE to every codeword (subspaces x codewords entries), and a
+    corpus vector's approximate distance is ``num_subspaces`` table
+    lookups summed in FIXED subspace order (one sequential
+    ``aggregate`` fold over the codes array — deterministic IEEE
+    order, mirrored by the oracle's list_sum) — never a full-dimension
+    dot against the corpus. At 100 TB this is the memory-bound tier:
+    the scanned relation is the 8-byte code table, 32x smaller than
+    the float vectors, with exact re-ranking reserved for the
+    shortlist (compose with ``cosine_topk`` on the winners).
+    Returns (query_id, neighbor_id, approx_dist, rank)."""
+    codebooks = pq_codebooks(
+        corpus, num_subspaces, num_codewords, id_col, vec_col
+    )
+    codes = pq_encode(corpus, codebooks, num_subspaces, id_col, vec_col)
+    dim_expr = F.size(F.col(vec_col))
+    qsub = F.explode(
+        F.expr(
+            f"transform(sequence(0, {num_subspaces - 1}), s -> struct("
+            f"s as subspace, slice(_qv, s * (_d div {num_subspaces}) + 1,"
+            f" _d div {num_subspaces}) as sv))"
+        )
+    ).alias("_e")
+    qpieces = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        dim_expr.alias("_d"),
+    ).select("query_id", qsub).select(
+        "query_id", F.col("_e.subspace").alias("subspace"), F.col("_e.sv").alias("sv")
+    )
+    table = (
+        qpieces.join(F.broadcast(codebooks), "subspace")
+        .withColumn(
+            "_dist",
+            F.round(_l2sq(F.col("sv"), F.col("cw")) * F.lit(1_000_000.0)).cast("long"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("subspace") * num_codewords + F.col("code"))
+                            .alias("k"),
+                            F.col("_dist").alias("v"),
+                        )
+                    )
+                )
+            ).alias("tbl")
+        )
+    )
+    joined = codes.crossJoin(F.broadcast(table))
+    # integer fold: 8 bigint lookups sum exactly on any engine or
+    # partitioning; the float form surfaces only for display
+    dist_us = F.expr(
+        f"aggregate(sequence(0, {num_subspaces - 1}), cast(0 as bigint),"
+        f" (acc, s) -> acc + tbl[s * {num_codewords} + codes[s]])"  # [] is 0-based
+    )
+    scored = joined.filter(F.col("query_id") != F.col("id")).withColumn(
+        "_dus", dist_us
+    ).withColumn(
+        "approx_dist", F.col("_dus").cast("double") / F.lit(1_000_000.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_dus").asc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "approx_dist", "rank")
+    )

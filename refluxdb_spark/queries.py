@@ -11084,3 +11084,75 @@ def events_funnel_convert_time(spark, sf_dir):
         ],
         window_us=86_400_000_000,
     )
+
+
+@register(
+    "sim_pq_adc_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    sgrid AS (SELECT unnest(range(0, 8)) AS subspace),
+    seeds AS (SELECT vec_id AS sid, vv FROM v ORDER BY vec_id LIMIT 16),
+    cb AS MATERIALIZED (
+        SELECT g.subspace,
+               row_number() OVER (PARTITION BY g.subspace ORDER BY s.sid) - 1 AS code,
+               s.vv[g.subspace * 8 + 1 : g.subspace * 8 + 8] AS cw
+        FROM seeds s CROSS JOIN sgrid g
+    ),
+    pieces AS MATERIALIZED (
+        SELECT v.vec_id, g.subspace,
+               v.vv[g.subspace * 8 + 1 : g.subspace * 8 + 8] AS sv
+        FROM v CROSS JOIN sgrid g
+    ),
+    scored AS MATERIALIZED (
+        SELECT p.vec_id, p.subspace, c.code,
+               CAST(round(list_sum(list_transform(range(1, 9),
+                    i -> (p.sv[i] - c.cw[i]) * (p.sv[i] - c.cw[i])))
+                    * 1000000) AS BIGINT) AS dus
+        FROM pieces p JOIN cb c ON p.subspace = c.subspace
+    ),
+    best AS MATERIALIZED (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dus, code) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    appx AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS id,
+               CAST(sum(q.dus) AS BIGINT) AS dus
+        FROM best b
+        JOIN scored q
+          ON q.subspace = b.subspace AND q.code = b.code
+        WHERE q.vec_id < 10 AND q.vec_id != b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, id AS neighbor_id,
+           CAST(dus AS DOUBLE) / 1000000.0 AS approx_dist,
+           rank
+    FROM (
+        SELECT query_id, id, dus,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dus, id) AS rank
+        FROM appx
+    ) WHERE rank <= 5
+    """,
+)
+def sim_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators.similarity.
+    pq_adc_topk; Jegou et al. TPAMI'11, the FAISS IndexPQ read path):
+    64-dim vectors encode as 8 codes against per-subspace codebooks
+    (deterministic lowest-id codewords — the seed_centroids
+    convention; production k-means refines per subspace), and each
+    query scores the corpus via 8 integer table lookups instead of a
+    64-dim dot — the memory-bound ANN tier where the scanned relation
+    is 32x smaller than the float vectors. Distances are integer
+    micro-units end to end (round(L2^2 * 1e6) as bigint), so the
+    per-subspace argmin AND the ADC sum are order-free exact on any
+    engine — the oracle replays codebooks, encoding, and lookups.
+    The sum-of-per-subspace-table-entries identity means the oracle's
+    join-and-sum over (subspace, code) equals the operator's
+    map-lookup fold term for term."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_adc_topk(emb, queries, k=5, num_subspaces=8, num_codewords=16)

@@ -2610,3 +2610,33 @@ def test_kcore_peels_tendrils(spark):
     got = {r.node: r.degree_in_core for r in kcore(edges, k=2).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
     assert kcore(edges, k=3).count() == 0
+
+
+def test_pq_adc_identical_vector_is_nearest(spark, sf_dir):
+    """pq_adc_topk: a corpus vector identical to the query (different
+    id) gets approx distance 0 and rank 1 — ADC is exact when the
+    query IS a codeword-aligned corpus point; encode emits one code
+    per subspace in subspace order."""
+    import pyspark.sql.functions as F
+    from refluxdb_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # plant an exact duplicate of vector 3 under a fresh id
+    dup = emb.filter("vec_id = 3").withColumn("vec_id", F.lit(999_999))
+    corpus = emb.unionByName(dup)
+    q = corpus.filter("vec_id = 999999")
+    top = pq_adc_topk(corpus, q, k=3).collect()
+    assert top[0].neighbor_id == 3 and top[0].approx_dist == 0.0
+    assert top[0].rank == 1
+
+    cb = pq_codebooks(corpus)
+    assert cb.count() == 8 * 16
+    codes = pq_encode(corpus, cb)
+    row = codes.filter("id = 3").collect()[0]
+    assert len(row.codes) == 8
+    # the duplicate encodes identically
+    assert codes.filter("id = 999999").collect()[0].codes == row.codes
