@@ -1265,3 +1265,42 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "approx_dist", "rank")
     )
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact full-precision squared-L2 top-k — the truth baseline the
+    PQ/ADC tier is scored against (metric-matched: comparing ADC's L2
+    ranking to a COSINE truth would conflate quantization error with
+    metric disagreement). Same broadcast(queries) x corpus-scan shape
+    as cosine_topk; distances in integer micro-units for the same
+    order-free ranking contract. Returns (query_id, neighbor_id,
+    dist, rank)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "_dus",
+            F.round(_l2sq(F.col("_qv"), F.col("_cv")) * F.lit(1_000_000.0)).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_dus").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            (F.col("_dus").cast("double") / F.lit(1_000_000.0)).alias("dist"),
+            "rank",
+        )
+    )

@@ -11156,3 +11156,91 @@ def sim_pq_adc_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.pq_adc_topk(emb, queries, k=5, num_subspaces=8, num_codewords=16)
+
+
+@register(
+    "sim_pq_recall",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    sgrid AS (SELECT unnest(range(0, 8)) AS subspace),
+    seeds AS (SELECT vec_id AS sid, vv FROM v ORDER BY vec_id LIMIT 16),
+    cb AS MATERIALIZED (
+        SELECT g.subspace,
+               row_number() OVER (PARTITION BY g.subspace ORDER BY s.sid) - 1 AS code,
+               s.vv[g.subspace * 8 + 1 : g.subspace * 8 + 8] AS cw
+        FROM seeds s CROSS JOIN sgrid g
+    ),
+    pieces AS MATERIALIZED (
+        SELECT v.vec_id, g.subspace,
+               v.vv[g.subspace * 8 + 1 : g.subspace * 8 + 8] AS sv
+        FROM v CROSS JOIN sgrid g
+    ),
+    scored AS MATERIALIZED (
+        SELECT p.vec_id, p.subspace, c.code,
+               CAST(round(list_sum(list_transform(range(1, 9),
+                    i -> (p.sv[i] - c.cw[i]) * (p.sv[i] - c.cw[i])))
+                    * 1000000) AS BIGINT) AS dus
+        FROM pieces p JOIN cb c ON p.subspace = c.subspace
+    ),
+    best AS MATERIALIZED (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dus, code) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    appx AS (
+        SELECT query_id, id AS neighbor_id FROM (
+            SELECT q.vec_id AS query_id, b.vec_id AS id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY sum(q.dus), b.vec_id) AS rank
+            FROM best b
+            JOIN scored q
+              ON q.subspace = b.subspace AND q.code = b.code
+            WHERE q.vec_id < 10 AND q.vec_id != b.vec_id
+            GROUP BY q.vec_id, b.vec_id
+        ) WHERE rank <= 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       CAST(round(list_sum(list_transform(range(1, 65),
+                            i -> (q.vv[i] - c.vv[i]) * (q.vv[i] - c.vv[i])))
+                            * 1000000) AS BIGINT), c.vec_id) AS rank
+            FROM v q JOIN v c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT a.query_id, count(*) AS hits
+        FROM appx a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+           coalesce(hits.hits, 0) / 5.0 AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits ON q.query_id = hits.query_id
+    """,
+)
+def sim_pq_recall(spark, sf_dir):
+    """recall@5 of the PQ/ADC tier against exact full-precision L2
+    (operators.similarity.l2_topk + topk_recall) — quantization
+    quality measured against a METRIC-MATCHED truth (cosine truth
+    would conflate quantization error with metric disagreement).
+    Completes the PQ tier the way sim_ivf_recall completes IVF: every
+    approximate index here ships with its measured quality gate.
+    Expectation-setting: these RANDOM uniform embeddings are PQ's
+    worst case (no cluster structure for codebooks to exploit;
+    measured avg recall@5 ~0.2 at 16 codewords, ~0.3 at 128 — the
+    flat curve is the tell), so production treats ADC as the
+    shortlist generator feeding exact re-rank; on real embedding
+    manifolds trained codebooks recover most of the gap."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = S.l2_topk(emb, qs, k=5)
+    approx = S.pq_adc_topk(emb, qs, k=5, num_subspaces=8, num_codewords=16)
+    return S.topk_recall(exact, approx, k=5)

@@ -189,6 +189,8 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "ts_winsorized_stats": 2,       # rank window + clipped-cent agg
         "events_funnel_convert_time": 3,  # 2 frontier rounds + user min
         "sim_pq_adc_topk": 4,             # encode argmin + codes agg + rank
+        # static plan re-walks the shared encode lineage for exact+approx
+        "sim_pq_recall": 13,
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
