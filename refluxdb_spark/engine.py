@@ -177,7 +177,14 @@ class RefluxEngine:
                 F.max(F.unix_micros("time")).alias("max_time_us"),
             )
         (
-            out.sortWithinPartitions("series", "time")
+            out.sortWithinPartitions("series", "day", "time")
+            # "day" rides the sort deliberately: the dynamic-partition
+            # writer requires ordering on (series, day) and INSERTS ITS
+            # OWN (order-destroying) sort unless the child ordering
+            # already satisfies it — (series, time) alone does not
+            # satisfy it syntactically even though day derives from
+            # time, and the writer sort scrambled file row order
+            # (caught by test_measurements_files_time_sorted_with_stats)
             .write.mode("append")
             .partitionBy("series", "day")
             .parquet(self._path)
@@ -256,7 +263,14 @@ class RefluxEngine:
         try:
             (
                 df.repartition(int(n_files), "series")
-                .sortWithinPartitions("series", "time")
+                .sortWithinPartitions("series", "day", "time")
+            # "day" rides the sort deliberately: the dynamic-partition
+            # writer requires ordering on (series, day) and INSERTS ITS
+            # OWN (order-destroying) sort unless the child ordering
+            # already satisfies it — (series, time) alone does not
+            # satisfy it syntactically even though day derives from
+            # time, and the writer sort scrambled file row order
+            # (caught by test_measurements_files_time_sorted_with_stats)
                 .write.mode("overwrite")
                 .partitionBy("series", "day")
                 .parquet(new_dir)
@@ -400,7 +414,14 @@ class RefluxEngine:
             obs = Observation("erase")
             (
                 keep.observe(obs, F.count(F.lit(1)).alias("kept"))
-                .sortWithinPartitions("series", "time")
+                .sortWithinPartitions("series", "day", "time")
+            # "day" rides the sort deliberately: the dynamic-partition
+            # writer requires ordering on (series, day) and INSERTS ITS
+            # OWN (order-destroying) sort unless the child ordering
+            # already satisfies it — (series, time) alone does not
+            # satisfy it syntactically even though day derives from
+            # time, and the writer sort scrambled file row order
+            # (caught by test_measurements_files_time_sorted_with_stats)
                 .write.mode("append")
                 .partitionBy("series", "day")
                 .parquet(new_dir)

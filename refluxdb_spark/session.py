@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Spark's INT96 timestamp default writes NO column statistics,
+        # silently voiding the time-sorted-files page-skip design
+        # (SCALE.md §1; fenced by
+        # test_measurements_files_time_sorted_with_stats). MICROS
+        # timestamps carry real min/max so range scans skip row groups.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -624,3 +624,38 @@ def test_write_dataframe_observed_metrics(spark, tmp_path):
     # un-metered write adds no ledger row and returns None
     assert eng.write_dataframe(explode_fields(parse_lines_df(raw))) is None
     assert eng.ingest_metrics().count() == 1
+
+
+def test_measurements_files_time_sorted_with_stats(spark, tmp_path):
+    """SCALE.md §1's range-scan claim, physically fenced: after
+    compaction every parquet file in a (series, day) partition carries
+    time min/max statistics and its row groups are internally sorted
+    and mutually ordered on time — what turns a time-range scan into
+    row-group/page skips."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    eng = RefluxEngine(spark, str(tmp_path / "wh_sorted"))
+    # interleaved timestamps across appends; same series+day
+    for i in (5, 1, 9, 3, 7):
+        eng.write_lines([f"s v={i}.0 {1700000000000000000 + i * 10**6}"])
+    eng.compact()
+    files = glob.glob(eng._path + "/**/*.parquet", recursive=True)
+    assert files
+    for f in files:
+        pf = pq.ParquetFile(f)
+        idx = [c for c, name in enumerate(pf.schema_arrow.names) if name == "time"]
+        assert idx, f"no time column in {f}"
+        spans = []
+        for rg in range(pf.metadata.num_row_groups):
+            col = pf.metadata.row_group(rg).column(idx[0])
+            st = col.statistics
+            assert st is not None and st.has_min_max, f"no time stats in {f}"
+            spans.append((st.min, st.max))
+        # row groups ordered and non-overlapping
+        for (_, amax), (bmin, _) in zip(spans, spans[1:]):
+            assert amax <= bmin
+        # rows inside the file are ascending on time
+        times = pf.read(columns=["time"]).column("time").to_pylist()
+        assert times == sorted(times)
