@@ -1304,3 +1304,140 @@ def l2_topk(
             "rank",
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. TPAMI'11 §V / FAISS
+    ``IndexIVFPQ``) — the trillion-vector composition of this module's
+    two tiers: a coarse L2 quantizer prunes the search to ``nprobe``
+    cells, and within cells vectors are PQ codes of their RESIDUAL
+    (v - centroid), which quantizes a far tighter distribution than
+    raw vectors. A query pays: C coarse distances + nprobe distance
+    TABLES (num_subspaces x num_codewords each, against its own
+    per-cell residual) + table-lookup folds over the candidate codes.
+
+    Determinism carries through every stage: L2 everywhere in integer
+    micro-units (round(d²·1e6) as bigint — assignment argmins and the
+    final ADC sums are order-free exact), centroids and PQ codewords
+    from the lowest-id convention (production trains both, exactly as
+    ``train_kmeans_centroids`` documents), residuals as fixed-order
+    ``zip_with`` subtractions. Scale: the scanned candidate relation
+    is codes-only (8 B/vector) from nprobe/C of the corpus; centroids
+    and codebooks broadcast; one window ranks per query. Returns
+    (query_id, neighbor_id, approx_dist, rank)."""
+    cents = seed_centroids(corpus, num_centroids, id_col, vec_col).select(
+        "centroid_id", F.col("_centvec").alias("cv")
+    )
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # coarse assignment by integer micro L2
+    ascore = v.crossJoin(F.broadcast(cents)).withColumn(
+        "_dus",
+        F.round(_l2sq(F.col("v"), F.col("cv")) * F.lit(1_000_000.0)).cast("long"),
+    )
+    wa = Window.partitionBy("id").orderBy(F.col("_dus").asc(), F.col("centroid_id").asc())
+    assigned = (
+        ascore.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "id", "centroid_id",
+            F.zip_with("v", "cv", lambda x, y: (x.cast("double") - y.cast("double"))
+                       .cast("float")).alias("res"),
+        )
+    )
+    # PQ codebooks from the lowest-id NON-CENTROID vectors' residual
+    # subvectors: the centroid seeds' own residuals are ~zero (each is
+    # its own nearest centroid), which would degenerate every codebook
+    # to near-zero codewords
+    res_corpus = assigned.select("id", F.col("res").alias(vec_col))
+    non_seed = res_corpus.join(
+        F.broadcast(cents.select(F.col("centroid_id").alias("id"))),
+        "id",
+        "left_anti",
+    )
+    codebooks = pq_codebooks(
+        non_seed, num_subspaces, num_codewords, id_col="id", vec_col=vec_col
+    )
+    codes = pq_encode(
+        res_corpus, codebooks, num_subspaces, id_col="id", vec_col=vec_col
+    ).join(assigned.select("id", "centroid_id"), "id")
+    # query side: probe cells, then per-(query, cell) residual tables
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qscore = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_dus",
+        F.round(_l2sq(F.col("qv"), F.col("cv")) * F.lit(1_000_000.0)).cast("long"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_dus").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qscore.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            "query_id", "centroid_id",
+            F.zip_with("qv", "cv", lambda x, y: (x.cast("double") - y.cast("double"))
+                       .cast("float")).alias("qres"),
+        )
+    )
+    dim_expr = F.size(F.col("qres"))
+    qsub = F.explode(
+        F.expr(
+            f"transform(sequence(0, {num_subspaces - 1}), s -> struct("
+            f"s as subspace, slice(qres, s * (_d div {num_subspaces}) + 1,"
+            f" _d div {num_subspaces}) as sv))"
+        )
+    ).alias("_e")
+    qpieces = probes.select(
+        "query_id", "centroid_id", "qres", dim_expr.alias("_d")
+    ).select("query_id", "centroid_id", qsub).select(
+        "query_id", "centroid_id",
+        F.col("_e.subspace").alias("subspace"), F.col("_e.sv").alias("sv"),
+    )
+    table = (
+        qpieces.join(F.broadcast(codebooks), "subspace")
+        .withColumn(
+            "_dist",
+            F.round(_l2sq(F.col("sv"), F.col("cw")) * F.lit(1_000_000.0)).cast("long"),
+        )
+        .groupBy("query_id", "centroid_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.col("subspace") * num_codewords + F.col("code"))
+                            .alias("k"),
+                            F.col("_dist").alias("v"),
+                        )
+                    )
+                )
+            ).alias("tbl")
+        )
+    )
+    joined = codes.join(F.broadcast(table), "centroid_id")
+    dist_us = F.expr(
+        f"aggregate(sequence(0, {num_subspaces - 1}), cast(0 as bigint),"
+        f" (acc, s) -> acc + tbl[s * {num_codewords} + codes[s]])"
+    )
+    scored = joined.filter(F.col("query_id") != F.col("id")).withColumn(
+        "_dus", dist_us
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("_dus").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"),
+            (F.col("_dus").cast("double") / F.lit(1_000_000.0)).alias("approx_dist"),
+            "rank",
+        )
+    )

@@ -11244,3 +11244,125 @@ def sim_pq_recall(spark, sf_dir):
     exact = S.l2_topk(emb, qs, k=5)
     approx = S.pq_adc_topk(emb, qs, k=5, num_subspaces=8, num_codewords=16)
     return S.topk_recall(exact, approx, k=5)
+
+
+@register(
+    "sim_ivfpq_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, vv AS cv FROM v ORDER BY vec_id LIMIT 16),
+    sgrid AS (SELECT unnest(range(0, 8)) AS subspace),
+    asc0 AS MATERIALIZED (
+        SELECT v.vec_id, c.centroid_id,
+               CAST(round(list_sum(list_transform(range(1, 65),
+                    i -> (v.vv[i] - c.cv[i]) * (v.vv[i] - c.cv[i])))
+                    * 1000000) AS BIGINT) AS dus
+        FROM v CROSS JOIN c
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dus, centroid_id) AS rn
+            FROM asc0
+        ) WHERE rn = 1
+    ),
+    res AS MATERIALIZED (
+        SELECT a.vec_id, a.centroid_id,
+               list_transform(range(1, 65),
+                    i -> CAST(CAST(v.vv[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS rv
+        FROM assigned a
+        JOIN v ON v.vec_id = a.vec_id
+        JOIN c ON c.centroid_id = a.centroid_id
+    ),
+    cwsrc AS (
+        SELECT vec_id AS sid, rv FROM res
+        WHERE vec_id NOT IN (SELECT centroid_id FROM c)
+        ORDER BY vec_id LIMIT 16
+    ),
+    cb AS MATERIALIZED (
+        SELECT g.subspace,
+               row_number() OVER (PARTITION BY g.subspace ORDER BY s.sid) - 1 AS code,
+               s.rv[g.subspace * 8 + 1 : g.subspace * 8 + 8] AS cw
+        FROM cwsrc s CROSS JOIN sgrid g
+    ),
+    pieces AS MATERIALIZED (
+        SELECT r.vec_id, r.centroid_id, g.subspace,
+               r.rv[g.subspace * 8 + 1 : g.subspace * 8 + 8] AS sv
+        FROM res r CROSS JOIN sgrid g
+    ),
+    enc AS MATERIALIZED (
+        SELECT p.vec_id, p.centroid_id, p.subspace, b.code,
+               CAST(round(list_sum(list_transform(range(1, 9),
+                    i -> (p.sv[i] - b.cw[i]) * (p.sv[i] - b.cw[i])))
+                    * 1000000) AS BIGINT) AS dus
+        FROM pieces p JOIN cb b ON p.subspace = b.subspace
+    ),
+    best AS MATERIALIZED (
+        SELECT vec_id, centroid_id, subspace, code FROM (
+            SELECT vec_id, centroid_id, subspace, code,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dus, code) AS rn
+            FROM enc
+        ) WHERE rn = 1
+    ),
+    probes AS MATERIALIZED (
+        SELECT vec_id AS query_id, centroid_id FROM (
+            SELECT vec_id, centroid_id,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dus, centroid_id) AS rn
+            FROM asc0 WHERE vec_id < 10
+        ) WHERE rn <= 4
+    ),
+    qres AS MATERIALIZED (
+        SELECT p.query_id, p.centroid_id,
+               list_transform(range(1, 65),
+                    i -> CAST(CAST(v.vv[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS rv
+        FROM probes p
+        JOIN v ON v.vec_id = p.query_id
+        JOIN c ON c.centroid_id = p.centroid_id
+    ),
+    qtbl AS MATERIALIZED (
+        SELECT q.query_id, q.centroid_id, g.subspace, b.code,
+               CAST(round(list_sum(list_transform(range(1, 9),
+                    i -> (q.rv[g.subspace * 8 + i] - b.cw[i])
+                         * (q.rv[g.subspace * 8 + i] - b.cw[i])))
+                    * 1000000) AS BIGINT) AS dus
+        FROM qres q
+        CROSS JOIN sgrid g
+        JOIN cb b ON b.subspace = g.subspace
+    ),
+    appx AS (
+        SELECT t.query_id, e.vec_id AS id, CAST(sum(t.dus) AS BIGINT) AS dus
+        FROM best e
+        JOIN qtbl t
+          ON t.centroid_id = e.centroid_id
+         AND t.subspace = e.subspace AND t.code = e.code
+        WHERE t.query_id != e.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, id AS neighbor_id,
+           CAST(dus AS DOUBLE) / 1000000.0 AS approx_dist, rank
+    FROM (
+        SELECT query_id, id, dus,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dus, id) AS rank
+        FROM appx
+    ) WHERE rank <= 5
+    """,
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-k (operators.similarity.ivfpq_topk; Jegou TPAMI'11
+    SV / FAISS IndexIVFPQ): coarse L2 cells prune to nprobe=4, and
+    within cells vectors are 8-byte PQ codes of their RESIDUAL —
+    quantizing a far tighter distribution than raw vectors (measured
+    here: recall@5 0.28 vs 0.2 for raw-vector PQ, on the synthetic
+    worst case). Integer micro-distances at every stage keep coarse
+    argmins, encode argmins, and ADC sums order-free exact; residuals
+    round through float32 exactly as the operator's zip_with cast
+    does, replayed by the oracle's CAST AS FLOAT. The candidate scan
+    reads codes from nprobe/C of the corpus — the trillion-vector
+    memory shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivfpq_topk(emb, queries, k=5, num_centroids=16, nprobe=4)

@@ -2640,3 +2640,21 @@ def test_pq_adc_identical_vector_is_nearest(spark, sf_dir):
     assert len(row.codes) == 8
     # the duplicate encodes identically
     assert codes.filter("id = 999999").collect()[0].codes == row.codes
+
+
+def test_ivfpq_planted_duplicate_and_shapes(spark, sf_dir):
+    """ivfpq_topk: a planted duplicate of a corpus vector ranks first
+    with approx distance equal to the pure quantization error of its
+    own residual (both vectors share cell, residual, and codes)."""
+    import pyspark.sql.functions as F
+    from refluxdb_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dup = emb.filter("vec_id = 40").withColumn("vec_id", F.lit(999_999))
+    corpus = emb.unionByName(dup)
+    q = corpus.filter("vec_id = 999999")
+    top = ivfpq_topk(corpus, q, k=3).collect()
+    assert top[0].neighbor_id == 40 and top[0].rank == 1
+    # identical residual -> identical codes -> the ADC distance to the
+    # twin is the self-quantization error, <= any other candidate's
+    assert all(top[0].approx_dist <= r.approx_dist for r in top)

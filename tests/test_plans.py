@@ -191,6 +191,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "sim_pq_adc_topk": 4,             # encode argmin + codes agg + rank
         # static plan re-walks the shared encode lineage for exact+approx
         "sim_pq_recall": 13,
+        "sim_ivfpq_topk": 6,  # coarse argmin + residual encode + cell rank
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
