@@ -1306,35 +1306,16 @@ def l2_topk(
     )
 
 
-def ivfpq_topk(
+def _ivfpq_build(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    num_centroids: int = 16,
-    nprobe: int = 4,
-    num_subspaces: int = 8,
-    num_codewords: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-PQ approximate top-k (Jégou et al. TPAMI'11 §V / FAISS
-    ``IndexIVFPQ``) — the trillion-vector composition of this module's
-    two tiers: a coarse L2 quantizer prunes the search to ``nprobe``
-    cells, and within cells vectors are PQ codes of their RESIDUAL
-    (v - centroid), which quantizes a far tighter distribution than
-    raw vectors. A query pays: C coarse distances + nprobe distance
-    TABLES (num_subspaces x num_codewords each, against its own
-    per-cell residual) + table-lookup folds over the candidate codes.
-
-    Determinism carries through every stage: L2 everywhere in integer
-    micro-units (round(d²·1e6) as bigint — assignment argmins and the
-    final ADC sums are order-free exact), centroids and PQ codewords
-    from the lowest-id convention (production trains both, exactly as
-    ``train_kmeans_centroids`` documents), residuals as fixed-order
-    ``zip_with`` subtractions. Scale: the scanned candidate relation
-    is codes-only (8 B/vector) from nprobe/C of the corpus; centroids
-    and codebooks broadcast; one window ranks per query. Returns
-    (query_id, neighbor_id, approx_dist, rank)."""
+    num_centroids: int,
+    num_subspaces: int,
+    num_codewords: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared IVF-PQ build: returns (centroids(centroid_id, cv),
+    codebooks(subspace, code, cw), codes(id, codes, centroid_id))."""
     cents = seed_centroids(corpus, num_centroids, id_col, vec_col).select(
         "centroid_id", F.col("_centvec").alias("cv")
     )
@@ -1370,7 +1351,23 @@ def ivfpq_topk(
     codes = pq_encode(
         res_corpus, codebooks, num_subspaces, id_col="id", vec_col=vec_col
     ).join(assigned.select("id", "centroid_id"), "id")
-    # query side: probe cells, then per-(query, cell) residual tables
+    return cents, codebooks, codes
+
+
+def _ivfpq_probe(
+    cents: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    num_subspaces: int,
+    num_codewords: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF-PQ read path: probe cells, per-(query, cell)
+    residual distance tables, ADC fold over candidate codes."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qscore = q.crossJoin(F.broadcast(cents)).withColumn(
         "_dus",
@@ -1440,4 +1437,77 @@ def ivfpq_topk(
             (F.col("_dus").cast("double") / F.lit(1_000_000.0)).alias("approx_dist"),
             "rank",
         )
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. TPAMI'11 §V / FAISS
+    ``IndexIVFPQ``) — see ``_ivfpq_build``/``_ivfpq_probe``; this
+    inline form builds and probes in one plan. Determinism and scale
+    contracts as documented on ``sim_ivfpq_topk``."""
+    cents, codebooks, codes = _ivfpq_build(
+        corpus, num_centroids, num_subspaces, num_codewords, id_col, vec_col
+    )
+    return _ivfpq_probe(
+        cents, codebooks, codes, queries, k, nprobe,
+        num_subspaces, num_codewords, id_col, vec_col,
+    )
+
+
+def save_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    num_centroids: int = 16,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index: centroid + codebook tables plus
+    the code table written partitioned by centroid_id — the probe
+    reads ONLY its nprobe cells' code files (8 B/vector), the
+    trillion-vector disk shape. Same layout discipline as
+    ``save_ivf_index``/``save_minhash_index``."""
+    cents, codebooks, codes = _ivfpq_build(
+        corpus, num_centroids, num_subspaces, num_codewords, id_col, vec_col
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    (
+        codes.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/codes")
+    )
+
+
+def load_ivfpq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    num_subspaces: int = 8,
+    num_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a saved IVF-PQ index: centroids/codebooks broadcast, the
+    code-table scan dynamic-partition-prunes to the probed cells."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    codes = spark.read.parquet(f"{path}/codes")
+    return _ivfpq_probe(
+        cents, codebooks, codes, queries, k, nprobe,
+        num_subspaces, num_codewords, id_col, vec_col,
     )

@@ -2658,3 +2658,31 @@ def test_ivfpq_planted_duplicate_and_shapes(spark, sf_dir):
     # identical residual -> identical codes -> the ADC distance to the
     # twin is the self-quantization error, <= any other candidate's
     assert all(top[0].approx_dist <= r.approx_dist for r in top)
+
+
+def test_ivfpq_persisted_equals_inline(spark, sf_dir, tmp_path):
+    """save_ivfpq_index + load_ivfpq_topk reproduce the inline plan;
+    the code-table probe scan carries a dynamic-partition-pruning
+    filter on centroid_id (only probed cells are read)."""
+    from refluxdb_spark.operators.similarity import (
+        ivfpq_topk,
+        load_ivfpq_topk,
+        save_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 3")
+    save_ivfpq_index(emb, str(tmp_path / "ivfpq"))
+    from_disk = load_ivfpq_topk(spark, str(tmp_path / "ivfpq"), q, k=5, nprobe=4)
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_topk(emb, q, k=5, nprobe=4).collect()
+    }
+    assert {
+        (r.query_id, r.neighbor_id, r.rank) for r in from_disk.collect()
+    } == inline
+    plan = from_disk._jdf.queryExecution().executedPlan().toString()
+    code_scans = [l for l in plan.splitlines() if "FileScan" in l and "/codes" in l]
+    assert code_scans and any("dynamicpruning" in l for l in code_scans), (
+        f"code-table scan not DPP-pruned: {code_scans}"
+    )
