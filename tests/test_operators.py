@@ -2686,3 +2686,19 @@ def test_ivfpq_persisted_equals_inline(spark, sf_dir, tmp_path):
     assert code_scans and any("dynamicpruning" in l for l in code_scans), (
         f"code-table scan not DPP-pruned: {code_scans}"
     )
+
+
+def test_pq_encode_partitioning_invariant(spark, sf_dir):
+    """PQ codes are a pure function of (vector, codebooks): any
+    repartitioning of the corpus yields the identical code table —
+    the determinism contract every oracled ANN query leans on."""
+    from refluxdb_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_codebooks(emb)
+    a = {r.id: r.codes for r in pq_encode(emb, cb).collect()}
+    b = {
+        r.id: r.codes
+        for r in pq_encode(emb.repartition(17, "label"), cb).collect()
+    }
+    assert a == b
