@@ -11366,3 +11366,60 @@ def sim_ivfpq_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivfpq_topk(emb, queries, k=5, num_centroids=16, nprobe=4)
+
+
+def _ivfpq_recall_oracle() -> str:
+    """Reuse sim_ivfpq_topk's replay verbatim: keep its CTE chain
+    (everything up to the final SELECT), add the top-5 cap, the
+    exact-L2 truth, and the overlap count."""
+    base = ORACLES["sim_ivfpq_topk"]
+    marker = "SELECT query_id, id AS neighbor_id,"
+    head = base[: base.rindex(marker)]
+    return f"""
+    {head}
+    , appx_top AS (
+        SELECT query_id, id AS neighbor_id FROM (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dus, id) AS rank
+            FROM appx
+        ) WHERE rank <= 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       CAST(round(list_sum(list_transform(range(1, 65),
+                            i -> (q.vv[i] - cv.vv[i]) * (q.vv[i] - cv.vv[i])))
+                            * 1000000) AS BIGINT), cv.vec_id) AS rank
+            FROM v q JOIN v cv ON q.vec_id != cv.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT a.query_id, count(*) AS hits
+        FROM appx_top a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT q.query_id,
+           CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+           coalesce(hits.hits, 0) / 5.0 AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits ON q.query_id = hits.query_id
+    """
+
+
+@register("sim_ivfpq_recall", _ivfpq_recall_oracle())
+def sim_ivfpq_recall(spark, sf_dir):
+    """recall@5 of IVF-PQ against exact full-precision L2 — the
+    quality gate completing the composed index the way sim_pq_recall
+    completes raw PQ and sim_ivf_recall completes IVF: every
+    approximate tier in this module ships with its measured recall.
+    Residual quantization buys measurable recall over raw-vector PQ
+    even on this worst-case synthetic data (see sim_ivfpq_topk)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = S.l2_topk(emb, qs, k=5)
+    approx = S.ivfpq_topk(emb, qs, k=5, num_centroids=16, nprobe=4)
+    return S.topk_recall(exact, approx, k=5)

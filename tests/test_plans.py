@@ -192,6 +192,8 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # static plan re-walks the shared encode lineage for exact+approx
         "sim_pq_recall": 13,
         "sim_ivfpq_topk": 6,  # coarse argmin + residual encode + cell rank
+        # eval harness: static plan re-walks the build for exact+approx
+        "sim_ivfpq_recall": 17,
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
