@@ -126,6 +126,7 @@ HEADLINE = [
     "events_funnel_convert_time",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
+    "sim_ivfpq_persisted_topk",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

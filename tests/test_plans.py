@@ -194,6 +194,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "sim_ivfpq_topk": 6,  # coarse argmin + residual encode + cell rank
         # eval harness: static plan re-walks the build for exact+approx
         "sim_ivfpq_recall": 17,
+        "sim_ivfpq_persisted_topk": 3,  # probe windows + pruned code scan
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
