@@ -11447,3 +11447,66 @@ def sim_ivfpq_persisted_topk(spark, sf_dir):
         S.save_ivfpq_index(emb, index_path, num_centroids=16)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.load_ivfpq_topk(spark, index_path, queries, k=5, nprobe=4)
+
+
+@register(
+    "pipeline_vector_end_to_end",
+    f"""
+    WITH keep AS (
+        SELECT min(doc_id) AS id
+        FROM documents
+        GROUP BY md5({_NORM_SQL.format(col='text')})
+    ),
+    corpus AS (
+        SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS vv, d.source
+        FROM embeddings e
+        JOIN documents d ON d.doc_id = e.vec_id
+        JOIN keep k ON k.id = e.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, vv AS qv FROM corpus WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.source AS neighbor_source,
+               round(list_dot_product(q.qv, c.vv) /
+                     (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.vv, c.vv))), 6) AS cosine
+        FROM q CROSS JOIN corpus c
+        WHERE q.query_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, neighbor_source, cosine, rank FROM (
+        SELECT query_id, neighbor_id, neighbor_source, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def pipeline_vector_end_to_end(spark, sf_dir):
+    """The vector-retrieval pipeline as ONE Catalyst plan: exact-dedup
+    the documents (md5 keep rule — duplicated text must not surface
+    twice in retrieval results), keep only survivors' embeddings
+    (doc_id ≡ vec_id in the testdata), attach source metadata, and
+    answer cosine top-3 for the surviving low-id queries. The
+    dedup-BEFORE-index ordering is the operational invariant (index
+    cost ∝ unique corpus; same discipline as
+    pipeline_media_end_to_end's decode-after-dedup); downstream the
+    same plan feeds save_ivf[pq]_index instead of the brute-force
+    read. Declarative end to end — Catalyst fuses the dedup aggregate,
+    the metadata joins, and the ANN window without materialization."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    keep = D.exact_dedup(docs).select(F.col("keep_id").alias("vec_id"))
+    corpus = (
+        emb.join(keep, "vec_id")
+        .join(
+            docs.select(F.col("doc_id").alias("vec_id"), "source"), "vec_id"
+        )
+    )
+    qs = corpus.filter(F.col("vec_id") < 10)
+    top = S.cosine_topk(corpus, qs, k=3)
+    src = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("source").alias("neighbor_source"),
+    )
+    return top.join(F.broadcast(src), "neighbor_id").select(
+        "query_id", "neighbor_id", "neighbor_source", "cosine", "rank"
+    )

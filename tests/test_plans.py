@@ -195,6 +195,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # eval harness: static plan re-walks the build for exact+approx
         "sim_ivfpq_recall": 17,
         "sim_ivfpq_persisted_topk": 3,  # probe windows + pruned code scan
+        "pipeline_vector_end_to_end": 4,  # dedup agg + joins + rank window
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
