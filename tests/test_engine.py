@@ -659,3 +659,23 @@ def test_measurements_files_time_sorted_with_stats(spark, tmp_path):
         # rows inside the file are ascending on time
         times = pf.read(columns=["time"]).column("time").to_pylist()
         assert times == sorted(times)
+
+
+def test_erase_invalidates_incremental_rollup(spark, tmp_path):
+    """Operational interaction fence: erase() rewrites the affected
+    partitions, so the NEXT incremental maintain_rollup must see them
+    as changed (manifest = file count + mtime) and re-aggregate —
+    erased rows must not linger in the continuous aggregate."""
+    eng = RefluxEngine(spark, str(tmp_path / "wh_er_roll"))
+    eng.write_lines([
+        "cpu,host=a usage=1.0 1700000000000000000",
+        "cpu,host=b usage=2.0 1700000001000000000",
+        "cpu,host=a usage=4.0 1700000002000000000",
+    ])
+    eng.maintain_rollup(incremental=True)
+    before = eng.sql("SELECT sum(sum_value) AS s FROM rollup_1h").collect()[0].s
+    assert before == 7.0
+    eng.erase("tags['host'] = 'b'")
+    eng.maintain_rollup(incremental=True)
+    after = eng.sql("SELECT sum(sum_value) AS s FROM rollup_1h").collect()[0].s
+    assert after == 5.0  # host=b's 2.0 gone from the aggregate
