@@ -128,6 +128,7 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "sim_ivfpq_persisted_topk",
     "pipeline_vector_end_to_end",
+    "events_cart_abandonment",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

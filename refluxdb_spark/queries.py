@@ -11510,3 +11510,79 @@ def pipeline_vector_end_to_end(spark, sf_dir):
     return top.join(F.broadcast(src), "neighbor_id").select(
         "query_id", "neighbor_id", "neighbor_source", "cosine", "rank"
     )
+
+
+@register(
+    "events_cart_abandonment",
+    """
+    WITH s0 AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t0
+        FROM events WHERE event_type = 'signup'
+    ),
+    f1 AS (SELECT DISTINCT user_id, t0, t0 AS tp FROM s0),
+    clicks AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tn
+        FROM events WHERE event_type = 'click'
+    ),
+    f2 AS (
+        SELECT f1.user_id, f1.t0, min(c.tn) AS tp
+        FROM f1 JOIN clicks c ON f1.user_id = c.user_id
+        WHERE c.tn > f1.tp AND c.tn <= f1.t0 + 86400000000
+        GROUP BY f1.user_id, f1.t0
+    ),
+    purchases AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tn
+        FROM events WHERE event_type = 'purchase'
+    ),
+    f3 AS (
+        SELECT f2.user_id, f2.t0, min(p.tn) AS tp
+        FROM f2 JOIN purchases p ON f2.user_id = p.user_id
+        WHERE p.tn > f2.tp AND p.tn <= f2.t0 + 86400000000
+        GROUP BY f2.user_id, f2.t0
+    ),
+    reached AS (SELECT DISTINCT user_id FROM f2),
+    converted AS (SELECT DISTINCT user_id FROM f3)
+    SELECT CAST((SELECT count(*) FROM reached) AS BIGINT) AS n_reached,
+           CAST((SELECT count(*) FROM converted) AS BIGINT) AS n_converted,
+           CAST((SELECT count(*) FROM reached) -
+                (SELECT count(*) FROM converted) AS BIGINT) AS n_abandoned,
+           (CAST((SELECT count(*) FROM reached) AS DOUBLE) -
+            (SELECT count(*) FROM converted))
+               / (SELECT count(*) FROM reached) AS abandonment_rate
+    """,
+)
+def events_cart_abandonment(spark, sf_dir):
+    """Abandonment (anti-funnel) rate: users who reached the
+    mid-funnel step (signup -> click within 24 h of a signup) but
+    NEVER completed the final step inside ANY valid chain's window —
+    the retargeting audience and THE product metric the completion
+    counts don't expose. Same greedy frontier as window_funnel; the
+    abandoned set is reached-minus-converted, and the rate is one
+    exact int/int division."""
+    e = load(spark, sf_dir, "events")
+    steps = [
+        ("signup", F.col("event_type") == "signup"),
+        ("click", F.col("event_type") == "click"),
+        ("purchase", F.col("event_type") == "purchase"),
+    ]
+    levels, _ = TS._funnel_frontiers(e, "user_id", "ts", steps, 86_400_000_000)
+    r = levels[1].select(F.col("_u")).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached")
+    )
+    c = levels[2].select(F.col("_u")).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted")
+    )
+    return (
+        r.crossJoin(c)
+        .select(
+            "n_reached",
+            "n_converted",
+            (F.col("n_reached") - F.col("n_converted"))
+            .cast("bigint")
+            .alias("n_abandoned"),
+            (
+                (F.col("n_reached") - F.col("n_converted")).cast("double")
+                / F.col("n_reached").cast("double")
+            ).alias("abandonment_rate"),
+        )
+    )

@@ -196,6 +196,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "sim_ivfpq_recall": 17,
         "sim_ivfpq_persisted_topk": 3,  # probe windows + pruned code scan
         "pipeline_vector_end_to_end": 4,  # dedup agg + joins + rank window
+        "events_cart_abandonment": 7,     # frontier rounds + two count aggs
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
