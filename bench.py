@@ -129,6 +129,7 @@ HEADLINE = [
     "sim_ivfpq_persisted_topk",
     "pipeline_vector_end_to_end",
     "events_cart_abandonment",
+    "events_dau_wau_stickiness",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -559,3 +559,61 @@ def kcore(
                 .select(F.col("n").alias("node"), "degree_in_core")
             )
     raise RuntimeError(f"k-core peeling did not stabilize in {max_rounds} rounds")
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    end-point degrees over all directed edge instances — do hubs link
+    to hubs (r > 0, social nets) or to leaves (r < 0, hub-and-spoke
+    infrastructure)? THE one-number mixing diagnostic that decides
+    whether hub-capping (the LSH/wedge discipline used throughout this
+    repo) removes a fringe or the core.
+
+    Determinism: degrees are integers; every sufficient statistic
+    (Σx, Σx², Σxy over the symmetrized pair list) is an exact BIGINT
+    sum — order-free on any partitioning — and r is one fixed-order
+    double expression over those integers. Regular graphs (zero
+    degree variance) return NULL rather than 0/0.
+
+    Scale: one degree aggregation + two broadcast joins of the
+    node-sized degree table onto the edge list; sums map-side
+    combine. Returns one row (n_nodes, n_edges, assortativity)."""
+    und = edges.select(
+        F.col(a_col).alias("n"), F.col(b_col).alias("m")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("n"), F.col(a_col).alias("m"))
+    ).distinct()
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        und.join(F.broadcast(deg), "n")
+        .withColumnRenamed("d", "dx")
+        .join(
+            F.broadcast(deg.withColumnRenamed("n", "m").withColumnRenamed("d", "dy")),
+            "m",
+        )
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),  # 2x undirected edges
+        F.sum(F.col("dx").cast("bigint")).cast("bigint").alias("sx"),
+        F.sum((F.col("dx") * F.col("dx")).cast("bigint")).cast("bigint").alias("sxx"),
+        F.sum((F.col("dx") * F.col("dy")).cast("bigint")).cast("bigint").alias("sxy"),
+    )
+    num = s["m2"].cast("double") * s["sxy"].cast("double") - (
+        s["sx"].cast("double") * s["sx"].cast("double")
+    )
+    den = s["m2"].cast("double") * s["sxx"].cast("double") - (
+        s["sx"].cast("double") * s["sx"].cast("double")
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        s.crossJoin(F.broadcast(nodes))
+        .select(
+            "n_nodes",
+            (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+            F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
+        )
+    )

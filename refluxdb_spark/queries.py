@@ -11586,3 +11586,118 @@ def events_cart_abandonment(spark, sf_dir):
             ).alias("abandonment_rate"),
         )
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+    wau AS (
+        SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+        FROM days d
+        JOIN du u ON u.day > d.day - 7 AND u.day <= d.day
+        GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness — the engagement ratio product dashboards
+    lead with (what share of the week's actives showed up today).
+    Same scale discipline as events_rolling_7d_actives: collapse to
+    the (day, user) grain FIRST, then the 7-day window is a broadcast
+    range join against the tiny day dimension — cost ∝ daily actives,
+    never raw event volume; stickiness is an exact int/int division."""
+    e = load(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    wau = (
+        F.broadcast(days.withColumnRenamed("day", "_d"))
+        .join(
+            du,
+            (F.col("day") > F.col("_d") - F.expr("INTERVAL 7 DAYS"))
+            & (F.col("day") <= F.col("_d")),
+        )
+        .groupBy("_d")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+        .withColumnRenamed("_d", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double"))
+            .alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "graph_assortativity_parts",
+    """
+    WITH pr AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT pa, pb FROM pr GROUP BY pa, pb HAVING count(*) >= 2),
+    und AS (
+        SELECT pa AS n, pb AS m FROM e
+        UNION
+        SELECT pb AS n, pa AS m FROM e
+    ),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY n),
+    pairs AS (
+        SELECT dx.d AS dx, dy.d AS dy
+        FROM und
+        JOIN deg dx ON dx.n = und.n
+        JOIN deg dy ON dy.n = und.m
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m2,
+               CAST(sum(dx) AS BIGINT) AS sx,
+               CAST(sum(dx * dx) AS BIGINT) AS sxx,
+               CAST(sum(dx * dy) AS BIGINT) AS sxy
+        FROM pairs
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(m2 / 2 AS BIGINT) AS n_edges,
+           CASE WHEN CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx != 0
+                THEN round((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                           / (CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+           END AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity_parts(spark, sf_dir):
+    """Degree assortativity of the co-purchase part graph (operators.
+    graph.degree_assortativity; Newman 2002): do frequently-bundled
+    parts pair with other hubs or with the long tail? The mixing
+    diagnostic that tells whether hub-capping removes fringe or core.
+    All sufficient statistics are exact BIGINT sums over the
+    symmetrized edge list; r is one fixed-order double expression."""
+    from refluxdb_spark.operators import graph as G
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= 2)
+        .select("pa", "pb")
+    )
+    return G.degree_assortativity(edges, "pa", "pb")

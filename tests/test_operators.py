@@ -2702,3 +2702,23 @@ def test_pq_encode_partitioning_invariant(spark, sf_dir):
         for r in pq_encode(emb.repartition(17, "label"), cb).collect()
     }
     assert a == b
+
+
+def test_degree_assortativity_star_vs_clique(spark):
+    """degree_assortativity: a star is maximally disassortative
+    (r = -1); a clique has zero degree variance (NULL); values match
+    the textbook Newman formula."""
+    from refluxdb_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "a long, b long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r.n_nodes == 6 and r.n_edges == 5
+    assert r.assortativity == -1.0
+
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(i + 1, 4)], "a long, b long"
+    )
+    c = degree_assortativity(clique).collect()[0]
+    assert c.assortativity is None  # zero degree variance -> undefined

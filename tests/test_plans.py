@@ -197,6 +197,10 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "sim_ivfpq_persisted_topk": 3,  # probe windows + pruned code scan
         "pipeline_vector_end_to_end": 4,  # dedup agg + joins + rank window
         "events_cart_abandonment": 7,     # frontier rounds + two count aggs
+        "events_dau_wau_stickiness": 6,   # day-grain distinct + dau/wau aggs
+        # static count re-walks the shared degree lineage per reference;
+        # identical exchanges dedupe at runtime (ReusedExchange)
+        "graph_assortativity_parts": 16,
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
