@@ -130,6 +130,7 @@ HEADLINE = [
     "pipeline_vector_end_to_end",
     "events_cart_abandonment",
     "events_dau_wau_stickiness",
+    "sample_quality_budget",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -11701,3 +11701,67 @@ def graph_assortativity_parts(spark, sf_dir):
         .select("pa", "pb")
     )
     return G.degree_assortativity(edges, "pa", "pb")
+
+
+@register(
+    "sample_quality_budget",
+    f"""
+    WITH qual AS (
+        SELECT doc_id, quality FROM ({ORACLES["text_quality_scores"]}) t
+    ),
+    d AS (
+        SELECT q.doc_id, docs.source, docs.n_chars, q.quality
+        FROM qual q JOIN documents docs USING (doc_id)
+    ),
+    tot AS (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM d GROUP BY source
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, d.n_chars, d.quality, tot.total_chars,
+               CAST(sum(d.n_chars) OVER (
+                   PARTITION BY d.source
+                   ORDER BY d.quality DESC, d.doc_id
+               ) AS BIGINT) AS cum_chars
+        FROM d JOIN tot USING (source)
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, quality,
+           cum_chars,
+           cum_chars <= CAST(floor(0.8 * total_chars) AS BIGINT) AS kept
+    FROM ranked
+    """,
+)
+def sample_quality_budget(spark, sf_dir):
+    """Budget-share curation: per source, fill 80% of the character
+    budget with the best-quality documents (quality desc, id
+    tiebreak) and FLAG the rest — the "best docs under a token
+    budget" selection a pretraining mix actually runs, where
+    temperature mixing decides BETWEEN sources and this decides
+    WITHIN one. Flag-don't-drop per the sampling module's audit
+    discipline. Every quantity on the keep path is an integer
+    (n_chars cumsum, floor(0.8 x total)); quality only ORDERS, so the
+    engines need equal ordering, not equal float sums — one window
+    per source over the doc dimension."""
+    docs = load(spark, sf_dir, "documents")
+    qual = X.quality_score(docs.select("doc_id", "text")).select("doc_id", "quality")
+    d = docs.select("doc_id", "source", "n_chars").join(qual, "doc_id")
+    tot = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("total_chars")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.join(F.broadcast(tot), "source").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"),
+        "quality",
+        F.sum("n_chars").over(w).cast("bigint").alias("cum_chars"),
+        F.floor(0.8 * F.col("total_chars")).cast("bigint").alias("_budget"),
+    )
+    return ranked.select(
+        "doc_id", "source", "n_chars", "quality", "cum_chars",
+        (F.col("cum_chars") <= F.col("_budget")).alias("kept"),
+    )

@@ -201,6 +201,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # static count re-walks the shared degree lineage per reference;
         # identical exchanges dedupe at runtime (ReusedExchange)
         "graph_assortativity_parts": 16,
+        "sample_quality_budget": 2,       # total agg broadcast + one window
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
