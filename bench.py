@@ -131,6 +131,7 @@ HEADLINE = [
     "events_cart_abandonment",
     "events_dau_wau_stickiness",
     "sample_quality_budget",
+    "events_session_duration_stats",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

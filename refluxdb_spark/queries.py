@@ -11765,3 +11765,71 @@ def sample_quality_budget(spark, sf_dir):
         "doc_id", "source", "n_chars", "quality", "cum_chars",
         (F.col("cum_chars") <= F.col("_budget")).alias("kept"),
     )
+
+
+@register(
+    "events_session_duration_stats",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    marks AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS session_seq
+        FROM marks
+    ),
+    sess AS (
+        SELECT user_id, session_seq,
+               CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM flagged GROUP BY user_id, session_seq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS bounce_rate,
+           quantile_cont(dur_us, 0.5) AS p50_dur_us,
+           quantile_cont(dur_us, 0.95) AS p95_dur_us,
+           CAST(max(dur_us) AS BIGINT) AS max_dur_us
+    FROM sess
+    """,
+)
+def events_session_duration_stats(spark, sf_dir):
+    """Session quality readout over the 30-minute-gap sessionizer:
+    duration percentiles (exact interpolated, integer-microsecond
+    inputs) and the bounce rate (single-event sessions — THE
+    engagement red flag). Session boundaries and durations ride the
+    sessionizer's one user-keyed window; the rollup collapses to a
+    single row of exact integers and int/int ratios."""
+    e = load(spark, sf_dir, "events")
+    sess = TS.sessionize(
+        e, ts_col="ts", by=["user_id"], gap_seconds=1800, tiebreak="event_id"
+    )
+    per = sess.groupBy("user_id", "session_seq").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint")
+        .alias("dur_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        (
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("bounce_rate"),
+        F.expr("percentile(dur_us, 0.5)").alias("p50_dur_us"),
+        F.expr("percentile(dur_us, 0.95)").alias("p95_dur_us"),
+        F.max("dur_us").cast("bigint").alias("max_dur_us"),
+    )

@@ -202,6 +202,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # identical exchanges dedupe at runtime (ReusedExchange)
         "graph_assortativity_parts": 16,
         "sample_quality_budget": 2,       # total agg broadcast + one window
+        "events_session_duration_stats": 2,  # session window + global fold
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
