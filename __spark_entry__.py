@@ -32,13 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def _coverage_order(names: list[str]) -> list[str]:
     """Order query names for driver sampling (the driver records the
     FIRST 50): (1) checked but whose most recent row is not a pass
-    (errors or mismatches — must re-verify first), (2) green but whose
-    last pass is ≥2 rounds old (the staleness backlog the r5 verdict
-    tracks — a multi-round-old driver row is weaker evidence than the
-    local oracle mirror's current green, so these retire before new
-    queries enter), stalest first, (3) never driver-checked (they have
-    local-mirror evidence and rotate in as backlog clears), (4) green
-    within the last two rounds, stalest first. Stable within ties."""
+    (errors or mismatches — must re-verify first), (2) never
+    driver-checked (ZERO driver evidence — only the local oracle
+    mirror has ever seen them, so they outrank everything green; the
+    r7 verdict showed the old stale-green-first ordering starves this
+    set forever because the stale cohort regenerates at exactly the
+    sampling rate), (3) green but whose last pass is ≥2 rounds old,
+    stalest first (old driver evidence PLUS current local-mirror
+    green — strictly stronger than category 2), (4) green within the
+    last two rounds, stalest first. Stable within ties."""
     last_round: dict[str, int] = {}
     last_pass: dict[str, int] = {}
     here = os.path.dirname(__file__)
@@ -59,12 +61,12 @@ def _coverage_order(names: list[str]) -> list[str]:
 
     def key(n: str):
         if n not in last_round:
-            return (2, 0, names.index(n))  # never driver-checked
+            return (1, 0, names.index(n))  # never driver-checked
         lp = last_pass.get(n, -1)
         if lp < last_round[n]:
             return (0, 0, names.index(n))  # latest row is red
         if lp <= max_round - 2:
-            return (1, lp, names.index(n))  # stale green backlog
+            return (2, lp, names.index(n))  # stale green backlog
         return (3, lp, names.index(n))  # recently green
 
     return sorted(names, key=key)

@@ -14,8 +14,11 @@ Codec strategy (r4 verdict item 5 — feature-detect, don't hard-stub):
   Pillow when ``import PIL`` succeeds (absent in this container — the
   path activates the moment the environment grows codecs), audio via
   the stdlib ``wave`` module for PCM WAV (works everywhere, tested
-  here). Video still requires ffmpeg and raises
-  ``NotImplementedError`` with a clear message.
+  here), video frames via the ``ffmpeg`` BINARY when it is on the
+  executors' PATH (pipe-through to raw PPM frames — absent in this
+  container, importorskip-gated test covers the real path). Without
+  the codec each op raises ``NotImplementedError`` with a clear
+  message at execution.
 
 Either way the Spark-side plumbing — schema, partitioning, Arrow
 ``mapInPandas`` batching — is identical and exercised by tests.
@@ -137,7 +140,12 @@ def frame_sample(
     chunk_bytes: int = 1024,
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame
-    (id, frame_idx, frame_ts_ms, frame sha256). Stubbed decode; the fake
+    (id, frame_idx, frame_ts_ms, frame sha256). Decode is real when
+    ``ffmpeg`` is on PATH on the executors (feature-detected at
+    execution, same contract as the Pillow-gated image ops: pipe the
+    payload through ``ffmpeg -vf fps=1000/every_ms`` to raw PPM frames
+    and sha256 each); without ffmpeg it raises NotImplementedError at
+    EXECUTION so the plan shape stays testable everywhere. The fake
     mode emits ceil(payload_len/chunk_bytes) pseudo-frames (sha256 of
     each payload chunk) so the fan-out shape (mapInPandas producing >1
     row per input) is real AND deterministic — the per-frame hashes are
@@ -146,9 +154,11 @@ def frame_sample(
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import shutil
 
+        ffmpeg = None if fake else shutil.which("ffmpeg")
         for pdf in it:
-            if not fake:
+            if not fake and ffmpeg is None:
                 raise NotImplementedError(
                     "video decoding requires ffmpeg (not in this container); "
                     "pass fake=True for the deterministic stub"
@@ -156,20 +166,84 @@ def frame_sample(
             rows = []
             for rid, payload in zip(pdf["id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                n_frames = max(1, (len(b) + chunk_bytes - 1) // chunk_bytes)
-                for i in range(n_frames):
-                    chunk = b[i * chunk_bytes : (i + 1) * chunk_bytes]
-                    rows.append(
-                        {
-                            "id": rid,
-                            "frame_idx": i,
-                            "frame_ts_ms": i * every_ms,
-                            "frame_sha256": hashlib.sha256(chunk).hexdigest(),
-                        }
-                    )
+                if fake:
+                    n_frames = max(1, (len(b) + chunk_bytes - 1) // chunk_bytes)
+                    for i in range(n_frames):
+                        chunk = b[i * chunk_bytes : (i + 1) * chunk_bytes]
+                        rows.append(
+                            {
+                                "id": rid,
+                                "frame_idx": i,
+                                "frame_ts_ms": i * every_ms,
+                                "frame_sha256": hashlib.sha256(chunk).hexdigest(),
+                            }
+                        )
+                else:
+                    for i, frame in enumerate(_ffmpeg_ppm_frames(ffmpeg, b, every_ms)):
+                        rows.append(
+                            {
+                                "id": rid,
+                                "frame_idx": i,
+                                "frame_ts_ms": i * every_ms,
+                                "frame_sha256": hashlib.sha256(frame).hexdigest(),
+                            }
+                        )
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_ts_ms", "frame_sha256"])
 
     return src.mapInPandas(_batches, "id bigint, frame_idx int, frame_ts_ms bigint, frame_sha256 string")
+
+
+def _ffmpeg_ppm_frames(ffmpeg: str, data: bytes, every_ms: int) -> list[bytes]:
+    """Decode ``data`` (any container/codec ffmpeg reads) to a list of
+    raw binary-PPM frame payloads sampled at 1000/every_ms fps. Runs on
+    the EXECUTOR inside the mapInPandas batch loop — one subprocess per
+    clip, stdin→stdout pipes only (no temp files, works on read-only
+    scratch). Frame bytes include the P6 header, so the sha256 is the
+    full canonical frame image."""
+    import subprocess
+
+    out = subprocess.run(
+        [
+            ffmpeg, "-v", "error",
+            "-i", "pipe:0",
+            "-vf", f"fps=1000/{every_ms}",
+            "-f", "image2pipe", "-vcodec", "ppm", "pipe:1",
+        ],
+        input=data,
+        capture_output=True,
+        check=False,
+    )
+    if out.returncode != 0:
+        raise ValueError(
+            f"ffmpeg failed to decode clip: {out.stderr.decode(errors='replace')[:500]}"
+        )
+    return _split_ppm_stream(out.stdout)
+
+
+def _split_ppm_stream(buf: bytes) -> list[bytes]:
+    """Split a concatenated binary-PPM (P6) stream into whole frames
+    (header + 3·w·h payload each). Pure bytes → list[bytes]; unit-
+    tested without any codec present."""
+    pos, frames = 0, []
+    while pos < len(buf):
+        if buf[pos : pos + 2] != b"P6":
+            raise ValueError(f"unexpected PPM stream at byte {pos}")
+        # header: P6 <ws> width <ws> height <ws> maxval <single-ws>, then
+        # 3*w*h binary bytes (ffmpeg never writes PPM comments)
+        hdr_pos, tokens = pos + 2, []
+        while len(tokens) < 3:
+            while buf[hdr_pos : hdr_pos + 1].isspace():
+                hdr_pos += 1
+            tok_start = hdr_pos
+            while not buf[hdr_pos : hdr_pos + 1].isspace():
+                hdr_pos += 1
+            tokens.append(int(buf[tok_start:hdr_pos]))
+        hdr_pos += 1  # the single whitespace after maxval
+        w, h, _maxval = tokens
+        end = hdr_pos + 3 * w * h
+        frames.append(buf[pos:end])
+        pos = end
+    return frames
 
 
 def media_summary(df: DataFrame, media_col: str = "media") -> DataFrame:

@@ -768,7 +768,8 @@ def rp_lsh_pairs(
 def semantic_prune(
     corpus: DataFrame,
     threshold: float = 0.95,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
+    max_cell: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -788,10 +789,36 @@ def semantic_prune(
     Scale shape: same budget as cosine_dup_pairs — per-centroid blocked
     self-join (never a global pair matrix), one groupBy on the pruned
     id. Deterministic end to end (seeded centroids, rounded scores), so
-    the full decision carries a value oracle."""
+    the full decision carries a value oracle.
+
+    ``num_centroids=None`` (the default) sizes the cluster count by
+    ``default_num_centroids`` (√N) from the corpus count — so cells
+    stay ~√N and the per-cell quadratic stays bounded as the corpus
+    grows; the oracled query pins 16 explicitly for determinism.
+    ``max_cell`` (None = off) additionally SKIPS cells holding more
+    than ``max_cell`` vectors — the hot-cluster guard every other
+    quadratic reducer here carries (LSH/SimHash ``max_bucket``,
+    Jaccard ``max_df``): one dense mode in the embedding space must
+    not turn one cell into the whole corpus. Skipped vectors are
+    simply kept (prune is conservative); ``semantic_hot_cells``
+    reports what a cap skipped."""
     _, assigned = build_ivf_index(
         corpus, num_centroids=num_centroids, id_col=id_col, vec_col=vec_col
     )
+    if max_cell is not None:
+        # cell-size prefilter BEFORE the self-join, as a window on the
+        # join key itself: the count rides the same centroid_id
+        # exchange the self-join needs anyway (a separate groupBy+join
+        # guard re-derived the assignment lineage — measured 8
+        # exchanges vs 4 for this shape), then the join only sees
+        # cells whose quadratic cost is bounded by max_cell².
+        assigned = (
+            assigned.withColumn(
+                "_ncell", F.count(F.lit(1)).over(Window.partitionBy("centroid_id"))
+            )
+            .filter(F.col("_ncell") <= max_cell)
+            .drop("_ncell")
+        )
     # per-vector norms before the self-join — see cosine_dup_pairs
     withn = assigned.withColumn("_nv", _norm(vec_col))
     a = withn.select(
@@ -820,6 +847,28 @@ def semantic_prune(
             F.col("_best.id_a").alias("dup_of"),
             F.col("_best.cosine").alias("cosine"),
         )
+    )
+
+
+def semantic_hot_cells(
+    corpus: DataFrame,
+    num_centroids: int | None = None,
+    max_cell: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dropped-cell report for ``semantic_prune(max_cell=…)``: IVF
+    cells holding more than ``max_cell`` vectors and their sizes
+    (centroid_id, n_vecs) — the audit trail for what a cap skipped
+    (mirror of ``lsh_hot_buckets`` / ``simhash_hot_buckets``: a capped
+    pipeline logs the skips instead of silently under-pruning)."""
+    _, assigned = build_ivf_index(
+        corpus, num_centroids=num_centroids, id_col=id_col, vec_col=vec_col
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .filter(F.col("n_vecs") > max_cell)
     )
 
 

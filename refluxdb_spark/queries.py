@@ -6083,6 +6083,66 @@ def dedup_semantic_prune(spark, sf_dir):
 
 
 @register(
+    "dedup_semantic_prune_capped",
+    f"""
+    WITH {_IVF_CTES},
+    cells AS (
+        SELECT centroid_id, count(*) AS n_vecs
+        FROM assigned GROUP BY centroid_id
+    ),
+    survivors AS (
+        SELECT a.vec_id, a.centroid_id FROM assigned a
+        JOIN cells USING (centroid_id) WHERE cells.n_vecs <= 35
+    ),
+    pairs AS (
+        SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(va.vv, vb.vv) /
+                     (sqrt(list_dot_product(va.vv, va.vv)) * sqrt(list_dot_product(vb.vv, vb.vv))), 6) AS cosine
+        FROM survivors a
+        JOIN survivors b USING (centroid_id)
+        JOIN v va ON a.vec_id = va.vec_id
+        JOIN v vb ON b.vec_id = vb.vec_id
+        WHERE a.vec_id < b.vec_id
+    ),
+    pruned AS (
+        SELECT id_b AS vec_id, centroid_id,
+               min(id_a) AS dup_of,
+               arg_min(cosine, id_a) AS cosine
+        FROM pairs WHERE cosine >= 0.35
+        GROUP BY id_b, centroid_id
+    ),
+    hot AS (
+        SELECT centroid_id, CAST(NULL AS BIGINT) AS dup_of,
+               CAST(NULL AS DOUBLE) AS cosine,
+               CAST(-n_vecs AS BIGINT) AS vec_id
+        FROM cells WHERE n_vecs > 35
+    )
+    SELECT vec_id, centroid_id, dup_of, cosine FROM pruned
+    UNION ALL
+    SELECT vec_id, centroid_id, dup_of, cosine FROM hot
+    """,
+)
+def dedup_semantic_prune_capped(spark, sf_dir):
+    """Hot-cluster-guarded SemDeDup (r7 verdict item 3): same keep/drop
+    decision as dedup_semantic_prune but cells holding > 35 vectors are
+    SKIPPED from the quadratic self-join (semantic_prune(max_cell=35) —
+    at 100 TB one dense embedding mode must not turn one cell into the
+    whole corpus) and the audit rows from semantic_hot_cells ride along
+    as sentinel rows (vec_id = -n_vecs, null dup_of/cosine) so the
+    capped run and its skip report share one value oracle. At sf0.01
+    the cap bites 4 of 16 cells (42/39/36/36 vectors)."""
+    emb = load(spark, sf_dir, "embeddings")
+    pruned = S.semantic_prune(emb, threshold=0.35, num_centroids=16, max_cell=35)
+    hot = S.semantic_hot_cells(emb, num_centroids=16, max_cell=35).select(
+        (-F.col("n_vecs")).cast("bigint").alias("vec_id"),
+        "centroid_id",
+        F.lit(None).cast("bigint").alias("dup_of"),
+        F.lit(None).cast("double").alias("cosine"),
+    )
+    return pruned.select("vec_id", "centroid_id", "dup_of", "cosine").unionAll(hot)
+
+
+@register(
     "ts_streaming_interval_join",
     """
     WITH w AS (

@@ -22,6 +22,33 @@ def test_entry_returns_rows(spark):
     assert df.count() > 0
 
 
+def test_coverage_order_never_checked_outranks_stale_green(tmp_path, monkeypatch):
+    """Pin the sampling priority the r7 verdict mandated: red > never
+    driver-checked > stale green > recent green. The old ordering put
+    stale-green ahead of never-checked, which provably starves the
+    never-set forever (the stale cohort regenerates at exactly the
+    50-row/round sampling rate)."""
+    import json
+
+    rows_r1 = {
+        "red_q": {"hash_match": True},
+        "stale_q": {"hash_match": True},
+        "recent_q": {"hash_match": True},
+    }
+    rows_r3 = {
+        "red_q": {"hash_match": False, "err": "boom"},
+        "recent_q": {"hash_match": True},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(rows_r1))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(rows_r3))
+    monkeypatch.setattr(entry_mod.os.path, "dirname", lambda _: str(tmp_path))
+
+    order = entry_mod._coverage_order(
+        ["recent_q", "stale_q", "never_q", "red_q"]
+    )
+    assert order == ["red_q", "never_q", "stale_q", "recent_q"]
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_column_names_match_oracle(spark, sf_dir, name):
     """Names AND canonical dtypes must agree: the driver hash is

@@ -1492,6 +1492,70 @@ def test_image_features_real_decode_with_pillow(spark):
     assert (back.width, back.height) == (15, 10)
 
 
+def test_frame_sample_real_decode_with_ffmpeg(spark):
+    """Runs the REAL ffmpeg path when the binary is on PATH; skips
+    (not fails) in this container. Synthesizes a 1-second 4fps test
+    clip WITH ffmpeg itself, then asserts frame_sample(every_ms=250)
+    recovers ~4 frames with distinct hashes and the right timeline —
+    the moment ffmpeg appears the operator stops being plumbing-only
+    with zero code change (mirror of the Pillow-gated image test)."""
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        pytest.skip("ffmpeg not on PATH")
+
+    from refluxdb_spark.operators.multimodal import attach_media, frame_sample
+
+    clip = subprocess.run(
+        [ffmpeg, "-v", "error",
+         "-f", "lavfi", "-i", "testsrc=duration=1:size=64x64:rate=4",
+         "-f", "avi", "-vcodec", "mjpeg", "pipe:1"],
+        capture_output=True, check=True,
+    ).stdout
+    df = spark.createDataFrame([(1, clip)], "id long, payload binary")
+    media = attach_media(df, "payload", "video/avi")
+    rows = sorted(
+        frame_sample(media, every_ms=250, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert 3 <= len(rows) <= 5  # fps resample edge frames may shift ±1
+    assert [r.frame_idx for r in rows] == list(range(len(rows)))
+    assert [r.frame_ts_ms for r in rows] == [i * 250 for i in range(len(rows))]
+    assert len({r.frame_sha256 for r in rows}) == len(rows)  # testsrc animates
+
+
+def test_frame_sample_without_ffmpeg_raises(spark):
+    """fake=False on a PATH without ffmpeg must fail loudly at
+    execution (never silently fake) — stub contract unchanged."""
+    import shutil
+
+    if shutil.which("ffmpeg") is not None:
+        pytest.skip("ffmpeg present; stub path unreachable")
+
+    from refluxdb_spark.operators.multimodal import attach_media, frame_sample
+
+    df = spark.createDataFrame([(1, b"xx")], "id long, payload binary")
+    media = attach_media(df, "payload", "video/avi")
+    with pytest.raises(Exception, match="ffmpeg"):
+        frame_sample(media, fake=False).collect()
+
+
+def test_ffmpeg_ppm_frame_parser_by_hand():
+    """The PPM stream splitter (executor-side helper) cuts
+    concatenated P6 frames exactly — header token walk + 3wh payload —
+    no codec needed to verify."""
+    from refluxdb_spark.operators.multimodal import _split_ppm_stream
+
+    f1 = b"P6\n2 1\n255\n" + bytes(6)
+    f2 = b"P6\n1 2\n255\n" + bytes([255] * 6)
+    assert _split_ppm_stream(f1 + f2) == [f1, f2]
+    assert _split_ppm_stream(b"") == []
+    with pytest.raises(ValueError, match="unexpected PPM"):
+        _split_ppm_stream(b"JUNK" + f1)
+
+
 def test_connected_components_pointer_jumping_on_long_chain(spark):
     """Path doubling converges in O(log diameter): a 400-node chain
     finishes well inside max_iter=15 (2^15 >> 400), where plain
@@ -1616,6 +1680,57 @@ def test_semantic_prune_keep_rule_by_hand(spark):
     assert set(out) == {2, 3}          # 1 survives (lowest), 4 unique
     assert out[2].dup_of == 1 and out[3].dup_of == 1
     assert out[2].cosine == 1.0
+
+
+def test_semantic_prune_max_cell_guard_and_audit(spark):
+    """The hot-cluster cap: a cell over ``max_cell`` is skipped
+    entirely (prune is conservative — skipped vectors are kept), and
+    ``semantic_hot_cells`` reports exactly the skipped cells. With the
+    cap above the cell size the result is unchanged."""
+    from refluxdb_spark.operators.similarity import (
+        semantic_hot_cells,
+        semantic_prune,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),
+        (3, [0.5, 0.0]),
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # single cell of 4 vectors; cap at 3 -> nothing pruned
+    assert semantic_prune(
+        df, threshold=0.9, num_centroids=1, max_cell=3
+    ).count() == 0
+    # audit names the skipped cell with its size
+    hot = semantic_hot_cells(df, num_centroids=1, max_cell=3).collect()
+    assert [(r.centroid_id, r.n_vecs) for r in hot] == [(1, 4)]
+    assert semantic_hot_cells(df, num_centroids=1, max_cell=4).count() == 0
+    # cap at exactly the cell size -> identical to the uncapped run
+    capped = {r.vec_id: r for r in semantic_prune(
+        df, threshold=0.9, num_centroids=1, max_cell=4
+    ).collect()}
+    assert set(capped) == {2, 3}
+    assert capped[2].dup_of == 1 and capped[3].dup_of == 1
+
+
+def test_semantic_prune_default_centroids_scales_sqrt_n(spark):
+    """num_centroids=None routes through default_num_centroids(√N):
+    with 4 vectors the floor of 16 applies, so every vector sits in
+    its own cell and nothing is ever pruned — the √N sizing is what
+    keeps the per-cell quadratic bounded at corpus scale."""
+    from refluxdb_spark.operators.similarity import semantic_prune
+
+    rows = [(i, [1.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_prune(df, threshold=0.9)
+    # seeds = the 4 lowest ids themselves (16-centroid request, 4
+    # vectors) -> each vector is its own nearest centroid (cos=1 with
+    # itself; ties break to the lower centroid id, but identical
+    # directions here collapse to centroid 0 -> still pruned within it)
+    got = {r.vec_id for r in out.collect()}
+    assert got == {1, 2, 3}  # all share one direction -> one cell
 
 
 def test_gopher_filter_rules_and_precedence(spark):

@@ -350,6 +350,26 @@ def test_incremental_dedup_index_pruned(spark, sf_dir):
     )
 
 
+def test_semantic_prune_cap_broadcasts_cell_filter(spark, sf_dir):
+    """The ``max_cell`` hot-cluster guard must stay cheap: the
+    cell-size count is a WINDOW on the self-join's own key (never a
+    groupBy+join that re-derives the assignment lineage — that shape
+    measured 8 exchanges), so the capped plan adds at most one
+    exchange over the uncapped budget (3) and the centroid assignment
+    stays a broadcast."""
+    from refluxdb_spark.operators.similarity import semantic_prune
+    from refluxdb_spark.plans.inspect import (
+        assert_broadcast_join,
+        count_exchanges,
+    )
+    from refluxdb_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    df = semantic_prune(emb, threshold=0.35, num_centroids=16, max_cell=10_000)
+    assert_broadcast_join(df, at_least=1)
+    assert count_exchanges(df) <= 4, "cell-size guard added >1 exchange"
+
+
 def test_decontaminate_broadcasts_bench_grams(spark, sf_dir):
     """The corpus side of decontamination must never shuffle: the eval
     gram set broadcasts into a semi-join against the exploded corpus
