@@ -1,0 +1,67 @@
+"""Compare two bench artifacts (BENCH_r{N}.json or raw bench.py stdout)
+query by query.
+
+The driver's BENCH_r{N}.json stores only the TAIL of bench.py stdout,
+so older artifacts expose just the last ~60 per-query timings; this
+tool parses whatever pairs are visible in each side, intersects, and
+reports the common-query total ratio plus every per-query regression
+above the threshold — the r7 verdict's ratchet ("total <= prior round,
+zero >1.3x regressions") as one command:
+
+    python scripts/bench_compare.py BENCH_r07.json bench_r08.out [1.3]
+
+Raw stdout (full JSON line) and driver tails mix freely; timings keyed
+"reps"/"sf"/"calibration_sec"/"value"/"n_queries" are excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+_META = {"reps", "sf", "calibration_sec", "value", "n_queries"}
+
+
+def load_timings(path: str) -> dict[str, float]:
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "tail" in d:  # driver artifact
+            text = d["tail"]
+        elif isinstance(d, dict) and "queries" in d:  # full bench line
+            return {k: float(v) for k, v in d["queries"].items()}
+    except json.JSONDecodeError:
+        pass  # raw stdout: fall through to the pair scan
+    pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', text)
+    return {k: float(v) for k, v in pairs if k not in _META}
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    base, new = load_timings(sys.argv[1]), load_timings(sys.argv[2])
+    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    common = sorted(set(base) & set(new))
+    if not common:
+        print("no common queries between the two artifacts")
+        return 2
+    tb, tn = sum(base[q] for q in common), sum(new[q] for q in common)
+    print(f"common queries: {len(common)}  "
+          f"base total {tb:.2f}s  new total {tn:.2f}s  ratio {tn / tb:.2f}x")
+    regressions = [
+        (q, base[q], new[q], new[q] / base[q])
+        for q in common
+        # floor of 0.15s: sub-frame timings are pure scheduler noise
+        if new[q] > base[q] * thresh and new[q] - base[q] > 0.15
+    ]
+    for q, b, n, r in sorted(regressions, key=lambda t: -t[3]):
+        print(f"  REGRESSION {q}: {b:.2f}s -> {n:.2f}s ({r:.2f}x)")
+    if not regressions:
+        print(f"zero regressions > {thresh}x")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
