@@ -201,39 +201,34 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    for line in emit_lines(timings, reps, calibration, sf):
+        print(line)
+
+
+def emit_lines(
+    timings: dict[str, float], reps: int, calibration: float, sf: float
+) -> list[str]:
+    """The stdout contract, testable without running queries: the full
+    JSON record first, then the summary WITHOUT the per-query dict as
+    the FINAL short line. The driver's capture window keeps only the
+    TAIL of stdout, and the full per-query line (~100 entries)
+    overflows it — r7's BENCH artifact recorded "parsed": null with
+    the headline total and the first ~36 timings invisible. The short
+    repeat guarantees whatever tail the driver keeps always ends in
+    one complete, parseable JSON record."""
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": reps,
-                "calibration_sec": calibration,
-                "sf": sf,
-            }
-        )
-    )
-    # The driver's capture window keeps only the TAIL of stdout, and
-    # the full per-query line above (~100 entries) overflows it — r7's
-    # BENCH artifact recorded "parsed": null with the headline total
-    # and the first ~36 timings invisible. Repeat the summary WITHOUT
-    # the per-query dict as the final, short line so whatever tail the
-    # driver keeps always ends in one complete, parseable JSON record.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "reps": reps,
-                "calibration_sec": calibration,
-                "sf": sf,
-            }
-        )
-    )
+    head = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "calibration_sec": calibration,
+        "sf": sf,
+    }
+    summary = {k: v for k, v in head.items() if k != "queries"}
+    summary["n_queries"] = len(timings)
+    return [json.dumps(head), json.dumps(summary)]
 
 
 if __name__ == "__main__":

@@ -1,0 +1,42 @@
+"""Bench stdout contract: the driver's BENCH_r{N}.json keeps only a
+~2000-char TAIL of bench.py stdout, so the LAST line must always be a
+complete, parseable JSON record carrying the headline total (r7's
+artifact had "parsed": null because the single full line overflowed
+the window). No Spark session needed — the emit function is pure."""
+
+import json
+
+from bench import HEADLINE, emit_lines
+from refluxdb_spark.queries import ORACLES, QUERIES
+
+
+def test_emit_two_parseable_lines_with_matching_totals():
+    timings = {f"q{i}": 0.5 for i in range(98)}
+    lines = emit_lines(timings, reps=3, calibration=0.28, sf=0.1)
+    assert len(lines) == 2
+    head, summary = (json.loads(l) for l in lines)
+    assert head["queries"] == timings
+    assert "queries" not in summary
+    assert summary["value"] == head["value"] == 49.0
+    assert summary["n_queries"] == 98
+    for rec in (head, summary):
+        assert (rec["metric"], rec["unit"], rec["sf"], rec["reps"]) == (
+            "headline_queries_total_time", "sec", 0.1, 3,
+        )
+
+
+def test_summary_line_fits_driver_tail_window():
+    """The final line must survive a 2000-char tail capture with the
+    full-line tail fragment in front of it — i.e. stay far under the
+    window on its own."""
+    timings = {f"some_rather_long_query_name_{i}": 123.456 for i in range(98)}
+    lines = emit_lines(timings, reps=3, calibration=0.28, sf=0.1)
+    assert len(lines[-1]) < 400
+    assert json.loads(lines[-1])["value"] == round(123.456 * 98, 3)
+
+
+def test_headline_names_are_registered_and_oracled():
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    assert not missing, f"HEADLINE names not in QUERIES: {missing}"
+    unoracled = [n for n in HEADLINE if n not in ORACLES]
+    assert not unoracled, f"HEADLINE names without oracle: {unoracled}"

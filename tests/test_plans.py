@@ -203,6 +203,10 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "graph_assortativity_parts": 16,
         "sample_quality_budget": 2,       # total agg broadcast + one window
         "events_session_duration_stats": 2,  # session window + global fold
+        # r8 additions (budget = measured shape):
+        # capped prune (cell window rides the self-join key: 4) + the
+        # audit branch's own assignment agg (2)
+        "dedup_semantic_prune_capped": 6,
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
