@@ -40,3 +40,27 @@ def test_headline_names_are_registered_and_oracled():
     assert not missing, f"HEADLINE names not in QUERIES: {missing}"
     unoracled = [n for n in HEADLINE if n not in ORACLES]
     assert not unoracled, f"HEADLINE names without oracle: {unoracled}"
+
+
+def test_every_headline_query_has_an_exchange_budget():
+    """The shuffle-budget fence only catches creep for queries it
+    lists; as of r8 the WHOLE bench set is pinned, so a new HEADLINE
+    entry without a measured budget is itself a failure."""
+    import ast
+    import os
+
+    src = open(
+        os.path.join(os.path.dirname(__file__), "test_plans.py")
+    ).read()
+    tree = ast.parse(src)
+    budgets: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id == "budgets" for t in node.targets
+        ):
+            budgets = {
+                k.value for k in node.value.keys if isinstance(k, ast.Constant)
+            }
+    assert budgets, "budgets dict not found in test_plans.py"
+    missing = [n for n in HEADLINE if n not in budgets]
+    assert not missing, f"HEADLINE queries without exchange budget: {missing}"
