@@ -787,35 +787,42 @@ def edit_distance_pairs(
     q: int = 3,
     max_gram_df: int | None = None,
 ) -> DataFrame:
-    """Fuzzy string self-join via positional q-gram COUNT filtering
-    (Gravano et al. VLDB'01 approximate string joins): all pairs
-    within Levenshtein distance ``max_dist``, without the quadratic
-    cross join.
+    """Fuzzy string self-join via positional q-grams (Gravano et al.
+    VLDB'01) with rarest-gram prefix filtering (the All-Pairs/PPJoin
+    prefix idea): all pairs within Levenshtein distance ``max_dist``,
+    without the quadratic cross join.
 
-    Filter soundness: one edit destroys at most ``q`` of a string's
-    positional q-grams and shifts surviving grams' positions by at
-    most ``max_dist``, so two strings within distance share at least
-    ``len - q + 1 - q*max_dist`` grams at positions differing by
-    <= ``max_dist`` (plus the |len_a - len_b| <= max_dist band). The
-    candidate join buckets by gram, constrains |pos_a - pos_b|, and
-    the per-pair matched-position COUNT must reach the a-side's
-    threshold — on small-vocabulary corpora where any single common
-    gram pairs half the corpus, the count threshold is what keeps the
-    candidate set near the true pair set. Only survivors pay the
-    exact ``levenshtein`` verify; recall 1 by the lemma. Strings too
-    short to carry a positive threshold (len < q*(max_dist+1))
-    fall back to a length-banded pair join within the short bucket —
-    bounded by the short-string population, which a key/title column
-    keeps tiny.
+    Soundness: one edit destroys at most ``q`` of a string's
+    positional q-grams and shifts survivors' positions by at most
+    ``max_dist``, so after ``max_dist`` edits at most ``q*max_dist``
+    grams lack a positional match in the partner — of ANY
+    ``q*max_dist + 1`` grams of A, at least one matches B at
+    |pos diff| <= ``max_dist`` (plus the |len_a - len_b| band). Each
+    string therefore PROBES with only its ``q*max_dist + 1`` globally
+    rarest grams (rarity = corpus gram frequency; deterministic
+    (df, gram, pos) tiebreak) against the full positional gram index:
+    recall 1 by the lemma, and corpus-frequent grams — the quadratic
+    reducer on template-heavy corpora, where one common gram at one
+    position pairs half the corpus — never generate probe pairs. Only
+    candidates pay the exact ``levenshtein`` verify. Strings too
+    short for the lemma (len < q*(max_dist+1), i.e. fewer than
+    ``q*max_dist + 1`` grams) fall back to a length-banded pair join
+    within the short bucket — bounded by the short-string population,
+    which a key/title column keeps tiny.
 
     Scale: the gram relation is corpus-linear with constant fan-out;
-    the join is bucketed by gram with the position window cutting
-    aligned-cluster blowup ~len-fold; the count filter collapses
-    map-side per (pair). ``max_gram_df`` additionally drops grams
-    whose document frequency exceeds the cap from candidate
-    generation (LSH hot-bucket discipline; with the count filter this
-    can lose recall on pairs made ONLY of capped grams — audit before
-    enabling). Returns (id_a, id_b, dist)."""
+    the probe side is ``q*max_dist + 1`` rows per string; join cost
+    is sum of df(gram) over probe grams — minimized by the rarity
+    choice — vs sum of df(gram)^2 for a full gram self-join
+    (measured 17.7x cost at 10x docs before this change, 4.6x after
+    with linearly-growing output; the residual superlinearity is the
+    synthetic corpus's FIXED vocabulary — every gram's df grows with
+    the corpus — where natural keys add vocabulary as they add rows;
+    SCALE.md §9). ``max_gram_df`` additionally drops grams whose
+    document frequency exceeds the cap from BOTH sides (LSH
+    hot-bucket discipline; can lose recall on pairs whose matching
+    grams are all capped — audit before enabling). Returns
+    (id_a, id_b, dist)."""
     d = max_dist
     short_len = q * (d + 1)  # threshold <= 0 below this
     s = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
@@ -842,36 +849,60 @@ def edit_distance_pairs(
             .select("_gram")
         )
         grams = grams.join(F.broadcast(hot), "_gram", "left_anti")
-    # position rides the JOIN KEY as a coarse bucket (width d+1, the
-    # banded range-join trick): |pos_a - pos_b| <= d implies bucket
-    # distance <= 1, so the b-side replicates into its 3 adjacent
-    # buckets and a hot gram's blowup is bounded by its POSITION-LOCAL
-    # density, not its corpus-wide frequency squared. The exact
-    # position window applies as the residual filter.
+    # Candidate generation: RAREST-GRAM PROBE (the All-Pairs/PPJoin
+    # prefix-filter shape adapted to the positional count lemma). d
+    # edits destroy at most q*d of a string's positional grams, so of
+    # ANY q*d + 1 grams of A at least one survives with a positional
+    # match in B (|pos diff| <= d) — probing with each string's
+    # q*d + 1 GLOBALLY RAREST grams keeps recall 1 while corpus-
+    # frequent grams never enter the probe side. Join cost is
+    # sum(df(g)) over PROBE grams — minimized by the rarity choice —
+    # instead of sum(df(g)^2) over ALL grams: the previous full
+    # (gram, pos-bucket) self-join measured 17.7x cost for 10x docs
+    # on word-rotated sf0.1 replicas (position-local gram density
+    # grows with the corpus, so bucket-join output is quadratic on
+    # template-heavy text); the probe join stays corpus-linear while
+    # a string's (q*d+1)-th rarest gram stays rare, which natural
+    # keys/titles satisfy. Position rides the JOIN KEY as a coarse
+    # bucket (width d+1, banded range-join trick): |pos diff| <= d
+    # implies bucket distance <= 1, so the probe side replicates into
+    # its 3 adjacent buckets and the exact window filters residually.
     w = d + 1
-    ga = grams.select(
-        F.col("_id").alias("_ida"), F.col("_len").alias("_la"),
-        F.col("_pos").alias("_pa"), "_gram",
-        F.floor(F.col("_pos") / w).alias("_bk"),
+    probe_n = q * d + 1
+    gram_df = grams.groupBy("_gram").agg(F.count(F.lit(1)).alias("_df"))
+    rank_w = Window.partitionBy("_id").orderBy("_df", "_gram", "_pos")
+    probe = (
+        grams.join(gram_df, "_gram")
+        .withColumn("_rk", F.row_number().over(rank_w))
+        .filter(F.col("_rk") <= probe_n)
+        .select(
+            F.col("_id").alias("_ida"), F.col("_len").alias("_la"),
+            F.col("_pos").alias("_pa"), "_gram",
+            F.explode(
+                F.array(*[F.floor(F.col("_pos") / w) + i for i in (-1, 0, 1)])
+            ).alias("_bk"),
+        )
     )
-    gb = grams.select(
+    index = grams.select(
         F.col("_id").alias("_idb"), F.col("_len").alias("_lb"),
         F.col("_pos").alias("_pb"), "_gram",
-        F.explode(
-            F.array(*[F.floor(F.col("_pos") / w) + i for i in (-1, 0, 1)])
-        ).alias("_bk"),
+        F.floor(F.col("_pos") / w).alias("_bk"),
     )
+    # a pair is found whenever EITHER side's rare-gram probe hits the
+    # other's full index, so ids are normalized after the join rather
+    # than ordered inside it
     cand = (
-        ga.join(gb, ["_gram", "_bk"])
+        probe.join(index, ["_gram", "_bk"])
         .filter(
-            (F.col("_ida") < F.col("_idb"))
+            (F.col("_ida") != F.col("_idb"))
             & (F.abs(F.col("_la") - F.col("_lb")) <= d)
             & (F.abs(F.col("_pa") - F.col("_pb")) <= d)
         )
-        .groupBy("_ida", "_idb", "_la")
-        .agg(F.count_distinct(F.col("_pa")).alias("_nm"))
-        .filter(F.col("_nm") >= F.col("_la") - F.lit(q - 1) - F.lit(q * d))
-        .select("_ida", "_idb")
+        .select(
+            F.least("_ida", "_idb").alias("_a"),
+            F.greatest("_ida", "_idb").alias("_b"),
+        )
+        .select(F.col("_a").alias("_ida"), F.col("_b").alias("_idb"))
     )
     # short strings: threshold non-positive -> length-banded pair join
     # over the near-short bucket (len < short_len + d), requiring at

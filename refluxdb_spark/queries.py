@@ -10542,18 +10542,20 @@ def events_column_profile(spark, sf_dir):
 def string_fuzzy_title_pairs(spark, sf_dir):
     """Approximate-string self-join (operators.text.
     edit_distance_pairs): document 'titles' (first 40 chars) within
-    Levenshtein distance 2, found via positional q-gram COUNT
-    filtering (Gravano et al. VLDB'01) instead of a quadratic cross
-    join — two strings within distance 2 share >= len - 2 - q*2
-    grams at positions differing by <= 2, so candidates come from a
-    (gram, position-bucket)-keyed join with a per-pair matched-count
-    threshold (q=8: long grams keep the gram relation selective on a
-    small-vocabulary corpus where any common short gram pairs half
-    the docs); only survivors pay the exact levenshtein. The
+    Levenshtein distance 2, candidates from the RAREST-GRAM PROBE
+    (positional q-grams per Gravano et al. VLDB'01 + the All-Pairs/
+    PPJoin prefix idea): 2 edits destroy at most q*2 positional
+    grams, so each title probes with only its q*2+1 globally rarest
+    grams against the full positional index — recall 1 by the lemma,
+    and corpus-frequent grams never generate probe pairs (the r8
+    scaling run measured the previous full gram self-join at 17.7x
+    cost for 10x docs; the probe cut that to 4.6x with linear output
+    — SCALE.md §9). Only candidates pay the exact levenshtein. The
     bibliographic-dedup primitive for short keys where shingle/
-    MinHash machinery is overkill. The oracle replays gram
-    generation, the count threshold, the short-string fallback, and
-    the verify in SQL."""
+    MinHash machinery is overkill. The oracle reaches the same
+    answer through the count-threshold candidate route — BOTH
+    candidate schemes have recall 1 and the final exact verify makes
+    the result sets identical, so the value hash still matches."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 40).alias("title")
     )

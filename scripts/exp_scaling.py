@@ -30,13 +30,34 @@ from refluxdb_spark.session import get_spark  # noqa: E402
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/refluxdb_spark_scaling"
 
-# (query name, table the factor applies to)
+def _semantic_prune_prod(spark, sf_dir):
+    """semantic_prune in its PRODUCTION sizing (num_centroids=None →
+    √N cells), not the oracled query's pinned 16 cells: with the cell
+    count fixed, 10x vectors makes every cell 10x and the per-cell
+    quadratic 100x — measuring that would grade the determinism pin,
+    not the operator. √N sizing keeps cells ~√N, so total pair cost
+    grows ~N^1.5 worst-case; the measurement checks that bound."""
+    from refluxdb_spark.operators import similarity as S
+    from refluxdb_spark.queries import load
+
+    return S.semantic_prune(load(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# (query name, table the factor applies to, callable or None=QUERIES[name])
 MEASURED = [
-    ("tpch_q1_pricing_summary", "lineitem"),
-    ("ts_ema_per_user", "events"),
-    ("events_rolling_7d_actives", "events"),
-    ("dedup_minhash_lsh_pairs", "documents"),
-    ("sim_cosine_topk", "embeddings"),
+    ("tpch_q1_pricing_summary", "lineitem", None),
+    ("ts_ema_per_user", "events", None),
+    ("events_rolling_7d_actives", "events", None),
+    ("dedup_minhash_lsh_pairs", "documents", None),
+    ("sim_cosine_topk", "embeddings", None),
+    # round-8 additions: the bench top-cost family (every one a
+    # bucketed pair generator or ANN build — the plans whose 100x
+    # behavior the capping/blocking machinery exists to bound)
+    ("dedup_jaccard_pairs_capped", "documents", None),
+    ("dedup_simhash_pairs_capped", "documents", None),
+    ("string_fuzzy_title_pairs", "documents", None),
+    ("sim_ivfpq_topk", "embeddings", None),
+    ("semantic_prune_prod", "embeddings", _semantic_prune_prod),
 ]
 
 TABLES = [
@@ -104,11 +125,11 @@ def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
     spark = get_spark(app_name="refluxdb_spark_scaling")
     spark.sparkContext.setLogLevel("ERROR")
-    results: dict[str, dict[int, float]] = {q: {} for q, _ in MEASURED}
+    results: dict[str, dict[int, float]] = {q: {} for q, _t, _f in MEASURED}
     for f in factors:
         sf_dir = build_scaled(spark, f)
-        for q, _tbl in MEASURED:
-            fn = QUERIES[q]
+        for q, _tbl, custom in MEASURED:
+            fn = custom or QUERIES[q]
             fn(spark, sf_dir).count()  # warm
             samples = []
             for _ in range(3):
@@ -123,7 +144,7 @@ def main() -> None:
     print("| query | " + " | ".join(f"x{f}" for f in factors)
           + " | x10/x1 cost ratio |")
     print("|---|" + "---|" * (len(factors) + 1))
-    for q, _ in MEASURED:
+    for q, _t, _f in MEASURED:
         r = results[q]
         ratio = round(r[factors[-1]] / r[base], 1) if r[base] else float("nan")
         print(f"| {q} | " + " | ".join(f"{r[f]}s" for f in factors)
