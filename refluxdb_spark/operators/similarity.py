@@ -679,15 +679,39 @@ def _rp_planes(bits: int, dim: int) -> list[list[int]]:
     ]
 
 
+def default_rp_band_bits(corpus_size: int, target_bucket: int = 32) -> int:
+    """Band-width sizing rule for random-projection LSH.
+
+    Unrelated vectors share a ``band_bits``-bit band value with
+    probability ~2^-band_bits (sign bits of random hyperplanes are
+    ~fair coins), so the EXPECTED bucket holds N / 2^band_bits vectors
+    and the per-band candidate cost is Θ(N² / 2^band_bits) — a FIXED
+    band width is quadratic in the corpus no matter how uniform the
+    data (measured: 11.7x cost at 10x rows with the old pinned 4-bit
+    bands, scripts/exp_scaling.py). Growing the width like log2(N)
+    pins the expected bucket at ``target_bucket`` and the candidate
+    cost at Θ(N · target_bucket) — corpus-linear. At 10^10 vectors
+    (100 TB of embeddings) this rule gives 29-bit bands; recall per
+    band falls as p_agree^band_bits, so scale also needs more bands
+    (`nbands`) or multi-probe — width is the cost knob, band count the
+    recall knob. Floor of 4 keeps tiny corpora at the oracled toy
+    sizing."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(2, corpus_size) / target_bucket)))
+
+
 def rp_lsh_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 16,
-    band_bits: int = 4,
+    bits: int | None = None,
+    band_bits: int | None = None,
+    nbands: int = 4,
     threshold: float = 0.35,
     round_digits: int = 6,
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane (cosine-SimHash) LSH near-dup pairs over an
     embedding column — the third ANN family beside brute-force and IVF:
@@ -704,7 +728,25 @@ def rp_lsh_pairs(
     sf0.1); the verify pass re-joins the vector relation by id
     instead (broadcast when it fits, hash join at scale). Returns
     (id_a, id_b, cosine >= threshold).
+
+    ``band_bits=None`` (the default) sizes the band width by
+    ``default_rp_band_bits`` (log2(N / 32)) from the corpus count, so
+    the expected bucket — and with it the per-band quadratic — stays
+    bounded as the corpus grows; the oracled query pins an explicit
+    width for determinism. ``bits`` defaults to ``nbands * band_bits``;
+    passing both pins the full scheme (bits must divide into
+    band_bits-wide bands). ``max_bucket`` (None = off) additionally
+    SKIPS (band, value) buckets holding more than ``max_bucket``
+    vectors — the hot-bucket guard every other quadratic reducer here
+    carries (LSH/SimHash ``max_bucket``, Jaccard ``max_df``, SemDeDup
+    ``max_cell``): a degenerate embedding mode (all-zero vectors, one
+    dominant direction) must not turn one bucket into the whole
+    corpus. ``rp_lsh_hot_buckets`` reports what a cap skipped.
     """
+    if band_bits is None:
+        band_bits = default_rp_band_bits(df.count())
+    if bits is None:
+        bits = nbands * band_bits
     if bits % band_bits:
         raise ValueError(f"bits={bits} must divide into {band_bits}-bit bands")
     planes = _rp_planes(bits, dim)
@@ -743,6 +785,18 @@ def rp_lsh_pairs(
         # unreleased cache pins the relation across calls in a
         # long-lived session (same decision as simhash_pairs).
     )
+    if max_bucket is not None:
+        # bucket-size prefilter BEFORE the self-join, as a window on
+        # the join key itself: the count rides the same (band, bv)
+        # exchange the self-join needs anyway (same shape as
+        # semantic_prune's max_cell guard).
+        buckets = (
+            buckets.withColumn(
+                "_nb", F.count(F.lit(1)).over(Window.partitionBy("band", "bv"))
+            )
+            .filter(F.col("_nb") <= max_bucket)
+            .drop("_nb")
+        )
     a = buckets.select("band", "bv", F.col("id").alias("id_a"))
     b_side = buckets.select("band", "bv", F.col("id").alias("id_b"))
     cand = (
@@ -762,6 +816,58 @@ def rp_lsh_pairs(
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def rp_lsh_hot_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int | None = None,
+    band_bits: int | None = None,
+    nbands: int = 4,
+    max_bucket: int = 100,
+    dim: int = 64,
+) -> DataFrame:
+    """Dropped-bucket report for ``rp_lsh_pairs(max_bucket=…)``: (band,
+    value) buckets holding more than ``max_bucket`` vectors and their
+    sizes (band, bv, n_vecs) — the audit trail for what a cap skipped
+    (mirror of ``lsh_hot_buckets`` / ``simhash_hot_buckets`` /
+    ``semantic_hot_cells``: a capped pipeline logs the skips instead of
+    silently losing recall)."""
+    if band_bits is None:
+        band_bits = default_rp_band_bits(df.count())
+    if bits is None:
+        bits = nbands * band_bits
+    planes = _rp_planes(bits, dim)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    bit_cols = [
+        F.when(_dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in planes[j]])) > 0,
+               F.lit(1)).otherwise(F.lit(0)).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    fp = base.select("id", *bit_cols)
+    n_bands = bits // band_bits
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    F.col(f"_b{b * band_bits + k}") * (2**k)
+                    for k in range(band_bits)
+                ).cast("int").alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        fp.select(F.explode(band_structs).alias("_bb"))
+        .select(F.col("_bb.band").alias("band"), F.col("_bb.bv").alias("bv"))
+        .groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .filter(F.col("n_vecs") > max_bucket)
     )
 
 

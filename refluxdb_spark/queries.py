@@ -5030,17 +5030,23 @@ def _rp_lsh_oracle(bits: int = 16, band_bits: int = 4, threshold: float = 0.35) 
     """
 
 
-@register("sim_rp_lsh_pairs", _rp_lsh_oracle())
+@register("sim_rp_lsh_pairs", _rp_lsh_oracle(bits=24, band_bits=6))
 def sim_rp_lsh_pairs(spark, sf_dir):
     """Random-hyperplane (cosine-SimHash) LSH near-dup pairs
     (operators.similarity.rp_lsh_pairs) — the third ANN family beside
-    brute force and IVF (Charikar sign-bit sketches): 16 sign bits from
-    integer hyperplanes, four 4-bit bands bucket candidates, exact
+    brute force and IVF (Charikar sign-bit sketches): 24 sign bits from
+    integer hyperplanes, four 6-bit bands bucket candidates, exact
     rounded cosine verifies. Fingerprints are dot products beside the
-    scan; candidate cost ∝ bucket², never the pair matrix."""
+    scan; candidate cost ∝ bucket², never the pair matrix. The pinned
+    6-bit band width IS ``default_rp_band_bits`` at the bench corpus
+    (sf0.1, N=2000): unrelated vectors collide per band at 2^-6, so
+    the expected bucket is N/64 — the old pinned 4-bit bands measured
+    11.7x cost at 10x rows (scripts/exp_scaling.py); production
+    (band_bits=None) keeps sizing the width by log2(N) as the corpus
+    grows."""
     return S.rp_lsh_pairs(
         load(spark, sf_dir, "embeddings"),
-        bits=16, band_bits=4, threshold=0.35,
+        bits=24, band_bits=6, threshold=0.35,
     )
 
 

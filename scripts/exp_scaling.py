@@ -30,6 +30,19 @@ from refluxdb_spark.session import get_spark  # noqa: E402
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/refluxdb_spark_scaling"
 
+def _rp_lsh_prod(spark, sf_dir):
+    """rp_lsh_pairs in its PRODUCTION sizing (band_bits=None →
+    log2(N/32)-bit bands): with the width fixed, 10x vectors makes
+    every bucket 10x and the per-band quadratic 100x (measured 11.7x
+    wall at 10x with the old pinned 4-bit bands); log2(N) sizing keeps
+    the expected bucket at ~32 vectors, so candidate cost grows ~N.
+    The measurement checks that bound."""
+    from refluxdb_spark.operators import similarity as S
+    from refluxdb_spark.queries import load
+
+    return S.rp_lsh_pairs(load(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 def _semantic_prune_prod(spark, sf_dir):
     """semantic_prune in its PRODUCTION sizing (num_centroids=None →
     √N cells), not the oracled query's pinned 16 cells: with the cell
@@ -58,6 +71,7 @@ MEASURED = [
     ("string_fuzzy_title_pairs", "documents", None),
     ("sim_ivfpq_topk", "embeddings", None),
     ("semantic_prune_prod", "embeddings", _semantic_prune_prod),
+    ("rp_lsh_prod", "embeddings", _rp_lsh_prod),
 ]
 
 TABLES = [

@@ -1733,6 +1733,67 @@ def test_semantic_prune_default_centroids_scales_sqrt_n(spark):
     assert got == {1, 2, 3}  # all share one direction -> one cell
 
 
+def test_rp_band_bits_sizing_rule():
+    """default_rp_band_bits pins the expected bucket at target_bucket:
+    width grows like log2(N), with a floor of 4 for toy corpora — the
+    knob that keeps the per-band candidate cost Θ(N · target) instead
+    of Θ(N² / 2^width) (the measured 11.7x-at-10x bug of a pinned
+    width)."""
+    from refluxdb_spark.operators.similarity import default_rp_band_bits
+
+    assert default_rp_band_bits(0) == 4
+    assert default_rp_band_bits(500) == 4       # the oracled sf0.01 pin
+    assert default_rp_band_bits(2000) == 6      # the oracled sf0.1 pin
+    assert default_rp_band_bits(20000) == 10
+    assert default_rp_band_bits(10**10) == 29
+    # doubling the corpus adds at most one bit
+    for n in (10**3, 10**6, 10**9):
+        assert default_rp_band_bits(2 * n) - default_rp_band_bits(n) <= 1
+
+
+def test_rp_lsh_max_bucket_guard_and_audit(spark):
+    """The hot-bucket cap: a (band, value) bucket over ``max_bucket``
+    is skipped entirely (identical vectors land every band in one
+    bucket), ``rp_lsh_hot_buckets`` reports exactly the skipped
+    buckets, and a cap above the bucket size reproduces the uncapped
+    result."""
+    from refluxdb_spark.operators.similarity import (
+        rp_lsh_hot_buckets,
+        rp_lsh_pairs,
+    )
+
+    # 5 identical vectors: every band has ONE bucket of 5; all C(5,2)
+    # pairs verify at cosine 1.0
+    rows = [(i, [1.0, 2.0] + [0.0] * 62) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    uncapped = rp_lsh_pairs(df, bits=16, band_bits=4)
+    assert uncapped.count() == 10
+    capped = rp_lsh_pairs(df, bits=16, band_bits=4, max_bucket=4)
+    assert capped.count() == 0
+    hot = rp_lsh_hot_buckets(df, bits=16, band_bits=4, max_bucket=4)
+    assert [tuple(r) for r in hot.select("band", "n_vecs").orderBy("band").collect()] == [
+        (b, 5) for b in range(4)
+    ]
+    assert rp_lsh_hot_buckets(df, bits=16, band_bits=4, max_bucket=5).count() == 0
+    wide = rp_lsh_pairs(df, bits=16, band_bits=4, max_bucket=5)
+    assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_rp_lsh_auto_sizing_matches_explicit_pin(spark):
+    """band_bits=None routes through default_rp_band_bits(corpus
+    count): at N=5 the floor gives 4-bit bands and bits=nbands*4, so
+    the auto-sized run is bitwise identical to the explicit pin — the
+    contract that lets the oracled queries pin what production
+    auto-sizes."""
+    from refluxdb_spark.operators.similarity import rp_lsh_pairs
+
+    rows = [(i, [float(i + 1), 1.0] + [0.0] * 62) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = sorted(map(tuple, rp_lsh_pairs(df).collect()))
+    pinned = sorted(map(tuple, rp_lsh_pairs(df, bits=16, band_bits=4).collect()))
+    assert auto == pinned and auto
+
+
 def test_gopher_filter_rules_and_precedence(spark):
     """Each rule fires on a crafted doc; a doc failing several rules
     reports the FIRST in the fixed order (too_short before
