@@ -123,9 +123,31 @@ def build_scaled(spark, factor: int) -> str:
                             ),
                         )
                 elif t == "lineitem":
-                    c = c.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 10**9))
+                    # offset FK keys in lockstep with their dimensions:
+                    # leaving a dimension un-offset while replicating it
+                    # makes every fact->dim join fan out k-fold (10x
+                    # copies of each customer matched 10x orders = 100x
+                    # join output at x10 — a synthetic artifact, not a
+                    # plan cost; the nation-graph edge extraction
+                    # measured ~1000x intermediate rows before this fix)
+                    c = (
+                        c.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 10**9))
+                        .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * 10**9))
+                        .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * 10**9))
+                    )
                 elif t == "orders":
-                    c = c.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * 10**9))
+                    c = (
+                        c.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * 10**9))
+                        .withColumn("o_custkey", F.col("o_custkey") + F.lit(k * 10**9))
+                    )
+                elif t == "customer":
+                    c = c.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * 10**9))
+                elif t == "supplier":
+                    c = c.withColumn("s_suppkey", F.col("s_suppkey") + F.lit(k * 10**9))
+                elif t == "part":
+                    c = c.withColumn("p_partkey", F.col("p_partkey") + F.lit(k * 10**9))
+                # nation/region stay un-offset: genuinely fixed dims
+                # (25/5 rows at every SF, the TPC-H contract)
                 copies.append(c)
             scaled = copies[0]
             for c in copies[1:]:

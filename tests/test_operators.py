@@ -1779,6 +1779,36 @@ def test_rp_lsh_max_bucket_guard_and_audit(spark):
     assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, uncapped.collect()))
 
 
+def test_rp_lsh_recall_vs_exact_at_toy_scale(spark, sf_dir):
+    """Recall floor for the auto-sized scheme against ground truth:
+    exact pairwise cosine >= 0.35 on the sf0.001 embeddings vs what
+    banded sign-bit buckets surface. Deterministic (md5 hyperplanes,
+    no RNG), so the measured recall is pinned as a floor — the knob
+    trade the sizing rule makes explicit (width bounds cost, band
+    count buys recall) must not silently collapse."""
+    from pyspark.sql import functions as F
+
+    from refluxdb_spark.operators.similarity import rp_lsh_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("_vb"))
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x),
+                                        F.lit(0.0), lambda acc, v: acc + v))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / (norm("_va") * norm("_vb")), 6))
+        .filter(F.col("cos") >= 0.35).collect()
+    }
+    got = {(r.id_a, r.id_b) for r in rp_lsh_pairs(emb, threshold=0.35).collect()}
+    assert got <= exact                    # verify pass: no false positives
+    recall = len(got) / len(exact)
+    assert recall >= 0.4, f"recall {recall:.2f} collapsed (got {len(got)}/{len(exact)})"
+
+
 def test_rp_lsh_auto_sizing_matches_explicit_pin(spark):
     """band_bits=None routes through default_rp_band_bits(corpus
     count): at N=5 the floor gives 4-bit bands and bits=nbands*4, so
