@@ -299,10 +299,20 @@ def bfs_depths(
     the frontier empties, so ``max_depth`` is a diameter bound, not a
     cost floor.
 
+    Like ``pagerank``, the edge relation is persisted for the loop's
+    lifetime: every round scans it, and a DERIVED edge set (a join
+    pipeline upstream, e.g. fact->dim extraction) would otherwise
+    re-execute per round — measured 17x instead of ~linear at 10x
+    data for the nation-trade BFS before this persist (the durable
+    form at warehouse scale is a materialized edge table; the persist
+    covers the derived case, and is a no-op read-through for a
+    parquet-backed input).
+
     Returns ``(node, depth BIGINT)`` — seeds at depth 0, unreachable
     nodes absent. The reference has no graph surface (its tables are
     flat series, persistence.rs:35); this is north-star pipeline
     tooling."""
+    edges = edges.persist()
     visited = (
         seeds.select(F.col("node"), F.lit(0).cast("bigint").alias("depth"))
         .distinct()
@@ -324,6 +334,10 @@ def bfs_depths(
             break
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
+    # every row of `visited` is already eagerly checkpointed (each
+    # round's union materialized before the next), so nothing
+    # recomputes through the released cache
+    edges.unpersist()
     return visited
 
 
@@ -481,7 +495,11 @@ def label_propagation(
     Scale: the label table is node-sized — it broadcasts onto the
     edge scan each round (the PageRank pattern; edges never shuffle);
     the (node, label) frequency agg is map-side combined; each round
-    localCheckpoints to cut lineage. Rounds are O(1) by design (2-3
+    localCheckpoints to cut lineage. The symmetrized edge relation is
+    persisted for the loop's lifetime (the ``pagerank``/``bfs_depths``
+    contract): it feeds the initial node distinct plus every round's
+    scan, and a DERIVED edge set (e.g. a co-purchase self-join) would
+    otherwise re-execute per consumer. Rounds are O(1) by design (2-3
     rounds give the useful coarse communities; more rounds just bleed
     labels across weak bridges). Returns (node, community)."""
     from pyspark.sql import Window
@@ -490,7 +508,7 @@ def label_propagation(
         F.col(a_col).alias("n"), F.col(b_col).alias("m")
     ).unionByName(
         edges.select(F.col(b_col).alias("n"), F.col(a_col).alias("m"))
-    ).distinct()
+    ).distinct().persist()
     labels = und.select(F.col("n").alias("node")).distinct().withColumn(
         "community", F.col("node")
     )
@@ -510,6 +528,9 @@ def label_propagation(
             .select(F.col("n").alias("node"), "community")
             .localCheckpoint(eager=True)
         )
+    # the final round's labels are eagerly checkpointed above, so
+    # nothing recomputes through the released cache
+    und.unpersist()
     return labels
 
 

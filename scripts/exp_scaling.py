@@ -5,10 +5,13 @@ bounded superlinearity for the bucketed pair generators.
 
 Scaled tables are synthesized from sf0.1 by replicating rows with
 per-copy key offsets (users, orders, doc ids) so the WORKLOAD scales
-weakly: 10x documents with 10x distinct contents (each copy's text is
-word-rotated by the copy index, so copies do not near-dup against each
-other), 10x events over 10x users with the same per-user series
-length. Results print as a markdown table for SCALE.md §9.
+weakly: 10x documents with 10x distinct contents (every word of copy
+k carries an `xk` suffix, so copies share ZERO word shingles — an
+earlier word-ROTATION scheme left ~(1 - k/54) shingle overlap on the
+54-word average doc, i.e. every doc had 9 synthetic near-dup copies,
+which inflated every MinHash/Jaccard/components measurement), 10x
+events over 10x users with the same per-user series length. Results
+print as a markdown table for SCALE.md §9.
 
 Usage: python scripts/exp_scaling.py [factors...]   (default 1 3 10)
 """
@@ -100,15 +103,21 @@ def build_scaled(spark, factor: int) -> str:
                         .withColumn("event_id", F.col("event_id") + F.lit(k * 10**12))
                     )
                 elif t == "documents":
-                    # rotate words by k so copies don't near-dup each other
+                    # suffix every word with the copy index: copies
+                    # share zero word shingles (and few char n-grams),
+                    # so shingle/MinHash/SimHash methods see 10x
+                    # GENUINELY distinct docs, while within-copy dup
+                    # structure is preserved (both sides of a dup pair
+                    # get the same suffix)
                     c = c.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10**9))
                     if k:
                         toks = F.split(F.col("text"), " ")
-                        rot = F.concat(
-                            F.slice(toks, k + 1, 10**6),
-                            F.slice(toks, 1, k),
+                        tagged = F.transform(
+                            toks, lambda w: F.concat(w, F.lit(f"x{k}"))
                         )
-                        c = c.withColumn("text", F.array_join(rot, " "))
+                        c = c.withColumn(
+                            "text", F.array_join(tagged, " ")
+                        ).withColumn("n_chars", F.length("text"))
                 elif t == "embeddings":
                     c = c.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10**9))
                     if k:
