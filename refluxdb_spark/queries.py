@@ -9564,6 +9564,17 @@ def graph_bfs_depths_trade(spark, sf_dir):
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        # materialize the node²-bounded distinct BEFORE the md5
+        # sparsification: the filter references only grouping keys, so
+        # Catalyst pushes it through the dedup aggregate all the way
+        # into the last join's condition — md5+conv then evaluate per
+        # JOIN-OUTPUT row (one per lineitem: measured ~30s of the 48s
+        # total at 10x sf0.1) instead of per distinct edge (600).
+        # Filter-below-distinct is right for cheap predicates and
+        # exactly wrong for an expensive one above a collapsing dedup;
+        # the checkpoint is the explicit barrier (and the relation is
+        # edge-list-tiny by construction, so it costs nothing).
+        .localCheckpoint(eager=True)
         .filter(
             F.expr(
                 "conv(substring(md5(concat(src, '|', dst)), 1, 8), 16, 10)"

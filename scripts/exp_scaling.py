@@ -83,9 +83,16 @@ TABLES = [
 ]
 
 
+# bump when the replication transforms change: a prebuilt dir from an
+# older scheme (e.g. the rotation-based one) must rebuild, not silently
+# feed mixed-scheme measurements
+SCHEME_VERSION = "2-word-suffix-fk-offset"
+
+
 def build_scaled(spark, factor: int) -> str:
     out = f"{WORK}/x{factor}"
-    if os.path.exists(f"{out}/.done"):
+    marker = f"{out}/.done"
+    if os.path.exists(marker) and open(marker).read() == SCHEME_VERSION:
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -162,7 +169,8 @@ def build_scaled(spark, factor: int) -> str:
             for c in copies[1:]:
                 scaled = scaled.unionByName(c)
         scaled.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
-    open(f"{out}/.done", "w").close()
+    with open(marker, "w") as fh:
+        fh.write(SCHEME_VERSION)
     return out
 
 
