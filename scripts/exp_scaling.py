@@ -86,7 +86,7 @@ TABLES = [
 # bump when the replication transforms change: a prebuilt dir from an
 # older scheme (e.g. the rotation-based one) must rebuild, not silently
 # feed mixed-scheme measurements
-SCHEME_VERSION = "2-word-suffix-fk-offset"
+SCHEME_VERSION = "3-bitmask-embedding-flips"
 
 
 def build_scaled(spark, factor: int) -> str:
@@ -128,13 +128,18 @@ def build_scaled(spark, factor: int) -> str:
                 elif t == "embeddings":
                     c = c.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10**9))
                     if k:
-                        # flip sign of one dimension per copy: distinct vectors
+                        # flip the sign of every dimension in copy k's
+                        # BIT PATTERN: a unique orthogonal transform per
+                        # copy up to factor 65536 (the earlier single
+                        # dim-(k%16) flip made copies 1 and 17 exact
+                        # duplicates, capping honest factors at 16)
+                        flips = [d for d in range(16) if (k >> d) & 1]
                         c = c.withColumn(
                             "embedding",
                             F.transform(
                                 "embedding",
                                 lambda x, i: F.when(
-                                    i == k % 16, -x
+                                    i.isin(flips), -x
                                 ).otherwise(x),
                             ),
                         )
