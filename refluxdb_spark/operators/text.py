@@ -814,21 +814,30 @@ def edit_distance_pairs(
     the probe side is ``q*max_dist + 1`` rows per string; join cost
     is sum of df(gram) over probe grams — minimized by the rarity
     choice — vs sum of df(gram)^2 for a full gram self-join
-    (measured 17.7x cost at 10x docs before this change, 4.6x after
-    with linearly-growing output; the residual superlinearity is the
-    synthetic corpus's FIXED vocabulary — every gram's df grows with
-    the corpus — where natural keys add vocabulary as they add rows;
-    SCALE.md §9). ``max_gram_df`` additionally drops grams whose
-    document frequency exceeds the cap from BOTH sides (LSH
-    hot-bucket discipline; can lose recall on pairs whose matching
-    grams are all capped — audit before enabling). Returns
+    (measured 17.7x cost at 10x docs before this change; SCALE.md
+    §9). On template-heavy corpora even the 17th-rarest gram is
+    corpus-frequent, so candidate VOLUME still grows superlinearly —
+    which is why the exact verify runs inside the candidate join's
+    own output stage (banded early-abandon ``levenshtein(a, b, d)``,
+    whole-stage codegen, never shuffled) and only verified matches
+    (output-linear) reach the dedup exchange: the prior
+    distinct-then-join-strings-then-verify shape measured 4.7x cost
+    for 3x docs on the x10→x30 segment, this shape 2.2x (sub-linear;
+    x30 total 29.9s → 8.3s). ``max_gram_df`` additionally drops
+    grams whose document frequency exceeds the cap from BOTH sides
+    (LSH hot-bucket discipline; can lose recall on pairs whose
+    matching grams are all capped — audit before enabling). Returns
     (id_a, id_b, dist)."""
     d = max_dist
     short_len = q * (d + 1)  # threshold <= 0 below this
     s = df.select(F.col(id_col).alias("_id"), F.col(str_col).alias("_s"))
     slong = s.filter(F.length("_s") >= short_len)
+    # the string itself rides the gram relation (titles/keys are short,
+    # so the linear shuffles inflate by ~len bytes/row) so the verify
+    # can run INSIDE the candidate join's output stage — see below
     grams = slong.select(
         "_id",
+        "_s",
         F.length("_s").alias("_len"),
         F.explode(
             F.expr(
@@ -837,7 +846,8 @@ def edit_distance_pairs(
             )
         ).alias("_g"),
     ).select(
-        "_id", "_len", F.col("_g.pos").alias("_pos"), F.col("_g.gram").alias("_gram")
+        "_id", "_s", "_len",
+        F.col("_g.pos").alias("_pos"), F.col("_g.gram").alias("_gram"),
     )
     if max_gram_df is not None:
         hot = (
@@ -876,21 +886,35 @@ def edit_distance_pairs(
         .withColumn("_rk", F.row_number().over(rank_w))
         .filter(F.col("_rk") <= probe_n)
         .select(
-            F.col("_id").alias("_ida"), F.col("_len").alias("_la"),
-            F.col("_pos").alias("_pa"), "_gram",
+            F.col("_id").alias("_ida"), F.col("_s").alias("_sa"),
+            F.col("_len").alias("_la"), F.col("_pos").alias("_pa"), "_gram",
             F.explode(
                 F.array(*[F.floor(F.col("_pos") / w) + i for i in (-1, 0, 1)])
             ).alias("_bk"),
         )
     )
     index = grams.select(
-        F.col("_id").alias("_idb"), F.col("_len").alias("_lb"),
-        F.col("_pos").alias("_pb"), "_gram",
+        F.col("_id").alias("_idb"), F.col("_s").alias("_sb"),
+        F.col("_len").alias("_lb"), F.col("_pos").alias("_pb"), "_gram",
         F.floor(F.col("_pos") / w).alias("_bk"),
     )
     # a pair is found whenever EITHER side's rare-gram probe hits the
     # other's full index, so ids are normalized after the join rather
-    # than ordered inside it
+    # than ordered inside it. The exact levenshtein verify runs RIGHT
+    # HERE, inside the join's output stage, with Spark's banded
+    # early-abandon form (threshold arg → O(d·len) per pair, -1 when
+    # exceeded): on template-heavy corpora every string's 17th-rarest
+    # gram is still corpus-frequent, so candidate volume grows
+    # superlinearly (the r8 x30 sweep measured 110M joined rows for
+    # 150k docs) — the one thing that must NOT happen to that volume
+    # is a shuffle. Verifying pre-distinct keeps it inside one
+    # whole-stage-codegen map; only true matches (output-linear, times
+    # a ≤ 3·(q·d+1) duplication constant) reach the dedup exchange.
+    # The previous shape — distinct the candidate pairs, then two
+    # joins back to the strings, then verify — shuffled the full
+    # candidate volume twice and measured 4.7x cost for 3x docs on
+    # the x10→x30 segment; this one re-verifies duplicate candidates
+    # (cheap, banded) instead of shuffling them (expensive).
     cand = (
         probe.join(index, ["_gram", "_bk"])
         .filter(
@@ -898,11 +922,13 @@ def edit_distance_pairs(
             & (F.abs(F.col("_la") - F.col("_lb")) <= d)
             & (F.abs(F.col("_pa") - F.col("_pb")) <= d)
         )
+        .withColumn("_dist", F.levenshtein("_sa", "_sb", d))
+        .filter(F.col("_dist") >= 0)
         .select(
-            F.least("_ida", "_idb").alias("_a"),
-            F.greatest("_ida", "_idb").alias("_b"),
+            F.least("_ida", "_idb").alias("_ida"),
+            F.greatest("_ida", "_idb").alias("_idb"),
+            "_dist",
         )
-        .select(F.col("_a").alias("_ida"), F.col("_b").alias("_idb"))
     )
     # short strings: threshold non-positive -> length-banded pair join
     # over the near-short bucket (len < short_len + d), requiring at
@@ -923,21 +949,21 @@ def edit_distance_pairs(
                 | (F.length("_y") < short_len)
             )
         )
-        .select("_ida", "_idb")
+        .withColumn("_dist", F.levenshtein("_x", "_y", d))
+        .filter(F.col("_dist") >= 0)
+        .select("_ida", "_idb", "_dist")
     )
-    allc = cand.unionByName(short_pairs).distinct()
-    sa = s.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa"))
-    sb = s.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
-    # measured (sf0.1): broadcasting the candidate set here is a LOSS
-    # (3.9s vs 3.4s) — the broadcast serializes the whole gram-join
-    # pipeline before the verify can start; the shuffle join overlaps
-    # candidate generation with the string-side scans instead
+    # only verified matches reach this exchange — output-linear rows
+    # (a true pair appears once per probe-gram hit, a ≤ 3·(q·d+1)
+    # constant), never the candidate volume
     return (
-        allc.join(sa, "_ida")
-        .join(sb, "_idb")
-        .withColumn("dist", F.levenshtein("_sa", "_sb").cast("int"))
-        .filter(F.col("dist") <= d)
-        .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"), "dist")
+        cand.unionByName(short_pairs)
+        .distinct()
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.col("_dist").cast("int").alias("dist"),
+        )
     )
 
 
