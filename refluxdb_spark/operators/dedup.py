@@ -668,38 +668,89 @@ def minhash_dedup_pairs(
     exact shingle-Jaccard (only candidate pairs pay the verification
     cost). Returns (id_a, id_b, jaccard >= threshold).
 
-    ``cache_tokens=True`` persists the (id, shingle) relation, which
-    the signature pass and the verification pass both consume — and
-    pins it for the LIFETIME OF THE RETURNED PLAN: the caller owns
-    release (``spark.catalog.clearCache()``, or rely on context-cleaner
-    GC). Off by default: measured a wash at sf0.1
-    (scripts/exp_persist.py) and unreleased corpus-sized caches
-    accumulate across calls in a long-lived session. At warehouse scale
-    the durable form of this reuse is a materialized token table /
-    persisted index (``save_minhash_index``), not executor cache.
+    Plan shape: ONE aggregation over the (id, shingle) relation
+    produces the MinHash signature, the exact shingle set, and its
+    size together; the band explode carries the set; and the exact
+    Jaccard verify runs INSIDE the bucket self-join's output stage
+    (``array_intersect`` on two per-doc sets — docs sharing a band
+    bucket are near-dups or hot-bucket template text, so the arrays
+    meeting here are few). Only verified matches reach the final
+    dedup exchange. The corpus is scanned and shingled exactly once.
+    The previous shape — candidate distinct, then two joins back to
+    the corpus-sized token relation plus a third full-relation size
+    aggregation — shuffled the token relation three times and
+    measured 4.4x cost for 3x docs on the x10→x30 weak-scaling
+    segment; this shape measures 1.6x (sub-linear), x30 17.1s → 6.7s
+    (SCALE.md §9). The carried-set payload is ~shingles-per-doc per
+    bucket row (bands x corpus set bytes through one exchange) — the
+    same order the verify joins used to shuffle, minus two passes.
+
+    ``cache_tokens=True`` persists the (id, shingle) relation — with
+    the one-aggregation shape only ONE pass consumes it, so this is
+    now API compatibility only (measured a wash even when two passes
+    consumed it: scripts/exp_persist.py); caller owns release.
     ``max_bucket`` caps LSH bucket size (hot-bucket guard — see
     ``minhash_lsh_candidates``); verification Jaccard is unaffected."""
     toks = _token_source(df, text_col, id_col, shingle)
     if cache_tokens:
         toks = toks.persist()
-    sig = _signatures_from_tokens(toks, num_hashes)
-    cand = _lsh_candidates_from_signatures(sig, num_hashes, bands, max_bucket)
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(toks.withColumnRenamed("id", "id_a"), "id_a")
-        .join(toks.withColumnRenamed("id", "id_b"), ["id_b", "token"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    hashed = toks.select(
+        "id",
+        "token",
+        F.expr("cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)").alias("_h1"),
+        F.expr("cast(conv(substring(md5(token), 9, 8), 16, 10) as bigint)").alias("_h2"),
+    )
+    mins = [
+        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(4294967296)).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = hashed.groupBy("id").agg(
+        *mins, F.collect_set("token").alias("_set")
+    )
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(b),
+                *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias("bucket")
+        for b in range(bands)
+    ]
+    # a doc's band hashes are distinct by construction (the band index
+    # is folded into the md5), so no per-doc bucket dedup is needed
+    buckets = agg.select(
+        "id",
+        F.size("_set").alias("_sz"),
+        "_set",
+        F.explode(F.array(*band_cols)).alias("bucket"),
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("bucket")
+        buckets = (
+            buckets.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+    a = buckets.select(
+        "bucket", F.col("id").alias("id_a"),
+        F.col("_sz").alias("_za"), F.col("_set").alias("_sa"),
+    )
+    b = buckets.select(
+        "bucket", F.col("id").alias("id_b"),
+        F.col("_sz").alias("_zb"), F.col("_set").alias("_sb"),
     )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            "jaccard", F.col("_i") / (F.col("_za") + F.col("_zb") - F.col("_i"))
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .distinct()
     )
 
 

@@ -1231,7 +1231,11 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pipeline (operators.dedup.
     minhash_dedup_pairs): 3-word shingles -> 16 hashes, 4 bands ->
     candidate pairs -> exact shingle-Jaccard verification >= 0.8.
-    Candidate cost ∝ docs x bands, never the pair matrix."""
+    Candidate cost ∝ docs x bands, never the pair matrix; one
+    aggregation emits signature + exact shingle set + size, and the
+    verify runs inline in the bucket join's output stage, so the
+    corpus is shingled once and never re-shuffled (x30: 17.1s →
+    6.6s — SCALE.md §9)."""
     return D.minhash_dedup_pairs(
         load(spark, sf_dir, "documents"), num_hashes=16, bands=4,
         threshold=0.8, shingle=3,

@@ -175,7 +175,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "ts_ema_per_user": 1,           # repartition(key) + batch walk
         # r6 batch-5 additions (budget = measured shape):
         "sim_ivf_append_topk": 3,       # probe window + rank + pruned scan
-        "dedup_source_overlap": 5,      # LSH pipeline + two source joins
+        "dedup_source_overlap": 3,      # one-agg LSH + source joins
         "events_column_profile": 2,     # expand distinct (exact path) + final
         "string_fuzzy_title_pairs": 3,  # gram distinct + candidate join + verify
         "events_funnel_windowed": 7,    # 2 frontier join+min rounds + final
@@ -216,7 +216,9 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "ts_interval_join_error_clicks": 1,
         "tpch_q18_large_volume_orders": 2, # in-subquery agg + final agg
         "tpch_q8_market_share": 1,         # all dims broadcast; one agg
-        "dedup_minhash_lsh_pairs": 4,      # sig agg + band + pair distinct
+        # one (sig+set+size) agg + final pair distinct; the verify is
+        # inline in the bucket join stage, never an exchange
+        "dedup_minhash_lsh_pairs": 2,
         # capped posting-list path: df-count agg + anti + posting agg +
         # sizes + pair agg + size join-backs; static count re-walks the
         # shared token lineage (ReusedExchange at runtime)
