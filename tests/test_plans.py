@@ -219,10 +219,11 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # one (sig+set+size) agg + final pair distinct; the verify is
         # inline in the bucket join stage, never an exchange
         "dedup_minhash_lsh_pairs": 2,
-        # capped posting-list path: df-count agg + anti + posting agg +
-        # sizes + pair agg + size join-backs; static count re-walks the
-        # shared token lineage (ReusedExchange at runtime)
-        "dedup_jaccard_pairs_capped": 9,
+        # capped posting-list path: ONE token exchange (the df window
+        # rides the posting agg's own keys) + sizes + pair agg + size
+        # join-backs; static count re-walks the shared posting lineage
+        # (ReusedExchange at runtime)
+        "dedup_jaccard_pairs_capped": 8,
         # pointer jumping materializes each round via localCheckpoint,
         # so the RETURNED label relation replays no exchange statically
         "dedup_components": 0,
