@@ -86,7 +86,7 @@ TABLES = [
 # bump when the replication transforms change: a prebuilt dir from an
 # older scheme (e.g. the rotation-based one) must rebuild, not silently
 # feed mixed-scheme measurements
-SCHEME_VERSION = "3-bitmask-embedding-flips"
+SCHEME_VERSION = "4-fixed-dims-single-copy"
 
 
 def build_scaled(spark, factor: int) -> str:
@@ -98,7 +98,12 @@ def build_scaled(spark, factor: int) -> str:
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        if factor == 1:
+        if factor == 1 or t in ("nation", "region"):
+            # nation/region are FIXED dims (25/5 rows at every SF, the
+            # TPC-H contract): replicating them — even un-offset — put
+            # `factor` duplicate rows behind every nationkey, so every
+            # fact->nation join fanned out factor-fold (the x30 BFS
+            # measured 65x from exactly this artifact)
             scaled = df
         else:
             copies = []
