@@ -59,6 +59,42 @@ def _semantic_prune_prod(spark, sf_dir):
     return S.semantic_prune(load(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+# Later x30 tiers (SCALE.md §9): every bench query priced above
+# ~0.5s at sf0.1, plus the full graph family. Run with
+# `python scripts/exp_scaling.py --tier N 1 30`; tier 1 is MEASURED.
+TIERS: dict[int, list[str]] = {
+    2: [
+        "dedup_components", "pipeline_corpus_end_to_end",
+        "dedup_incremental_pairs", "text_boilerplate_removal",
+        "ts_autocorrelation", "sim_pq_adc_topk", "dedup_source_overlap",
+        "pipeline_vector_end_to_end", "tpch_q2_min_cost_supplier",
+        "events_funnel_windowed",
+    ],
+    3: [
+        "dedup_decontaminate", "sim_ivf_topk", "sim_ivf_quantized_topk",
+        "sim_centroid_classify", "tpch_q8_market_share",
+        "ts_anomaly_zscore", "tpch_q5_local_supplier_volume",
+        "orders_open_backlog_daily", "text_langid_confusion",
+        "skew_salted_join_counts", "text_tfidf_top_terms",
+        "tpch_q18_large_volume_orders",
+    ],
+    4: [
+        "tpch_q3_shipping_priority", "tpch_q9_product_type_profit",
+        "dedup_shared_chunks", "pipeline_rag_end_to_end",
+        "pipeline_chunk_dedup", "text_pmi_pairs", "text_unigram_logprob",
+        "sketch_hll_intersection", "events_bot_signals",
+        "sim_hard_negatives", "sim_ivf_append_topk", "ts_winsorized_stats",
+    ],
+    5: [  # graph family (nation graphs collapse to <=600 edges; parts
+        # graphs carry factor-sized edge relations through iterations)
+        "graph_pagerank_nations", "graph_triangles_nations",
+        "graph_link_prediction_nations", "graph_link_ra_nations",
+        "graph_degree_distribution", "graph_bfs_depths_trade",
+        "graph_kcore_parts", "graph_communities_parts",
+        "graph_assortativity_parts", "events_markov_stationary",
+    ],
+}
+
 # (query name, table the factor applies to, callable or None=QUERIES[name])
 MEASURED = [
     ("tpch_q1_pricing_summary", "lineitem", None),
@@ -185,13 +221,18 @@ def build_scaled(spark, factor: int) -> str:
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    args = sys.argv[1:]
+    measured = MEASURED
+    if args[:1] == ["--tier"]:
+        measured = [(q, "", None) for q in TIERS[int(args[1])]]
+        args = args[2:]
+    factors = [int(a) for a in args] or [1, 3, 10]
     spark = get_spark(app_name="refluxdb_spark_scaling")
     spark.sparkContext.setLogLevel("ERROR")
-    results: dict[str, dict[int, float]] = {q: {} for q, _t, _f in MEASURED}
+    results: dict[str, dict[int, float]] = {q: {} for q, _t, _f in measured}
     for f in factors:
         sf_dir = build_scaled(spark, f)
-        for q, _tbl, custom in MEASURED:
+        for q, _tbl, custom in measured:
             fn = custom or QUERIES[q]
             fn(spark, sf_dir).count()  # warm
             samples = []
@@ -207,7 +248,7 @@ def main() -> None:
     print("| query | " + " | ".join(f"x{f}" for f in factors)
           + " | x10/x1 cost ratio |")
     print("|---|" + "---|" * (len(factors) + 1))
-    for q, _t, _f in MEASURED:
+    for q, _t, _f in measured:
         r = results[q]
         ratio = round(r[factors[-1]] / r[base], 1) if r[base] else float("nan")
         print(f"| {q} | " + " | ".join(f"{r[f]}s" for f in factors)
