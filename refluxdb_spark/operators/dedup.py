@@ -21,6 +21,8 @@ All are pure column expressions (codegen, no Python row path).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -426,20 +428,60 @@ def minhash_signatures(
     )
 
 
-def _signatures_from_tokens(toks: DataFrame, num_hashes: int) -> DataFrame:
-    hashed = toks.select(
+def _km_hashed(toks: DataFrame, *extra: F.Column) -> DataFrame:
+    """Kirsch-Mitzenmacher base hashes: ONE md5 per (id, token) row
+    yields two 32-bit halves (_h1, _h2); hash_i = (_h1 + i*_h2) mod
+    2^32. The SINGLE source of the hash family — every MinHash path
+    (inline pairs, persisted index build, index probe) derives its
+    signatures from this function, so the formats cannot drift."""
+    return toks.select(
         "id",
+        *extra,
         F.expr("cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)").alias("_h1"),
         F.expr("cast(conv(substring(md5(token), 9, 8), 16, 10) as bigint)").alias("_h2"),
     )
-    mins = [
+
+
+def _min_hash_aggs(num_hashes: int) -> list[F.Column]:
+    """The per-document min aggregates of the KM hash family, aliased
+    _h0.._h{n-1} — shared by every signature-building aggregation."""
+    return [
         F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(4294967296)).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
-    sig = hashed.groupBy("id").agg(*mins)
-    return sig.select(
-        "id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+
+
+def _sig_array(num_hashes: int) -> F.Column:
+    return F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+
+
+def _band_array(num_hashes: int, bands: int, sig_col: str = "sig") -> F.Column:
+    """ARRAY of the ``bands`` band-bucket md5 keys over a ``sig`` array
+    column. The SINGLE source of the band-bucket format — the inline
+    pair path and the persisted-index path both explode this array, so
+    a probe's buckets always match the index's buckets
+    (``tests/test_operators.py::test_minhash_inline_and_index_bucket_formats_agree``)."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(b),
+                    *[
+                        F.col(sig_col)[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
     )
+
+
+def _signatures_from_tokens(toks: DataFrame, num_hashes: int) -> DataFrame:
+    sig = _km_hashed(toks).groupBy("id").agg(*_min_hash_aggs(num_hashes))
+    return sig.select("id", _sig_array(num_hashes))
 
 
 def minhash_lsh_candidates(
@@ -487,19 +529,8 @@ def lsh_hot_buckets(
 
 
 def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(b),
-                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-            )
-        ).alias("bucket")
-        for b in range(bands)
-    ]
     return sig.select(
-        "id", F.explode(F.array(*band_cols)).alias("bucket")
+        "id", F.explode(_band_array(num_hashes, bands)).alias("bucket")
     ).distinct()
 
 
@@ -531,19 +562,8 @@ def _band_buckets_with_sig(sig: DataFrame, num_hashes: int, bands: int) -> DataF
     inline and ``bp`` = 2-hex-char bucket prefix (the partition key a
     persisted index prunes on — 256 partitions regardless of corpus
     size)."""
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(b),
-                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-            )
-        ).alias("bucket")
-        for b in range(bands)
-    ]
     return (
-        sig.select("id", "sig", F.explode(F.array(*band_cols)).alias("bucket"))
+        sig.select("id", "sig", F.explode(_band_array(num_hashes, bands)).alias("bucket"))
         .distinct()
         .withColumn("bp", F.substring("bucket", 1, 2))
     )
@@ -655,6 +675,41 @@ def dedup_against_index(
     return pairs
 
 
+def _dedup_bucket_relation(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle: int,
+) -> DataFrame:
+    """(id, _sz, _set, bucket): one row per document per band, carrying
+    the exact token-fingerprint set (ARRAY<BIGINT> of xxhash64 values)
+    and its size for the in-join Jaccard verify. Signatures and band
+    keys come from the same shared builders the persisted-index path
+    uses (``_km_hashed``/``_min_hash_aggs``/``_band_array``), so the
+    inline (id, bucket) relation is definitionally identical to
+    ``_band_buckets(minhash_signatures(df, ...))`` — pinned by
+    ``test_minhash_inline_and_index_bucket_formats_agree``. A doc's
+    band hashes are distinct by construction (the band index is folded
+    into the md5), so no per-doc bucket dedup is needed."""
+    toks = _token_source(df, text_col, id_col, shingle)
+    agg = (
+        _km_hashed(toks, F.xxhash64("token").alias("_t64"))
+        .groupBy("id")
+        .agg(*_min_hash_aggs(num_hashes), F.collect_set("_t64").alias("_set"))
+    )
+    sig = agg.select(
+        "id", F.size("_set").alias("_sz"), "_set", _sig_array(num_hashes)
+    )
+    return sig.select(
+        "id",
+        "_sz",
+        "_set",
+        F.explode(_band_array(num_hashes, bands)).alias("bucket"),
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -683,51 +738,32 @@ def minhash_dedup_pairs(
     aggregation — shuffled the token relation three times and
     measured 4.4x cost for 3x docs on the x10→x30 weak-scaling
     segment; this shape measures 1.6x (sub-linear), x30 17.1s → 6.7s
-    (SCALE.md §9). The carried-set payload is ~shingles-per-doc per
-    bucket row (bands x corpus set bytes through one exchange) — the
-    same order the verify joins used to shuffle, minus two passes.
+    (SCALE.md §9). The carried set holds 64-bit xxhash64 token
+    fingerprints, NOT shingle strings: intersection/union counts on
+    distinct 64-bit hashes equal counts on the tokens themselves
+    (collision odds ~(shingles-per-pair)²/2^65 — negligible even at
+    100 TB), and 8-byte elements shrink the bands x corpus set bytes
+    the one exchange carries: measured 4.41 MB → 2.68 MB (0.61x) at
+    sf0.1's short synthetic shingles (scripts/exp_exchange_bytes.py;
+    SCALE.md §9), approaching the raw 8-bytes-vs-text ratio (4x+) as
+    documents lengthen — the long-document shuffle profile VERDICT r9
+    flagged.
 
-    ``cache_tokens=True`` persists the (id, shingle) relation — with
-    the one-aggregation shape only ONE pass consumes it, so this is
-    now API compatibility only (measured a wash even when two passes
-    consumed it: scripts/exp_persist.py); caller owns release.
+    ``cache_tokens`` is DEPRECATED and ignored (warns): the
+    one-aggregation shape consumes the (id, shingle) relation exactly
+    once, so the persist it used to request was pure overhead — a
+    corpus-sized cache write nothing reads twice (measured a wash
+    even when two passes consumed it: scripts/exp_persist.py).
     ``max_bucket`` caps LSH bucket size (hot-bucket guard — see
     ``minhash_lsh_candidates``); verification Jaccard is unaffected."""
-    toks = _token_source(df, text_col, id_col, shingle)
     if cache_tokens:
-        toks = toks.persist()
-    hashed = toks.select(
-        "id",
-        "token",
-        F.expr("cast(conv(substring(md5(token), 1, 8), 16, 10) as bigint)").alias("_h1"),
-        F.expr("cast(conv(substring(md5(token), 9, 8), 16, 10) as bigint)").alias("_h2"),
-    )
-    mins = [
-        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % F.lit(4294967296)).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = hashed.groupBy("id").agg(
-        *mins, F.collect_set("token").alias("_set")
-    )
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(b),
-                *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-        ).alias("bucket")
-        for b in range(bands)
-    ]
-    # a doc's band hashes are distinct by construction (the band index
-    # is folded into the md5), so no per-doc bucket dedup is needed
-    buckets = agg.select(
-        "id",
-        F.size("_set").alias("_sz"),
-        "_set",
-        F.explode(F.array(*band_cols)).alias("bucket"),
-    )
+        warnings.warn(
+            "cache_tokens is deprecated and has no effect: the single-"
+            "aggregation plan reads the token relation exactly once",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+    buckets = _dedup_bucket_relation(df, text_col, id_col, num_hashes, bands, shingle)
     if max_bucket is not None:
         w = Window.partitionBy("bucket")
         buckets = (

