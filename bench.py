@@ -1,15 +1,21 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints the full JSON record, then repeats the summary WITHOUT the
-per-query dict as the FINAL short line (the driver's stdout capture
-keeps only the tail, which truncated the ~100-entry full line in r7 —
-the short line guarantees the tail always ends in one complete,
-parseable record):
-  {"metric": "...", "value": <total-sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
-  {"metric": "...", "value": <total-sec>, "unit": "sec",
-   "n_queries": N, "sf": <sf>}
+Prints three things, sized for the driver's ~2000-char stdout TAIL
+capture (the only part of stdout the round artifact keeps):
+  1. the full JSON record with the named per-query dict — human/
+     grep-friendly, but ~3.4 KB, so the capture truncates its head;
+  2. ONE compact line carrying EVERY per-query timing as a values
+     array in HEADLINE order (names recoverable by zipping with
+     bench.HEADLINE; a names_md5 guard detects order drift) — ~800
+     chars, so all ~98 timings survive the tail window where the
+     named dict showed only the last ~58 (VERDICT r9 item 3);
+  3. the summary WITHOUT per-query data as the FINAL short line, so
+     whatever tail the driver keeps always ends in one complete,
+     parseable record (the r7 lesson).
+The full record is also written to bench_latest.json in the repo root
+(override: $SPARK_GRAFT_BENCH_OUT) — the repo-local artifact for
+round-over-round comparison via scripts/bench_compare.py.
 
 Each query is executed to completion (count() materializes every
 operator in the plan) after a warm-up of the input files' footers.
@@ -17,6 +23,7 @@ operator in the plan) after a warm-up of the input files' footers.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -201,21 +208,34 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    for line in emit_lines(timings, reps, calibration, sf):
+    lines = emit_lines(timings, reps, calibration, sf)
+    for line in lines:
         print(line)
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_latest.json"),
+    )
+    with open(out, "w") as fh:
+        fh.write(lines[0] + "\n")
+
+
+def names_digest(names: list[str]) -> str:
+    """12-hex guard over the query-name order: a compact values line is
+    only decodable against the HEADLINE list that produced it."""
+    return hashlib.md5(",".join(names).encode()).hexdigest()[:12]
 
 
 def emit_lines(
     timings: dict[str, float], reps: int, calibration: float, sf: float
 ) -> list[str]:
     """The stdout contract, testable without running queries: the full
-    JSON record first, then the summary WITHOUT the per-query dict as
-    the FINAL short line. The driver's capture window keeps only the
-    TAIL of stdout, and the full per-query line (~100 entries)
-    overflows it — r7's BENCH artifact recorded "parsed": null with
-    the headline total and the first ~36 timings invisible. The short
-    repeat guarantees whatever tail the driver keeps always ends in
-    one complete, parseable JSON record."""
+    JSON record first (head-truncated by the driver's ~2000-char tail
+    capture — r7's artifact recorded "parsed": null from exactly that),
+    then ONE compact line with every timing as a values array in key
+    order (small enough that ALL timings survive the window — the
+    named dict leaves only the last ~58 visible), then the summary
+    WITHOUT per-query data as the FINAL short line so the captured
+    tail always ends in one complete, parseable JSON record."""
     total = round(sum(timings.values()), 3)
     head = {
         "metric": "headline_queries_total_time",
@@ -226,9 +246,16 @@ def emit_lines(
         "calibration_sec": calibration,
         "sf": sf,
     }
+    names = list(timings)
+    compact = {
+        "metric": "headline_query_times_compact",
+        "order": "bench.HEADLINE",
+        "names_md5": names_digest(names),
+        "values": [timings[n] for n in names],
+    }
     summary = {k: v for k, v in head.items() if k != "queries"}
     summary["n_queries"] = len(timings)
-    return [json.dumps(head), json.dumps(summary)]
+    return [json.dumps(head), json.dumps(compact), json.dumps(summary)]
 
 
 if __name__ == "__main__":

@@ -1,26 +1,54 @@
-"""Compare two bench artifacts (BENCH_r{N}.json or raw bench.py stdout)
-query by query.
+"""Compare two bench artifacts (BENCH_r{N}.json, bench_latest.json, or
+raw bench.py stdout) query by query.
 
-The driver's BENCH_r{N}.json stores only the TAIL of bench.py stdout,
-so older artifacts expose just the last ~60 per-query timings; this
-tool parses whatever pairs are visible in each side, intersects, and
-reports the common-query total ratio plus every per-query regression
-above the threshold — the r7 verdict's ratchet ("total <= prior round,
-zero >1.3x regressions") as one command:
+The driver's BENCH_r{N}.json stores only the TAIL of bench.py stdout.
+Since r10 that tail contains the COMPACT per-query line (values array
+in bench.HEADLINE order + a names_md5 guard), so every timing is
+recoverable from the artifact alone; older artifacts expose just the
+last ~58 named pairs, which this tool scans as a fallback. Either way
+it intersects the two sides and reports the common-query total ratio
+plus every per-query regression above the threshold — the r7 verdict's
+ratchet ("total <= prior round, zero >1.3x regressions") as one
+command:
 
-    python scripts/bench_compare.py BENCH_r07.json bench_r08.out [1.3]
+    python scripts/bench_compare.py BENCH_r09.json bench_latest.json [1.3]
 
-Raw stdout (full JSON line) and driver tails mix freely; timings keyed
-"reps"/"sf"/"calibration_sec"/"value"/"n_queries" are excluded.
+Raw stdout (full JSON line), bench_latest.json, and driver tails mix
+freely; timings keyed "reps"/"sf"/"calibration_sec"/"value"/
+"n_queries" are excluded.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE, names_digest  # noqa: E402
+
 _META = {"reps", "sf", "calibration_sec", "value", "n_queries"}
+
+
+def _decode_compact(line: str) -> dict[str, float] | None:
+    """Decode a headline_query_times_compact line by zipping its values
+    with bench.HEADLINE — valid only while the names_md5 guard matches
+    the current HEADLINE list (i.e. the list is unchanged since the
+    artifact was recorded)."""
+    try:
+        rec = json.loads(line)
+    except json.JSONDecodeError:
+        return None
+    if (
+        isinstance(rec, dict)
+        and rec.get("metric") == "headline_query_times_compact"
+        and rec.get("names_md5") == names_digest(HEADLINE)
+        and len(rec.get("values", [])) == len(HEADLINE)
+    ):
+        return dict(zip(HEADLINE, (float(v) for v in rec["values"])))
+    return None
 
 
 def load_timings(path: str) -> dict[str, float]:
@@ -32,7 +60,11 @@ def load_timings(path: str) -> dict[str, float]:
         elif isinstance(d, dict) and "queries" in d:  # full bench line
             return {k: float(v) for k, v in d["queries"].items()}
     except json.JSONDecodeError:
-        pass  # raw stdout: fall through to the pair scan
+        pass  # raw stdout: fall through to the line scan
+    for line in text.splitlines():
+        full = _decode_compact(line.strip())
+        if full is not None:
+            return full
     pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', text)
     return {k: float(v) for k, v in pairs if k not in _META}
 

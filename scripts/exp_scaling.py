@@ -246,7 +246,7 @@ def main() -> None:
             print(f"# x{f} {q}: {results[q][f]}s {samples}", file=sys.stderr)
     base = factors[0]
     print("| query | " + " | ".join(f"x{f}" for f in factors)
-          + " | x10/x1 cost ratio |")
+          + f" | x{factors[-1]}/x{base} cost ratio |")
     print("|---|" + "---|" * (len(factors) + 1))
     for q, _t, _f in measured:
         r = results[q]

@@ -10,11 +10,11 @@ from bench import HEADLINE, emit_lines
 from refluxdb_spark.queries import ORACLES, QUERIES
 
 
-def test_emit_two_parseable_lines_with_matching_totals():
+def test_emit_three_parseable_lines_with_matching_totals():
     timings = {f"q{i}": 0.5 for i in range(98)}
     lines = emit_lines(timings, reps=3, calibration=0.28, sf=0.1)
-    assert len(lines) == 2
-    head, summary = (json.loads(l) for l in lines)
+    assert len(lines) == 3
+    head, compact, summary = (json.loads(l) for l in lines)
     assert head["queries"] == timings
     assert "queries" not in summary
     assert summary["value"] == head["value"] == 49.0
@@ -23,6 +23,35 @@ def test_emit_two_parseable_lines_with_matching_totals():
         assert (rec["metric"], rec["unit"], rec["sf"], rec["reps"]) == (
             "headline_queries_total_time", "sec", 0.1, 3,
         )
+    assert compact["metric"] == "headline_query_times_compact"
+    assert compact["values"] == [0.5] * 98
+
+
+def test_compact_line_carries_every_timing_within_tail_window():
+    """VERDICT r9 item 3: the per-query record must survive the
+    driver's ~2000-char tail capture — the compact values line plus
+    the final summary line together must fit with room for a truncated
+    fragment of the full line in front, and round-trip every timing
+    via bench_compare's decoder."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import bench_compare as bc
+    from bench import names_digest
+
+    timings = {n: round(0.1 + i / 997, 3) for i, n in enumerate(HEADLINE)}
+    lines = emit_lines(timings, reps=3, calibration=0.28, sf=0.1)
+    compact = json.loads(lines[1])
+    assert compact["names_md5"] == names_digest(list(HEADLINE))
+    assert len(lines[1]) + len(lines[2]) < 1500, (
+        "compact+summary must leave tail-window headroom"
+    )
+    decoded = bc._decode_compact(lines[1])
+    assert decoded == timings
 
 
 def test_summary_line_fits_driver_tail_window():

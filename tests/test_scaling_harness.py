@@ -12,11 +12,15 @@ factor 2 on sf0.001 so the bug class can't silently return.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo/scripts")
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+)
 
 
 @pytest.fixture(scope="module")
