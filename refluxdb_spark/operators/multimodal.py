@@ -220,6 +220,44 @@ def _ffmpeg_ppm_frames(ffmpeg: str, data: bytes, every_ms: int) -> list[bytes]:
     return _split_ppm_stream(out.stdout)
 
 
+#: Canonical analysis rate for the ffmpeg audio fallback: compressed
+#: clips are resampled to 16 kHz mono (the usual speech/feature rate),
+#: making duration_ms and rms exact functions of the input bytes.
+_AUDIO_CANON_SR = 16000
+
+
+def _ffmpeg_pcm_features(ffmpeg: str, data: bytes) -> tuple[int, int, float]:
+    """Decode ``data`` (any container/codec ffmpeg reads) to s16le mono
+    at ``_AUDIO_CANON_SR`` and return (duration_ms, sample_rate, rms).
+    Same executor-side subprocess contract as ``_ffmpeg_ppm_frames``:
+    stdin→stdout pipes only, one process per clip, no temp files."""
+    import subprocess
+
+    import numpy as np
+
+    out = subprocess.run(
+        [
+            ffmpeg, "-v", "error",
+            "-i", "pipe:0",
+            "-f", "s16le", "-acodec", "pcm_s16le",
+            "-ac", "1", "-ar", str(_AUDIO_CANON_SR),
+            "pipe:1",
+        ],
+        input=data,
+        capture_output=True,
+        check=False,
+    )
+    if out.returncode != 0:
+        raise ValueError(
+            f"ffmpeg failed to decode audio clip: "
+            f"{out.stderr.decode(errors='replace')[:500]}"
+        )
+    x = np.frombuffer(out.stdout, dtype=np.int16).astype(np.float64) / 32768.0
+    duration_ms = int(round(len(x) / _AUDIO_CANON_SR * 1000))
+    rms = float(np.sqrt(np.mean(x**2))) if len(x) else 0.0
+    return duration_ms, _AUDIO_CANON_SR, rms
+
+
 def _split_ppm_stream(buf: bytes) -> list[bytes]:
     """Split a concatenated binary-PPM (P6) stream into whole frames
     (header + 3·w·h payload each). Pure bytes → list[bytes]; unit-
@@ -264,16 +302,49 @@ def audio_features(
     deterministic pseudo-features from the payload bytes (oracle mode).
     ``fake=False`` REALLY decodes PCM WAV with the stdlib ``wave``
     module (no external codec needed): true duration, sample rate, and
-    RMS energy normalized to full scale. Non-WAV payloads raise
-    NotImplementedError (compressed formats need ffmpeg/soundfile)."""
+    RMS energy normalized to full scale. Compressed formats (MP3/FLAC/
+    OGG/…) decode for real when the executors have ``soundfile``
+    (native rate) or ``ffmpeg`` on PATH (piped to s16le mono at a
+    canonical 16 kHz analysis rate — the mirror of ``frame_sample``'s
+    feature-detected video path); with neither present they raise
+    NotImplementedError at EXECUTION so the plan shape stays testable
+    everywhere. Unsupported WAV widths (24-bit PCM) take the same
+    fallback rather than failing when a real decoder is available."""
     src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         import io as _io
+        import shutil
         import wave
 
         import numpy as np
+
+        ffmpeg = shutil.which("ffmpeg")
+        try:
+            import soundfile as _sf  # feature-detect at execution
+        except ImportError:
+            _sf = None
+
+        def _decode_compressed(b: bytes, why: str) -> tuple[int, int, float]:
+            """Non-stdlib decode: soundfile keeps the native sample
+            rate; the ffmpeg pipe resamples to CANON_SR mono (the
+            standard analysis rate, so duration/rms stay exact and
+            deterministic for a given binary). ``why`` names the
+            stdlib-path failure for the no-decoder error."""
+            if _sf is not None:
+                data, sr = _sf.read(_io.BytesIO(b), dtype="float64", always_2d=True)
+                x = data.mean(axis=1)
+                duration_ms = int(round(len(x) / sr * 1000)) if sr else 0
+                rms = float(np.sqrt(np.mean(x**2))) if len(x) else 0.0
+                return duration_ms, int(sr), rms
+            if ffmpeg is not None:
+                return _ffmpeg_pcm_features(ffmpeg, b)
+            raise NotImplementedError(
+                f"{why} requires soundfile or ffmpeg on the executors "
+                "(neither found); pass fake=True for the deterministic "
+                "stub"
+            )
 
         def _decode_wav(b: bytes) -> tuple[int, int, float]:
             try:
@@ -283,19 +354,16 @@ def audio_features(
                     sw = w.getsampwidth()
                     frames = w.readframes(nf)
             except (wave.Error, EOFError):
-                raise NotImplementedError(
-                    "non-WAV audio requires ffmpeg/soundfile (not "
-                    "installed); pass fake=True for the deterministic stub"
-                ) from None
+                return _decode_compressed(b, "non-WAV audio")
             duration_ms = int(round(nf / sr * 1000)) if sr else 0
             dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
             if dtype is None:
                 # 24-bit PCM (sampwidth 3) has no numpy dtype; a silent
                 # rms of 0.0 would be a WRONG answer, not a degraded one
-                raise NotImplementedError(
-                    f"WAV sample width {sw} bytes unsupported (stdlib "
-                    "decode handles 8/16/32-bit PCM); pass fake=True or "
-                    "convert the audio"
+                return _decode_compressed(
+                    b,
+                    f"WAV sample width {sw} bytes (stdlib decode handles "
+                    "8/16/32-bit PCM)",
                 )
             if not frames:
                 return duration_ms, sr, 0.0

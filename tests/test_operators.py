@@ -1476,10 +1476,22 @@ def test_audio_features_real_wav_decode(spark):
     assert got[2].rms_energy == pytest.approx(32767 / 32768, rel=1e-4)
 
 
-def test_audio_features_24bit_wav_raises(spark):
-    """ADVICE r5: 24-bit PCM (sampwidth 3) has no numpy dtype — it must
-    raise like other unsupported formats, not silently report RMS 0.0
-    beside otherwise-valid metadata."""
+def _audio_fallback_decoder_available() -> bool:
+    import shutil
+
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return shutil.which("ffmpeg") is not None
+
+
+def test_audio_features_24bit_wav(spark):
+    """ADVICE r5: 24-bit PCM (sampwidth 3) has no numpy dtype — the
+    stdlib path must never silently report RMS 0.0 beside otherwise-
+    valid metadata. Without a fallback decoder it raises; WITH
+    soundfile/ffmpeg present it decodes for real (r9 item 8)."""
     import io
     import wave
 
@@ -1496,11 +1508,19 @@ def test_audio_features_24bit_wav_raises(spark):
         w.writeframes(b"\x00\x00\x40" * 100)
     df = spark.createDataFrame([(1, buf.getvalue())], "id long, payload binary")
     media = attach_media(df, "payload", "audio/wav")
-    with pytest.raises((PythonException, Py4JJavaError), match="sample width"):
-        audio_features(media, fake=False).collect()
+    if _audio_fallback_decoder_available():
+        row = audio_features(media, fake=False).collect()[0]
+        assert row.rms_energy > 0.0  # 0x400000 samples are loud, not silent
+        assert row.duration_ms > 0
+    else:
+        with pytest.raises((PythonException, Py4JJavaError), match="sample width"):
+            audio_features(media, fake=False).collect()
 
 
-def test_audio_features_non_wav_raises(spark):
+def test_audio_features_non_wav_raises_or_rejects(spark):
+    """Garbage bytes must error loudly on every path: with no fallback
+    decoder, NotImplementedError (the honest can't-decode contract);
+    with soundfile/ffmpeg present, the decoder's own failure."""
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.captured import PythonException
 
@@ -1508,8 +1528,51 @@ def test_audio_features_non_wav_raises(spark):
 
     df = spark.createDataFrame([(1, b"not a wav")], "id long, payload binary")
     media = attach_media(df, "payload", "audio/mpeg")
-    with pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
+    with pytest.raises(
+        (PythonException, Py4JJavaError),
+        match="NotImplementedError|failed to decode|Error",
+    ):
         audio_features(media, fake=False).collect()
+
+
+def test_audio_features_compressed_decode_with_ffmpeg(spark):
+    """Runs the REAL compressed-audio path when ffmpeg exists (encodes
+    a known 440 Hz sine WAV to FLAC, then decodes it through the
+    operator); skips (not fails) in this container. The moment ffmpeg
+    appears the fallback stops being plumbing-only with zero code
+    change — the mirror of the video frame_sample gate."""
+    import io
+    import shutil
+    import subprocess
+    import wave
+
+    import numpy as np
+
+    if shutil.which("ffmpeg") is None:
+        pytest.skip("ffmpeg not on PATH")
+
+    from refluxdb_spark.operators.multimodal import attach_media, audio_features
+
+    sr, secs = 16000, 1
+    t = np.arange(sr * secs) / sr
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    enc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", "pipe:0", "-f", "flac", "pipe:1"],
+        input=buf.getvalue(), capture_output=True, check=True,
+    )
+    df = spark.createDataFrame([(1, enc.stdout)], "id long, payload binary")
+    media = attach_media(df, "payload", "audio/flac")
+    row = audio_features(media, fake=False).collect()[0]
+    # FLAC is lossless: duration exact, rms of a 0.5-amplitude sine
+    # ~0.5/sqrt(2) ~ 0.354 at the canonical decode rate
+    assert abs(row.duration_ms - 1000) <= 5
+    assert row.rms_energy == pytest.approx(0.3536, abs=0.01)
 
 
 def test_image_features_real_decode_with_pillow(spark):
