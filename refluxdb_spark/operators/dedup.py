@@ -296,6 +296,14 @@ def jaccard_pairs_from_tokens(
         # blocking key rides on the exploded rows (narrow) instead of a
         # join-back on id (a full shuffle of the token relation)
         toks = toks.withColumnRenamed(block_col, "_blk")
+    # the token string itself never reaches the output — only
+    # co-occurrence counts do — so every downstream exchange, window,
+    # and join keys on its 64-bit xxhash64 fingerprint instead of the
+    # multi-word shingle text (8-byte keys; counts identical unless two
+    # distinct tokens of the same corpus collide at 64 bits —
+    # ~(distinct tokens)²/2^65, negligible at any scale; same reasoning
+    # as minhash_dedup_pairs' carried set, measured in SCALE.md §9)
+    toks = toks.withColumn("token", F.xxhash64("token"))
     join_keys = ["token"] + (["_blk"] if block_col else [])
 
     if max_df is not None:
