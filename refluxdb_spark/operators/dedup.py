@@ -1074,12 +1074,19 @@ def simhash(
     near-identical documents differ in few bits (small Hamming
     distance). Returns (id, simhash BIGINT).
 
-    Implementation: tokens -> two 32-bit md5 halves -> per-bit votes via
-    bitwise ops aggregated with sum() — all integer arithmetic, exact
-    and engine-portable. ``shingle`` > 1 votes on w-gram shingles
-    instead of unigrams — essential on template-heavy corpora, where
-    near-identical unigram SETS collapse every document's fingerprint
-    (the same discriminativeness argument as ``shingle_tokens``).
+    Implementation: tokens -> ONE md5 digest whose first two 32-bit
+    halves feed the per-bit votes via bitwise ops aggregated with
+    sum() — all integer arithmetic, exact and engine-portable. One
+    digest instead of two seeded digests per token (the same
+    Kirsch-Mitzenmacher-style saving minhash_signatures took in r8).
+    Measured neutral-at-noise at sf0.1 — the bucket self-join's double
+    evaluation dominates there — but the digest is the per-token
+    map-side term that scales with document length, and half the
+    hashing is strictly less work at corpus scale.
+    ``shingle`` > 1 votes on w-gram shingles instead of unigrams —
+    essential on template-heavy corpora, where near-identical unigram
+    SETS collapse every document's fingerprint (the same
+    discriminativeness argument as ``shingle_tokens``).
 
     The per-bit 1-counts are PACKED three to a BIGINT (21-bit fields),
     so the groupBy carries ceil(bits/3)+1 sum buffers instead of
@@ -1091,9 +1098,14 @@ def simhash(
     which raises (``raise_error``) rather than corrupting fingerprints
     silently."""
     toks = _token_source(df, text_col, id_col, shingle)
-    h_lo = F.expr(_H32.format(seed="sim0:", col="token"))
-    h_hi = F.expr(_H32.format(seed="sim1:", col="token"))
-    toks = toks.select("id", h_lo.alias("_lo"), h_hi.alias("_hi"))
+    digest = toks.select(
+        "id", F.md5(F.concat(F.lit("sim:"), F.col("token"))).alias("_d")
+    )
+    toks = digest.select(
+        "id",
+        F.expr("cast(conv(substring(_d, 1, 8), 16, 10) as bigint)").alias("_lo"),
+        F.expr("cast(conv(substring(_d, 9, 8), 16, 10) as bigint)").alias("_hi"),
+    )
     field = 21  # bits per packed counter; 3 fields fit a positive BIGINT
     per = 3
     groups = []

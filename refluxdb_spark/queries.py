@@ -1498,12 +1498,11 @@ def dedup_components_minhash(spark, sf_dir):
 
 
 def _simhash_oracle(bits: int = 32, shingle: int = 1) -> str:
-    """Replays operators.dedup.simhash: bit i's vote comes from the lo
-    md5 half for i < 32 and the hi half for i >= 32 (shift i % 32) —
-    supports fingerprints up to 62 bits in a BIGINT. ``shingle`` > 1
-    votes on w-gram shingles (mirrors the Spark side's shingle param)."""
-    lo = _H32_SQL.format(seed="sim0:", col="token")
-    hi = _H32_SQL.format(seed="sim1:", col="token")
+    """Replays operators.dedup.simhash: ONE md5 per token; bit i's vote
+    comes from the digest's first 32-bit half for i < 32 and the second
+    half for i >= 32 (shift i % 32) — supports fingerprints up to 62
+    bits in a BIGINT. ``shingle`` > 1 votes on w-gram shingles (mirrors
+    the Spark side's shingle param)."""
     if shingle == 1:
         toks_cte = f"""toks AS (
         SELECT DISTINCT doc_id AS id, unnest({_TOKENS_SQL}) AS token
@@ -1532,7 +1531,13 @@ def _simhash_oracle(bits: int = 32, shingle: int = 1) -> str:
     return f"""
     WITH {toks_cte},
     hashed AS (
-        SELECT id, {lo} AS h_lo, {hi} AS h_hi FROM toks WHERE token != ''
+        SELECT id,
+               CAST(concat('0x', substr(d, 1, 8)) AS BIGINT) AS h_lo,
+               CAST(concat('0x', substr(d, 9, 8)) AS BIGINT) AS h_hi
+        FROM (
+            SELECT id, md5(concat('sim:', token)) AS d
+            FROM toks WHERE token != ''
+        )
     ),
     votes AS (
         SELECT id, {votes}
