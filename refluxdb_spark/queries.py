@@ -962,8 +962,6 @@ def ts_rollup_routed(spark, sf_dir):
 _NORM_SQL = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
 _TOKENS_SQL = f"string_split({_NORM_SQL.format(col='text')}, ' ')"
 # duckdb 32-bit md5 hash (= Spark conv(substring(md5(..),1,8),16,10))
-_H32_SQL = "CAST(concat('0x', substr(md5(concat('{seed}', {col})), 1, 8)) AS BIGINT)"
-
 # 3-word shingle token CTE (duckdb): mirrors operators.dedup.shingle_tokens
 _SHINGLE_CTE = """WITH base AS (
         SELECT doc_id AS id,
