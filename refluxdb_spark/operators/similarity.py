@@ -311,44 +311,54 @@ def build_ivf_index(
             if train_iters > 0
             else seed_centroids(corpus, num_centroids, id_col, vec_col)
         )
+    return centroids, _assign_to_centroids(corpus, centroids, id_col, vec_col)
+
+
+def _assign_to_centroids(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment — the SINGLE source of the placement
+    rule (rounded-6 cosine, centroid-id tiebreak) shared by the inline
+    index build and ``append_to_ivf_index``, so a vector lands in the
+    same bucket whether indexed at build time or appended later. The
+    docstring claim used to be enforced by two parallel copies of this
+    code; now it is the same code (the MinHash r10 lesson applied to
+    the ANN side). Returns (id_col, vec_col, centroid_id)."""
     scored = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_v"))
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_v"))
         .crossJoin(F.broadcast(centroids))
         .withColumn(
             "_sim",
             F.round(_dot("_v", "_centvec") / (_norm("_v") * _norm("_centvec")), 6),
         )
     )
-
     w = Window.partitionBy("cid").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
-    assigned = (
+    return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(F.col("cid").alias(id_col), F.col("_v").alias(vec_col), "centroid_id")
     )
-    return centroids, assigned
 
-def ivf_topk(
-    corpus: DataFrame,
+
+def _probe_topk(
+    centroids: DataFrame,
+    assigned: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    num_centroids: int | None = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    train_iters: int = 0,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Approximate top-k: probe only the ``nprobe`` nearest centroid
-    buckets per query, then exact cosine within candidates. The scan
-    shrinks ~num_centroids/nprobe-fold vs brute force; recall < 1.
-    With ``train_iters=0`` (seeded centroids + rounded scores) the whole
-    result is deterministic and cross-engine oracle-able; ``train_iters
-    > 0`` trades that for k-means recall."""
-    centroids, assigned = build_ivf_index(
-        corpus, num_centroids, id_col, vec_col, train_iters=train_iters
-    )
+    """Probe pipeline — the SINGLE source of the query path shared by
+    the inline (``ivf_topk``) and persisted (``load_ivf_topk``) index
+    forms: broadcast query x centroid scores pick ``nprobe`` buckets
+    (rounded-6, centroid-id tiebreak — the same rule assignment uses,
+    so probes and placements can never disagree), exact cosine within
+    candidates only, rank per query. When ``assigned`` is a
+    centroid_id-partitioned parquet table the broadcast probe join
+    dynamic-partition-prunes the scan (fenced by
+    ``test_ivf_persisted_probe_partition_pruned``)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
-
     qc = (
         F.broadcast(q)
         .crossJoin(F.broadcast(centroids))
@@ -373,6 +383,28 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
     )
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int | None = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` nearest centroid
+    buckets per query, then exact cosine within candidates. The scan
+    shrinks ~num_centroids/nprobe-fold vs brute force; recall < 1.
+    With ``train_iters=0`` (seeded centroids + rounded scores) the whole
+    result is deterministic and cross-engine oracle-able; ``train_iters
+    > 0`` trades that for k-means recall."""
+    centroids, assigned = build_ivf_index(
+        corpus, num_centroids, id_col, vec_col, train_iters=train_iters
+    )
+    return _probe_topk(centroids, assigned, queries, k, nprobe, id_col, vec_col)
+
 
 def cosine_dup_pairs(
     corpus: DataFrame,
@@ -489,20 +521,7 @@ def append_to_ivf_index(
     pattern). Probes via ``load_ivf_topk`` see old + appended vectors
     uniformly because both live in the same partitioned table."""
     centroids = df.sparkSession.read.parquet(f"{path}/centroids")
-    scored = (
-        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "_sim",
-            F.round(_dot("_v", "_centvec") / (_norm("_v") * _norm("_centvec")), 6),
-        )
-    )
-    w = Window.partitionBy("cid").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("cid").alias(id_col), F.col("_v").alias(vec_col), "centroid_id")
-    )
+    assigned = _assign_to_centroids(df, centroids, id_col, vec_col)
     (
         assigned.repartition("centroid_id")
         .write.mode("append")
@@ -523,33 +542,9 @@ def load_ivf_topk(
     """Query a saved IVF index: score query x centroid (broadcast),
     pick nprobe buckets, scan ONLY those partitions of the assignment
     table (centroid_id pushdown), exact cosine within candidates."""
-    centroids = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    centroids = spark.read.parquet(f"{path}/centroids")
     assigned = spark.read.parquet(f"{path}/assigned")
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
-    qc = (
-        F.broadcast(q)
-        .crossJoin(centroids)
-        .withColumn(
-            "_sim",
-            F.round(_dot("_qvec", "_centvec") / (_norm("_qvec") * _norm("_centvec")), 6),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
-    probes = (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qvec", "centroid_id")
-    )
-    cand = F.broadcast(probes).join(assigned, "centroid_id")
-    sim = cand.filter(F.col("query_id") != F.col(id_col)).withColumn(
-        "cosine", F.round(_dot("_qvec", vec_col) / (_norm("_qvec") * _norm(vec_col)), 6)
-    )
-    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        sim.withColumn("rank", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
-    )
+    return _probe_topk(centroids, assigned, queries, k, nprobe, id_col, vec_col)
 
 
 def topk_recall(
