@@ -224,7 +224,11 @@ def main() -> None:
     args = sys.argv[1:]
     measured = MEASURED
     if args[:1] == ["--tier"]:
-        measured = [(q, "", None) for q in TIERS[int(args[1])]]
+        # tier 1 IS the default MEASURED set (kept as the richer
+        # (name, table, callable) form because it includes the
+        # production-sized variants not registered in QUERIES)
+        tier = int(args[1])
+        measured = MEASURED if tier == 1 else [(q, "", None) for q in TIERS[tier]]
         args = args[2:]
     factors = [int(a) for a in args] or [1, 3, 10]
     spark = get_spark(app_name="refluxdb_spark_scaling")
