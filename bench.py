@@ -172,6 +172,17 @@ def main() -> None:
     # index on DISK intentionally survives: amortized build is that
     # query's design.)
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Sub-second queries get MORE reps (default 7): the r9→r10 compare
+    # flagged exactly two sub-second queries as >1.3x "regressions"
+    # that three reps could not separate from scheduler noise — at
+    # ~0.5s a single 0.2s hiccup moves a 3-rep median 40%, while the
+    # median of 7 needs four hiccups. Cheap by construction: only
+    # queries that finish in <0.5s pay the extra reps (VERDICT r10
+    # item 5).
+    subsec_reps = max(
+        reps, int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_REPS", "7"))
+    )
+    subsec_floor = 0.5
     # Machine calibration: a fixed probe whose cost is independent of
     # this repo's code (plain parquet scan + hash aggregate over
     # lineitem, built-ins only). Round-over-round bench totals are run
@@ -192,23 +203,33 @@ def main() -> None:
           f"{[round(s, 3) for s in cal_samples]}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    rep_counts: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         samples = []
         n = 0
-        for _ in range(reps):
+
+        def _run() -> None:
+            nonlocal n
             spark.catalog.clearCache()
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
+
+        for _ in range(reps):
+            _run()
+        if sorted(samples)[len(samples) // 2] < subsec_floor:
+            while len(samples) < subsec_reps:
+                _run()
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
+        rep_counts[name] = len(samples)
         print(
             f"# {name}: median {timings[name]}s of {[round(s, 3) for s in samples]} ({n} rows)",
             file=sys.stderr,
         )
 
-    lines = emit_lines(timings, reps, calibration, sf)
+    lines = emit_lines(timings, reps, calibration, sf, rep_counts=rep_counts)
     for line in lines:
         print(line)
     out = os.environ.get(
@@ -226,7 +247,11 @@ def names_digest(names: list[str]) -> str:
 
 
 def emit_lines(
-    timings: dict[str, float], reps: int, calibration: float, sf: float
+    timings: dict[str, float],
+    reps: int,
+    calibration: float,
+    sf: float,
+    rep_counts: dict[str, int] | None = None,
 ) -> list[str]:
     """The stdout contract, testable without running queries: the full
     JSON record first (head-truncated by the driver's ~2000-char tail
@@ -246,6 +271,8 @@ def emit_lines(
         "calibration_sec": calibration,
         "sf": sf,
     }
+    if rep_counts is not None:
+        head["rep_counts"] = rep_counts
     names = list(timings)
     compact = {
         "metric": "headline_query_times_compact",
@@ -253,7 +280,13 @@ def emit_lines(
         "names_md5": names_digest(names),
         "values": [timings[n] for n in names],
     }
-    summary = {k: v for k, v in head.items() if k != "queries"}
+    if rep_counts is not None:
+        # per-query rep counts ride the SAME decodable line (extra key,
+        # decoder unaffected): the adaptive sub-second policy means 3
+        # and 7 coexist, and a reader adjudicating a flagged regression
+        # needs to know which cohort the number came from
+        compact["reps_values"] = [rep_counts.get(n, reps) for n in names]
+    summary = {k: v for k, v in head.items() if k not in ("queries", "rep_counts")}
     summary["n_queries"] = len(timings)
     return [json.dumps(head), json.dumps(compact), json.dumps(summary)]
 

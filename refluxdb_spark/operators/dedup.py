@@ -291,7 +291,16 @@ def jaccard_pairs_from_tokens(
     max_df: int | None = None,
 ) -> DataFrame:
     """Shared pair machinery over any (id, token [, block]) relation —
-    see ``word_jaccard_pairs`` for the algorithm and scale notes."""
+    see ``word_jaccard_pairs`` for the algorithm and scale notes.
+
+    NULL tokens are dropped up front: the relation is re-keyed on
+    ``xxhash64(token)`` below, and xxhash64(NULL) is a non-null
+    constant — without the filter every NULL token in a caller's
+    relation would collide into one joinable key and manufacture
+    spurious co-occurrence pairs (in-repo tokenizers never emit NULLs;
+    this guards external callers). A NULL token also cannot contribute
+    to any set's Jaccard, so dropping it is semantics-preserving."""
+    toks = toks.filter(F.col("token").isNotNull())
     if block_col:
         # blocking key rides on the exploded rows (narrow) instead of a
         # join-back on id (a full shuffle of the token relation)
@@ -1073,6 +1082,14 @@ def simhash(
     the fingerprint sets bit i when the vote sum is positive. Two
     near-identical documents differ in few bits (small Hamming
     distance). Returns (id, simhash BIGINT).
+
+    FORMAT BREAK (round 10): the hash family changed from two seeded
+    digests per token (``sim0:``/``sim1:`` prefixes) to the two 32-bit
+    halves of ONE ``sim:``-prefixed digest, so every fingerprint VALUE
+    changed. Fingerprints persisted with pre-r10 versions do not match
+    r10+ output and must be regenerated; all in-repo pair paths and
+    oracles moved together, so nothing inside the repo compares across
+    the break.
 
     Implementation: tokens -> ONE md5 digest whose first two 32-bit
     halves feed the per-bit votes via bitwise ops aggregated with

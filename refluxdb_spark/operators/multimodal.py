@@ -226,6 +226,27 @@ def _ffmpeg_ppm_frames(ffmpeg: str, data: bytes, every_ms: int) -> list[bytes]:
 _AUDIO_CANON_SR = 16000
 
 
+def _resample_linear(x, sr_from: int, sr_to: int):
+    """Linear-interpolation resample of a 1-D float64 signal (pure
+    numpy, deterministic, no codec). Used to bring the soundfile
+    decode path onto the same ``_AUDIO_CANON_SR`` contract as the
+    ffmpeg pipe, so a mixed fleet (some executors with soundfile, some
+    with ffmpeg) emits one homogeneous (sample_rate, duration_ms)
+    schema for the same clip. rms after linear vs polyphase
+    resampling can differ in the low decimals — documented in
+    ``audio_features``."""
+    import numpy as np
+
+    if sr_from == sr_to or len(x) == 0:
+        return x
+    n_out = int(round(len(x) * sr_to / sr_from))
+    if n_out <= 0:
+        return x[:0]
+    # sample positions in the source timeline, endpoint-aligned
+    pos = np.arange(n_out, dtype=np.float64) * (sr_from / sr_to)
+    return np.interp(pos, np.arange(len(x), dtype=np.float64), x)
+
+
 def _ffmpeg_pcm_features(ffmpeg: str, data: bytes) -> tuple[int, int, float]:
     """Decode ``data`` (any container/codec ffmpeg reads) to s16le mono
     at ``_AUDIO_CANON_SR`` and return (duration_ms, sample_rate, rms).
@@ -303,13 +324,19 @@ def audio_features(
     ``fake=False`` REALLY decodes PCM WAV with the stdlib ``wave``
     module (no external codec needed): true duration, sample rate, and
     RMS energy normalized to full scale. Compressed formats (MP3/FLAC/
-    OGG/…) decode for real when the executors have ``soundfile``
-    (native rate) or ``ffmpeg`` on PATH (piped to s16le mono at a
-    canonical 16 kHz analysis rate — the mirror of ``frame_sample``'s
-    feature-detected video path); with neither present they raise
-    NotImplementedError at EXECUTION so the plan shape stays testable
-    everywhere. Unsupported WAV widths (24-bit PCM) take the same
-    fallback rather than failing when a real decoder is available."""
+    OGG/…) decode for real when the executors have ``soundfile`` or
+    ``ffmpeg`` on PATH (the mirror of ``frame_sample``'s
+    feature-detected video path); BOTH decoders emit mono at the
+    canonical 16 kHz analysis rate (`_AUDIO_CANON_SR`; soundfile
+    decodes natively then linear-resamples), so sample_rate and
+    duration_ms are decoder-independent — rms can differ in the low
+    decimals between soundfile+linear and ffmpeg's polyphase
+    resampler. Uncompressed WAV keeps its true native rate (stdlib
+    decode, no resampling). With no decoder present compressed clips
+    raise NotImplementedError at EXECUTION so the plan shape stays
+    testable everywhere. Unsupported WAV widths (24-bit PCM) take the
+    same fallback rather than failing when a real decoder is
+    available."""
     src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -327,17 +354,19 @@ def audio_features(
             _sf = None
 
         def _decode_compressed(b: bytes, why: str) -> tuple[int, int, float]:
-            """Non-stdlib decode: soundfile keeps the native sample
-            rate; the ffmpeg pipe resamples to CANON_SR mono (the
-            standard analysis rate, so duration/rms stay exact and
-            deterministic for a given binary). ``why`` names the
-            stdlib-path failure for the no-decoder error."""
+            """Non-stdlib decode, ONE contract regardless of decoder:
+            both the soundfile path and the ffmpeg pipe emit mono at
+            ``_AUDIO_CANON_SR`` (soundfile decodes at native rate, then
+            ``_resample_linear`` brings it to canon), so a mixed fleet
+            produces one homogeneous schema per dataset (ADVICE r10).
+            ``why`` names the stdlib-path failure for the no-decoder
+            error."""
             if _sf is not None:
                 data, sr = _sf.read(_io.BytesIO(b), dtype="float64", always_2d=True)
-                x = data.mean(axis=1)
-                duration_ms = int(round(len(x) / sr * 1000)) if sr else 0
+                x = _resample_linear(data.mean(axis=1), int(sr), _AUDIO_CANON_SR)
+                duration_ms = int(round(len(x) / _AUDIO_CANON_SR * 1000)) if sr else 0
                 rms = float(np.sqrt(np.mean(x**2))) if len(x) else 0.0
-                return duration_ms, int(sr), rms
+                return duration_ms, _AUDIO_CANON_SR, rms
             if ffmpeg is not None:
                 return _ffmpeg_pcm_features(ffmpeg, b)
             raise NotImplementedError(

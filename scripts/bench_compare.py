@@ -41,13 +41,23 @@ def _decode_compact(line: str) -> dict[str, float] | None:
         rec = json.loads(line)
     except json.JSONDecodeError:
         return None
-    if (
-        isinstance(rec, dict)
-        and rec.get("metric") == "headline_query_times_compact"
-        and rec.get("names_md5") == names_digest(HEADLINE)
-        and len(rec.get("values", [])) == len(HEADLINE)
-    ):
+    if not (isinstance(rec, dict) and rec.get("metric") == "headline_query_times_compact"):
+        return None
+    if rec.get("names_md5") == names_digest(HEADLINE) and len(
+        rec.get("values", [])
+    ) == len(HEADLINE):
         return dict(zip(HEADLINE, (float(v) for v in rec["values"])))
+    # a compact line exists but was recorded against a DIFFERENT
+    # HEADLINE list (names_md5 mismatch) — the caller falls back to the
+    # lossy ~58-pair regex scan; say so instead of degrading silently
+    print(
+        f"warning: compact line found but names_md5 "
+        f"{rec.get('names_md5')!r} != current HEADLINE "
+        f"{names_digest(HEADLINE)!r} ({len(rec.get('values', []))} vs "
+        f"{len(HEADLINE)} queries) — falling back to the lossy named-pair "
+        f"scan",
+        file=sys.stderr,
+    )
     return None
 
 

@@ -13,13 +13,14 @@ Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from refluxdb_spark.oracle_types import canon_duck_type, canon_spark_type  # noqa: E402
 from refluxdb_spark.queries import ORACLES, QUERIES, TABLES  # noqa: E402

@@ -21,12 +21,13 @@ Usage: python scripts/exp_ema.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import refluxdb_spark.operators.timeseries as TS  # noqa: E402
 from refluxdb_spark.queries import load  # noqa: E402

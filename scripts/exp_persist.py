@@ -8,11 +8,12 @@ Usage: python scripts/exp_persist.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from unittest import mock
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame  # noqa: E402
 

@@ -44,9 +44,13 @@ def test_compact_line_carries_every_timing_within_tail_window():
     from bench import names_digest
 
     timings = {n: round(0.1 + i / 997, 3) for i, n in enumerate(HEADLINE)}
-    lines = emit_lines(timings, reps=3, calibration=0.28, sf=0.1)
+    # worst-case rep-count payload: every query in the 7-rep cohort
+    rep_counts = {n: 7 for n in HEADLINE}
+    lines = emit_lines(timings, reps=3, calibration=0.28, sf=0.1, rep_counts=rep_counts)
     compact = json.loads(lines[1])
     assert compact["names_md5"] == names_digest(list(HEADLINE))
+    assert compact["reps_values"] == [7] * len(HEADLINE)
+    assert json.loads(lines[0])["rep_counts"] == rep_counts
     assert len(lines[1]) + len(lines[2]) < 1500, (
         "compact+summary must leave tail-window headroom"
     )
@@ -93,3 +97,34 @@ def test_every_headline_query_has_an_exchange_budget():
     assert budgets, "budgets dict not found in test_plans.py"
     missing = [n for n in HEADLINE if n not in budgets]
     assert not missing, f"HEADLINE queries without exchange budget: {missing}"
+
+
+def test_compact_decode_warns_on_names_md5_mismatch(capsys):
+    """ADVICE r10: after a HEADLINE edit, older compact lines become
+    undecodable — the decoder must say so on stderr instead of silently
+    degrading to the lossy regex pair scan."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import bench_compare as bc
+
+    stale = json.dumps(
+        {
+            "metric": "headline_query_times_compact",
+            "order": "bench.HEADLINE",
+            "names_md5": "deadbeef0000",
+            "values": [0.1, 0.2],
+        }
+    )
+    assert bc._decode_compact(stale) is None
+    err = capsys.readouterr().err
+    assert "names_md5" in err and "deadbeef0000" in err
+    # the happy path stays silent
+    timings = {n: 0.5 for n in HEADLINE}
+    lines = emit_lines(timings, reps=3, calibration=0.28, sf=0.1)
+    assert bc._decode_compact(lines[1]) == timings
+    assert capsys.readouterr().err == ""

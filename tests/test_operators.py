@@ -3037,3 +3037,56 @@ def test_degree_assortativity_star_vs_clique(spark):
     )
     c = degree_assortativity(clique).collect()[0]
     assert c.assortativity is None  # zero degree variance -> undefined
+
+
+def test_jaccard_from_tokens_drops_null_tokens(spark):
+    """ADVICE r10: jaccard_pairs_from_tokens re-keys on xxhash64(token),
+    and xxhash64(NULL) is a non-null CONSTANT — without the up-front
+    IS NOT NULL filter, NULL tokens from an external caller's relation
+    would all collide into one joinable key and manufacture spurious
+    pairs. Two docs sharing ONLY a NULL token must produce no pair."""
+    from refluxdb_spark.operators.dedup import jaccard_pairs_from_tokens
+
+    toks = spark.createDataFrame(
+        [(1, "alpha"), (1, None), (2, "beta"), (2, None)],
+        "id long, token string",
+    )
+    assert jaccard_pairs_from_tokens(toks, threshold=0.1).count() == 0
+    # capped path takes the same guard
+    assert jaccard_pairs_from_tokens(toks, threshold=0.1, max_df=10).count() == 0
+    # and a real shared token still pairs (NULLs don't inflate sizes:
+    # {alpha,gamma} vs {alpha} -> 1/2, not diluted by the NULL row)
+    toks2 = spark.createDataFrame(
+        [(1, "alpha"), (1, "gamma"), (1, None), (2, "alpha")],
+        "id long, token string",
+    )
+    rows = jaccard_pairs_from_tokens(toks2, threshold=0.4).collect()
+    assert len(rows) == 1 and rows[0].jaccard == pytest.approx(0.5)
+
+
+def test_audio_resample_linear_contract():
+    """The soundfile decode path now linear-resamples to
+    _AUDIO_CANON_SR so both compressed-audio decoders emit ONE
+    (sample_rate, duration_ms) contract (ADVICE r10). Pure numpy —
+    testable with no codec in the environment."""
+    import numpy as np
+
+    from refluxdb_spark.operators.multimodal import (
+        _AUDIO_CANON_SR,
+        _resample_linear,
+    )
+
+    # identity when rates match
+    x = np.array([0.0, 1.0, -1.0, 0.5])
+    assert _resample_linear(x, 16000, 16000) is x
+    # length scales by the rate ratio; duration is preserved
+    one_sec = np.sin(np.linspace(0, 440 * 2 * np.pi, 48000, endpoint=False))
+    y = _resample_linear(one_sec, 48000, _AUDIO_CANON_SR)
+    assert len(y) == _AUDIO_CANON_SR  # 1 s at canon rate
+    # a constant signal resamples to the same constant (rms invariant)
+    const = np.full(44100, 0.25)
+    z = _resample_linear(const, 44100, _AUDIO_CANON_SR)
+    assert len(z) == _AUDIO_CANON_SR
+    assert float(np.sqrt(np.mean(z**2))) == pytest.approx(0.25)
+    # empty input stays empty, no div-by-zero
+    assert len(_resample_linear(np.array([]), 44100, 16000)) == 0
