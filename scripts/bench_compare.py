@@ -13,6 +13,11 @@ command:
 
     python scripts/bench_compare.py BENCH_r09.json bench_latest.json [1.3]
 
+Pass --bytes to diff two exchange-bytes baseline files (written by
+scripts/exp_exchange_bytes.py --baseline/--out) instead of timings:
+
+    python scripts/bench_compare.py --bytes base.json new.json [1.2]
+
 Raw stdout (full JSON line), bench_latest.json, and driver tails mix
 freely; timings keyed "reps"/"sf"/"calibration_sec"/"value"/
 "n_queries" are excluded.
@@ -79,10 +84,45 @@ def load_timings(path: str) -> dict[str, float]:
     return {k: float(v) for k, v in pairs if k not in _META}
 
 
+def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
+    """Diff two exchange-bytes baseline files (the JSON written by
+    scripts/exp_exchange_bytes.py --baseline / --out) without
+    re-measuring anything — the byte-level twin of the timing compare.
+    Bytes are deterministic where sf0.1 wall-time is ±7% noise, so
+    this is the primary round-over-round plan-regression signal."""
+    a = json.load(open(base_path))["queries"]
+    b = json.load(open(new_path))["queries"]
+    common = sorted(set(a) & set(b))
+    if not common:
+        print("no common queries between the two byte baselines")
+        return 2
+    ta, tb = sum(a[q]["bytes"] for q in common), sum(b[q]["bytes"] for q in common)
+    print(f"common queries: {len(common)}  base {ta / 1e6:.2f} MB  "
+          f"new {tb / 1e6:.2f} MB  ratio {tb / ta:.2f}x")
+    regressions = []
+    for q in common:
+        ba, bb = a[q]["bytes"], b[q]["bytes"]
+        # same 64 KiB absolute floor as exp_exchange_bytes --check:
+        # tiny exchanges can't flag on payload jitter
+        if bb > ba * thresh and bb - ba > 64 * 1024:
+            regressions.append((q, ba, bb, bb / ba))
+    for q, ba, bb, r in sorted(regressions, key=lambda t: -t[3]):
+        print(f"  BYTE REGRESSION {q}: {ba / 1e6:.2f} MB -> {bb / 1e6:.2f} MB ({r:.2f}x)")
+    if not regressions:
+        print(f"zero byte regressions > {thresh}x")
+    return 1 if regressions else 0
+
+
 def main() -> int:
-    if len(sys.argv) < 3:
+    args = [a for a in sys.argv[1:] if a != "--bytes"]
+    if len(args) < 2:
         print(__doc__)
         return 2
+    if "--bytes" in sys.argv:
+        return compare_bytes(
+            args[0], args[1], float(args[2]) if len(args) > 2 else 1.2
+        )
+    sys.argv = [sys.argv[0]] + args
     base, new = load_timings(sys.argv[1]), load_timings(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     common = sorted(set(base) & set(new))

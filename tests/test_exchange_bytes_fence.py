@@ -1,0 +1,79 @@
+"""Exchange-BYTES fence (VERDICT r10 item 2): the byte-level
+complement to test_plans.py's exchange-COUNT budgets.
+
+Wall-clock at sf0.1 spreads ±7% between same-code runs, so the bench
+ratchet can't see a <1.3x plan regression; shuffle-write BYTES are
+deterministic (measured twice at sf0.01: identical records, bytes
+within 2%), so a >1.2x byte growth on any baselined query is real
+plan drift, not noise. The baseline pins the 22-query ratchet set —
+the top-20 most expensive headline queries by BENCH_r10.json plus the
+two r9→r10 variance-suspect sub-second flags and the r10 carry-over
+sim_rp_lsh_pairs.
+
+Runs in a SUBPROCESS: the measurement reads per-stage shuffle metrics
+from the Spark UI REST API, which the shared test session disables —
+a fresh JVM with the UI on is the one honest way to get the same
+numbers the SCALE.md baselines were recorded with. (~60 s at sf0.01.)
+
+Regenerate the baseline after an INTENTIONAL plan change:
+
+    python scripts/exp_exchange_bytes.py \
+        --baseline tests/exchange_baseline_sf001.json \
+        --sf /root/testdata/sf0.01
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+BASELINE = os.path.join(_HERE, "exchange_baseline_sf001.json")
+SF_DIR = os.environ.get("SPARK_GRAFT_EXB_SF_DIR", "/root/testdata/sf0.01")
+
+
+def test_baseline_queries_are_registered():
+    from refluxdb_spark.queries import QUERIES
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    from exp_exchange_bytes import BASELINE_SET
+
+    base = json.load(open(BASELINE))
+    assert sorted(base["queries"]) == sorted(BASELINE_SET)
+    missing = [q for q in base["queries"] if q not in QUERIES]
+    assert not missing, f"baselined queries not in QUERIES: {missing}"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"{SF_DIR} not present"
+)
+def test_exchange_bytes_within_budget(tmp_path):
+    out = tmp_path / "remeasured.json"
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(_REPO, "scripts", "exp_exchange_bytes.py"),
+            "--check", BASELINE,
+            "--sf", SF_DIR,
+            "--threshold", "1.2",
+            "--out", str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=_REPO,
+    )
+    assert r.returncode == 0, (
+        f"exchange-byte regression(s) vs tests/exchange_baseline_sf001.json "
+        f"— if the plan change was intentional, regenerate the baseline "
+        f"(see module docstring)\n--- stdout ---\n{r.stdout}\n"
+        f"--- stderr tail ---\n{r.stderr[-2000:]}"
+    )
+    # the re-measurement must actually have run every baselined query
+    fresh = json.loads(out.read_text())
+    base = json.load(open(BASELINE))
+    assert sorted(fresh["queries"]) == sorted(base["queries"])
+    ran = sum(1 for q in fresh["queries"].values() if q["stages"] > 0)
+    assert ran == len(base["queries"])
