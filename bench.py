@@ -191,16 +191,43 @@ def main() -> None:
     # reader a denominator: compare `queries[...] / calibration_sec`
     # across rounds, not raw seconds.
     li = load(spark, sf_dir, "lineitem")
-    cal_samples = []
-    for _ in range(3):
-        t0 = time.time()
-        li.groupBy("l_returnflag", "l_linestatus").agg(
-            {"l_quantity": "sum", "l_extendedprice": "avg"}
-        ).count()
-        cal_samples.append(time.time() - t0)
-    calibration = round(sorted(cal_samples)[1], 3)
-    print(f"# calibration probe: median {calibration}s of "
-          f"{[round(s, 3) for s in cal_samples]}", file=sys.stderr)
+
+    def _jvm_probe() -> float:
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            li.groupBy("l_returnflag", "l_linestatus").agg(
+                {"l_quantity": "sum", "l_extendedprice": "avg"}
+            ).count()
+            samples.append(time.time() - t0)
+        return round(sorted(samples)[1], 3)
+
+    def _py_probe() -> float:
+        # Arrow/Python-side probe: the JVM probe measured 0.316 vs
+        # 0.331 across two VMs whose PYTHON-path workloads differed
+        # 1.3-1.4x (round 11, byte-identical code) — whole-stage
+        # codegen throughput and Arrow-batch/pandas throughput drift
+        # independently across boxes, so each needs its own
+        # denominator. Plain mapInPandas sum, no repo code.
+        import pandas as _pd
+
+        def _sum_batches(it):
+            for pdf in it:
+                yield _pd.DataFrame({"s": [float(pdf["l_quantity"].sum())]})
+
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            li.select("l_quantity").mapInPandas(_sum_batches, "s double").agg(
+                {"s": "sum"}
+            ).count()
+            samples.append(time.time() - t0)
+        return round(sorted(samples)[1], 3)
+
+    calibration = _jvm_probe()
+    calibration_py = _py_probe()
+    print(f"# calibration probes: jvm {calibration}s, py {calibration_py}s",
+          file=sys.stderr)
 
     timings: dict[str, float] = {}
     rep_counts: dict[str, int] = {}
@@ -229,7 +256,23 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    lines = emit_lines(timings, reps, calibration, sf, rep_counts=rep_counts)
+    # End-of-sweep re-run of the JVM probe: a long-lived bench session
+    # ages (codegen cache, GC heap, status-store churn) — queries late
+    # in HEADLINE measured ~1.1-1.2x their fresh-session cost in round
+    # 11. start-vs-end probe delta makes that aging visible in the
+    # artifact instead of being misread as late-query regressions.
+    calibration_end = _jvm_probe()
+    print(f"# calibration probe at end: {calibration_end}s", file=sys.stderr)
+
+    lines = emit_lines(
+        timings,
+        reps,
+        calibration,
+        sf,
+        rep_counts=rep_counts,
+        calibration_py=calibration_py,
+        calibration_end=calibration_end,
+    )
     for line in lines:
         print(line)
     out = os.environ.get(
@@ -252,6 +295,8 @@ def emit_lines(
     calibration: float,
     sf: float,
     rep_counts: dict[str, int] | None = None,
+    calibration_py: float | None = None,
+    calibration_end: float | None = None,
 ) -> list[str]:
     """The stdout contract, testable without running queries: the full
     JSON record first (head-truncated by the driver's ~2000-char tail
@@ -271,6 +316,10 @@ def emit_lines(
         "calibration_sec": calibration,
         "sf": sf,
     }
+    if calibration_py is not None:
+        head["calibration_py_sec"] = calibration_py
+    if calibration_end is not None:
+        head["calibration_end_sec"] = calibration_end
     if rep_counts is not None:
         head["rep_counts"] = rep_counts
     names = list(timings)

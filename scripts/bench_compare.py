@@ -34,7 +34,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE, names_digest  # noqa: E402
 
-_META = {"reps", "sf", "calibration_sec", "value", "n_queries"}
+_META = {
+    "reps",
+    "sf",
+    "calibration_sec",
+    "calibration_py_sec",
+    "calibration_end_sec",
+    "value",
+    "n_queries",
+}
 
 
 def _decode_compact(line: str) -> dict[str, float] | None:

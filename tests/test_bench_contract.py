@@ -128,3 +128,25 @@ def test_compact_decode_warns_on_names_md5_mismatch(capsys):
     lines = emit_lines(timings, reps=3, calibration=0.28, sf=0.1)
     assert bc._decode_compact(lines[1]) == timings
     assert capsys.readouterr().err == ""
+
+
+def test_calibration_fields_ride_head_and_summary_not_compact():
+    """Round 11: the JVM probe is blind to Python-path VM drift
+    (measured 0.316 vs 0.331 across two VMs whose pandas-UDF workloads
+    differed 1.3-1.4x on byte-identical code), so the artifact carries
+    a py-side probe and an end-of-sweep probe. Both must survive the
+    tail window via the short summary line."""
+    timings = {f"q{i}": 0.5 for i in range(98)}
+    lines = emit_lines(
+        timings, reps=3, calibration=0.3, sf=0.1,
+        calibration_py=1.2, calibration_end=0.35,
+    )
+    head, compact, summary = (json.loads(l) for l in lines)
+    for rec in (head, summary):
+        assert rec["calibration_py_sec"] == 1.2
+        assert rec["calibration_end_sec"] == 0.35
+    assert "calibration_py_sec" not in compact
+    assert len(lines[-1]) < 400
+    # omitted -> absent (old-artifact shape unchanged)
+    old = json.loads(emit_lines(timings, 3, 0.3, 0.1)[0])
+    assert "calibration_py_sec" not in old and "calibration_end_sec" not in old
