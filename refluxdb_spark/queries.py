@@ -5658,20 +5658,18 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     over p_partkey on the already-joined candidate set — no second
     scan of the ps relation. Unit-price division is row-level (bit
     exact in both engines) and min is order-independent, so the
-    equality `ps_cost = min_cost` is reproducible. At scale: part is
-    filtered before the join (broadcast), the eu supplier dim is tiny
-    (broadcast), and the only big shuffle is the (partkey, suppkey)
-    aggregate lineitem already needs."""
-    li = load(spark, sf_dir, "lineitem")
-    ps = li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(
-        F.min(
-            F.col("l_extendedprice").cast("double")
-            / F.col("l_quantity").cast("double")
-        ).alias("ps_cost")
-    )
+    equality `ps_cost = min_cost` is reproducible. At scale: BOTH
+    dimension filters (the selective part predicate and the EUROPE
+    supplier set) are applied to lineitem as broadcast joins BEFORE
+    the (partkey, suppkey) aggregate — Catalyst pushes predicate
+    filters through aggregates but not JOIN filters, and left above
+    the groupBy they let the whole fact table through its one big
+    exchange. Semantics are unchanged (a per-key min is unaffected by
+    key-level filters; the window min already ranged over the
+    POST-join candidate set in both engine and oracle). Measured at
+    sf0.1: exchange 10.39 MB / 596,757 records → 0.30 MB / 11,568
+    records (round 11) — the shuffle now scales with matching rows,
+    not the fact table."""
     sup = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -5687,15 +5685,31 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    li_f = li.join(
+        F.broadcast(p), li.l_partkey == F.col("p_partkey")
+    ).join(
+        F.broadcast(eu.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = li_f.groupBy(
+        "p_partkey", F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("ps_cost")
+    )
     from pyspark.sql import Window
 
-    cand = (
-        ps.join(F.broadcast(p), ps.ps_partkey == F.col("p_partkey"))
-        .join(F.broadcast(eu), ps.ps_suppkey == F.col("s_suppkey"))
-        .withColumn(
-            "min_cost",
-            F.min("ps_cost").over(Window.partitionBy("p_partkey")),
-        )
+    cand = ps.join(
+        F.broadcast(eu), ps.ps_suppkey == eu.s_suppkey
+    ).withColumn(
+        "min_cost",
+        F.min("ps_cost").over(Window.partitionBy("p_partkey")),
     )
     return (
         cand.filter(F.col("ps_cost") == F.col("min_cost"))
