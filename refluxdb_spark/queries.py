@@ -5355,9 +5355,15 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
     EXISTS / NOT-EXISTS pair is rewritten as per-order supplier
     aggregates — (distinct suppliers, distinct LATE suppliers) — and a
     supplier qualifies when it is late on a multi-supplier order where
-    it is the ONLY late one. At scale this is two aggregations on keys
-    the joins already shuffle on, instead of two correlated
-    re-scans of lineitem per row."""
+    it is the ONLY late one. At scale: ONE explicit repartition on the
+    order key serves the whole per-order pipeline — hash(o) satisfies
+    the (o, s) aggregate (partition keys ⊆ grouping keys), and the
+    per-order counts become WINDOW sums over o on the same exchange
+    instead of a second aggregate + a join back (which re-shuffled the
+    (o, s) relation on o). Round 11: 3 full-relation exchanges → 1;
+    measured 43,822 → 19,957 records / 0.52 → 0.21 MB at sf0.01."""
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -5365,22 +5371,23 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     per_os = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
-        .agg(
-            F.max(
-                F.when(
-                    F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
-                    1,
-                ).otherwise(0)
-            ).alias("late")
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_suppkey").alias("s"),
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                1,
+            ).otherwise(0).alias("_late_row"),
         )
+        .repartition("o")
+        .groupBy("o", "s")
+        .agg(F.max("_late_row").alias("late"))
     )
-    per_order = per_os.groupBy("o").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    w = Window.partitionBy("o")
     return (
-        per_os.join(per_order, "o")
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
         .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(F.broadcast(sup), per_os.s == sup.s_suppkey)
         .groupBy("s_name")

@@ -125,7 +125,8 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "tpch_q2_min_cost_supplier": 2,   # ps agg + per-part window min
         "tpch_q9_product_type_profit": 1, # broadcast dims; one final agg
         "tpch_q11_important_stock": 3,    # part agg + total + threshold join
-        "tpch_q16_part_supplier_counts": 3,  # distinct + anti join + count-distinct
+        "tpch_q16_part_supplier_counts": 2,  # filtered distinct + count-distinct (r11: broadcast filters below the distinct)
+        "tpch_q21_waiting_suppliers": 2,     # one repartition(o) serves agg+window; final name agg (r11)
         "tpch_q20_potential_promotion": 3,   # pair agg + qual distinct + semi
         "text_boilerplate_removal": 3,  # span-hash freq + rebuild + id join
         "dedup_semantic_prune": 3,      # assign agg + block join + argmin agg
