@@ -74,6 +74,11 @@ BASELINE_SET = [
     "events_bot_signals",
     # round-10 baseline carry-over
     "sim_rp_lsh_pairs",
+    # round-11 join-filter-below-aggregate rewrites (with tpch_q2
+    # above): pinned so regrowth of the pattern is caught by bytes
+    "tpch_q16_part_supplier_counts",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_suppliers",
 ]
 
 #: flag only when growth is BOTH >threshold relatively and >this many
