@@ -34,6 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE, names_digest  # noqa: E402
 
+#: stale names_md5 digests already warned about (dedupe per process)
+_WARNED_MD5: set = set()
+
 _META = {
     "reps",
     "sf",
@@ -62,15 +65,20 @@ def _decode_compact(line: str) -> dict[str, float] | None:
         return dict(zip(HEADLINE, (float(v) for v in rec["values"])))
     # a compact line exists but was recorded against a DIFFERENT
     # HEADLINE list (names_md5 mismatch) — the caller falls back to the
-    # lossy ~58-pair regex scan; say so instead of degrading silently
-    print(
-        f"warning: compact line found but names_md5 "
-        f"{rec.get('names_md5')!r} != current HEADLINE "
-        f"{names_digest(HEADLINE)!r} ({len(rec.get('values', []))} vs "
-        f"{len(HEADLINE)} queries) — falling back to the lossy named-pair "
-        f"scan",
-        file=sys.stderr,
-    )
+    # lossy ~58-pair regex scan; say so instead of degrading silently,
+    # but only once per distinct stale digest (a mixed artifact can
+    # hold several stale compact lines)
+    stale = rec.get("names_md5")
+    if stale not in _WARNED_MD5:
+        _WARNED_MD5.add(stale)
+        print(
+            f"warning: compact line found but names_md5 "
+            f"{stale!r} != current HEADLINE "
+            f"{names_digest(HEADLINE)!r} ({len(rec.get('values', []))} vs "
+            f"{len(HEADLINE)} queries) — falling back to the lossy "
+            f"named-pair scan",
+            file=sys.stderr,
+        )
     return None
 
 
@@ -105,15 +113,19 @@ def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
         print("no common queries between the two byte baselines")
         return 2
     ta, tb = sum(a[q]["bytes"] for q in common), sum(b[q]["bytes"] for q in common)
+    # zero guards: a baseline row can legitimately record 0 bytes
+    # (zero-exchange plans like reflux_limit_offset), so ratios follow
+    # check()'s convention — growth from 0 past the floor reads inf
+    total_ratio = tb / ta if ta else float("inf")
     print(f"common queries: {len(common)}  base {ta / 1e6:.2f} MB  "
-          f"new {tb / 1e6:.2f} MB  ratio {tb / ta:.2f}x")
+          f"new {tb / 1e6:.2f} MB  ratio {total_ratio:.2f}x")
     regressions = []
     for q in common:
         ba, bb = a[q]["bytes"], b[q]["bytes"]
         # same 64 KiB absolute floor as exp_exchange_bytes --check:
         # tiny exchanges can't flag on payload jitter
         if bb > ba * thresh and bb - ba > 64 * 1024:
-            regressions.append((q, ba, bb, bb / ba))
+            regressions.append((q, ba, bb, bb / ba if ba else float("inf")))
     for q, ba, bb, r in sorted(regressions, key=lambda t: -t[3]):
         print(f"  BYTE REGRESSION {q}: {ba / 1e6:.2f} MB -> {bb / 1e6:.2f} MB ({r:.2f}x)")
     if not regressions:

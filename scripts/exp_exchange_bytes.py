@@ -79,7 +79,30 @@ BASELINE_SET = [
     "tpch_q16_part_supplier_counts",
     "tpch_q20_potential_promotion",
     "tpch_q21_waiting_suppliers",
+    # r10->r11 driver wall-clock flags adjudicated as variance but not
+    # yet byte-fenced (VERDICT r11 item 3): pinned so the next wobble
+    # is byte-adjudicated instead of wall-clock-statistical
+    "sim_cosine_topk",
+    "ts_window_moving_avg",
 ]
+
+#: Queries that amortize a ONE-TIME build behind a per-(sf, mtime)
+#: disk cache (persisted MinHash/IVF/IVF-PQ indexes, the routed-rollup
+#: warehouse, durable streaming state). A cold-cache profile run pays
+#: the build inside the measured stage set and reads 40-130x the warm
+#: bytes (SCALE.md §9's 133x/44x artifacts) — so measure() force-warms
+#: these with one un-measured run first. Their profile rows therefore
+#: record the OPERATIONAL (probe) path, matching the committed
+#: sf0.01 profile's semantics.
+WARM_REQUIRED = {
+    "ts_rollup_routed",
+    "dedup_index_append_probe",
+    "dedup_incremental_pairs",
+    "sim_ivf_persisted_topk",
+    "sim_ivf_append_topk",
+    "sim_ivfpq_persisted_topk",
+    "ts_streaming_incremental_dedup",
+}
 
 #: flag only when growth is BOTH >threshold relatively and >this many
 #: bytes absolutely — a 100 KB exchange growing 1.3x is 30 KB of
@@ -109,21 +132,59 @@ def _stages(spark) -> list[dict]:
     return _get(f"{ui}/api/v1/applications/{app_id}/stages")
 
 
+def _settled_new_stages(spark, before: set) -> list[dict]:
+    """The UI status store is fed asynchronously by the listener bus
+    (spark.ui.liveUpdate.period), so a snapshot taken right after
+    count() can miss the final stage's shuffle metrics — an
+    undercounted profile later reads as a regression in --check.
+    Poll until the new-stage set AND its (bytes, records) sums are
+    identical across two consecutive reads with every new stage out
+    of ACTIVE/PENDING state, or 15 s passes."""
+    prev = None
+    deadline = time.time() + 15
+    while True:
+        new = [
+            s
+            for s in _stages(spark)
+            if (s["stageId"], s["attemptId"]) not in before
+        ]
+        snap = (
+            tuple(sorted((s["stageId"], s["attemptId"]) for s in new)),
+            sum(s.get("shuffleWriteBytes", 0) for s in new),
+            sum(s.get("shuffleWriteRecords", 0) for s in new),
+        )
+        settled = all(
+            s.get("status") not in ("ACTIVE", "PENDING") for s in new
+        )
+        if (snap == prev and settled) or time.time() > deadline:
+            return new
+        prev = snap
+        time.sleep(0.1)
+
+
 def measure(spark, name: str, sf_dir: str) -> dict:
     """Run one query to completion and attribute ONLY its stages:
     the completed-stage set is snapshotted before and after, so many
     queries can share one session (stage history retention default is
-    1000 stages — far above a 22-query sweep)."""
-    before = {(s["stageId"], s["attemptId"]) for s in _stages(spark)}
+    1000 stages — far above the baselined set). Queries in
+    WARM_REQUIRED get one un-measured run first so their one-time
+    per-(sf, mtime) index/warehouse build never lands inside the
+    measured stage set (cold-cache profiles read 40-130x warm bytes
+    and false-flag in --check)."""
+    if name in WARM_REQUIRED:
+        QUERIES[name](spark, sf_dir).count()
+    # settled read: prior queries' (and the warm run's) stages must
+    # finish flushing into the status store before they can be
+    # excluded from this query's attribution
+    before = {
+        (s["stageId"], s["attemptId"])
+        for s in _settled_new_stages(spark, set())
+    }
     spark.catalog.clearCache()
     t0 = time.time()
     rows = QUERIES[name](spark, sf_dir).count()
     sec = round(time.time() - t0, 2)
-    new = [
-        s
-        for s in _stages(spark)
-        if (s["stageId"], s["attemptId"]) not in before
-    ]
+    new = _settled_new_stages(spark, before)
     wbytes = sum(s.get("shuffleWriteBytes", 0) for s in new)
     wrecs = sum(s.get("shuffleWriteRecords", 0) for s in new)
     return {
@@ -180,6 +241,12 @@ def check(baseline_path: str, sf_dir: str | None, threshold: float,
     return 1 if failures else 0
 
 
+def _usage(msg: str) -> int:
+    print(f"error: {msg}\n", file=sys.stderr)
+    print(__doc__)
+    return 2
+
+
 def main() -> int:
     argv = sys.argv[1:]
     if not argv:
@@ -187,12 +254,24 @@ def main() -> int:
         return 2
 
     if argv[0] == "--baseline":
+        if len(argv) < 2 or argv[1].startswith("--"):
+            return _usage("--baseline requires an OUT.json operand")
         out_path = argv[1]
         rest = argv[2:]
         sf_dir = "/root/testdata/sf0.1"
-        if rest[:1] == ["--sf"]:
-            sf_dir, rest = rest[1], rest[2:]
-        names = rest or BASELINE_SET
+        names = []
+        while rest:
+            if rest[0] == "--sf":
+                if len(rest) < 2:
+                    return _usage("--sf requires a directory operand")
+                sf_dir, rest = rest[1], rest[2:]
+            else:
+                names.append(rest[0])
+                rest = rest[1:]
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            return _usage(f"unknown queries: {unknown}")
+        names = names or BASELINE_SET
         result = run_set(names, sf_dir)
         with open(out_path, "w") as fh:
             json.dump(result, fh, indent=1)
@@ -207,23 +286,32 @@ def main() -> int:
         return 0
 
     if argv[0] == "--check":
+        if len(argv) < 2 or argv[1].startswith("--"):
+            return _usage("--check requires a BASELINE.json operand")
         baseline_path = argv[1]
         rest = argv[2:]
         sf_dir, threshold, out_path = None, 1.2, None
         while rest:
+            if rest[0] in ("--sf", "--threshold", "--out") and len(rest) < 2:
+                return _usage(f"{rest[0]} requires an operand")
             if rest[0] == "--sf":
                 sf_dir, rest = rest[1], rest[2:]
             elif rest[0] == "--threshold":
-                threshold, rest = float(rest[1]), rest[2:]
+                try:
+                    threshold = float(rest[1])
+                except ValueError:
+                    return _usage(f"--threshold wants a number, got {rest[1]!r}")
+                rest = rest[2:]
             elif rest[0] == "--out":
                 out_path, rest = rest[1], rest[2:]
             else:
-                print(f"unknown arg {rest[0]}")
-                return 2
+                return _usage(f"unknown arg {rest[0]}")
         return check(baseline_path, sf_dir, threshold, out_path)
 
     # single-query mode (round-10 shape)
     name = argv[0]
+    if name not in QUERIES:
+        return _usage(f"unknown query {name!r}")
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     spark = _ui_session(f"exchange_bytes_{name}")
     rec = measure(spark, name, sf_dir)

@@ -5,9 +5,11 @@ Wall-clock at sf0.1 spreads ±7% between same-code runs, so the bench
 ratchet can't see a <1.3x plan regression; shuffle-write BYTES are
 deterministic (measured twice at sf0.01: identical records, bytes
 within 2%), so a >1.2x byte growth on any baselined query is real
-plan drift, not noise. The baseline pins the 25-query ratchet set —
-the top-20 most expensive headline queries by BENCH_r10.json, the two
-r9→r10 variance-suspect sub-second flags, the r10 carry-over
+plan drift, not noise. The baseline pins the ratchet set (27 queries
+as of r12) — the top-20 most expensive headline queries by
+BENCH_r10.json, the r9→r10 and r10→r11 variance-suspect wall-clock
+flags (events_bot_signals; sim_cosine_topk, ts_window_moving_avg —
+so their next wobble is byte-adjudicated), the r10 carry-over
 sim_rp_lsh_pairs, and the three r11 join-filter-below-aggregate
 rewrites (q16/q20/q21) so regrowth of that pattern is caught.
 
