@@ -1,0 +1,96 @@
+"""Third scale point for the df-cap regime claim (VERDICT r11 item 4).
+
+The sf0.01 -> sf0.1 byte sweep read the exact-pair generators at
+12-27x bytes for 10x docs (`dedup_char_ngram_pairs` 27x — the worst
+case — and `dedup_jaccard_pairs_capped` 15x), explained as "pair
+volume per token grows toward the df cap quadratically until the cap
+saturates, so growth is superlinear BETWEEN cap regimes and bounded
+once hot tokens hit the cap". This experiment measures the point the
+explanation predicts must exist: PAST sf0.1, with document frequency
+still growing, the byte ratio must FALL toward (or below) linear,
+because every token whose df crosses ``max_df=50`` is dropped from
+the posting lists entirely.
+
+The scaled corpus here is deliberately different from
+``exp_scaling.build_scaled``'s: that harness suffixes every word of
+copy k so copies share ZERO shingles (df per token constant — right
+for measuring honest new-content growth, useless for stressing the
+cap). Here copies keep the ORIGINAL text and only offset doc_id, so
+every token's df is exactly k times its sf0.1 df — the hardest
+possible df growth. The synthetic exact-dup pairs this creates in the
+OUTPUT are fine: the measured quantity is the exchange the pair
+GENERATOR shuffles, which is what the cap bounds.
+
+Usage: python scripts/exp_cap_regime.py [factors...]   (default 3 10)
+
+Prints a markdown table for SCALE.md §9.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from exp_exchange_bytes import _ui_session, measure  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/refluxdb_spark_capregime"
+QUERIES_UNDER_TEST = ["dedup_char_ngram_pairs", "dedup_jaccard_pairs_capped"]
+
+
+def build_shared_token(spark, factor: int) -> str:
+    """k copies of sf0.1 documents with offset doc_ids and UNCHANGED
+    text: token df scales exactly k-fold. Only documents.parquet is
+    written — both queries under test read nothing else."""
+    out = f"{WORK}/x{factor}"
+    marker = f"{out}/.done"
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    df = spark.read.parquet(f"{SRC}/documents.parquet")
+    copies = [
+        df.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10**9))
+        for k in range(factor)
+    ]
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    scaled.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    open(marker, "w").write("v1")
+    return out
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [3, 10]
+    spark = _ui_session("cap_regime")
+    dirs = {1: SRC}
+    for f in factors:
+        dirs[f] = build_shared_token(spark, f)
+    print("| query | point | data | exchange | records | byte ratio |"
+          " per-data exponent |")
+    print("|---|---|---|---|---|---|---|")
+    for name in QUERIES_UNDER_TEST:
+        base = None
+        for f in sorted(dirs):
+            rec = measure(spark, name, dirs[f])
+            if f == 1:
+                base = rec
+                ratio, expo = "1.0x", "-"
+            else:
+                r = rec["bytes"] / base["bytes"]
+                # exponent e s.t. bytes ~ data^e; e<=1 is linear-or-better
+                import math
+                e = math.log(r) / math.log(f)
+                ratio, expo = f"{r:.1f}x", f"{e:.2f}"
+            print(f"| {name} | x{f} shared-token | {f}x df | "
+                  f"{rec['mb']} MB | {rec['records']:,} | {ratio} | {expo} |")
+
+
+if __name__ == "__main__":
+    main()
