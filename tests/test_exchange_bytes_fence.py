@@ -41,12 +41,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_EXB_SF_DIR", "/root/testdata/sf0.01")
 def test_baseline_queries_are_registered():
     from refluxdb_spark.queries import QUERIES
     sys.path.insert(0, os.path.join(_REPO, "scripts"))
-    from exp_exchange_bytes import BASELINE_SET
+    from exp_exchange_bytes import BASELINE_SET, WARM_REQUIRED
 
     base = json.load(open(BASELINE))
     assert sorted(base["queries"]) == sorted(BASELINE_SET)
     missing = [q for q in base["queries"] if q not in QUERIES]
     assert not missing, f"baselined queries not in QUERIES: {missing}"
+    # the force-warm list must track the registry: a renamed query
+    # left behind here would silently lose its cold-cache protection
+    stale = [q for q in WARM_REQUIRED if q not in QUERIES]
+    assert not stale, f"WARM_REQUIRED names not in QUERIES: {stale}"
 
 
 @pytest.mark.skipif(
