@@ -120,9 +120,14 @@ def test_compact_decode_warns_on_names_md5_mismatch(capsys):
             "values": [0.1, 0.2],
         }
     )
+    bc._WARNED_MD5.clear()  # order-independence vs the dedupe test
     assert bc._decode_compact(stale) is None
     err = capsys.readouterr().err
     assert "names_md5" in err and "deadbeef0000" in err
+    # ADVICE r11: a mixed artifact holding several stale compact lines
+    # must not repeat the same warning per line — once per digest
+    assert bc._decode_compact(stale) is None
+    assert capsys.readouterr().err == ""
     # the happy path stays silent
     timings = {n: 0.5 for n in HEADLINE}
     lines = emit_lines(timings, reps=3, calibration=0.28, sf=0.1)
@@ -150,3 +155,40 @@ def test_calibration_fields_ride_head_and_summary_not_compact():
     # omitted -> absent (old-artifact shape unchanged)
     old = json.loads(emit_lines(timings, 3, 0.3, 0.1)[0])
     assert "calibration_py_sec" not in old and "calibration_end_sec" not in old
+
+
+def test_compare_bytes_zero_byte_rows_cannot_crash(tmp_path, capsys):
+    """ADVICE r11: the full-registry profile legitimately holds
+    zero-exchange rows (e.g. reflux_limit_offset) — a later diff where
+    such a query grows past the 64 KiB floor must report inf-ratio
+    regression, not raise ZeroDivisionError; an all-zero base total
+    must not crash the header line either."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import bench_compare as bc
+
+    def profile(path, rows):
+        p = tmp_path / path
+        p.write_text(json.dumps({
+            "sf_dir": "x",
+            "queries": {q: {"bytes": b, "mb": b / 1e6, "records": b}
+                        for q, b in rows.items()},
+        }))
+        return str(p)
+
+    # zero-byte row grows past the floor -> flagged as inf, exit 1
+    base = profile("a.json", {"zq": 0, "ok": 1000})
+    new = profile("b.json", {"zq": 200_000, "ok": 1000})
+    assert bc.compare_bytes(base, new, 1.2) == 1
+    out = capsys.readouterr().out
+    assert "BYTE REGRESSION zq" in out and "infx" in out
+    # all-zero base total -> header ratio inf, no crash
+    base0 = profile("c.json", {"zq": 0})
+    new0 = profile("d.json", {"zq": 0})
+    assert bc.compare_bytes(base0, new0, 1.2) == 0
+    assert "infx" in capsys.readouterr().out

@@ -84,3 +84,31 @@ def test_exchange_bytes_within_budget(tmp_path):
     assert sorted(fresh["queries"]) == sorted(base["queries"])
     ran = sum(1 for q in fresh["queries"].values() if q["stages"] > 0)
     assert ran == len(base["queries"])
+
+
+def test_cli_operand_validation_exits_2_without_spark(monkeypatch, capsys):
+    """ADVICE r11: missing operands (`--baseline` alone, `--sf` as the
+    last token) must print usage and exit 2, not raise IndexError; an
+    unknown query name anywhere in the --baseline remainder must be
+    rejected instead of KeyErroring mid-sweep. All cases return before
+    any SparkSession is built, so this runs in-process."""
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    import exp_exchange_bytes as xb
+
+    cases = [
+        ["--baseline"],
+        ["--baseline", "--sf"],
+        ["--baseline", "/tmp/out.json", "--sf"],
+        ["--baseline", "/tmp/out.json", "no_such_query_xyz"],
+        # --sf AFTER query names must parse as a flag, not a query
+        ["--baseline", "/tmp/out.json", "no_such_query_xyz", "--sf", "/x"],
+        ["--check"],
+        ["--check", "base.json", "--threshold"],
+        ["--check", "base.json", "--threshold", "abc"],
+        ["--check", "base.json", "--bogus"],
+        ["no_such_query_xyz"],
+    ]
+    for argv in cases:
+        monkeypatch.setattr(sys, "argv", ["exp_exchange_bytes.py"] + argv)
+        assert xb.main() == 2, f"argv {argv} should exit 2"
+        assert "error:" in capsys.readouterr().err
