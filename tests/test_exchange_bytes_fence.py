@@ -34,8 +34,16 @@ import pytest
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_HERE)
-BASELINE = os.path.join(_HERE, "exchange_baseline_sf001.json")
 SF_DIR = os.environ.get("SPARK_GRAFT_EXB_SF_DIR", "/root/testdata/sf0.01")
+# the baseline must MATCH the measured scale factor: overriding
+# SF_DIR to sf0.1 selects the sf0.1 baseline (scripts/) instead of
+# comparing sf0.1 bytes against the sf0.01 pin (which would flag ~10x
+# on every query)
+BASELINE = (
+    os.path.join(_REPO, "scripts", "exchange_baseline_sf01.json")
+    if SF_DIR.rstrip("/").endswith("sf0.1")
+    else os.path.join(_HERE, "exchange_baseline_sf001.json")
+)
 
 
 def test_baseline_queries_are_registered():
