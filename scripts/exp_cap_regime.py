@@ -23,6 +23,15 @@ GENERATOR shuffles, which is what the cap bounds.
 
 Usage: python scripts/exp_cap_regime.py [factors...]   (default 3 10)
 
+Pass ``--suffix`` to scale with ``exp_scaling.build_scaled``'s
+disjoint-token scheme instead (per-token df CONSTANT — honest
+new-content growth), and ``--queries a,b`` to measure a different
+query set; together these give the banded MinHash/SimHash families
+the same deterministic byte treatment at x10/x30:
+
+    python scripts/exp_cap_regime.py --suffix \
+        --queries dedup_minhash_lsh_pairs,dedup_simhash_pairs_capped 10 30
+
 Prints a markdown table for SCALE.md §9.
 """
 
@@ -67,15 +76,28 @@ def build_shared_token(spark, factor: int) -> str:
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [3, 10]
+    args = sys.argv[1:]
+    suffix = "--suffix" in args
+    queries = list(QUERIES_UNDER_TEST)
+    if "--queries" in args:
+        i = args.index("--queries")
+        queries = args[i + 1].split(",")
+        del args[i:i + 2]
+    factors = [int(a) for a in args if not a.startswith("--")] or [3, 10]
+    scheme = "suffix" if suffix else "shared-token"
+    growth = "docs" if suffix else "df"
     spark = _ui_session("cap_regime")
     dirs = {1: SRC}
     for f in factors:
-        dirs[f] = build_shared_token(spark, f)
+        if suffix:
+            from exp_scaling import build_scaled
+            dirs[f] = build_scaled(spark, f)
+        else:
+            dirs[f] = build_shared_token(spark, f)
     print("| query | point | data | exchange | records | byte ratio |"
           " per-data exponent |")
     print("|---|---|---|---|---|---|---|")
-    for name in QUERIES_UNDER_TEST:
+    for name in queries:
         base = None
         for f in sorted(dirs):
             rec = measure(spark, name, dirs[f])
@@ -88,7 +110,7 @@ def main() -> None:
                 import math
                 e = math.log(r) / math.log(f)
                 ratio, expo = f"{r:.1f}x", f"{e:.2f}"
-            print(f"| {name} | x{f} shared-token | {f}x df | "
+            print(f"| {name} | x{f} {scheme} | {f}x {growth} | "
                   f"{rec['mb']} MB | {rec['records']:,} | {ratio} | {expo} |")
 
 
