@@ -94,13 +94,19 @@ def main() -> None:
             dirs[f] = build_scaled(spark, f)
         else:
             dirs[f] = build_shared_token(spark, f)
+    # production-sizing probes live in exp_scaling, not the registry
+    from exp_scaling import _rp_lsh_prod, _semantic_prune_prod
+    extra = {
+        "semantic_prune_prod": _semantic_prune_prod,
+        "rp_lsh_prod": _rp_lsh_prod,
+    }
     print("| query | point | data | exchange | records | byte ratio |"
           " per-data exponent |")
     print("|---|---|---|---|---|---|---|")
     for name in queries:
         base = None
         for f in sorted(dirs):
-            rec = measure(spark, name, dirs[f])
+            rec = measure(spark, name, dirs[f], fn=extra.get(name))
             if f == 1:
                 base = rec
                 ratio, expo = "1.0x", "-"

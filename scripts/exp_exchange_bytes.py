@@ -162,7 +162,7 @@ def _settled_new_stages(spark, before: set) -> list[dict]:
         time.sleep(0.1)
 
 
-def measure(spark, name: str, sf_dir: str) -> dict:
+def measure(spark, name: str, sf_dir: str, fn=None) -> dict:
     """Run one query to completion and attribute ONLY its stages:
     the completed-stage set is snapshotted before and after, so many
     queries can share one session (stage history retention default is
@@ -170,9 +170,12 @@ def measure(spark, name: str, sf_dir: str) -> dict:
     WARM_REQUIRED get one un-measured run first so their one-time
     per-(sf, mtime) index/warehouse build never lands inside the
     measured stage set (cold-cache profiles read 40-130x warm bytes
-    and false-flag in --check)."""
+    and false-flag in --check). ``fn`` overrides the registry lookup
+    for non-registry probes (e.g. exp_scaling's production-sizing
+    variants)."""
+    fn = fn or QUERIES[name]
     if name in WARM_REQUIRED:
-        QUERIES[name](spark, sf_dir).count()
+        fn(spark, sf_dir).count()
     # settled read: prior queries' (and the warm run's) stages must
     # finish flushing into the status store before they can be
     # excluded from this query's attribution
@@ -182,7 +185,7 @@ def measure(spark, name: str, sf_dir: str) -> dict:
     }
     spark.catalog.clearCache()
     t0 = time.time()
-    rows = QUERIES[name](spark, sf_dir).count()
+    rows = fn(spark, sf_dir).count()
     sec = round(time.time() - t0, 2)
     new = _settled_new_stages(spark, before)
     wbytes = sum(s.get("shuffleWriteBytes", 0) for s in new)
