@@ -120,3 +120,22 @@ def test_cli_operand_validation_exits_2_without_spark(monkeypatch, capsys):
         monkeypatch.setattr(sys, "argv", ["exp_exchange_bytes.py"] + argv)
         assert xb.main() == 2, f"argv {argv} should exit 2"
         assert "error:" in capsys.readouterr().err
+
+
+def test_committed_full_registry_profiles_cover_the_registry():
+    """The round gate diffs fresh profiles against the committed
+    full-registry artifacts (scripts/exchange_profile_sf001.json and
+    scripts/exchange_profile_sf01.json, r12) — that only works if the
+    artifacts cover the registry EXACTLY, so a registry change must
+    force a profile regeneration here. No Spark needed."""
+    from refluxdb_spark.queries import QUERIES
+
+    for fname in ("exchange_profile_sf001.json", "exchange_profile_sf01.json"):
+        path = os.path.join(_REPO, "scripts", fname)
+        prof = json.load(open(path))["queries"]
+        assert sorted(prof) == sorted(QUERIES), (
+            f"{fname} does not match the query registry — regenerate it "
+            f"(see .claude/skills/verify/SKILL.md round-gate recipe)"
+        )
+        # every row must be a real measurement, not a placeholder
+        assert all(q["stages"] > 0 for q in prof.values())
