@@ -58,7 +58,11 @@ def build_shared_token(spark, factor: int) -> str:
     written — both queries under test read nothing else."""
     out = f"{WORK}/x{factor}"
     marker = f"{out}/.done"
-    if os.path.exists(marker):
+    # marker carries scheme version AND source dir: a stale corpus
+    # built from a different SRC (or an older copy scheme) silently
+    # reused here would corrupt the published exponents
+    stamp = f"v1:{SRC}"
+    if os.path.exists(marker) and open(marker).read() == stamp:
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
@@ -71,19 +75,48 @@ def build_shared_token(spark, factor: int) -> str:
     for c in copies[1:]:
         scaled = scaled.unionByName(c)
     scaled.write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    open(marker, "w").write("v1")
+    open(marker, "w").write(stamp)
     return out
 
 
-def main() -> None:
+def main() -> int:
+    from refluxdb_spark.queries import QUERIES
+
+    # production-sizing probes live in exp_scaling, not the registry
+    from exp_scaling import _rp_lsh_prod, _semantic_prune_prod
+    extra = {
+        "semantic_prune_prod": _semantic_prune_prod,
+        "rp_lsh_prod": _rp_lsh_prod,
+    }
+
     args = sys.argv[1:]
     suffix = "--suffix" in args
     queries = list(QUERIES_UNDER_TEST)
     if "--queries" in args:
         i = args.index("--queries")
+        if i + 1 >= len(args):
+            print("error: --queries requires a comma-separated operand",
+                  file=sys.stderr)
+            return 2
         queries = args[i + 1].split(",")
         del args[i:i + 2]
-    factors = [int(a) for a in args if not a.startswith("--")] or [3, 10]
+    # validate BEFORE the (minutes-long) corpus builds
+    unknown = [q for q in queries if q not in QUERIES and q not in extra]
+    if unknown:
+        print(f"error: unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    probes = [q for q in queries if q in extra]
+    if probes and not suffix:
+        # the probes read embeddings.parquet; the shared-token scheme
+        # writes documents only — the run would crash after the build
+        print(f"error: {probes} read embeddings, which the shared-token "
+              f"scheme does not scale — pass --suffix", file=sys.stderr)
+        return 2
+    try:
+        factors = [int(a) for a in args if not a.startswith("--")] or [3, 10]
+    except ValueError as e:
+        print(f"error: factors must be integers ({e})", file=sys.stderr)
+        return 2
     scheme = "suffix" if suffix else "shared-token"
     growth = "docs" if suffix else "df"
     spark = _ui_session("cap_regime")
@@ -94,12 +127,6 @@ def main() -> None:
             dirs[f] = build_scaled(spark, f)
         else:
             dirs[f] = build_shared_token(spark, f)
-    # production-sizing probes live in exp_scaling, not the registry
-    from exp_scaling import _rp_lsh_prod, _semantic_prune_prod
-    extra = {
-        "semantic_prune_prod": _semantic_prune_prod,
-        "rp_lsh_prod": _rp_lsh_prod,
-    }
     print("| query | point | data | exchange | records | byte ratio |"
           " per-data exponent |")
     print("|---|---|---|---|---|---|---|")
@@ -110,6 +137,10 @@ def main() -> None:
             if f == 1:
                 base = rec
                 ratio, expo = "1.0x", "-"
+            elif not base["bytes"] or not rec["bytes"]:
+                # zero-exchange plans have no ratio to take a log of
+                ratio = "infx" if rec["bytes"] else "0x"
+                expo = "-"
             else:
                 r = rec["bytes"] / base["bytes"]
                 # exponent e s.t. bytes ~ data^e; e<=1 is linear-or-better
@@ -118,7 +149,8 @@ def main() -> None:
                 ratio, expo = f"{r:.1f}x", f"{e:.2f}"
             print(f"| {name} | x{f} {scheme} | {f}x {growth} | "
                   f"{rec['mb']} MB | {rec['records']:,} | {ratio} | {expo} |")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -156,7 +156,16 @@ def _settled_new_stages(spark, before: set) -> list[dict]:
         settled = all(
             s.get("status") not in ("ACTIVE", "PENDING") for s in new
         )
-        if (snap == prev and settled) or time.time() > deadline:
+        if snap == prev and settled:
+            return new
+        if time.time() > deadline:
+            # returning silently would reintroduce the undercount this
+            # poll exists to prevent — say so, the row is suspect
+            print(
+                "warning: stage metrics did not settle within 15 s — "
+                "this measurement may undercount shuffle bytes",
+                file=sys.stderr,
+            )
             return new
         prev = snap
         time.sleep(0.1)
@@ -216,6 +225,17 @@ def check(baseline_path: str, sf_dir: str | None, threshold: float,
           out_path: str | None) -> int:
     base = json.load(open(baseline_path))
     sf = sf_dir or base["sf_dir"]
+    # validate BEFORE the sweep: a renamed/removed registry query left
+    # in a stale baseline must fail immediately with a clear message,
+    # not KeyError minutes into the re-measurement
+    stale = [q for q in base["queries"] if q not in QUERIES]
+    if stale:
+        print(
+            f"error: baseline {baseline_path} names queries not in the "
+            f"registry: {stale} — regenerate it with --baseline",
+            file=sys.stderr,
+        )
+        return 2
     fresh = run_set(list(base["queries"]), sf)
     if out_path:
         with open(out_path, "w") as fh:

@@ -51,10 +51,17 @@ def test_baseline_queries_are_registered():
     sys.path.insert(0, os.path.join(_REPO, "scripts"))
     from exp_exchange_bytes import BASELINE_SET, WARM_REQUIRED
 
-    base = json.load(open(BASELINE))
-    assert sorted(base["queries"]) == sorted(BASELINE_SET)
-    missing = [q for q in base["queries"] if q not in QUERIES]
-    assert not missing, f"baselined queries not in QUERIES: {missing}"
+    # BOTH committed baselines must track BASELINE_SET — checking only
+    # the env-selected one would let the sf0.1 file drift silently in
+    # default (sf0.01) CI runs
+    for path in (
+        os.path.join(_HERE, "exchange_baseline_sf001.json"),
+        os.path.join(_REPO, "scripts", "exchange_baseline_sf01.json"),
+    ):
+        base = json.load(open(path))
+        assert sorted(base["queries"]) == sorted(BASELINE_SET), path
+        missing = [q for q in base["queries"] if q not in QUERIES]
+        assert not missing, f"{path}: baselined queries not in QUERIES: {missing}"
     # the force-warm list must track the registry: a renamed query
     # left behind here would silently lose its cold-cache protection
     stale = [q for q in WARM_REQUIRED if q not in QUERIES]
@@ -81,7 +88,7 @@ def test_exchange_bytes_within_budget(tmp_path):
         cwd=_REPO,
     )
     assert r.returncode == 0, (
-        f"exchange-byte regression(s) vs tests/exchange_baseline_sf001.json "
+        f"exchange-byte regression(s) vs {BASELINE} "
         f"— if the plan change was intentional, regenerate the baseline "
         f"(see module docstring)\n--- stdout ---\n{r.stdout}\n"
         f"--- stderr tail ---\n{r.stderr[-2000:]}"
