@@ -114,9 +114,11 @@ def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
         return 2
     ta, tb = sum(a[q]["bytes"] for q in common), sum(b[q]["bytes"] for q in common)
     # zero guards: a baseline row can legitimately record 0 bytes
-    # (zero-exchange plans like reflux_limit_offset), so ratios follow
-    # check()'s convention — growth from 0 past the floor reads inf
-    total_ratio = tb / ta if ta else float("inf")
+    # (zero-exchange plans like reflux_limit_offset), so per-query
+    # ratios follow check()'s convention — growth from 0 past the
+    # floor reads inf. The header total is different: 0 -> 0 is
+    # NO CHANGE (ratio 1.00), only 0 -> nonzero reads inf (ADVICE r12)
+    total_ratio = tb / ta if ta else (float("inf") if tb else 1.0)
     print(f"common queries: {len(common)}  base {ta / 1e6:.2f} MB  "
           f"new {tb / 1e6:.2f} MB  ratio {total_ratio:.2f}x")
     regressions = []

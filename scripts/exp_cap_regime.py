@@ -27,7 +27,11 @@ Pass ``--suffix`` to scale with ``exp_scaling.build_scaled``'s
 disjoint-token scheme instead (per-token df CONSTANT — honest
 new-content growth), and ``--queries a,b`` to measure a different
 query set; together these give the banded MinHash/SimHash families
-the same deterministic byte treatment at x10/x30:
+the same deterministic byte treatment at x10/x30. Under the
+shared-token scheme only documents is scaled — every other table is
+symlinked from SRC at x1, so any registry query runs, with
+mixed-scale semantics (documents xK, everything else x1) that only
+mean something for queries whose growth is document-driven:
 
     python scripts/exp_cap_regime.py --suffix \
         --queries dedup_minhash_lsh_pairs,dedup_simhash_pairs_capped 10 30
@@ -52,16 +56,29 @@ WORK = "/tmp/refluxdb_spark_capregime"
 QUERIES_UNDER_TEST = ["dedup_char_ngram_pairs", "dedup_jaccard_pairs_capped"]
 
 
+def _corpus_stamp(src: str = None) -> str:
+    """Cache-marker content for a scaled shared-token corpus: scheme
+    version + source dir + source documents mtime, so regenerating
+    /root/testdata in place invalidates the cache (ADVICE r12 —
+    queries.py keys its index caches on this same mtime for the same
+    reason). v2 = non-document tables symlinked."""
+    src = src or SRC
+    return f"v2:{src}:{int(os.stat(f'{src}/documents.parquet').st_mtime)}"
+
+
 def build_shared_token(spark, factor: int) -> str:
     """k copies of sf0.1 documents with offset doc_ids and UNCHANGED
-    text: token df scales exactly k-fold. Only documents.parquet is
-    written — both queries under test read nothing else."""
+    text: token df scales exactly k-fold. Every OTHER table is
+    symlinked from SRC unchanged (ADVICE r12: a --queries query that
+    reads e.g. orders must run, measuring documents at xK against
+    everything else at x1 — documented mixed-scale semantics, not a
+    crash minutes after the corpus build)."""
     out = f"{WORK}/x{factor}"
     marker = f"{out}/.done"
-    # marker carries scheme version AND source dir: a stale corpus
-    # built from a different SRC (or an older copy scheme) silently
-    # reused here would corrupt the published exponents
-    stamp = f"v1:{SRC}"
+    # a stale corpus built from a different SRC, an older copy scheme,
+    # or a since-regenerated source silently reused here would corrupt
+    # the published exponents — the stamp pins all three
+    stamp = _corpus_stamp()
     if os.path.exists(marker) and open(marker).read() == stamp:
         return out
     shutil.rmtree(out, ignore_errors=True)
@@ -75,6 +92,9 @@ def build_shared_token(spark, factor: int) -> str:
     for c in copies[1:]:
         scaled = scaled.unionByName(c)
     scaled.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for entry in sorted(os.listdir(SRC)):
+        if entry.endswith(".parquet") and entry != "documents.parquet":
+            os.symlink(os.path.join(SRC, entry), os.path.join(out, entry))
     open(marker, "w").write(stamp)
     return out
 
@@ -107,8 +127,10 @@ def main() -> int:
         return 2
     probes = [q for q in queries if q in extra]
     if probes and not suffix:
-        # the probes read embeddings.parquet; the shared-token scheme
-        # writes documents only — the run would crash after the build
+        # the probes read embeddings.parquet, which the shared-token
+        # scheme symlinks UNCHANGED — every factor would measure the
+        # same x1 embeddings and the published exponent would be a
+        # meaningless flat line, so reject up front
         print(f"error: {probes} read embeddings, which the shared-token "
               f"scheme does not scale — pass --suffix", file=sys.stderr)
         return 2

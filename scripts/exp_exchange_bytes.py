@@ -24,7 +24,15 @@ item 2). Exit 1 if any query's bytes exceed threshold x baseline
 (with a 64 KiB absolute floor so tiny exchanges can't flag on jitter):
 
     python scripts/exp_exchange_bytes.py --check BASELINE.json \
-        [--sf DIR] [--threshold 1.2] [--out remeasured.json]
+        [--sf DIR] [--threshold 1.2] [--out remeasured.json] [--strict]
+
+If the UI status store fails to settle within 15 s around a
+measurement, the row is recorded with ``"settled": false`` (absent
+means trusted) — an undercounted re-measure could otherwise mask a
+real regression in --check. ``--strict`` (what the pytest fence
+passes) turns that condition into a failure: an unsettled baseline
+row rejects the baseline (exit 2, before the sweep), an unsettled
+fresh row counts as a check failure (exit 1).
 
 For artifact-vs-artifact byte diffs without re-measuring, see
 ``scripts/bench_compare.py --bytes``.
@@ -132,14 +140,18 @@ def _stages(spark) -> list[dict]:
     return _get(f"{ui}/api/v1/applications/{app_id}/stages")
 
 
-def _settled_new_stages(spark, before: set) -> list[dict]:
+def _settled_new_stages(spark, before: set) -> tuple[list[dict], bool]:
     """The UI status store is fed asynchronously by the listener bus
     (spark.ui.liveUpdate.period), so a snapshot taken right after
     count() can miss the final stage's shuffle metrics — an
     undercounted profile later reads as a regression in --check.
     Poll until the new-stage set AND its (bytes, records) sums are
     identical across two consecutive reads with every new stage out
-    of ACTIVE/PENDING state, or 15 s passes."""
+    of ACTIVE/PENDING state, or 15 s passes. Returns (stages,
+    settled); a False second element means the row built from these
+    stages is suspect and must carry ``"settled": false`` (ADVICE
+    r12 — a warning alone leaves the suspect row indistinguishable
+    in the JSON a later --check or --bytes diff reads)."""
     prev = None
     deadline = time.time() + 15
     while True:
@@ -157,7 +169,7 @@ def _settled_new_stages(spark, before: set) -> list[dict]:
             s.get("status") not in ("ACTIVE", "PENDING") for s in new
         )
         if snap == prev and settled:
-            return new
+            return new, True
         if time.time() > deadline:
             # returning silently would reintroduce the undercount this
             # poll exists to prevent — say so, the row is suspect
@@ -166,7 +178,7 @@ def _settled_new_stages(spark, before: set) -> list[dict]:
                 "this measurement may undercount shuffle bytes",
                 file=sys.stderr,
             )
-            return new
+            return new, False
         prev = snap
         time.sleep(0.1)
 
@@ -187,19 +199,19 @@ def measure(spark, name: str, sf_dir: str, fn=None) -> dict:
         fn(spark, sf_dir).count()
     # settled read: prior queries' (and the warm run's) stages must
     # finish flushing into the status store before they can be
-    # excluded from this query's attribution
-    before = {
-        (s["stageId"], s["attemptId"])
-        for s in _settled_new_stages(spark, set())
-    }
+    # excluded from this query's attribution — an unsettled BEFORE
+    # read can over-count (prior stages mis-attributed to this row),
+    # so it taints the row just like an unsettled AFTER read
+    prior, pre_ok = _settled_new_stages(spark, set())
+    before = {(s["stageId"], s["attemptId"]) for s in prior}
     spark.catalog.clearCache()
     t0 = time.time()
     rows = fn(spark, sf_dir).count()
     sec = round(time.time() - t0, 2)
-    new = _settled_new_stages(spark, before)
+    new, post_ok = _settled_new_stages(spark, before)
     wbytes = sum(s.get("shuffleWriteBytes", 0) for s in new)
     wrecs = sum(s.get("shuffleWriteRecords", 0) for s in new)
-    return {
+    rec = {
         "bytes": wbytes,
         "mb": round(wbytes / 1e6, 2),
         "records": wrecs,
@@ -207,6 +219,12 @@ def measure(spark, name: str, sf_dir: str, fn=None) -> dict:
         "rows": rows,
         "sec": sec,
     }
+    # key is ABSENT on trusted rows so committed pre-r13 artifacts
+    # (which predate it) read as trusted, and the JSON diff stays
+    # byte-identical when nothing is wrong
+    if not (pre_ok and post_ok):
+        rec["settled"] = False
+    return rec
 
 
 def run_set(names: list[str], sf_dir: str) -> dict:
@@ -215,14 +233,16 @@ def run_set(names: list[str], sf_dir: str) -> dict:
     for name in names:
         rec = measure(spark, name, sf_dir)
         out[name] = rec
+        flag = " UNSETTLED" if rec.get("settled") is False else ""
         print(f"# {name}: {rec['mb']} MB, {rec['records']} records, "
-              f"{rec['stages']} stages, {rec['rows']} rows, {rec['sec']}s",
+              f"{rec['stages']} stages, {rec['rows']} rows, {rec['sec']}s"
+              f"{flag}",
               file=sys.stderr)
     return {"sf_dir": sf_dir, "queries": out}
 
 
 def check(baseline_path: str, sf_dir: str | None, threshold: float,
-          out_path: str | None) -> int:
+          out_path: str | None, strict: bool = False) -> int:
     base = json.load(open(baseline_path))
     sf = sf_dir or base["sf_dir"]
     # validate BEFORE the sweep: a renamed/removed registry query left
@@ -236,11 +256,27 @@ def check(baseline_path: str, sf_dir: str | None, threshold: float,
             file=sys.stderr,
         )
         return 2
+    # an unsettled baseline row is a possibly-undercounted PIN — the
+    # comparison floor itself is suspect, so --strict refuses it
+    # outright (also before the sweep); non-strict warns
+    unsettled_base = [
+        q for q, r in base["queries"].items()
+        if r.get("settled") is False
+    ]
+    if unsettled_base:
+        msg = (f"baseline {baseline_path} contains unsettled "
+               f"(possibly undercounted) rows: {unsettled_base} — "
+               f"regenerate it with --baseline")
+        if strict:
+            print(f"error: {msg}", file=sys.stderr)
+            return 2
+        print(f"warning: {msg}", file=sys.stderr)
     fresh = run_set(list(base["queries"]), sf)
     if out_path:
         with open(out_path, "w") as fh:
             json.dump(fresh, fh, indent=1)
     failures = []
+    unsettled_fresh = []
     for name, b in base["queries"].items():
         n = fresh["queries"][name]
         grew = (
@@ -255,10 +291,22 @@ def check(baseline_path: str, sf_dir: str | None, threshold: float,
             print(f"BYTE REGRESSION {line}")
         elif ratio < 1 / threshold:
             print(f"shrunk {line}")
+        if n.get("settled") is False:
+            # an undercounted fresh row can read UNDER threshold and
+            # mask a real regression — --strict treats it as a failure
+            unsettled_fresh.append(name)
+            print(f"{'UNSETTLED' if strict else 'warning: unsettled'} "
+                  f"{line}")
+    if strict:
+        failures.extend(unsettled_fresh)
     print(json.dumps({
         "checked": len(base["queries"]),
         "threshold": threshold,
-        "byte_regressions": len(failures),
+        "byte_regressions": len(failures) - (
+            len(unsettled_fresh) if strict else 0
+        ),
+        "unsettled": len(unsettled_fresh),
+        "strict": strict,
         "sf_dir": sf,
     }))
     return 1 if failures else 0
@@ -313,7 +361,7 @@ def main() -> int:
             return _usage("--check requires a BASELINE.json operand")
         baseline_path = argv[1]
         rest = argv[2:]
-        sf_dir, threshold, out_path = None, 1.2, None
+        sf_dir, threshold, out_path, strict = None, 1.2, None, False
         while rest:
             if rest[0] in ("--sf", "--threshold", "--out") and len(rest) < 2:
                 return _usage(f"{rest[0]} requires an operand")
@@ -327,9 +375,11 @@ def main() -> int:
                 rest = rest[2:]
             elif rest[0] == "--out":
                 out_path, rest = rest[1], rest[2:]
+            elif rest[0] == "--strict":
+                strict, rest = True, rest[1:]
             else:
                 return _usage(f"unknown arg {rest[0]}")
-        return check(baseline_path, sf_dir, threshold, out_path)
+        return check(baseline_path, sf_dir, threshold, out_path, strict)
 
     # single-query mode (round-10 shape)
     name = argv[0]
@@ -338,7 +388,7 @@ def main() -> int:
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
     spark = _ui_session(f"exchange_bytes_{name}")
     rec = measure(spark, name, sf_dir)
-    print(json.dumps({
+    out = {
         "query": name,
         "sf_dir": sf_dir,
         "rows": rec["rows"],
@@ -347,7 +397,10 @@ def main() -> int:
         "shuffle_write_mb": round(rec["bytes"] / 1e6, 1),
         "shuffle_write_records": rec["records"],
         "stages": rec["stages"],
-    }))
+    }
+    if rec.get("settled") is False:
+        out["settled"] = False
+    print(json.dumps(out))
     return 0
 
 

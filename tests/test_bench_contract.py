@@ -162,7 +162,9 @@ def test_compare_bytes_zero_byte_rows_cannot_crash(tmp_path, capsys):
     zero-exchange rows (e.g. reflux_limit_offset) — a later diff where
     such a query grows past the 64 KiB floor must report inf-ratio
     regression, not raise ZeroDivisionError; an all-zero base total
-    must not crash the header line either."""
+    with an all-zero new total is NO CHANGE and must read 1.00x, not
+    'infx' (ADVICE r12 — inf is reserved for genuine 0 -> nonzero
+    growth)."""
     import os
     import sys
 
@@ -187,8 +189,13 @@ def test_compare_bytes_zero_byte_rows_cannot_crash(tmp_path, capsys):
     assert bc.compare_bytes(base, new, 1.2) == 1
     out = capsys.readouterr().out
     assert "BYTE REGRESSION zq" in out and "infx" in out
-    # all-zero base total -> header ratio inf, no crash
+    # all-zero base AND new totals -> no change, header reads 1.00x
     base0 = profile("c.json", {"zq": 0})
     new0 = profile("d.json", {"zq": 0})
     assert bc.compare_bytes(base0, new0, 1.2) == 0
+    out0 = capsys.readouterr().out
+    assert "ratio 1.00x" in out0 and "infx" not in out0
+    # 0 -> nonzero total still reads inf (genuine growth from nothing)
+    newg = profile("e.json", {"zq": 10})
+    assert bc.compare_bytes(base0, newg, 1.2) == 0  # under the floor
     assert "infx" in capsys.readouterr().out

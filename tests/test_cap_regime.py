@@ -1,0 +1,48 @@
+"""Pure-Python pins for scripts/exp_cap_regime.py's corpus cache
+(ADVICE r12): the cache marker must invalidate when the SOURCE data
+is regenerated in place (mtime), not just when SRC's path or the copy
+scheme changes — a silently reused stale corpus corrupts the
+published byte exponents. No Spark needed."""
+
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, os.path.join(_REPO, "scripts"))
+
+
+def test_corpus_stamp_tracks_source_mtime(tmp_path):
+    import exp_cap_regime as cr
+
+    doc = tmp_path / "documents.parquet"
+    doc.write_bytes(b"x")
+    os.utime(doc, (1000, 1000))
+    s1 = cr._corpus_stamp(str(tmp_path))
+    assert str(tmp_path) in s1 and ":1000" in s1
+    # regenerating the source in place must change the stamp
+    os.utime(doc, (2000, 2000))
+    assert cr._corpus_stamp(str(tmp_path)) != s1
+    # a different source dir never matches either
+    other = tmp_path / "other"
+    other.mkdir()
+    (other / "documents.parquet").write_bytes(b"y")
+    os.utime(other / "documents.parquet", (1000, 1000))
+    assert cr._corpus_stamp(str(other)) != s1
+
+
+def test_shared_token_rejects_embedding_probes_before_build(
+    monkeypatch, capsys
+):
+    """The production-sizing probes read embeddings.parquet, which the
+    shared-token scheme symlinks UNCHANGED — a flat x1 exponent would
+    be meaningless, so main() must reject them up front (exit 2)
+    without building a session or corpus."""
+    import exp_cap_regime as cr
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["exp_cap_regime.py", "--queries", "semantic_prune_prod", "3"],
+    )
+    assert cr.main() == 2
+    assert "does not scale" in capsys.readouterr().err

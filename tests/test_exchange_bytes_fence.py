@@ -81,6 +81,10 @@ def test_exchange_bytes_within_budget(tmp_path):
             "--sf", SF_DIR,
             "--threshold", "1.2",
             "--out", str(out),
+            # VERDICT r12 item 3: in --check an undercounted (unsettled)
+            # re-measure can mask a real regression — the fence fails on
+            # the settle timeout instead of trusting the suspect row
+            "--strict",
         ],
         capture_output=True,
         text=True,
@@ -127,6 +131,89 @@ def test_cli_operand_validation_exits_2_without_spark(monkeypatch, capsys):
         monkeypatch.setattr(sys, "argv", ["exp_exchange_bytes.py"] + argv)
         assert xb.main() == 2, f"argv {argv} should exit 2"
         assert "error:" in capsys.readouterr().err
+
+
+def _baseline_file(tmp_path, name, rows):
+    p = tmp_path / name
+    p.write_text(json.dumps({"sf_dir": "/root/testdata/sf0.01",
+                             "queries": rows}))
+    return str(p)
+
+
+def _row(nbytes, settled=None):
+    r = {"bytes": nbytes, "mb": nbytes / 1e6, "records": nbytes,
+         "stages": 1, "rows": 1, "sec": 0.1}
+    if settled is not None:
+        r["settled"] = settled
+    return r
+
+
+def test_check_strict_settle_handling(monkeypatch, capsys, tmp_path):
+    """VERDICT r12 item 3 + ADVICE r12: a row whose stage metrics
+    never settled carries `"settled": false`; --strict turns that from
+    a warning into a failure. All three legs run without Spark: the
+    baseline-rejection leg returns before run_set, and the fresh-row
+    legs monkeypatch run_set."""
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    import exp_exchange_bytes as xb
+
+    from refluxdb_spark.queries import QUERIES
+    q = next(iter(QUERIES))  # any registered name passes validation
+
+    # 1. strict REJECTS an unsettled baseline row before the sweep
+    bad_base = _baseline_file(tmp_path, "bad.json",
+                              {q: _row(1000, settled=False)})
+    assert xb.check(bad_base, None, 1.2, None, strict=True) == 2
+    assert "unsettled" in capsys.readouterr().err
+
+    # 2. strict FAILS on an unsettled fresh row even with no byte growth
+    good_base = _baseline_file(tmp_path, "good.json", {q: _row(1000)})
+    monkeypatch.setattr(xb, "run_set", lambda names, sf: {
+        "sf_dir": sf, "queries": {q: _row(1000, settled=False)}})
+    assert xb.check(good_base, None, 1.2, None, strict=True) == 1
+    out = capsys.readouterr().out
+    assert "UNSETTLED" in out and '"unsettled": 1' in out
+
+    # 3. non-strict only WARNS on the same condition (exit 0), and a
+    #    settled clean re-measure passes under strict
+    assert xb.check(good_base, None, 1.2, None, strict=False) == 0
+    assert "unsettled" in capsys.readouterr().out
+    monkeypatch.setattr(xb, "run_set", lambda names, sf: {
+        "sf_dir": sf, "queries": {q: _row(1000)}})
+    assert xb.check(good_base, None, 1.2, None, strict=True) == 0
+
+
+def test_measure_marks_unsettled_rows(monkeypatch):
+    """measure() must stamp `"settled": false` when EITHER surrounding
+    stage read times out (an unsettled before-read over-counts, an
+    unsettled after-read under-counts), and omit the key entirely on
+    trusted rows so committed pre-r13 artifacts stay byte-identical.
+    Pure Python: spark + the stage poll are faked."""
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    import exp_exchange_bytes as xb
+
+    class _Df:
+        def count(self):
+            return 7
+
+    class _Spark:
+        class catalog:
+            @staticmethod
+            def clearCache():
+                pass
+
+    fn = lambda spark, sf: _Df()  # noqa: E731
+    for pre_ok, post_ok in [(True, True), (False, True), (True, False)]:
+        oks = iter([pre_ok, post_ok])
+        monkeypatch.setattr(
+            xb, "_settled_new_stages", lambda spark, before: ([], next(oks))
+        )
+        rec = xb.measure(_Spark(), "fake", "/none", fn=fn)
+        if pre_ok and post_ok:
+            assert "settled" not in rec
+        else:
+            assert rec["settled"] is False
+        assert rec["rows"] == 7
 
 
 def test_committed_full_registry_profiles_cover_the_registry():
