@@ -112,6 +112,18 @@ def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
     if not common:
         print("no common queries between the two byte baselines")
         return 2
+    # a row whose stage metrics never settled ("settled": false,
+    # stamped by exp_exchange_bytes) may UNDERCOUNT — a diff built on
+    # it can read 1.00x over a real regression, so this path (the
+    # round gate) fails on the taint just like --check --strict does
+    suspect = sorted(
+        q for q in common
+        if a[q].get("settled") is False or b[q].get("settled") is False
+    )
+    for q in suspect:
+        side = "base" if a[q].get("settled") is False else "new"
+        print(f"  UNSETTLED {q}: the {side} row's stage metrics never "
+              f"settled — its bytes may undercount, re-measure it")
     ta, tb = sum(a[q]["bytes"] for q in common), sum(b[q]["bytes"] for q in common)
     # zero guards: a baseline row can legitimately record 0 bytes
     # (zero-exchange plans like reflux_limit_offset), so per-query
@@ -132,7 +144,7 @@ def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
         print(f"  BYTE REGRESSION {q}: {ba / 1e6:.2f} MB -> {bb / 1e6:.2f} MB ({r:.2f}x)")
     if not regressions:
         print(f"zero byte regressions > {thresh}x")
-    return 1 if regressions else 0
+    return 1 if regressions or suspect else 0
 
 
 def main() -> int:

@@ -58,12 +58,19 @@ QUERIES_UNDER_TEST = ["dedup_char_ngram_pairs", "dedup_jaccard_pairs_capped"]
 
 def _corpus_stamp(src: str = None) -> str:
     """Cache-marker content for a scaled shared-token corpus: scheme
-    version + source dir + source documents mtime, so regenerating
-    /root/testdata in place invalidates the cache (ADVICE r12 —
+    version + source dir + source documents mtime (regenerating
+    /root/testdata in place invalidates the cache, ADVICE r12 —
     queries.py keys its index caches on this same mtime for the same
-    reason). v2 = non-document tables symlinked."""
+    reason) + the sorted table listing (a table ADDED to SRC later
+    must invalidate too, or the cached corpus is missing its symlink
+    and violates the any-registry-query-runs guarantee). v2 =
+    non-document tables symlinked."""
     src = src or SRC
-    return f"v2:{src}:{int(os.stat(f'{src}/documents.parquet').st_mtime)}"
+    tables = ",".join(
+        sorted(e for e in os.listdir(src) if e.endswith(".parquet"))
+    )
+    return (f"v2:{src}:{int(os.stat(f'{src}/documents.parquet').st_mtime)}"
+            f":{tables}")
 
 
 def build_shared_token(spark, factor: int) -> str:
@@ -94,13 +101,19 @@ def build_shared_token(spark, factor: int) -> str:
     scaled.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     for entry in sorted(os.listdir(SRC)):
         if entry.endswith(".parquet") and entry != "documents.parquet":
-            os.symlink(os.path.join(SRC, entry), os.path.join(out, entry))
+            # target must be absolute: a relative SRC (legal via
+            # SPARK_GRAFT_SF_DIR) would otherwise resolve against the
+            # /tmp link dir and dangle
+            os.symlink(
+                os.path.abspath(os.path.join(SRC, entry)),
+                os.path.join(out, entry),
+            )
     open(marker, "w").write(stamp)
     return out
 
 
 def main() -> int:
-    from refluxdb_spark.queries import QUERIES
+    from refluxdb_spark.queries import ORACLES, QUERIES
 
     # production-sizing probes live in exp_scaling, not the registry
     from exp_scaling import _rp_lsh_prod, _semantic_prune_prod
@@ -125,15 +138,29 @@ def main() -> int:
     if unknown:
         print(f"error: unknown queries: {unknown}", file=sys.stderr)
         return 2
-    probes = [q for q in queries if q in extra]
-    if probes and not suffix:
-        # the probes read embeddings.parquet, which the shared-token
-        # scheme symlinks UNCHANGED — every factor would measure the
-        # same x1 embeddings and the published exponent would be a
-        # meaningless flat line, so reject up front
-        print(f"error: {probes} read embeddings, which the shared-token "
-              f"scheme does not scale — pass --suffix", file=sys.stderr)
-        return 2
+    if not suffix:
+        # the shared-token scheme scales ONLY documents; everything
+        # else is symlinked at x1. An embedding-driven query (the two
+        # exp_scaling probes, or any registry query whose oracle reads
+        # the embeddings view) would measure the SAME x1 embeddings at
+        # every factor — a meaningless flat exponent publishable as
+        # fake sub-linear evidence — so reject, keyed on what the
+        # query READS, not on registry membership (code review r13)
+        flat = [q for q in queries
+                if q in extra or "embeddings" in ORACLES.get(q, "")]
+        if flat:
+            print(f"error: {flat} read embeddings, which the shared-token "
+                  f"scheme does not scale — pass --suffix", file=sys.stderr)
+            return 2
+        # a query that reads no documents at all is the same hazard in
+        # a milder form (its inputs are all x1): run it (the symlinks
+        # make that safe) but say the exponent is not a scaling claim
+        for q in queries:
+            if q in ORACLES and "documents" not in ORACLES[q]:
+                print(f"warning: {q} does not read documents — under the "
+                      f"shared-token scheme its inputs are all x1 and the "
+                      f"printed exponent is not a scaling claim",
+                      file=sys.stderr)
     try:
         factors = [int(a) for a in args if not a.startswith("--")] or [3, 10]
     except ValueError as e:

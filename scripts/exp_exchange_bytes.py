@@ -297,19 +297,15 @@ def check(baseline_path: str, sf_dir: str | None, threshold: float,
             unsettled_fresh.append(name)
             print(f"{'UNSETTLED' if strict else 'warning: unsettled'} "
                   f"{line}")
-    if strict:
-        failures.extend(unsettled_fresh)
     print(json.dumps({
         "checked": len(base["queries"]),
         "threshold": threshold,
-        "byte_regressions": len(failures) - (
-            len(unsettled_fresh) if strict else 0
-        ),
+        "byte_regressions": len(failures),
         "unsettled": len(unsettled_fresh),
         "strict": strict,
         "sf_dir": sf,
     }))
-    return 1 if failures else 0
+    return 1 if failures or (strict and unsettled_fresh) else 0
 
 
 def _usage(msg: str) -> int:
@@ -346,15 +342,23 @@ def main() -> int:
         result = run_set(names, sf_dir)
         with open(out_path, "w") as fh:
             json.dump(result, fh, indent=1)
+        # a suspect (possibly undercounted) row must be visible in the
+        # summary AND the exit code — an artifact destined for commit
+        # or the round-gate diff cannot be certified by stderr alone
+        unsettled = sorted(
+            q for q, r in result["queries"].items()
+            if r.get("settled") is False
+        )
         print(json.dumps({
             "baseline": out_path,
             "queries": len(names),
             "total_mb": round(
                 sum(q["bytes"] for q in result["queries"].values()) / 1e6, 2
             ),
+            "unsettled": unsettled,
             "sf_dir": sf_dir,
         }))
-        return 0
+        return 1 if unsettled else 0
 
     if argv[0] == "--check":
         if len(argv) < 2 or argv[1].startswith("--"):

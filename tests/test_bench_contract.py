@@ -199,3 +199,39 @@ def test_compare_bytes_zero_byte_rows_cannot_crash(tmp_path, capsys):
     newg = profile("e.json", {"zq": 10})
     assert bc.compare_bytes(base0, newg, 1.2) == 0  # under the floor
     assert "infx" in capsys.readouterr().out
+
+
+def test_compare_bytes_fails_on_unsettled_rows(tmp_path, capsys):
+    """Code review r13: the round gate is --baseline then
+    compare_bytes --bytes — if a fresh row carries "settled": false
+    (possibly undercounted), a <=1.00x diff can mask a real
+    regression, so the diff must FAIL on the taint, naming the side."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import bench_compare as bc
+
+    def profile(name, rows):
+        p = tmp_path / name
+        p.write_text(json.dumps({"sf_dir": "x", "queries": rows}))
+        return str(p)
+
+    trusted = {"q": {"bytes": 1000, "mb": 0.001, "records": 10}}
+    suspect = {"q": {"bytes": 1000, "mb": 0.001, "records": 10,
+                     "settled": False}}
+    # identical bytes, but the NEW side is tainted -> exit 1
+    assert bc.compare_bytes(profile("a.json", trusted),
+                            profile("b.json", suspect), 1.2) == 1
+    out = capsys.readouterr().out
+    assert "UNSETTLED q" in out and "new row" in out
+    # tainted BASE side also fails, named as base
+    assert bc.compare_bytes(profile("c.json", suspect),
+                            profile("d.json", trusted), 1.2) == 1
+    assert "base row" in capsys.readouterr().out
+    # both trusted -> clean exit
+    assert bc.compare_bytes(profile("e.json", trusted),
+                            profile("f.json", trusted), 1.2) == 0

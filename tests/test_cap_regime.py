@@ -31,6 +31,24 @@ def test_corpus_stamp_tracks_source_mtime(tmp_path):
     assert cr._corpus_stamp(str(other)) != s1
 
 
+def test_corpus_stamp_tracks_table_listing(tmp_path):
+    """Code review r13: a table ADDED to SRC after the corpus was
+    cached has no symlink in the cached corpus — the stamp must
+    include the table listing so the cache invalidates."""
+    import exp_cap_regime as cr
+
+    doc = tmp_path / "documents.parquet"
+    doc.write_bytes(b"x")
+    os.utime(doc, (1000, 1000))
+    s1 = cr._corpus_stamp(str(tmp_path))
+    (tmp_path / "clicks.parquet").write_bytes(b"z")
+    s2 = cr._corpus_stamp(str(tmp_path))
+    assert s2 != s1 and "clicks.parquet" in s2
+    # non-parquet entries (e.g. a .done marker) must NOT perturb it
+    (tmp_path / ".done").write_text("m")
+    assert cr._corpus_stamp(str(tmp_path)) == s2
+
+
 def test_shared_token_rejects_embedding_probes_before_build(
     monkeypatch, capsys
 ):
@@ -46,3 +64,42 @@ def test_shared_token_rejects_embedding_probes_before_build(
     )
     assert cr.main() == 2
     assert "does not scale" in capsys.readouterr().err
+
+
+def test_shared_token_rejects_registry_embedding_queries(
+    monkeypatch, capsys
+):
+    """Code review r13: a REGISTRY query that reads embeddings (e.g.
+    sim_cosine_topk) has the identical flat-exponent hazard as the
+    exp_scaling probes — the guard keys on what the query reads (its
+    oracle references the embeddings view), not registry membership."""
+    import exp_cap_regime as cr
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["exp_cap_regime.py", "--queries", "sim_cosine_topk", "3"],
+    )
+    assert cr.main() == 2
+    assert "does not scale" in capsys.readouterr().err
+
+
+def test_shared_token_warns_on_non_document_queries(monkeypatch, capsys):
+    """A registry query reading only x1-symlinked tables runs (that is
+    the ADVICE r12 crash fix) but must warn that its exponent is not a
+    scaling claim. The session builder is stubbed to a sentinel so the
+    test stays Spark-free: the warning must land BEFORE it."""
+    import pytest
+
+    import exp_cap_regime as cr
+
+    def _boom(name):
+        raise RuntimeError("sentinel: session build reached")
+
+    monkeypatch.setattr(cr, "_ui_session", _boom)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["exp_cap_regime.py", "--queries", "tpch_q1_pricing_summary", "3"],
+    )
+    with pytest.raises(RuntimeError, match="sentinel"):
+        cr.main()
+    assert "not a scaling claim" in capsys.readouterr().err

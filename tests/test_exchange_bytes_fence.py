@@ -183,6 +183,34 @@ def test_check_strict_settle_handling(monkeypatch, capsys, tmp_path):
     assert xb.check(good_base, None, 1.2, None, strict=True) == 0
 
 
+def test_baseline_mode_surfaces_unsettled_rows(monkeypatch, capsys, tmp_path):
+    """Code review r13: --baseline writes artifacts destined for
+    commit and the round-gate diff — a suspect row must appear in the
+    summary JSON's "unsettled" list AND flip the exit code to 1, not
+    hide in a stderr warning. run_set is monkeypatched, so no Spark."""
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    import exp_exchange_bytes as xb
+
+    from refluxdb_spark.queries import QUERIES
+    q = next(iter(QUERIES))
+    out = tmp_path / "prof.json"
+
+    for settled_kw, want_exit, want_unsettled in [
+        ({}, 0, []), ({"settled": False}, 1, [q]),
+    ]:
+        monkeypatch.setattr(xb, "run_set", lambda names, sf, kw=settled_kw: {
+            "sf_dir": sf, "queries": {q: _row(1000, **kw)}})
+        monkeypatch.setattr(
+            sys, "argv",
+            ["exp_exchange_bytes.py", "--baseline", str(out), q],
+        )
+        assert xb.main() == want_exit
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["unsettled"] == want_unsettled
+        # the artifact itself is still written for inspection
+        assert q in json.loads(out.read_text())["queries"]
+
+
 def test_measure_marks_unsettled_rows(monkeypatch):
     """measure() must stamp `"settled": false` when EITHER surrounding
     stage read times out (an unsettled before-read over-counts, an
