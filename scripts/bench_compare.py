@@ -13,6 +13,20 @@ command:
 
     python scripts/bench_compare.py BENCH_r09.json bench_latest.json [1.3]
 
+Pass --calibrated to normalize the wall-clock compare by each
+artifact's recorded ``calibration_sec`` (the fixed JVM probe bench.py
+runs before the queries, whose cost is independent of this repo's
+code): the new side's times are scaled by calibration_base /
+calibration_new before ratio-ing, and BOTH the raw and normalized
+totals are printed. Box/session speed drift moves the probe and the
+queries together (r13: probe +8%, total +8%, five false >1.3x
+per-query flags), so the normalized ratio is the one the regression
+listing and exit code use — the byte diff (--bytes) remains the
+claim of record; this just adjudicates wall-clock noise with one
+command instead of prose (VERDICT r13 item 2):
+
+    python scripts/bench_compare.py --calibrated BENCH_r12.json BENCH_r13.json
+
 Pass --bytes to diff two exchange-bytes baseline files (written by
 scripts/exp_exchange_bytes.py --baseline/--out) instead of timings:
 
@@ -100,6 +114,24 @@ def load_timings(path: str) -> dict[str, float]:
     return {k: float(v) for k, v in pairs if k not in _META}
 
 
+def load_calibration(path: str) -> float | None:
+    """Extract the artifact's recorded ``calibration_sec`` (bench.py's
+    fixed JVM probe). Handles the same three shapes as load_timings:
+    the full bench record (bench_latest.json), a driver BENCH_r{N}
+    tail, and raw stdout. None when the artifact predates the probe."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "calibration_sec" in d:
+            return float(d["calibration_sec"])
+        if isinstance(d, dict) and "tail" in d:
+            text = d["tail"]
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'"calibration_sec": ([0-9.]+)', text)
+    return float(m.group(1)) if m else None
+
+
 def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
     """Diff two exchange-bytes baseline files (the JSON written by
     scripts/exp_exchange_bytes.py --baseline / --out) without
@@ -115,15 +147,20 @@ def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
     # a row whose stage metrics never settled ("settled": false,
     # stamped by exp_exchange_bytes) may UNDERCOUNT — a diff built on
     # it can read 1.00x over a real regression, so this path (the
-    # round gate) fails on the taint just like --check --strict does
-    suspect = sorted(
-        q for q in common
-        if a[q].get("settled") is False or b[q].get("settled") is False
-    )
-    for q in suspect:
-        side = "base" if a[q].get("settled") is False else "new"
-        print(f"  UNSETTLED {q}: the {side} row's stage metrics never "
-              f"settled — its bytes may undercount, re-measure it")
+    # round gate) fails on the taint just like --check --strict does.
+    # Scanned over BOTH files' FULL query sets, not the intersection:
+    # a tainted row present in only one profile still marks that file
+    # unfit to certify from, and a row tainted on both sides names
+    # both (ADVICE r13)
+    suspect: dict[str, list[str]] = {}
+    for side, prof in (("base", a), ("new", b)):
+        for q, r in prof.items():
+            if r.get("settled") is False:
+                suspect.setdefault(q, []).append(side)
+    for q in sorted(suspect):
+        print(f"  UNSETTLED {q}: the {' and '.join(suspect[q])} row's "
+              f"stage metrics never settled — its bytes may undercount, "
+              f"re-measure it")
     ta, tb = sum(a[q]["bytes"] for q in common), sum(b[q]["bytes"] for q in common)
     # zero guards: a baseline row can legitimately record 0 bytes
     # (zero-exchange plans like reflux_limit_offset), so per-query
@@ -147,18 +184,10 @@ def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
     return 1 if regressions or suspect else 0
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--bytes"]
-    if len(args) < 2:
-        print(__doc__)
-        return 2
-    if "--bytes" in sys.argv:
-        return compare_bytes(
-            args[0], args[1], float(args[2]) if len(args) > 2 else 1.2
-        )
-    sys.argv = [sys.argv[0]] + args
-    base, new = load_timings(sys.argv[1]), load_timings(sys.argv[2])
-    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+def compare_timings(
+    base_path: str, new_path: str, thresh: float, calibrated: bool = False
+) -> int:
+    base, new = load_timings(base_path), load_timings(new_path)
     common = sorted(set(base) & set(new))
     if not common:
         print("no common queries between the two artifacts")
@@ -166,17 +195,55 @@ def main() -> int:
     tb, tn = sum(base[q] for q in common), sum(new[q] for q in common)
     print(f"common queries: {len(common)}  "
           f"base total {tb:.2f}s  new total {tn:.2f}s  ratio {tn / tb:.2f}x")
+    scale = 1.0
+    if calibrated:
+        cb, cn = load_calibration(base_path), load_calibration(new_path)
+        if cb and cn:
+            # box/session drift moves the probe and the queries
+            # together, so dividing it out isolates code-attributable
+            # change; the listing and exit code below use the
+            # normalized times, the raw header above stays printed
+            scale = cb / cn
+            tnc = tn * scale
+            print(f"calibration: base {cb:.3f}s  new {cn:.3f}s  — "
+                  f"scaling new times by {scale:.3f}; normalized "
+                  f"new total {tnc:.2f}s  ratio {tnc / tb:.2f}x")
+        else:
+            side = "base" if not cb else "new"
+            print(f"warning: --calibrated requested but the {side} "
+                  f"artifact records no calibration_sec — raw compare "
+                  f"only", file=sys.stderr)
     regressions = [
-        (q, base[q], new[q], new[q] / base[q])
+        (q, base[q], new[q] * scale, new[q] * scale / base[q])
         for q in common
         # floor of 0.15s: sub-frame timings are pure scheduler noise
-        if new[q] > base[q] * thresh and new[q] - base[q] > 0.15
+        if new[q] * scale > base[q] * thresh
+        and new[q] * scale - base[q] > 0.15
     ]
+    tag = "REGRESSION (calibrated)" if scale != 1.0 else "REGRESSION"
     for q, b, n, r in sorted(regressions, key=lambda t: -t[3]):
-        print(f"  REGRESSION {q}: {b:.2f}s -> {n:.2f}s ({r:.2f}x)")
+        print(f"  {tag} {q}: {b:.2f}s -> {n:.2f}s ({r:.2f}x)")
     if not regressions:
-        print(f"zero regressions > {thresh}x")
+        print(f"zero regressions > {thresh}x"
+              + (" (calibrated)" if scale != 1.0 else ""))
     return 1 if regressions else 0
+
+
+def main() -> int:
+    flags = {"--bytes", "--calibrated"}
+    args = [a for a in sys.argv[1:] if a not in flags]
+    if len(args) < 2:
+        print(__doc__)
+        return 2
+    if "--bytes" in sys.argv:
+        return compare_bytes(
+            args[0], args[1], float(args[2]) if len(args) > 2 else 1.2
+        )
+    return compare_timings(
+        args[0], args[1],
+        float(args[2]) if len(args) > 2 else 1.3,
+        calibrated="--calibrated" in sys.argv,
+    )
 
 
 if __name__ == "__main__":

@@ -56,6 +56,18 @@ WORK = "/tmp/refluxdb_spark_capregime"
 QUERIES_UNDER_TEST = ["dedup_char_ngram_pairs", "dedup_jaccard_pairs_capped"]
 
 
+def _reads_embeddings(oracle_sql: str) -> bool:
+    """The shared-token guard's predicate: does this query read the
+    embeddings table, judged by its oracle SQL? A substring heuristic —
+    complete today, and PINNED against drift by
+    tests/test_cap_regime.py::test_embeddings_guard_predicate_matches_plan_reads,
+    which diffs it against every registry query's actual plan input
+    files (ADVICE r13: a future query reading embeddings via a helper
+    whose oracle phrases it differently would otherwise slip through
+    and publish a fake flat exponent)."""
+    return "embeddings" in oracle_sql
+
+
 def _corpus_stamp(src: str = None) -> str:
     """Cache-marker content for a scaled shared-token corpus: scheme
     version + source dir + source documents mtime (regenerating
@@ -147,7 +159,7 @@ def main() -> int:
         # fake sub-linear evidence — so reject, keyed on what the
         # query READS, not on registry membership (code review r13)
         flat = [q for q in queries
-                if q in extra or "embeddings" in ORACLES.get(q, "")]
+                if q in extra or _reads_embeddings(ORACLES.get(q, ""))]
         if flat:
             print(f"error: {flat} read embeddings, which the shared-token "
                   f"scheme does not scale — pass --suffix", file=sys.stderr)
@@ -179,6 +191,7 @@ def main() -> int:
     print("| query | point | data | exchange | records | byte ratio |"
           " per-data exponent |")
     print("|---|---|---|---|---|---|---|")
+    unsettled = []
     for name in queries:
         base = None
         for f in sorted(dirs):
@@ -196,8 +209,22 @@ def main() -> int:
                 import math
                 e = math.log(r) / math.log(f)
                 ratio, expo = f"{r:.1f}x", f"{e:.2f}"
+            # a measurement whose stage metrics never settled may
+            # undercount — an exponent built on it cannot land in a
+            # published §9 row looking trusted (ADVICE r13: the other
+            # pipelines already refuse taint; this one only warned on
+            # stderr, which a copy-paste of the table drops)
+            flag = ""
+            if rec.get("settled") is False:
+                unsettled.append(f"{name}@x{f}")
+                flag = " UNSETTLED"
             print(f"| {name} | x{f} {scheme} | {f}x {growth} | "
-                  f"{rec['mb']} MB | {rec['records']:,} | {ratio} | {expo} |")
+                  f"{rec['mb']} MB | {rec['records']:,} | {ratio} | "
+                  f"{expo}{flag} |")
+    if unsettled:
+        print(f"error: unsettled (possibly undercounted) measurements: "
+              f"{unsettled} — re-run before publishing", file=sys.stderr)
+        return 1
     return 0
 
 

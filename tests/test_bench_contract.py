@@ -235,3 +235,80 @@ def test_compare_bytes_fails_on_unsettled_rows(tmp_path, capsys):
     # both trusted -> clean exit
     assert bc.compare_bytes(profile("e.json", trusted),
                             profile("f.json", trusted), 1.2) == 0
+
+
+def test_compare_bytes_unsettled_scan_covers_full_sets(tmp_path, capsys):
+    """ADVICE r13: the taint scan must cover BOTH files' FULL query
+    sets — a tainted row present in only one profile (outside the
+    common intersection) still marks that file unfit to certify from,
+    and a row tainted on both sides must name both sides."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import bench_compare as bc
+
+    def profile(name, rows):
+        p = tmp_path / name
+        p.write_text(json.dumps({"sf_dir": "x", "queries": rows}))
+        return str(p)
+
+    ok = {"bytes": 1000, "mb": 0.001, "records": 10}
+    bad = {"bytes": 1000, "mb": 0.001, "records": 10, "settled": False}
+    # tainted row exists ONLY in the new profile (no common counterpart)
+    base = profile("a.json", {"q": ok})
+    new = profile("b.json", {"q": ok, "extra": bad})
+    assert bc.compare_bytes(base, new, 1.2) == 1
+    out = capsys.readouterr().out
+    assert "UNSETTLED extra" in out and "new row" in out
+    # tainted on BOTH sides -> both named in one line
+    assert bc.compare_bytes(profile("c.json", {"q": bad}),
+                            profile("d.json", {"q": bad}), 1.2) == 1
+    assert "base and new row" in capsys.readouterr().out
+
+
+def test_compare_timings_calibrated_normalizes_box_noise(tmp_path, capsys):
+    """VERDICT r13 item 2: r13's five >1.3x per-query flags were box
+    noise the ~8% calibration drift predicted. --calibrated scales the
+    new side by calibration_base/calibration_new before ratio-ing, so
+    a uniformly slower session reads clean while a genuine per-query
+    regression still flags; both raw and normalized totals print."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import bench_compare as bc
+
+    def artifact(name, queries, calibration=None):
+        rec = {"metric": "headline_queries_total_time", "queries": queries}
+        if calibration is not None:
+            rec["calibration_sec"] = calibration
+        p = tmp_path / name
+        p.write_text(json.dumps(rec))
+        return str(p)
+
+    base = artifact("base.json", {"qa": 1.0, "qb": 0.5}, calibration=0.30)
+    # whole session (probe AND queries) 1.5x slower: pure box noise
+    noisy = artifact("noisy.json", {"qa": 1.5, "qb": 0.75}, calibration=0.45)
+    assert bc.compare_timings(base, noisy, 1.3, calibrated=False) == 1
+    assert "REGRESSION qa" in capsys.readouterr().out
+    assert bc.compare_timings(base, noisy, 1.3, calibrated=True) == 0
+    out = capsys.readouterr().out
+    assert "scaling new times by 0.667" in out
+    assert "ratio 1.50x" in out and "ratio 1.00x" in out  # raw AND normalized
+    # a genuine regression is NOT absolved: qa 3x slower against a
+    # 1.5x-drifted probe is still 2x after normalization
+    really = artifact("real.json", {"qa": 3.0, "qb": 0.75}, calibration=0.45)
+    assert bc.compare_timings(base, really, 1.3, calibrated=True) == 1
+    assert "REGRESSION (calibrated) qa" in capsys.readouterr().out
+    # artifact without a probe: warn, fall back to the raw compare
+    old = artifact("old.json", {"qa": 1.0, "qb": 0.5})
+    assert bc.compare_timings(base, old, 1.3, calibrated=True) == 0
+    err = capsys.readouterr().err
+    assert "no calibration_sec" in err and "new" in err

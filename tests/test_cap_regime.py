@@ -103,3 +103,79 @@ def test_shared_token_warns_on_non_document_queries(monkeypatch, capsys):
     with pytest.raises(RuntimeError, match="sentinel"):
         cr.main()
     assert "not a scaling claim" in capsys.readouterr().err
+
+
+def test_published_table_flags_unsettled_rows(monkeypatch, capsys):
+    """ADVICE r13: an unsettled (possibly undercounted) measure()
+    record previously landed in the published §9 markdown row with
+    only a transient stderr warning — a copy-paste of the table drops
+    that. The row itself must carry an UNSETTLED flag and main() must
+    exit nonzero, matching the --baseline/--check/--bytes treatment.
+    measure/session/corpus-build are stubbed; no Spark needed."""
+    import exp_cap_regime as cr
+
+    def fake_measure(spark, name, sf_dir, fn=None):
+        rec = {"bytes": 1000, "mb": 0.0, "records": 10,
+               "stages": 1, "rows": 1, "sec": 0.1}
+        if sf_dir.endswith("x3"):
+            rec["settled"] = False
+        return rec
+
+    monkeypatch.setattr(cr, "measure", fake_measure)
+    monkeypatch.setattr(cr, "_ui_session", lambda name: object())
+    monkeypatch.setattr(
+        cr, "build_shared_token", lambda spark, f: f"/fake/x{f}"
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        ["exp_cap_regime.py", "--queries", "dedup_char_ngram_pairs", "3"],
+    )
+    assert cr.main() == 1
+    captured = capsys.readouterr()
+    # the x3 row carries the flag IN the table; the x1 row does not
+    flagged = [l for l in captured.out.splitlines() if "UNSETTLED" in l]
+    assert len(flagged) == 1 and "| x3 " in flagged[0]
+    assert "dedup_char_ngram_pairs@x3" in captured.err
+    assert "re-run before publishing" in captured.err
+
+    # all-settled sweep: no flag, exit 0 (the quiet path is unchanged)
+    monkeypatch.setattr(
+        cr, "measure",
+        lambda spark, name, sf_dir, fn=None: {
+            "bytes": 1000, "mb": 0.0, "records": 10,
+            "stages": 1, "rows": 1, "sec": 0.1,
+        },
+    )
+    assert cr.main() == 0
+    assert "UNSETTLED" not in capsys.readouterr().out
+
+
+def test_embeddings_guard_predicate_matches_plan_reads(spark, sf_dir):
+    """ADVICE r13: the shared-token embeddings guard is a substring
+    heuristic over oracle SQL — complete today, but nothing pinned the
+    invariant, so a future query reading embeddings via a helper whose
+    oracle phrases it differently would slip through and publish a
+    fake flat exponent. Pin it plan-side: every registry query whose
+    ANALYZED PLAN actually scans the embeddings table (by input file
+    listing — immune to how the Python source or oracle spells it)
+    must be caught by the guard's own predicate. Streaming entries are
+    excluded: the byte harness count()s the DataFrame, which a stream
+    cannot do, so they are unreachable from --queries anyway."""
+    import exp_cap_regime as cr
+    from refluxdb_spark.queries import ORACLES, QUERIES
+
+    violations = []
+    for name, fn in sorted(QUERIES.items()):
+        if name.startswith("ts_streaming"):
+            continue
+        files = fn(spark, sf_dir).inputFiles()
+        if any("embeddings" in f for f in files) and not cr._reads_embeddings(
+            ORACLES.get(name, "")
+        ):
+            violations.append(name)
+    assert not violations, (
+        f"{violations} read embeddings.parquet in their plans but the "
+        f"shared-token guard's oracle-SQL predicate misses them — they "
+        f"could publish a fake flat cap-regime exponent; fix the oracle "
+        f"or the guard (scripts/exp_cap_regime.py::_reads_embeddings)"
+    )
