@@ -114,21 +114,22 @@ def load_timings(path: str) -> dict[str, float]:
     return {k: float(v) for k, v in pairs if k not in _META}
 
 
-def load_calibration(path: str) -> float | None:
-    """Extract the artifact's recorded ``calibration_sec`` (bench.py's
-    fixed JVM probe). Handles the same three shapes as load_timings:
-    the full bench record (bench_latest.json), a driver BENCH_r{N}
-    tail, and raw stdout. None when the artifact predates the probe."""
+def load_calibration(path: str, key: str = "calibration_sec") -> float | None:
+    """Extract a recorded calibration probe (default: bench.py's fixed
+    JVM probe; pass "calibration_py_sec" for the pandas-path probe).
+    Handles the same three shapes as load_timings: the full bench
+    record (bench_latest.json), a driver BENCH_r{N} tail, and raw
+    stdout. None when the artifact predates the probe."""
     text = open(path).read()
     try:
         d = json.loads(text)
-        if isinstance(d, dict) and "calibration_sec" in d:
-            return float(d["calibration_sec"])
+        if isinstance(d, dict) and key in d:
+            return float(d[key])
         if isinstance(d, dict) and "tail" in d:
             text = d["tail"]
     except json.JSONDecodeError:
         pass
-    m = re.search(r'"calibration_sec": ([0-9.]+)', text)
+    m = re.search(rf'"{key}": ([0-9.]+)', text)
     return float(m.group(1)) if m else None
 
 
@@ -208,6 +209,18 @@ def compare_timings(
             print(f"calibration: base {cb:.3f}s  new {cn:.3f}s  — "
                   f"scaling new times by {scale:.3f}; normalized "
                   f"new total {tnc:.2f}s  ratio {tnc / tb:.2f}x")
+            # the JVM probe is blind to Python/Arrow-path drift (it
+            # stayed 0.28-0.33 s through a measured 24% pandas-UDF
+            # swing), so surface the py-probe ratio as a diagnostic —
+            # it is NOT folded into the scaling: a flag on a
+            # pandas-heavy query with a drifted py-probe is still box
+            # noise, adjudicated by the byte gate as always
+            pb = load_calibration(base_path, "calibration_py_sec")
+            pn = load_calibration(new_path, "calibration_py_sec")
+            if pb and pn:
+                print(f"py-probe: base {pb:.3f}s  new {pn:.3f}s  "
+                      f"({pn / pb:.2f}x) — python-path drift, not "
+                      f"normalized; weigh it for pandas-UDF-heavy flags")
         else:
             side = "base" if not cb else "new"
             print(f"warning: --calibrated requested but the {side} "

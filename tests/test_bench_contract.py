@@ -285,23 +285,30 @@ def test_compare_timings_calibrated_normalizes_box_noise(tmp_path, capsys):
     )
     import bench_compare as bc
 
-    def artifact(name, queries, calibration=None):
+    def artifact(name, queries, calibration=None, py=None):
         rec = {"metric": "headline_queries_total_time", "queries": queries}
         if calibration is not None:
             rec["calibration_sec"] = calibration
+        if py is not None:
+            rec["calibration_py_sec"] = py
         p = tmp_path / name
         p.write_text(json.dumps(rec))
         return str(p)
 
-    base = artifact("base.json", {"qa": 1.0, "qb": 0.5}, calibration=0.30)
+    base = artifact("base.json", {"qa": 1.0, "qb": 0.5},
+                    calibration=0.30, py=0.40)
     # whole session (probe AND queries) 1.5x slower: pure box noise
-    noisy = artifact("noisy.json", {"qa": 1.5, "qb": 0.75}, calibration=0.45)
+    noisy = artifact("noisy.json", {"qa": 1.5, "qb": 0.75},
+                     calibration=0.45, py=0.52)
     assert bc.compare_timings(base, noisy, 1.3, calibrated=False) == 1
     assert "REGRESSION qa" in capsys.readouterr().out
     assert bc.compare_timings(base, noisy, 1.3, calibrated=True) == 0
     out = capsys.readouterr().out
     assert "scaling new times by 0.667" in out
     assert "ratio 1.50x" in out and "ratio 1.00x" in out  # raw AND normalized
+    # the pandas-path probe (which the JVM probe is blind to) prints
+    # as a diagnostic ratio but is NOT folded into the scaling
+    assert "py-probe" in out and "(1.30x)" in out and "not" in out
     # a genuine regression is NOT absolved: qa 3x slower against a
     # 1.5x-drifted probe is still 2x after normalization
     really = artifact("real.json", {"qa": 3.0, "qb": 0.75}, calibration=0.45)
