@@ -35,6 +35,14 @@ scripts/exp_exchange_bytes.py --baseline/--out) instead of timings:
 Raw stdout (full JSON line), bench_latest.json, and driver tails mix
 freely; timings keyed "reps"/"sf"/"calibration_sec"/"value"/
 "n_queries" are excluded.
+
+Exit codes: 0 = clean compare; 1 = regressions (or, under --bytes,
+unsettled rows); 2 = usage error / no common queries; 3 =
+--calibrated was requested but a side records no usable
+calibration_sec, so only the RAW compare ran and it happened to read
+clean — scripted callers must treat 3 as "not certified", not as
+clean (ADVICE r14: on a box that got faster, the raw compare can
+read clean over a regression normalization would have flagged).
 """
 
 from __future__ import annotations
@@ -129,8 +137,11 @@ def load_calibration(path: str, key: str = "calibration_sec") -> float | None:
             text = d["tail"]
     except json.JSONDecodeError:
         pass
-    m = re.search(rf'"{key}": ([0-9.]+)', text)
-    return float(m.group(1)) if m else None
+    # last-wins, mirroring load_timings' pair scan: a tail holding two
+    # bench runs must pair the LAST run's probe with the LAST run's
+    # timings, not skew the scale with the first run's probe (ADVICE r14)
+    hits = re.findall(rf'"{key}": ([0-9.]+)', text)
+    return float(hits[-1]) if hits else None
 
 
 def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
@@ -197,9 +208,12 @@ def compare_timings(
     print(f"common queries: {len(common)}  "
           f"base total {tb:.2f}s  new total {tn:.2f}s  ratio {tn / tb:.2f}x")
     scale = 1.0
+    degraded = False
     if calibrated:
         cb, cn = load_calibration(base_path), load_calibration(new_path)
-        if cb and cn:
+        # explicit None/zero checks: a recorded probe of exactly 0.0
+        # must not silently read as "absent" (and cannot scale anyway)
+        if cb is not None and cb > 0 and cn is not None and cn > 0:
             # box/session drift moves the probe and the queries
             # together, so dividing it out isolates code-attributable
             # change; the listing and exit code below use the
@@ -217,15 +231,20 @@ def compare_timings(
             # noise, adjudicated by the byte gate as always
             pb = load_calibration(base_path, "calibration_py_sec")
             pn = load_calibration(new_path, "calibration_py_sec")
-            if pb and pn:
+            if pb is not None and pb > 0 and pn is not None and pn > 0:
                 print(f"py-probe: base {pb:.3f}s  new {pn:.3f}s  "
                       f"({pn / pb:.2f}x) — python-path drift, not "
                       f"normalized; weigh it for pandas-UDF-heavy flags")
         else:
-            side = "base" if not cb else "new"
-            print(f"warning: --calibrated requested but the {side} "
-                  f"artifact records no calibration_sec — raw compare "
-                  f"only", file=sys.stderr)
+            # name EVERY side that lacks a usable probe, not just one
+            missing = [s for s, v in (("base", cb), ("new", cn))
+                       if v is None or v <= 0]
+            print(f"warning: --calibrated requested but the "
+                  f"{' and '.join(missing)} artifact"
+                  f"{'s record' if len(missing) > 1 else ' records'} no "
+                  f"usable calibration_sec — raw compare only; a clean "
+                  f"result exits 3, not 0", file=sys.stderr)
+            degraded = True
     regressions = [
         (q, base[q], new[q] * scale, new[q] * scale / base[q])
         for q in common
@@ -239,11 +258,23 @@ def compare_timings(
     if not regressions:
         print(f"zero regressions > {thresh}x"
               + (" (calibrated)" if scale != 1.0 else ""))
-    return 1 if regressions else 0
+    if regressions:
+        return 1
+    # degraded fallback must be distinguishable from a clean calibrated
+    # compare: automation treats 3 as "re-run with probes", never clean
+    return 3 if degraded else 0
 
 
 def main() -> int:
     flags = {"--bytes", "--calibrated"}
+    # an unknown --flag (e.g. the typo --calibrate) must not fall
+    # through as a positional and reach open() as a "file path"
+    unknown = [a for a in sys.argv[1:] if a.startswith("--") and a not in flags]
+    if unknown:
+        print(f"unknown flag(s): {' '.join(unknown)} "
+              f"(known: {' '.join(sorted(flags))})", file=sys.stderr)
+        print(__doc__)
+        return 2
     args = [a for a in sys.argv[1:] if a not in flags]
     if len(args) < 2:
         print(__doc__)

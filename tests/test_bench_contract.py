@@ -314,8 +314,72 @@ def test_compare_timings_calibrated_normalizes_box_noise(tmp_path, capsys):
     really = artifact("real.json", {"qa": 3.0, "qb": 0.75}, calibration=0.45)
     assert bc.compare_timings(base, really, 1.3, calibrated=True) == 1
     assert "REGRESSION (calibrated) qa" in capsys.readouterr().out
-    # artifact without a probe: warn, fall back to the raw compare
+    # artifact without a probe: warn, fall back to the raw compare —
+    # but a CLEAN raw result exits 3, not 0, so automation can tell
+    # "clean calibrated compare" from "calibration unavailable"
+    # (ADVICE r14: raw-clean can mask a regression on a faster box)
     old = artifact("old.json", {"qa": 1.0, "qb": 0.5})
-    assert bc.compare_timings(base, old, 1.3, calibrated=True) == 0
+    assert bc.compare_timings(base, old, 1.3, calibrated=True) == 3
     err = capsys.readouterr().err
-    assert "no calibration_sec" in err and "new" in err
+    assert "calibration_sec" in err and "new" in err and "exits 3" in err
+    # a raw-visible regression still exits 1 under the fallback (it
+    # already demands attention; 3 is only for the deceptive clean case)
+    slow = artifact("slow.json", {"qa": 3.0, "qb": 0.5})
+    assert bc.compare_timings(base, slow, 1.3, calibrated=True) == 1
+    capsys.readouterr()
+    # BOTH sides probe-less: the warning names both, not just "base"
+    old2 = artifact("old2.json", {"qa": 1.0, "qb": 0.5})
+    assert bc.compare_timings(old, old2, 1.3, calibrated=True) == 3
+    err = capsys.readouterr().err
+    assert "base and new" in err
+    # a recorded probe of exactly 0.0 is unusable, not "absent-looking
+    # but truthy-crashy": it degrades cleanly and is named
+    zero = artifact("zero.json", {"qa": 1.0, "qb": 0.5}, calibration=0.0)
+    assert bc.compare_timings(base, zero, 1.3, calibrated=True) == 3
+    assert "new" in capsys.readouterr().err
+
+
+def test_load_calibration_last_wins_on_mixed_tails(tmp_path):
+    """ADVICE r14: a tail holding TWO bench runs must pair the LAST
+    run's probe with the LAST run's timings (load_timings' pair scan
+    keeps the last occurrence per key), or the scale factor skews."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import bench_compare as bc
+
+    p = tmp_path / "mixed.txt"
+    p.write_text(
+        '{"metric": "headline_queries_total_time", "value": 10.0, '
+        '"calibration_sec": 0.30, "qa": 1.0}\n'
+        '{"metric": "headline_queries_total_time", "value": 12.0, '
+        '"calibration_sec": 0.45, "qa": 1.5}\n'
+    )
+    assert bc.load_calibration(str(p)) == 0.45  # last, like load_timings
+    assert bc.load_timings(str(p))["qa"] == 1.5
+
+
+def test_main_rejects_unknown_flags(tmp_path, capsys, monkeypatch):
+    """ADVICE r14: a typo like --calibrate must exit 2 with usage, not
+    reach open() as a positional 'file path' and traceback."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import bench_compare as bc
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench_compare.py", "--calibrate", "a.json", "b.json"],
+    )
+    assert bc.main() == 2
+    captured = capsys.readouterr()
+    assert "unknown flag" in captured.err and "--calibrate" in captured.err
+    assert "--calibrated" in captured.err  # the known flags are listed
