@@ -182,6 +182,22 @@ def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
     total_ratio = tb / ta if ta else (float("inf") if tb else 1.0)
     print(f"common queries: {len(common)}  base {ta / 1e6:.2f} MB  "
           f"new {tb / 1e6:.2f} MB  ratio {total_ratio:.2f}x")
+    # the round-gate certification line the verdicts quote: shuffle
+    # records are deterministic (exact on a healthy plan), bytes carry
+    # sub-0.1% payload jitter — summarize both so the gate is one
+    # command instead of an ad-hoc post-processing script
+    rec_exact = sum(
+        1 for q in common if a[q].get("records") == b[q].get("records")
+    )
+    worst_q, worst_dev = None, 0.0
+    for q in common:
+        ba, bb = a[q]["bytes"], b[q]["bytes"]
+        dev = abs(bb - ba) / ba * 100 if ba else (0.0 if not bb else float("inf"))
+        if dev > worst_dev:
+            worst_q, worst_dev = q, dev
+    print(f"shuffle-records exact: {rec_exact}/{len(common)}  "
+          f"worst byte deviation: {worst_dev:.4f}%"
+          + (f" ({worst_q})" if worst_q else ""))
     regressions = []
     for q in common:
         ba, bb = a[q]["bytes"], b[q]["bytes"]

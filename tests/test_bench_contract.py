@@ -201,6 +201,45 @@ def test_compare_bytes_zero_byte_rows_cannot_crash(tmp_path, capsys):
     assert "infx" in capsys.readouterr().out
 
 
+def test_compare_bytes_prints_certification_summary(tmp_path, capsys):
+    """The round-gate certification line the verdicts quote
+    (records-exact count + worst byte deviation) prints from
+    compare_bytes itself — one command, no ad-hoc post-processing.
+    A zero-byte row that stays zero counts as 0% deviation, and a
+    changed record count is visible in the exact-count even when the
+    byte drift stays under the regression threshold."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import bench_compare as bc
+
+    def profile(path, rows):
+        p = tmp_path / path
+        p.write_text(json.dumps({
+            "sf_dir": "x",
+            "queries": {q: {"bytes": b, "mb": b / 1e6, "records": r}
+                        for q, (b, r) in rows.items()},
+        }))
+        return str(p)
+
+    base = profile("a.json", {"qa": (1_000_000, 50), "qb": (0, 0),
+                              "qc": (2_000_000, 99)})
+    # qa drifts 0.05% byte-only; qc keeps bytes but CHANGES records
+    new = profile("b.json", {"qa": (1_000_500, 50), "qb": (0, 0),
+                             "qc": (2_000_000, 120)})
+    assert bc.compare_bytes(base, new, 1.2) == 0
+    out = capsys.readouterr().out
+    assert "shuffle-records exact: 2/3" in out
+    assert "worst byte deviation: 0.0500% (qa)" in out
+    # identical profiles certify 3/3 exact at 0% deviation
+    assert bc.compare_bytes(base, base, 1.2) == 0
+    assert "shuffle-records exact: 3/3" in capsys.readouterr().out
+
+
 def test_compare_bytes_fails_on_unsettled_rows(tmp_path, capsys):
     """Code review r13: the round gate is --baseline then
     compare_bytes --bytes — if a fresh row carries "settled": false
