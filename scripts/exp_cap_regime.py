@@ -173,8 +173,17 @@ def main() -> int:
                       f"shared-token scheme its inputs are all x1 and the "
                       f"printed exponent is not a scaling claim",
                       file=sys.stderr)
+    # an unrecognized --flag must not be silently dropped: a --sufix
+    # typo would otherwise run the shared-token scheme when the caller
+    # asked for the suffix one, publishing numbers under the wrong
+    # regime with a clean exit
+    unknown_flags = [a for a in args if a.startswith("--") and a != "--suffix"]
+    if unknown_flags:
+        print(f"error: unknown flag(s): {' '.join(unknown_flags)} "
+              f"(known: --queries --suffix)", file=sys.stderr)
+        return 2
     try:
-        factors = [int(a) for a in args if not a.startswith("--")] or [3, 10]
+        factors = [int(a) for a in args if a != "--suffix"] or [3, 10]
     except ValueError as e:
         print(f"error: factors must be integers ({e})", file=sys.stderr)
         return 2

@@ -227,10 +227,27 @@ def main() -> None:
         # tier 1 IS the default MEASURED set (kept as the richer
         # (name, table, callable) form because it includes the
         # production-sized variants not registered in QUERIES)
+        # tier 1 = MEASURED; the rest come from TIERS
+        if (len(args) < 2 or not args[1].isdigit()
+                or int(args[1]) not in {1, *TIERS}):
+            print(f"error: --tier requires one of {sorted({1, *TIERS})}",
+                  file=sys.stderr)
+            sys.exit(2)
         tier = int(args[1])
         measured = MEASURED if tier == 1 else [(q, "", None) for q in TIERS[tier]]
         args = args[2:]
-    factors = [int(a) for a in args] or [1, 3, 10]
+    # reject unknown --flags and non-integer factors with usage, not a
+    # traceback through int() (same class as the bench_compare fix)
+    unknown = [a for a in args if a.startswith("--")]
+    if unknown:
+        print(f"error: unknown flag(s): {' '.join(unknown)} (known: --tier)",
+              file=sys.stderr)
+        sys.exit(2)
+    try:
+        factors = [int(a) for a in args] or [1, 3, 10]
+    except ValueError as e:
+        print(f"error: factors must be integers ({e})", file=sys.stderr)
+        sys.exit(2)
     spark = get_spark(app_name="refluxdb_spark_scaling")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict[int, float]] = {q: {} for q, _t, _f in measured}

@@ -179,3 +179,17 @@ def test_embeddings_guard_predicate_matches_plan_reads(spark, sf_dir):
         f"could publish a fake flat cap-regime exponent; fix the oracle "
         f"or the guard (scripts/exp_cap_regime.py::_reads_embeddings)"
     )
+
+
+def test_unknown_flags_rejected_not_silently_dropped(monkeypatch, capsys):
+    """A --sufix typo must exit 2 with usage, not silently run the
+    shared-token scheme the caller did not ask for (same class as the
+    r14 bench_compare unknown-flag fix)."""
+    import exp_cap_regime as cr
+
+    monkeypatch.setattr(
+        sys, "argv", ["exp_cap_regime.py", "--sufix", "3", "10"]
+    )
+    assert cr.main() == 2
+    err = capsys.readouterr().err
+    assert "unknown flag" in err and "--sufix" in err and "--suffix" in err

@@ -94,3 +94,30 @@ def test_document_copies_are_distinct_work(spark, sf_dir, scaled_x2):
     # within-copy duplicates exist by design; cross-copy duplicates
     # must not (distinct texts must exceed the single-copy count)
     assert distinct_texts > base
+
+
+def test_main_arg_errors_exit_2_with_usage(monkeypatch, capsys):
+    """--tier without a valid operand, unknown --flags, and non-integer
+    factors must exit 2 with a message, not traceback through int()/
+    TIERS[] (same class as the r14 bench_compare unknown-flag fix).
+    All reject BEFORE any Spark session or corpus build."""
+    import sys
+
+    import pytest
+
+    import exp_scaling as es
+
+    for argv, frag in [
+        (["exp_scaling.py", "--tier"], "--tier requires"),
+        (["exp_scaling.py", "--tier", "9"], "--tier requires"),
+        (["exp_scaling.py", "--tier", "x"], "--tier requires"),
+        (["exp_scaling.py", "--teir", "2"], "unknown flag"),
+        (["exp_scaling.py", "three"], "factors must be integers"),
+    ]:
+        monkeypatch.setattr(sys, "argv", argv)
+        with pytest.raises(SystemExit) as exc:
+            es.main()
+        assert exc.value.code == 2, argv
+        assert frag in capsys.readouterr().err, argv
+    # valid tiers 1..5 pass the guard (1 = MEASURED, 2-5 = TIERS)
+    assert sorted({1, *es.TIERS}) == [1, 2, 3, 4, 5]
