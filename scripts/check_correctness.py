@@ -48,6 +48,15 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # a typo'd query name must not filter the run down to nothing and
+    # certify "0/0 pass" with exit 0 — validate before the (15 s)
+    # Spark session so the mistake costs nothing
+    unknown = sorted(only - set(QUERIES))
+    if unknown:
+        print(f"error: unknown queries: {unknown} (registry has "
+              f"{len(QUERIES)}; did you mean to pass the sf_dir first?)",
+              file=sys.stderr)
+        return 2
 
     spark = get_spark(app_name="check_correctness")
     con = duckdb.connect()

@@ -69,3 +69,25 @@ def test_column_names_match_oracle(spark, sf_dir, name):
     skew = {c: (spark_types[c], duck_types[c])
             for c in spark_types if spark_types[c] != duck_types[c]}
     assert not skew, f"dtype skew (spark, duck): {skew}"
+
+
+def test_check_correctness_rejects_unknown_query_names(monkeypatch, capsys):
+    """A typo'd query name must exit 2 before any Spark session, not
+    filter the run to nothing and certify '0/0 pass' with exit 0 —
+    the subset-mirror twin of the r14/r15 unknown-flag CLI fixes."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import check_correctness as cc
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["check_correctness.py", "/root/testdata/sf0.01", "not_a_query"],
+    )
+    assert cc.main() == 2
+    err = capsys.readouterr().err
+    assert "unknown queries" in err and "not_a_query" in err
