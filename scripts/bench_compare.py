@@ -296,6 +296,11 @@ def main() -> int:
         print(__doc__)
         return 2
     if "--bytes" in sys.argv:
+        if "--calibrated" in sys.argv:
+            # bytes are deterministic — there is nothing to normalize;
+            # saying so beats silently ignoring the flag
+            print("warning: --calibrated has no effect with --bytes "
+                  "(shuffle bytes are not wall-clock)", file=sys.stderr)
         return compare_bytes(
             args[0], args[1], float(args[2]) if len(args) > 2 else 1.2
         )

@@ -48,6 +48,14 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # forgetting the sf_dir positional puts a query name in its slot;
+    # catch it here instead of failing later with a confusing
+    # parquet-path error naming the query
+    if sf_dir in QUERIES:
+        print(f"error: first argument is the sf_dir; {sf_dir!r} is a "
+              f"query name — e.g. check_correctness.py "
+              f"/root/testdata/sf0.01 {sf_dir}", file=sys.stderr)
+        return 2
     # a typo'd query name must not filter the run down to nothing and
     # certify "0/0 pass" with exit 0 — validate before the (15 s)
     # Spark session so the mistake costs nothing

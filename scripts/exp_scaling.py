@@ -248,6 +248,9 @@ def main() -> None:
     except ValueError as e:
         print(f"error: factors must be integers ({e})", file=sys.stderr)
         sys.exit(2)
+    if any(f < 1 for f in factors):
+        print(f"error: factors must be >= 1, got {factors}", file=sys.stderr)
+        sys.exit(2)
     spark = get_spark(app_name="refluxdb_spark_scaling")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict[int, float]] = {q: {} for q, _t, _f in measured}

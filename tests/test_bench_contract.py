@@ -422,3 +422,15 @@ def test_main_rejects_unknown_flags(tmp_path, capsys, monkeypatch):
     captured = capsys.readouterr()
     assert "unknown flag" in captured.err and "--calibrate" in captured.err
     assert "--calibrated" in captured.err  # the known flags are listed
+    # --calibrated alongside --bytes is inert (bytes are deterministic)
+    # — say so on stderr rather than silently ignoring the flag
+    base = tmp_path / "p.json"
+    base.write_text(json.dumps(
+        {"sf_dir": "x", "queries": {"qa": {"bytes": 10, "records": 1}}}
+    ))
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench_compare.py", "--bytes", "--calibrated", str(base), str(base)],
+    )
+    assert bc.main() == 0
+    assert "no effect with --bytes" in capsys.readouterr().err

@@ -91,3 +91,11 @@ def test_check_correctness_rejects_unknown_query_names(monkeypatch, capsys):
     assert cc.main() == 2
     err = capsys.readouterr().err
     assert "unknown queries" in err and "not_a_query" in err
+    # forgetting the sf_dir puts a query name in its slot — caught
+    # with a pointed message, not a parquet-path error later
+    monkeypatch.setattr(
+        sys, "argv", ["check_correctness.py", "reflux_limit_offset"]
+    )
+    assert cc.main() == 2
+    err = capsys.readouterr().err
+    assert "first argument is the sf_dir" in err

@@ -113,6 +113,8 @@ def test_main_arg_errors_exit_2_with_usage(monkeypatch, capsys):
         (["exp_scaling.py", "--tier", "x"], "--tier requires"),
         (["exp_scaling.py", "--teir", "2"], "unknown flag"),
         (["exp_scaling.py", "three"], "factors must be integers"),
+        (["exp_scaling.py", "0"], "factors must be >= 1"),
+        (["exp_scaling.py", "-3"], "factors must be >= 1"),
     ]:
         monkeypatch.setattr(sys, "argv", argv)
         with pytest.raises(SystemExit) as exc:
