@@ -42,7 +42,11 @@ unsettled rows); 2 = usage error / no common queries; 3 =
 calibration_sec, so only the RAW compare ran and it happened to read
 clean — scripted callers must treat 3 as "not certified", not as
 clean (ADVICE r14: on a box that got faster, the raw compare can
-read clean over a regression normalization would have flagged).
+read clean over a regression normalization would have flagged);
+4 = (--bytes) bytes clean but shuffle-records NOT exact on every
+common query (drifted, or missing on a side) — the "n/n records
+exact" certification does not hold even though no byte threshold
+tripped (ADVICE r15).
 """
 
 from __future__ import annotations
@@ -114,7 +118,11 @@ def load_timings(path: str) -> dict[str, float]:
             return {k: float(v) for k, v in d["queries"].items()}
     except json.JSONDecodeError:
         pass  # raw stdout: fall through to the line scan
-    for line in text.splitlines():
+    # LAST-wins, matching load_calibration: a tail holding two bench
+    # runs must pair the final run's timings with the final run's probe
+    # — taking the FIRST compact line here paired run-1 timings with
+    # run-2's probe, the exact skew the r14 fix aimed at (ADVICE r15)
+    for line in reversed(text.splitlines()):
         full = _decode_compact(line.strip())
         if full is not None:
             return full
@@ -186,8 +194,17 @@ def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
     # records are deterministic (exact on a healthy plan), bytes carry
     # sub-0.1% payload jitter — summarize both so the gate is one
     # command instead of an ad-hoc post-processing script
+    # exact requires BOTH sides to actually record the field: two
+    # record-less legacy profiles must not certify n/n exact via
+    # None == None (ADVICE r15); rows missing the field are reported
+    # separately so the gate line can't overstate its evidence
+    rec_missing = [
+        q for q in common
+        if a[q].get("records") is None or b[q].get("records") is None
+    ]
     rec_exact = sum(
-        1 for q in common if a[q].get("records") == b[q].get("records")
+        1 for q in common
+        if q not in rec_missing and a[q]["records"] == b[q]["records"]
     )
     worst_q, worst_dev = None, 0.0
     for q in common:
@@ -198,6 +215,10 @@ def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
     print(f"shuffle-records exact: {rec_exact}/{len(common)}  "
           f"worst byte deviation: {worst_dev:.4f}%"
           + (f" ({worst_q})" if worst_q else ""))
+    if rec_missing:
+        print(f"  records-missing rows (excluded from exact count): "
+              f"{len(rec_missing)}: {' '.join(rec_missing[:8])}"
+              + (" …" if len(rec_missing) > 8 else ""))
     regressions = []
     for q in common:
         ba, bb = a[q]["bytes"], b[q]["bytes"]
@@ -209,7 +230,19 @@ def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
         print(f"  BYTE REGRESSION {q}: {ba / 1e6:.2f} MB -> {bb / 1e6:.2f} MB ({r:.2f}x)")
     if not regressions:
         print(f"zero byte regressions > {thresh}x")
-    return 1 if regressions or suspect else 0
+    if regressions or suspect:
+        return 1
+    # records drift without a byte regression still breaks the
+    # "n/n records exact" claim of record — scripted round gates must
+    # not have to parse stdout to see it (ADVICE r15): distinct exit 4
+    if rec_exact < len(common):
+        print(f"warning: shuffle-records NOT exact on "
+              f"{len(common) - rec_exact}/{len(common)} queries "
+              f"(drifted or missing) — bytes are clean but the "
+              f"records-exact certification does not hold; exit 4",
+              file=sys.stderr)
+        return 4
+    return 0
 
 
 def compare_timings(

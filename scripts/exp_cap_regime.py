@@ -187,6 +187,11 @@ def main() -> int:
     except ValueError as e:
         print(f"error: factors must be integers ({e})", file=sys.stderr)
         return 2
+    # same guard as exp_scaling (ADVICE r15): a 0/negative factor fails
+    # later in build_shared_token/math.log AFTER expensive corpus work
+    if any(f < 1 for f in factors):
+        print(f"error: factors must be >= 1, got {factors}", file=sys.stderr)
+        return 2
     scheme = "suffix" if suffix else "shared-token"
     growth = "docs" if suffix else "df"
     spark = _ui_session("cap_regime")

@@ -240,8 +240,16 @@ def main() -> None:
     # traceback through int() (same class as the bench_compare fix)
     unknown = [a for a in args if a.startswith("--")]
     if unknown:
-        print(f"error: unknown flag(s): {' '.join(unknown)} (known: --tier)",
-              file=sys.stderr)
+        # a late --tier is position-, not name-, invalid: say so instead
+        # of the self-contradictory "unknown: --tier (known: --tier)"
+        # (ADVICE r15)
+        if "--tier" in unknown:
+            print("error: --tier must be the first argument "
+                  "(usage: exp_scaling.py [--tier N] [factors...])",
+                  file=sys.stderr)
+        else:
+            print(f"error: unknown flag(s): {' '.join(unknown)} "
+                  f"(known: --tier)", file=sys.stderr)
         sys.exit(2)
     try:
         factors = [int(a) for a in args] or [1, 3, 10]

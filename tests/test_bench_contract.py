@@ -195,9 +195,12 @@ def test_compare_bytes_zero_byte_rows_cannot_crash(tmp_path, capsys):
     assert bc.compare_bytes(base0, new0, 1.2) == 0
     out0 = capsys.readouterr().out
     assert "ratio 1.00x" in out0 and "infx" not in out0
-    # 0 -> nonzero total still reads inf (genuine growth from nothing)
+    # 0 -> nonzero total still reads inf (genuine growth from nothing);
+    # under the 64 KiB floor it is not a BYTE regression, but the
+    # records drift (0 -> 10) breaks records-exact certification, so
+    # the exit is 4 (ADVICE r15), not 0 and not 1
     newg = profile("e.json", {"zq": 10})
-    assert bc.compare_bytes(base0, newg, 1.2) == 0  # under the floor
+    assert bc.compare_bytes(base0, newg, 1.2) == 4
     assert "infx" in capsys.readouterr().out
 
 
@@ -228,16 +231,57 @@ def test_compare_bytes_prints_certification_summary(tmp_path, capsys):
 
     base = profile("a.json", {"qa": (1_000_000, 50), "qb": (0, 0),
                               "qc": (2_000_000, 99)})
-    # qa drifts 0.05% byte-only; qc keeps bytes but CHANGES records
+    # qa drifts 0.05% byte-only; qc keeps bytes but CHANGES records —
+    # bytes are clean but the records-exact certification fails:
+    # distinct exit 4 so scripted gates see it without parsing stdout
+    # (ADVICE r15)
     new = profile("b.json", {"qa": (1_000_500, 50), "qb": (0, 0),
                              "qc": (2_000_000, 120)})
-    assert bc.compare_bytes(base, new, 1.2) == 0
-    out = capsys.readouterr().out
+    assert bc.compare_bytes(base, new, 1.2) == 4
+    captured = capsys.readouterr()
+    out = captured.out
     assert "shuffle-records exact: 2/3" in out
+    assert "records-exact certification does not hold" in captured.err
     assert "worst byte deviation: 0.0500% (qa)" in out
-    # identical profiles certify 3/3 exact at 0% deviation
+    # identical profiles certify 3/3 exact at 0% deviation, exit 0
     assert bc.compare_bytes(base, base, 1.2) == 0
     assert "shuffle-records exact: 3/3" in capsys.readouterr().out
+
+
+def test_compare_bytes_missing_records_not_counted_exact(tmp_path, capsys):
+    """ADVICE r15: two record-less (legacy) profiles must not certify
+    n/n records-exact via None == None — missing rows are excluded
+    from the exact count, reported separately, and break certification
+    (exit 4) even though no byte threshold trips."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    import bench_compare as bc
+
+    def profile(path, rows):
+        p = tmp_path / path
+        p.write_text(json.dumps({"sf_dir": "x", "queries": rows}))
+        return str(p)
+
+    legacy = profile("l1.json", {"qa": {"bytes": 1000, "mb": 0.001},
+                                 "qb": {"bytes": 500, "mb": 0.0005}})
+    legacy2 = profile("l2.json", {"qa": {"bytes": 1000, "mb": 0.001},
+                                  "qb": {"bytes": 500, "mb": 0.0005}})
+    assert bc.compare_bytes(legacy, legacy2, 1.2) == 4
+    out = capsys.readouterr().out
+    assert "shuffle-records exact: 0/2" in out
+    assert "records-missing rows (excluded from exact count): 2" in out
+    # one-sided missing: the recorded side cannot vouch for the other
+    mixed = profile("m.json", {"qa": {"bytes": 1000, "mb": 0.001,
+                                      "records": 7},
+                               "qb": {"bytes": 500, "mb": 0.0005,
+                                      "records": 3}})
+    assert bc.compare_bytes(legacy, mixed, 1.2) == 4
+    assert "shuffle-records exact: 0/2" in capsys.readouterr().out
 
 
 def test_compare_bytes_fails_on_unsettled_rows(tmp_path, capsys):
@@ -400,6 +444,27 @@ def test_load_calibration_last_wins_on_mixed_tails(tmp_path):
     )
     assert bc.load_calibration(str(p)) == 0.45  # last, like load_timings
     assert bc.load_timings(str(p))["qa"] == 1.5
+
+    # ADVICE r15: the same last-wins contract on the MODERN path — a
+    # tail holding two COMPACT lines (two full bench runs) must decode
+    # the LAST one, not pair run-1 timings with run-2's probe
+    from bench import HEADLINE, names_digest
+
+    def compact(v0):
+        vals = [v0] + [0.1] * (len(HEADLINE) - 1)
+        return json.dumps({
+            "metric": "headline_query_times_compact",
+            "names_md5": names_digest(HEADLINE),
+            "values": vals,
+        })
+
+    p2 = tmp_path / "two_compact.txt"
+    p2.write_text(
+        compact(1.0) + '\n{"calibration_sec": 0.30}\n'
+        + compact(2.5) + '\n{"calibration_sec": 0.45}\n'
+    )
+    assert bc.load_timings(str(p2))[HEADLINE[0]] == 2.5  # last run
+    assert bc.load_calibration(str(p2)) == 0.45  # same run's probe
 
 
 def test_main_rejects_unknown_flags(tmp_path, capsys, monkeypatch):

@@ -193,3 +193,17 @@ def test_unknown_flags_rejected_not_silently_dropped(monkeypatch, capsys):
     assert cr.main() == 2
     err = capsys.readouterr().err
     assert "unknown flag" in err and "--sufix" in err and "--suffix" in err
+
+
+def test_nonpositive_factors_rejected_before_corpus_build(monkeypatch, capsys):
+    """ADVICE r15: a 0/negative factor passes the flag guards (it does
+    not start with '--') but fails later in build_shared_token/math.log
+    AFTER expensive corpus work — reject it up front like exp_scaling."""
+    import exp_cap_regime as cr
+
+    for argv in (["exp_cap_regime.py", "0"],
+                 ["exp_cap_regime.py", "-3"],
+                 ["exp_cap_regime.py", "3", "0"]):
+        monkeypatch.setattr(sys, "argv", argv)
+        assert cr.main() == 2, argv
+        assert "factors must be >= 1" in capsys.readouterr().err, argv

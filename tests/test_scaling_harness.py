@@ -112,6 +112,11 @@ def test_main_arg_errors_exit_2_with_usage(monkeypatch, capsys):
         (["exp_scaling.py", "--tier", "9"], "--tier requires"),
         (["exp_scaling.py", "--tier", "x"], "--tier requires"),
         (["exp_scaling.py", "--teir", "2"], "unknown flag"),
+        # ADVICE r15: a LATE --tier is position-invalid — the message
+        # must say so, not the self-contradictory "unknown: --tier
+        # (known: --tier)"
+        (["exp_scaling.py", "3", "--tier", "2"],
+         "--tier must be the first argument"),
         (["exp_scaling.py", "three"], "factors must be integers"),
         (["exp_scaling.py", "0"], "factors must be >= 1"),
         (["exp_scaling.py", "-3"], "factors must be >= 1"),
