@@ -39,8 +39,17 @@ from pyspark.sql import functions as F
 
 from refluxdb_spark.errors import NoDataError, TableNotFoundError, ValidationError
 from refluxdb_spark.gateway import ast_validate, validate_query
-from refluxdb_spark.schema import MEASUREMENT_COLUMNS, MEASUREMENTS_SCHEMA
-from refluxdb_spark.sources.lineprotocol import explode_fields, parse_lines_df
+from refluxdb_spark.schema import (
+    MEASUREMENT_COLUMNS,
+    MEASUREMENTS_SCHEMA,
+    MEASUREMENTS_TYPED_SCHEMA,
+)
+from refluxdb_spark.sources.lineprotocol import (
+    explode_fields,
+    explode_typed_fields,
+    parse_lines_df,
+    parse_lines_typed_df,
+)
 
 _TABLE = "measurements"
 
@@ -90,11 +99,19 @@ class RefluxEngine:
         warehouse: str,
         strict_compat: bool = False,
         server_time_mode: bool = False,
+        typed_fields: bool = False,
     ) -> None:
+        if typed_fields and strict_compat:
+            raise ValidationError(
+                "typed_fields and strict_compat are mutually exclusive: "
+                "strict compat reproduces the reference's f64-only value "
+                "column (README.md:49), dead-lettering typed wire values"
+            )
         self.spark = spark
         self.warehouse = warehouse
         self.strict_compat = strict_compat
         self.server_time_mode = server_time_mode
+        self.typed_fields = typed_fields
         from refluxdb_spark.storage import VersionedPath
 
         self._data = VersionedPath(os.path.join(warehouse, _TABLE))
@@ -122,13 +139,22 @@ class RefluxEngine:
         if not lines:
             return 0, 0
         raw = self.spark.createDataFrame([(ln,) for ln in lines], "value string")
-        parsed = parse_lines_df(raw).cache()
+        return self.write_lines_dataframe(raw)
+
+    def write_lines_dataframe(self, raw: DataFrame, line_col: str = "value") -> tuple[int, int]:
+        """Parse + append a DataFrame of raw line-protocol strings —
+        the distributed entry ``write_lines`` wraps (bulk loaders and
+        the oracled typed-fields query feed millions of lines without
+        ever materializing them on the driver)."""
+        parse = parse_lines_typed_df if self.typed_fields else parse_lines_df
+        explode = explode_typed_fields if self.typed_fields else explode_fields
+        parsed = parse(raw, line_col).cache()
         try:
             bad = parsed.filter(F.col("error").isNotNull())
             n_dead = bad.count()
             if n_dead:
                 self.write_dead_letters(bad)
-            rows = explode_fields(parsed)
+            rows = explode(parsed)
             out = self._finalize_rows(rows)
             n = out.count()
             if n:
@@ -534,27 +560,45 @@ class RefluxEngine:
         event_time = F.expr("timestamp_micros(ts div 1000)")
         now = F.current_timestamp()
         time_col = now if self.server_time_mode else F.coalesce(event_time, now)
-        return rows.select(
-            "series",
+        cols = [
+            F.col("series").alias("series"),
             F.expr("uuid()").alias("id"),
             time_col.alias("time"),
             now.alias("created_at"),
-            "name",
+            F.col("name").alias("name"),
             F.col("value").cast("double").alias("value"),
-            "tags",
-        ).withColumn("day", F.to_date("time"))
+            F.col("tags").alias("tags"),
+        ]
+        if self.typed_fields:
+            # pre-shaped float-only input (write_dataframe callers) is
+            # welcome on a typed engine: synthesize the discriminator
+            have = set(rows.columns)
+            cols += [
+                (F.col("value_type") if "value_type" in have
+                 else F.when(F.col("value").isNotNull(), "float")).alias("value_type"),
+                (F.col("value_int") if "value_int" in have
+                 else F.lit(None).cast("bigint")).alias("value_int"),
+                (F.col("value_bool") if "value_bool" in have
+                 else F.lit(None).cast("boolean")).alias("value_bool"),
+                (F.col("value_str") if "value_str" in have
+                 else F.lit(None).cast("string")).alias("value_str"),
+            ]
+        return rows.select(*cols).withColumn("day", F.to_date("time"))
 
     # -------------------------------------------------------------- reads
     def _table(self) -> DataFrame:
+        empty_schema = (
+            MEASUREMENTS_TYPED_SCHEMA if self.typed_fields else MEASUREMENTS_SCHEMA
+        )
         if not os.path.exists(self._path):
-            return self.spark.createDataFrame([], MEASUREMENTS_SCHEMA)
+            return self.spark.createDataFrame([], empty_schema)
         try:
             return self.spark.read.parquet(self._path)
         except Exception:
             # path exists but holds no committed parquet footers yet
             # (first write in flight, or only _temporary dirs): behave
             # as an empty table instead of leaking UNABLE_TO_INFER_SCHEMA
-            return self.spark.createDataFrame([], MEASUREMENTS_SCHEMA)
+            return self.spark.createDataFrame([], empty_schema)
 
     def list_series(self) -> list[str]:
         """``GET /`` (``handlers.rs:24-32`` / ``persistence.rs:59-68``):

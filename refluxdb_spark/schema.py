@@ -54,3 +54,27 @@ MEASUREMENTS_SCHEMA = T.StructType(
 # Columns in reference decoder order (utils/db.rs:33-49 expects this
 # positional shape; our strict-compat projection check uses it).
 MEASUREMENT_COLUMNS = ["id", "time", "created_at", "name", "value", "tags"]
+
+# Typed-fields extension (engine flag ``typed_fields=True``): the
+# reference DECLARES "value -> float (to be float, int, string and
+# bool)" (README.md:49) and its own parser tests use quoted string
+# field values (protocol.rs:155,164,173,183) the f64-only engine can't
+# ingest. Layout: a ``value_type`` discriminator plus one column per
+# non-float payload; ``value`` keeps the numeric view for both numeric
+# types (int cast to double) so every float aggregate works unchanged.
+# Columnar (parquet) storage makes the three mostly-NULL payload
+# columns nearly free at 100 TB — NULL runs RLE-compress to almost
+# nothing and column pruning never reads them unless projected.
+MEASUREMENTS_TYPED_SCHEMA = T.StructType(
+    list(MEASUREMENTS_SCHEMA.fields)
+    + [
+        T.StructField("value_type", T.StringType(), True),
+        T.StructField("value_int", T.LongType(), True),
+        T.StructField("value_bool", T.BooleanType(), True),
+        T.StructField("value_str", T.StringType(), True),
+    ]
+)
+
+TYPED_MEASUREMENT_COLUMNS = MEASUREMENT_COLUMNS + [
+    "value_type", "value_int", "value_bool", "value_str",
+]

@@ -679,3 +679,133 @@ def test_erase_invalidates_incremental_rollup(spark, tmp_path):
     eng.maintain_rollup(incremental=True)
     after = eng.sql("SELECT sum(sum_value) AS s FROM rollup_1h").collect()[0].s
     assert after == 5.0  # host=b's 2.0 gone from the aggregate
+
+
+# ------------------------------------------------------------------
+# Typed field values end to end (engine flag typed_fields=True) —
+# the reference's declared-but-unbuilt surface (README.md:49,
+# protocol.rs:155-183).
+# ------------------------------------------------------------------
+
+TYPED_LINES = [
+    'cpu,host=a usage=0.8,cores=16i,throttled=false,model="Xeon E5 v4" 1556813561098000000',
+    'cpu,host=b usage=0.9,cores=8i,throttled=true,model="EPYC \\"Rome\\"" 1556813561099000000',
+    # the reference's own parser-test line ingests verbatim
+    'mySingleTagMeasurement,tag1=value1 fieldKey1="fieldValue" 1556813561098000000',
+]
+
+
+@pytest.fixture(scope="module")
+def typed_engine(spark, tmp_path_factory):
+    eng = RefluxEngine(
+        spark, str(tmp_path_factory.mktemp("typed_wh")), typed_fields=True
+    )
+    n, n_dead = eng.write_lines(TYPED_LINES + ["cpu bad=nope 1"])
+    assert n == 9  # 4 + 4 + 1 typed field rows
+    assert n_dead == 1  # the non-numeric bare value still dead-letters
+    return eng
+
+
+def test_typed_write_query_roundtrip(typed_engine):
+    rows = typed_engine.query_rows(
+        "SELECT name, value_type, value, value_int, value_bool, value_str "
+        "FROM cpu ORDER BY name, value_int, value, value_bool, value_str"
+    )
+    got = {
+        (r["name"], r["value_type"]): r
+        for r in rows
+        if r["name"] in ("usage", "model", "throttled")
+    }
+    assert got[("usage", "float")]["value"] in (0.8, 0.9)
+    assert got[("model", "string")]["value_str"] in ('Xeon E5 v4', 'EPYC "Rome"')
+    assert got[("model", "string")]["value"] is None
+    assert got[("throttled", "bool")]["value_bool"] in (True, False)
+    ints = [r for r in rows if r["name"] == "cores"]
+    assert {r["value_int"] for r in ints} == {8, 16}
+    # numeric view: ints are queryable through `value` unchanged
+    assert {r["value"] for r in ints} == {8.0, 16.0}
+
+
+def test_typed_values_serialize_back_to_wire_form(typed_engine):
+    """write -> query -> LineProtocol.serialize round-trips all three
+    non-float types to their wire forms (O4 on the typed surface)."""
+    from refluxdb_spark.protocol import LineProtocol
+
+    rows = typed_engine.query_rows(
+        "SELECT name, value_type, value, value_int, value_bool, value_str, time "
+        "FROM cpu WHERE value_int = 16 OR value_bool = true "
+        "OR value_str = 'Xeon E5 v4' ORDER BY name"
+    )
+    fields = {}
+    for r in rows:
+        fields[r["name"]] = (
+            r["value"] if r["value_type"] == "float"
+            else r["value_int"] if r["value_type"] == "int"
+            else r["value_bool"] if r["value_type"] == "bool"
+            else r["value_str"]
+        )
+    lp = LineProtocol("cpu", {"host": "a"}, fields, 1556813561098000000)
+    wire = lp.serialize()
+    assert "cores=16i" in wire
+    assert "throttled=true" in wire
+    assert 'model="Xeon E5 v4"' in wire
+    back = LineProtocol.parse(wire, typed=True)
+    assert back.field_set == fields
+
+
+def test_typed_reference_test_line_stored(typed_engine):
+    rows = typed_engine.query_rows("SELECT * FROM mySingleTagMeasurement")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["name"] == "fieldKey1"
+    assert r["value_type"] == "string"
+    assert r["value_str"] == "fieldValue"
+    assert r["tags"] == {"tag1": "value1"}
+
+
+def test_typed_table_carries_extended_schema(typed_engine):
+    from refluxdb_spark.schema import TYPED_MEASUREMENT_COLUMNS
+
+    cols = [c.lower() for c in typed_engine.query("SELECT * FROM cpu").columns]
+    assert cols == TYPED_MEASUREMENT_COLUMNS
+
+
+def test_typed_strict_compat_mutually_exclusive(spark, tmp_path_factory):
+    with pytest.raises(ValidationError, match="mutually exclusive"):
+        RefluxEngine(
+            spark, str(tmp_path_factory.mktemp("x")),
+            typed_fields=True, strict_compat=True,
+        )
+
+
+def test_untyped_engine_dead_letters_typed_values(spark, tmp_path_factory):
+    """Default engines keep the reference-faithful f64-only contract:
+    typed wire values route to the DLQ, never silently coerce."""
+    eng = RefluxEngine(spark, str(tmp_path_factory.mktemp("untyped_wh")))
+    n, n_dead = eng.write_lines(
+        ['m x=42i 1', 'm y=true 1', 'm z="s" 1', 'm ok=1.5 1']
+    )
+    assert (n, n_dead) == (1, 3)
+    dlq = {r.raw for r in eng.dead_letters().collect()}
+    assert dlq == {'m x=42i 1', 'm y=true 1', 'm z="s" 1'}
+
+
+def test_typed_write_dataframe_float_shape_welcome(spark, tmp_path_factory):
+    """Pre-shaped float-only rows (the write_dataframe/streaming entry)
+    land on a typed engine with a synthesized 'float' discriminator."""
+    from pyspark.sql import functions as F
+
+    eng = RefluxEngine(
+        spark, str(tmp_path_factory.mktemp("typed_wdf")), typed_fields=True
+    )
+    rows = spark.range(3).select(
+        F.lit("s").alias("series"),
+        F.lit(1700000000000000000).alias("ts"),
+        F.lit("v").alias("name"),
+        (F.col("id") * 1.5).alias("value"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    eng.write_dataframe(rows)
+    out = eng.query_rows("SELECT value_type, value FROM s ORDER BY value")
+    assert [r["value_type"] for r in out] == ["float"] * 3
+    assert [r["value"] for r in out] == [0.0, 1.5, 3.0]

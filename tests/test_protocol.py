@@ -67,3 +67,98 @@ def test_negative_cases(bad, msg):
 def test_empty_tag_values_skipped():  # protocol.rs:34-38
     lp = LineProtocol.parse("m,empty=,ok=v x=1 1000")
     assert lp.tag_set == {"ok": "v"}
+
+
+# ------------------------------------------------------------------
+# Typed field values (parse(line, typed=True)) — the reference's
+# DECLARED value surface (README.md:49 "to be float, int, string and
+# bool"); its own four unit tests use quoted string field values the
+# f64-only parser cannot ingest (protocol.rs:155,164,173,183).
+# ------------------------------------------------------------------
+
+REFERENCE_TEST_LINES = [
+    # protocol.rs:155,164,173,183 — verbatim
+    'mySingleTagMeasurement,tag1=value1 fieldKey1="fieldValue" 1556813561098000000',
+    'myMultipleTagMeasurement,tag1=value1,tag2=value2 fieldKey="fieldValue" 1556813561098000000',
+    'mySingleFieldKey fieldKey="fieldValue" 1556813561098000000',
+    'myMultipleFieldKey fieldKey1="fieldValue",fieldKey2="oi" 1556813561098000000',
+]
+
+
+@pytest.mark.parametrize("line", REFERENCE_TEST_LINES)
+def test_reference_parser_test_lines_roundtrip_verbatim(line):
+    """The reference's own four parser tests assert parse->serialize
+    is the identity; typed mode makes them pass HERE, byte-for-byte."""
+    lp = LineProtocol.parse(line, typed=True)
+    assert lp.serialize() == line
+    assert all(isinstance(v, str) for v in lp.field_set.values())
+
+
+def test_typed_all_four_value_types():
+    lp = LineProtocol.parse(
+        'cpu,host=a usage=0.8,cores=16i,hot=true,off=f,model="Xeon E5" 99',
+        typed=True,
+    )
+    assert lp.field_set == {
+        "usage": 0.8, "cores": 16, "hot": True, "off": False, "model": "Xeon E5",
+    }
+    assert isinstance(lp.field_set["cores"], int)
+    assert not isinstance(lp.field_set["usage"], int)
+    assert isinstance(lp.field_set["hot"], bool)
+
+
+def test_typed_string_escapes_and_delimiters():
+    """Quoted values may contain spaces, commas, '=' and escaped
+    quotes/backslashes — the quote-aware tokenizer must keep them."""
+    lp = LineProtocol.parse(
+        'm s="a,b=c d",t="say \\"hi\\"",u="back\\\\slash" 5', typed=True
+    )
+    assert lp.field_set == {
+        "s": "a,b=c d", "t": 'say "hi"', "u": "back\\slash",
+    }
+    back = LineProtocol.parse(lp.serialize(), typed=True)
+    assert back.field_set == lp.field_set
+
+
+def test_typed_bool_literal_variants():
+    lp = LineProtocol.parse("m a=t,b=T,c=true,d=True,e=TRUE,f=f,g=FALSE 1", typed=True)
+    assert lp.field_set == {
+        "a": True, "b": True, "c": True, "d": True, "e": True,
+        "f": False, "g": False,
+    }
+    # canonical serialization: true/false
+    assert "a=true" in lp.serialize() and "g=false" in lp.serialize()
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ('m s="unterminated 1', "bad string"),
+        ("m x=99999999999999999999999i 1", "out of i64 range"),
+        ("m x=-9223372036854775809i 1", "out of i64 range"),
+        ("m x=1 1 junk", "trailing garbage"),
+        ('m "key"=1 1', "quote in field key"),
+        ("m x=1, 5", "bad fieldset segment"),
+        ("m ,x=1 5", "bad fieldset segment"),
+        ('m x=a"b 5', "bad string"),
+        ('m"oops x=1 5', "quote in measurement"),
+    ],
+)
+def test_typed_negative_cases(bad, msg):
+    with pytest.raises(ParseError, match=msg):
+        LineProtocol.parse(bad, typed=True)
+
+
+def test_typed_i64_boundaries_accepted():
+    lp = LineProtocol.parse(
+        "m lo=-9223372036854775808i,hi=9223372036854775807i 1", typed=True
+    )
+    assert lp.field_set == {"lo": -(2**63), "hi": 2**63 - 1}
+
+
+def test_untyped_mode_unchanged_rejects_typed_values():
+    """Default (reference-faithful f64) mode still dead-letters every
+    typed wire form — the Q6 contract is unchanged."""
+    for bad in ('m x=42i 1', 'm x=true 1', 'm x="s" 1'):
+        with pytest.raises(ParseError):
+            LineProtocol.parse(bad)
