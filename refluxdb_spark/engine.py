@@ -675,6 +675,21 @@ class RefluxEngine:
                         "series", "day"
                     ).createOrReplaceTempView(base)
                     self._views.add(base)
+            elif (
+                base.endswith("_tags")
+                and base[: -len("_tags")] in known
+                and os.path.exists(
+                    os.path.join(self.warehouse, "tag_index._manifest.json")
+                )
+            ):
+                # the reference's TODO table, queryable by its declared
+                # name and DDL shape — ``<ts>_tags (id, key, value)``
+                # (README.md:55) — backed by the maintained tag index
+                if base not in self._views:
+                    self.tag_index_df().filter(
+                        F.col("series") == base[: -len("_tags")]
+                    ).select("id", "key", "value").createOrReplaceTempView(base)
+                    self._views.add(base)
             elif self.spark.catalog.tableExists(base):
                 continue  # separately-registered view (rollups etc.)
             else:
@@ -983,6 +998,198 @@ class RefluxEngine:
             # a query at a different grain than the rollup holds
             json.dump({"bucket": bucket, "partitions": manifest}, f)
         self.spark.read.parquet(vp.current()).createOrReplaceTempView(name)
+
+    # ------------------------------------------------------- tag index
+    def maintain_tag_index(self, incremental: bool = True) -> None:
+        """Materialize the separated tag relation — the reference's
+        never-built TODO (``README.md:55``: ``CREATE TABLE <ts>_tags
+        (id UUID, key TEXT, value TEXT)``) as ONE exploded lake table
+        for all series, partitioned by ``(series, key)``.
+
+        Why it exists at 100 TB: a tag-equality predicate on the base
+        table is ``tags['k'] = 'v'`` — a map lookup parquet can never
+        push down, so the scan reads every row of the series. The tag
+        index inverts the map once; a tag-filtered read then prunes to
+        the matching ``(series, key)`` index partition, takes the
+        (day, id) hits, and semi-joins the base table with day-level
+        partition pruning (``tag_scan``). Scan cost moves from
+        O(series) to O(matching days) + an id semi-join.
+
+        Incremental maintenance mirrors ``maintain_rollup``: the
+        metadata-only (series, day) partition manifest decides which
+        days re-explode; untouched index rows are spliced over, and
+        the result commits via the same pointer-file version swap
+        (object-store safe, crash leaves the old index live).
+        """
+        import json
+
+        from refluxdb_spark.storage import VersionedPath
+
+        vp = VersionedPath(os.path.join(self.warehouse, "tag_index"))
+        manifest_path = os.path.join(self.warehouse, "tag_index._manifest.json")
+        manifest = self._partition_manifest()
+
+        def explode_tags(df: DataFrame) -> DataFrame:
+            return df.select(
+                "series",
+                F.col("day"),
+                "id",
+                F.explode("tags").alias("key", "value"),
+            )
+
+        prev: dict[str, list[float]] = {}
+        if incremental and os.path.exists(manifest_path):
+            try:
+                with open(manifest_path) as f:
+                    prev = json.load(f).get("partitions", {})
+            except (OSError, ValueError):
+                prev = {}
+
+        have_prev = bool(prev) and os.path.isdir(vp.current())
+        if incremental and have_prev:
+            changed = {k for k, v in manifest.items() if prev.get(k) != v}
+            changed |= set(prev) - set(manifest)  # dropped partitions
+            if not changed:
+                return
+            pairs = [
+                (
+                    _unescape_partition_value(k.split("/")[0][len("series="):]),
+                    k.split("/")[1][len("day="):],
+                )
+                for k in changed
+            ]
+            chg = self.spark.createDataFrame(pairs, "chg_series string, chg_day string")
+            on = (F.col("series") == F.col("chg_series")) & (
+                F.col("day").cast("string") == F.col("chg_day")
+            )
+            fresh = explode_tags(self._table().join(F.broadcast(chg), on, "left_semi"))
+            kept = self.spark.read.parquet(vp.current()).join(
+                F.broadcast(chg), on, "left_anti"
+            )
+            df = kept.unionByName(fresh)
+        else:
+            df = explode_tags(self._table())
+
+        new_dir, commit = vp.begin_rewrite()
+        try:
+            (
+                # range-cluster by value WITHIN each (series, key)
+                # partition: every output file then covers a contiguous
+                # value range, so a tag-equality probe's pushed-down
+                # value predicate skips whole row groups via footer
+                # min/max — without this, reading ONE value costs the
+                # whole key partition (measured 12x the bytes at x10,
+                # scripts/exp_tag_index.py)
+                df.repartitionByRange("series", "key", "value")
+                .sortWithinPartitions("series", "key", "value")
+                .write.mode("overwrite")
+                .partitionBy("series", "key")
+                .parquet(new_dir)
+            )
+            commit()
+        except BaseException:
+            shutil.rmtree(new_dir, ignore_errors=True)
+            raise
+        vp.vacuum()
+        with open(manifest_path, "w") as f:
+            json.dump({"partitions": manifest}, f)
+
+    def tag_index_fresh(self) -> bool:
+        """True iff the tag index exists and its saved (series, day)
+        manifest matches the live table's — metadata-only, like
+        ``rollup_fresh``."""
+        import json
+
+        from refluxdb_spark.storage import VersionedPath
+
+        vp = VersionedPath(os.path.join(self.warehouse, "tag_index"))
+        manifest_path = os.path.join(self.warehouse, "tag_index._manifest.json")
+        if not os.path.exists(manifest_path) or not os.path.isdir(vp.current()):
+            return False
+        try:
+            with open(manifest_path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            return False
+        return data.get("partitions") == self._partition_manifest()
+
+    def tag_index_df(self) -> DataFrame:
+        """The maintained tag relation (reference TODO shape plus the
+        routing columns): ``series, key, value, day, id``."""
+        from refluxdb_spark.storage import VersionedPath
+
+        vp = VersionedPath(os.path.join(self.warehouse, "tag_index"))
+        if not os.path.isdir(vp.current()):
+            return self.spark.createDataFrame(
+                [], "day date, id string, value string, series string, key string"
+            )
+        return self.spark.read.parquet(vp.current())
+
+    def tag_scan(
+        self, series: str, key: str, value: str, prefer_index: bool = True
+    ) -> DataFrame:
+        """All measurements of ``series`` where ``tags[key] = value``,
+        in the per-series view shape.
+
+        Routed path (index FRESH): prune the index to its
+        ``(series, key)`` partition, filter the tag value, then
+        semi-join the base table on (day, id) — with a static
+        day-partition IN-filter derived from the hits, so the base
+        scan opens only matching days' files. The day list is a
+        bounded metadata-sized driver collect (≤ retained days, the
+        same class as ``list_series``'s directory listing) — that
+        bound is what makes static pruning safe at 100 TB where the
+        optimizer's dynamic pruning may decline to fire on a plain
+        file source. Stale or missing index falls back to the exact
+        ``tags[key] = value`` map-lookup scan, so results are always
+        correct; routing is purely an access-path decision (same
+        contract as ``query(prefer_rollup=True)``)."""
+        base = self._table().filter(F.col("series") == series)
+        routed = None
+        if prefer_index and self.tag_index_fresh():
+            sel = (
+                self.tag_index_df()
+                .filter(
+                    (F.col("series") == series)
+                    & (F.col("key") == key)
+                    & (F.col("value") == value)
+                )
+                .select("day", "id")
+                # deliberately NOT cached/checkpointed: the two
+                # consumers below (day-list collect, semi-join build)
+                # each re-probe the index, but the probe is a pushed-
+                # down value-equality read of a range-clustered file —
+                # tens of KB (measured) — while materialized blocks
+                # deserialize to ~70x the file size and get re-read by
+                # the join anyway
+            )
+            days = [r.day for r in sel.select("day").distinct().collect()]
+            if not days:
+                return base.filter(F.lit(False)).drop("series", "day")
+            # cost rule: when the hits span (almost) every day of the
+            # series, day pruning saves nothing and the routed path
+            # would pay the index read + broadcast join ON TOP of the
+            # full scan — the classic index-vs-scan selectivity
+            # tradeoff. Day counts come from partition METADATA (one
+            # directory listing), so the decision is free.
+            if len(days) < 0.9 * max(self._series_day_count(series), 1):
+                routed = base.filter(F.col("day").isin(days)).join(
+                    F.broadcast(sel), ["day", "id"], "left_semi"
+                )
+        out = (
+            routed
+            if routed is not None
+            else base.filter(F.col("tags")[key] == F.lit(value))
+        )
+        return out.drop("series", "day")
+
+    def _series_day_count(self, series: str) -> int:
+        """Number of day partitions one series holds — directory
+        listing only, the same metadata shortcut as ``list_series``."""
+        d = os.path.join(self._path, f"series={_escape_partition_value(series)}")
+        if not os.path.isdir(d):
+            return 0
+        return sum(1 for e in os.listdir(d) if e.startswith("day="))
 
     def wide(self, series: str, fields: list[str] | None = None) -> DataFrame:
         """Wide view of one series: one row per (time, tags), one

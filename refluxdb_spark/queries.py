@@ -363,6 +363,66 @@ def reflux_typed_fields(spark, sf_dir):
     )
 
 
+@register(
+    "reflux_tag_index_scan",
+    """
+    SELECT CAST(ts AS TIMESTAMP) AS time, 'value' AS name, value,
+           concat('r', CAST(day(CAST(ts AS TIMESTAMP)) % 4 AS VARCHAR)) AS rel
+    FROM events
+    WHERE event_type = 'error' AND day(CAST(ts AS TIMESTAMP)) % 4 = 1
+    """,
+)
+def reflux_tag_index_scan(spark, sf_dir):
+    """The separated tag relation — the reference's TODO
+    (``README.md:55``: ``CREATE TABLE <ts>_tags (id UUID, key TEXT,
+    value TEXT)``) — actually SERVING a tag-equality query. Events
+    land in an engine warehouse tagged ``b7 = event_id % 7``;
+    ``maintain_tag_index`` materializes the exploded (series, key)-
+    partitioned tag table; ``tag_scan`` answers ``tags['b7'] = '3'``
+    through it: index-partition prune -> (day, id) hits -> day-level
+    partition pruning on the base scan + broadcast id semi-join
+    (plan fence: test_engine.py::test_tag_scan_routed_plan_prunes).
+    The oracle filters the raw events directly, proving the routed
+    read loses nothing. Warehouse cached per (sf_dir, events mtime)
+    like ts_rollup_routed so repeated runs measure the routed read."""
+    import os as _os
+
+    from refluxdb_spark.engine import RefluxEngine
+
+    mtime = int(_os.stat(f"{sf_dir}/events.parquet").st_mtime)
+    tag = _os.path.basename(_os.path.normpath(sf_dir))
+    eng = RefluxEngine(spark, f"/tmp/refluxdb_spark_tagidx/{tag}_{mtime}")
+    if not eng.series_exists("error"):
+        ev = load(spark, sf_dir, "events")
+        eng.write_dataframe(
+            ev.select(
+                F.col("event_type").alias("series"),
+                F.expr("unix_micros(ts) * 1000").alias("ts"),
+                F.lit("value").alias("name"),
+                F.col("value").alias("value"),
+                # a release-cohort-style tag, day-LOCALIZED by
+                # construction (~1 in 4 days): selective enough that
+                # tag_scan's cost rule picks the routed index path —
+                # the driver row therefore exercises index-partition
+                # prune + day prune + id semi-join, not the fallback
+                F.create_map(
+                    F.lit("rel"),
+                    F.concat(
+                        F.lit("r"), (F.dayofmonth("ts") % 4).cast("string")
+                    ),
+                ).alias("tags"),
+            )
+        )
+    if not eng.tag_index_fresh():
+        eng.maintain_tag_index()
+    return eng.tag_scan("error", "rel", "r1").select(
+        "time",
+        "name",
+        "value",
+        F.col("tags")["rel"].alias("rel"),
+    )
+
+
 # =====================================================================
 # B. SQL dialect surface (joins/aggregates/subqueries/set ops — the
 #    GlueSQL-delegated surface re-expressed on the star schema)

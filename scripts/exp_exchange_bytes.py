@@ -104,6 +104,8 @@ BASELINE_SET = [
 #: sf0.01 profile's semantics.
 WARM_REQUIRED = {
     "ts_rollup_routed",
+    "reflux_typed_fields",
+    "reflux_tag_index_scan",
     "dedup_index_append_probe",
     "dedup_incremental_pairs",
     "sim_ivf_persisted_topk",

@@ -809,3 +809,137 @@ def test_typed_write_dataframe_float_shape_welcome(spark, tmp_path_factory):
     out = eng.query_rows("SELECT value_type, value FROM s ORDER BY value")
     assert [r["value_type"] for r in out] == ["float"] * 3
     assert [r["value"] for r in out] == [0.0, 1.5, 3.0]
+
+
+# ------------------------------------------------------------------
+# Separated tag relation (reference TODO README.md:55) — maintained
+# exploded tag table + routed tag-equality scans.
+# ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tag_engine(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    eng = RefluxEngine(spark, str(tmp_path_factory.mktemp("tagidx_wh")))
+    ev = spark.range(500).select(
+        F.lit("error").alias("series"),
+        (F.lit(1700000000000000000) + F.col("id") * F.lit(17280000000000)).alias("ts"),
+        F.lit("value").alias("name"),
+        (F.col("id") * 1.0).alias("value"),
+        F.create_map(
+            F.lit("b7"), (F.col("id") % 7).cast("string"),
+            F.lit("src"), F.lit("gen"),
+        ).alias("tags"),
+    )
+    eng.write_dataframe(ev)
+    eng.maintain_tag_index()
+    return eng
+
+
+def test_tag_index_fresh_and_shape(tag_engine):
+    assert tag_engine.tag_index_fresh()
+    idx = tag_engine.tag_index_df()
+    # reference TODO DDL columns present (id, key, value) + routing cols
+    assert {"id", "key", "value", "series", "day"} <= set(idx.columns)
+    assert idx.filter("key = 'b7'").count() == 500
+    assert idx.filter("key = 'src'").count() == 500
+
+
+def test_tag_scan_routed_equals_fallback(tag_engine):
+    routed = tag_engine.tag_scan("error", "b7", "3")
+    fallback = tag_engine.tag_scan("error", "b7", "3", prefer_index=False)
+    assert routed.columns == fallback.columns
+    r_ids = sorted(r.id for r in routed.collect())
+    f_ids = sorted(r.id for r in fallback.collect())
+    assert r_ids == f_ids and len(r_ids) == len([i for i in range(500) if i % 7 == 3])
+
+
+def test_tag_scan_routed_plan_prunes(tag_engine):
+    """The routed plan must (a) day-partition-prune the base scan
+    (day IN/INSET in PartitionFilters — the 100 TB win over the full-
+    series map-lookup scan) and (b) carry no tags[] map lookup; the
+    fallback plan is the inverse."""
+    routed = tag_engine.tag_scan("error", "b7", "3")
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        l for l in plan.splitlines() if "measurements" in l and "FileScan" in l
+    ]
+    assert scan_lines, plan
+    pf = scan_lines[0].split("PartitionFilters:")[1]
+    assert "day" in pf and ("INSET" in pf or " IN " in pf), pf
+    assert "tags#" not in plan.split("BroadcastHashJoin")[0] or "tags[" not in plan
+    assert "LeftSemi" in plan
+    fb_plan = (
+        tag_engine.tag_scan("error", "b7", "3", prefer_index=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "tags#" in fb_plan and "INSET" not in fb_plan
+
+
+def test_tag_scan_no_hits_is_empty_not_error(tag_engine):
+    assert tag_engine.tag_scan("error", "b7", "999").count() == 0
+    assert tag_engine.tag_scan("error", "nosuchkey", "x").count() == 0
+
+
+def test_tag_scan_stale_index_falls_back_correct(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    eng = RefluxEngine(spark, str(tmp_path_factory.mktemp("tagidx_stale")))
+
+    def batch(offset):
+        return spark.range(50).select(
+            F.lit("s").alias("series"),
+            (F.lit(1700000000000000000) + (F.col("id") + offset) * F.lit(1000000000)).alias("ts"),
+            F.lit("v").alias("name"),
+            F.lit(1.0).alias("value"),
+            F.create_map(F.lit("k"), ((F.col("id") + offset) % 3).cast("string")).alias("tags"),
+        )
+
+    eng.write_dataframe(batch(0))
+    eng.maintain_tag_index()
+    assert eng.tag_index_fresh()
+    eng.write_dataframe(batch(50))  # index now stale
+    assert not eng.tag_index_fresh()
+    # stale index must not serve: results still include the new rows
+    got = eng.tag_scan("s", "k", "0").count()
+    exp = len([i for i in range(100) if i % 3 == 0])
+    assert got == exp
+    # incremental maintenance re-freshens and the routed path agrees
+    eng.maintain_tag_index(incremental=True)
+    assert eng.tag_index_fresh()
+    assert eng.tag_scan("s", "k", "0").count() == exp
+
+
+def test_tags_sql_view_reference_ddl_shape(tag_engine):
+    """README.md:55's declared table is queryable by its declared name
+    and columns: <series>_tags (id, key, value)."""
+    rows = tag_engine.query_rows(
+        "SELECT key, value, count(*) AS n FROM error_tags "
+        "WHERE key = 'b7' GROUP BY key, value ORDER BY value"
+    )
+    assert len(rows) == 7
+    assert all(set(r) == {"key", "value", "n"} for r in rows)
+    assert sum(r["n"] for r in rows) == 500
+    # joinable back to the base series by id (the TODO's implied use)
+    joined = tag_engine.query_rows(
+        "SELECT count(*) AS n FROM error e JOIN error_tags t ON e.id = t.id "
+        "WHERE t.key = 'b7' AND t.value = '3'"
+    )
+    assert joined[0]["n"] == len([i for i in range(500) if i % 7 == 3])
+
+
+def test_tags_view_for_unknown_series_still_errors(tag_engine):
+    from refluxdb_spark.errors import TableNotFoundError
+
+    with pytest.raises(TableNotFoundError):
+        tag_engine.query("SELECT * FROM nosuchseries_tags")
+
+
+def test_tag_scan_unselective_tag_costs_out_of_routing(tag_engine):
+    """A tag whose hits span (almost) every day gains nothing from day
+    pruning — the cost rule must serve it from the plain map-lookup
+    scan instead of paying index read + join on top of the full scan."""
+    routed = tag_engine.tag_scan("error", "src", "gen")  # on every row
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "INSET" not in plan and "LeftSemi" not in plan
+    assert routed.count() == 500

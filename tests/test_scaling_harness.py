@@ -128,3 +128,21 @@ def test_main_arg_errors_exit_2_with_usage(monkeypatch, capsys):
         assert frag in capsys.readouterr().err, argv
     # valid tiers 1..5 pass the guard (1 = MEASURED, 2-5 = TIERS)
     assert sorted({1, *es.TIERS}) == [1, 2, 3, 4, 5]
+
+
+def test_exp_tag_index_arg_errors_exit_2(monkeypatch, capsys):
+    """exp_tag_index CLI guards: unknown flags, non-integer and
+    non-positive factors reject with usage BEFORE any Spark session."""
+    import sys
+
+    import exp_tag_index as eti
+
+    for argv, frag in [
+        (["exp_tag_index.py", "--fast"], "unknown flag"),
+        (["exp_tag_index.py", "three"], "factors must be integers"),
+        (["exp_tag_index.py", "0"], "factors must be >= 1"),
+        (["exp_tag_index.py", "-1"], "factors must be >= 1"),
+    ]:
+        monkeypatch.setattr(sys, "argv", argv)
+        assert eti.main() == 2, argv
+        assert frag in capsys.readouterr().err, argv
