@@ -2124,6 +2124,53 @@ def mm_image_features(spark, sf_dir):
 
 
 @register(
+    "mm_image_stdlib_decode",
+    """
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 96 + 32 AS INTEGER) AS g FROM documents
+    ),
+    p AS (
+        -- g is always 32..127, so the payload is pure ASCII and this
+        -- DuckDB's VARCHAR-only sha256 hashes the same bytes the
+        -- engine's binary sha256 sees (same trick as mm_frame_sample)
+        SELECT doc_id, g,
+               'P6' || chr(10) || '4 2' || chr(10) || '255' || chr(10)
+                    || repeat(chr(g), 24) AS payload
+        FROM d
+    )
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+           sha256(payload) AS sha256,
+           CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+           (0.299 * CAST(g AS DOUBLE) + 0.587 * CAST(g AS DOUBLE)
+            + 0.114 * CAST(g AS DOUBLE)) / 255.0 AS mean_luma
+    FROM p
+    """,
+)
+def mm_image_stdlib_decode(spark, sf_dir):
+    """REAL image decode through the stdlib codec tier (r15 verdict
+    item 4): every document becomes a genuine 4x2 binary-PPM (P6)
+    payload — constant gray ``g = doc_id % 96 + 32``, built with pure
+    column expressions — and ``image_features(fake=False)`` decodes it
+    with the dependency-free P6 parser inside Arrow-batched
+    mapInPandas: true dims, true ITU-R 601-2 mean luma. The oracle
+    reconstructs the same bytes in SQL and computes the same fixed-
+    order luma arithmetic — so the REAL decode path (not the fake
+    stub) is hash-checked end to end, today, with no Pillow anywhere."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(b"P6\n4 2\n255\n"),
+            F.encode(
+                F.expr("repeat(chr(doc_id % 96 + 32), 24)"), "UTF-8"
+            ),
+        ).alias("payload"),
+    )
+    media = M.attach_media(docs, "payload", "image/x-portable-pixmap")
+    return M.image_features(media, id_col="doc_id", fake=False)
+
+
+@register(
     "mm_frame_sample",
     # The fake decoder is sha256 over fixed-size payload chunks, so the
     # oracle replays it in SQL. DuckDB's sha256/substring are

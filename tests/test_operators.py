@@ -3090,3 +3090,166 @@ def test_audio_resample_linear_contract():
     assert float(np.sqrt(np.mean(z**2))) == pytest.approx(0.25)
     # empty input stays empty, no div-by-zero
     assert len(_resample_linear(np.array([]), 44100, 16000)) == 0
+
+
+# ------------------------------------------------------------------
+# stdlib codec tier (r15 verdict item 4): real decode with ZERO
+# external dependencies — P6 PPM + uncompressed 24-bit BMP images,
+# PPM-stream video frames — runs in CI on deterministic fixtures.
+# ------------------------------------------------------------------
+
+def _make_p6(w, h, rgb_rows):
+    """rgb_rows: list of h rows, each a list of w (r,g,b) tuples."""
+    body = bytes(c for row in rgb_rows for px in row for c in px)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def _make_bmp24(w, h, rgb_rows, top_down=False):
+    """Minimal uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER)."""
+    import struct
+
+    stride = (3 * w + 3) & ~3
+    pad = b"\x00" * (stride - 3 * w)
+    rows = rgb_rows if top_down else list(reversed(rgb_rows))
+    body = b"".join(
+        b"".join(bytes((b_, g, r)) for (r, g, b_) in row) + pad for row in rows
+    )
+    h_field = -h if top_down else h
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h_field, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def test_image_features_stdlib_ppm_and_bmp(spark):
+    """fake=False REALLY decodes P6 PPM and 24-bit BMP with the pure
+    stdlib/numpy tier — true dims + ITU-R 601-2 mean luma — no Pillow
+    anywhere. The same pixel grid through both formats must produce
+    IDENTICAL features (the formats differ only in container)."""
+    from refluxdb_spark.operators.multimodal import attach_media, image_features
+
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)],
+        [(0, 0, 0), (128, 128, 128), (255, 255, 0), (0, 255, 255)],
+    ]
+    ppm = _make_p6(4, 2, rows)
+    bmp = _make_bmp24(4, 2, rows)
+    bmp_td = _make_bmp24(4, 2, rows, top_down=True)
+    df = spark.createDataFrame(
+        [(1, ppm), (2, bmp), (3, bmp_td)], "id long, payload binary"
+    )
+    media = attach_media(df, "payload", "image/mixed")
+    got = {r.id: r for r in image_features(media, fake=False).collect()}
+    lum = [0.299 * r + 0.587 * g + 0.114 * b for row in rows for (r, g, b) in row]
+    expected = sum(lum) / len(lum) / 255.0
+    for i in (1, 2, 3):
+        assert (got[i].width, got[i].height) == (4, 2)
+        assert got[i].mean_luma == pytest.approx(expected, abs=1e-12), i
+    assert got[1].n_bytes == len(ppm)
+
+
+def test_image_resize_stdlib_ppm(spark):
+    """Stdlib-tier resize: P6 in, P6 out, nearest-neighbor — exact
+    expected payload for a known grid, and the output re-decodes."""
+    from refluxdb_spark.operators.multimodal import (
+        _decode_p6,
+        attach_media,
+        image_resize,
+    )
+
+    rows = [
+        [(10, 20, 30), (40, 50, 60)],
+        [(70, 80, 90), (100, 110, 120)],
+    ]
+    ppm = _make_p6(2, 2, rows)
+    df = spark.createDataFrame([(1, ppm)], "id long, payload binary")
+    media = attach_media(df, "payload", "image/x-portable-pixmap")
+    out = image_resize(media, scale=0.5, fake=False).collect()[0]
+    assert (out.width, out.height) == (1, 1)
+    w, h, px = _decode_p6(bytes(out.out_payload))
+    assert (w, h) == (1, 1)
+    # nearest-neighbor at scale 0.5 picks the top-left source pixel
+    assert px.tolist() == [[10.0, 20.0, 30.0]]
+    # upscale round-trips every source pixel into a 2x2 block
+    up = image_resize(media, scale=2.0, fake=False).collect()[0]
+    assert (up.width, up.height) == (4, 4)
+    w2, h2, px2 = _decode_p6(bytes(up.out_payload))
+    assert px2.reshape(4, 4, 3)[0, 0].tolist() == [10.0, 20.0, 30.0]
+    assert px2.reshape(4, 4, 3)[3, 3].tolist() == [100.0, 110.0, 120.0]
+
+
+def test_frame_sample_stdlib_ppm_stream(spark):
+    """A concatenated P6 stream (what ffmpeg's image2pipe emits) splits
+    into REAL frames via the stdlib tier — no ffmpeg needed: right
+    frame count, per-frame sha256 of the exact frame bytes."""
+    import hashlib
+
+    from refluxdb_spark.operators.multimodal import attach_media, frame_sample
+
+    f1 = _make_p6(2, 1, [[(1, 2, 3), (4, 5, 6)]])
+    f2 = _make_p6(2, 1, [[(7, 8, 9), (10, 11, 12)]])
+    f3 = _make_p6(1, 1, [[(200, 100, 50)]])
+    stream = f1 + f2 + f3
+    df = spark.createDataFrame([(9, stream)], "id long, payload binary")
+    media = attach_media(df, "payload", "video/x-ppm-stream")
+    got = sorted(
+        frame_sample(media, every_ms=40, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in got] == [0, 1, 2]
+    assert [r.frame_ts_ms for r in got] == [0, 40, 80]
+    assert [r.frame_sha256 for r in got] == [
+        hashlib.sha256(f).hexdigest() for f in (f1, f2, f3)
+    ]
+
+
+def test_stdlib_tier_unknown_formats_still_raise(spark):
+    """Payloads the stdlib tier can't sniff still take the honest
+    NotImplementedError path when the codec tier is absent (Pillow /
+    ffmpeg not in this container) — and exotic BMP flavors fall
+    through to it rather than decoding wrong."""
+    import struct
+
+    from refluxdb_spark.operators.multimodal import (
+        attach_media,
+        frame_sample,
+        image_features,
+        image_resize,
+    )
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow present: the codec tier would decode these")
+    except ImportError:
+        pass
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\nnotreallyapng")], "id long, payload binary"
+    )
+    media = attach_media(df, "payload", "image/png")
+    for op in (
+        lambda m: image_features(m, fake=False),
+        lambda m: image_resize(m, scale=0.5, fake=False),
+    ):
+        with pytest.raises(Exception, match="NotImplementedError|stdlib tier"):
+            op(media).collect()
+    # 8-bit paletted BMP: sniffs as BM but is not stdlib-decodable
+    body = b"\x00" * 40
+    bmp8 = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+    media8 = attach_media(
+        spark.createDataFrame([(2, bmp8)], "id long, payload binary"),
+        "payload", "image/bmp",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|stdlib tier"):
+        image_features(media8, fake=False).collect()
+    import shutil as _sh
+
+    if _sh.which("ffmpeg") is None:
+        mediav = attach_media(
+            spark.createDataFrame([(3, b"\x00\x00\x00 ftypmp42xx")], "id long, payload binary"),
+            "payload", "video/mp4",
+        )
+        with pytest.raises(Exception, match="NotImplementedError|PPM streams"):
+            frame_sample(mediav, fake=False).collect()
