@@ -272,6 +272,9 @@ def main() -> None:
         rep_counts=rep_counts,
         calibration_py=calibration_py,
         calibration_end=calibration_end,
+        adjudication=self_adjudication(
+            timings, calibration, os.path.dirname(os.path.abspath(__file__))
+        ),
     )
     for line in lines:
         print(line)
@@ -289,6 +292,102 @@ def names_digest(names: list[str]) -> str:
     return hashlib.md5(",".join(names).encode()).hexdigest()[:12]
 
 
+def decode_prev_artifact(path: str) -> tuple[dict[str, float], float | None]:
+    """Minimal decoder for a prior round's BENCH artifact (driver tail
+    or full record): (timings, last calibration_sec). Timings come from
+    the LAST compact line whose names_md5 matches the CURRENT HEADLINE
+    (last-wins, pairing the final run's timings with the final run's
+    probe); a stale-digest artifact decodes to ({}, ...) and the caller
+    skips self-adjudication rather than compare across list drift."""
+    import re as _re
+
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "tail" in d:
+            text = d["tail"]
+        elif isinstance(d, dict) and "queries" in d:
+            return (
+                {k: float(v) for k, v in d["queries"].items()},
+                float(d["calibration_sec"]) if d.get("calibration_sec") else None,
+            )
+    except json.JSONDecodeError:
+        pass
+    timings: dict[str, float] = {}
+    for line in reversed(text.splitlines()):
+        try:
+            rec = json.loads(line.strip())
+        except json.JSONDecodeError:
+            continue
+        if (
+            isinstance(rec, dict)
+            and rec.get("metric") == "headline_query_times_compact"
+            and rec.get("names_md5") == names_digest(HEADLINE)
+            and len(rec.get("values", [])) == len(HEADLINE)
+        ):
+            timings = dict(zip(HEADLINE, (float(v) for v in rec["values"])))
+            break
+    hits = _re.findall(r'"calibration_sec": ([0-9.]+)', text)
+    return timings, (float(hits[-1]) if hits else None)
+
+
+def prev_round_artifact(repo_dir: str) -> str | None:
+    """Newest committed BENCH_r{N}.json in the repo root, or None."""
+    import re as _re
+
+    best, best_n = None, -1
+    for e in os.listdir(repo_dir):
+        m = _re.fullmatch(r"BENCH_r(\d+)\.json", e)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = e, int(m.group(1))
+    return best
+
+
+def self_adjudication(
+    timings: dict[str, float], calibration: float, repo_dir: str
+) -> dict:
+    """Fields that let an archived artifact adjudicate ITSELF (VERDICT
+    r15 item 5 — r15's raw 1.13x was a calibrated 0.94x, but the raw
+    artifact alone could be misread as a regression without its
+    calibration context):
+
+    - ``calibrated_vs_prev``: this run's probe-normalized common-query
+      total over the newest committed BENCH_r{N}; null when no prior
+      artifact decodes against the current HEADLINE or a probe is
+      missing — absence is explicit, never inferred.
+    - ``prev_artifact``: which artifact the ratio is against.
+    - ``byte_gate_md5``: 12-hex digest of the committed exchange-bytes
+      gate profile in force when this bench ran, so the byte claim of
+      record this artifact should be adjudicated against is pinned in
+      the artifact itself.
+    """
+    out: dict = {
+        "calibrated_vs_prev": None,
+        "prev_artifact": None,
+        "byte_gate_md5": None,
+    }
+    gate = os.path.join(repo_dir, "scripts", "exchange_profile_sf001.json")
+    if os.path.exists(gate):
+        out["byte_gate_md5"] = hashlib.md5(open(gate, "rb").read()).hexdigest()[:12]
+    prev = prev_round_artifact(repo_dir)
+    if prev is None:
+        return out
+    try:
+        prev_t, prev_cal = decode_prev_artifact(os.path.join(repo_dir, prev))
+    except (OSError, ValueError):
+        return out
+    common = sorted(set(prev_t) & set(timings))
+    if not common or not prev_cal or prev_cal <= 0 or not calibration or calibration <= 0:
+        return out
+    tb = sum(prev_t[q] for q in common)
+    tn = sum(timings[q] for q in common)
+    if tb <= 0:
+        return out
+    out["prev_artifact"] = prev
+    out["calibrated_vs_prev"] = round((tn / calibration) / (tb / prev_cal), 3)
+    return out
+
+
 def emit_lines(
     timings: dict[str, float],
     reps: int,
@@ -297,6 +396,7 @@ def emit_lines(
     rep_counts: dict[str, int] | None = None,
     calibration_py: float | None = None,
     calibration_end: float | None = None,
+    adjudication: dict | None = None,
 ) -> list[str]:
     """The stdout contract, testable without running queries: the full
     JSON record first (head-truncated by the driver's ~2000-char tail
@@ -322,6 +422,11 @@ def emit_lines(
         head["calibration_end_sec"] = calibration_end
     if rep_counts is not None:
         head["rep_counts"] = rep_counts
+    if adjudication is not None:
+        # self-adjudication context rides head AND summary (the tail's
+        # final parseable record), never the size-constrained compact
+        # line — see self_adjudication for field semantics
+        head.update(adjudication)
     names = list(timings)
     compact = {
         "metric": "headline_query_times_compact",

@@ -499,3 +499,85 @@ def test_main_rejects_unknown_flags(tmp_path, capsys, monkeypatch):
     )
     assert bc.main() == 0
     assert "no effect with --bytes" in capsys.readouterr().err
+
+
+def test_self_adjudication_fields_ride_head_and_summary(tmp_path):
+    """VERDICT r15 item 5: the artifact carries its own adjudication
+    context — calibrated_vs_prev against the newest committed
+    BENCH_r{N}, which artifact that was, and the md5 of the byte-gate
+    profile in force — so an archived raw total can never be misread
+    without its calibration context. Fields ride head + summary, never
+    the size-constrained compact line."""
+    import bench
+
+    # synthetic repo: a prev artifact in the CURRENT HEADLINE shape
+    # (compact line) + a byte-gate profile
+    prev_timings = {n: 1.0 for n in bench.HEADLINE}
+    lines = bench.emit_lines(prev_timings, 3, 0.40, 0.1)
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"tail": "\n".join(lines)})
+    )
+    (tmp_path / "scripts").mkdir()
+    (tmp_path / "scripts" / "exchange_profile_sf001.json").write_text(
+        '{"queries": {}}'
+    )
+    # new run: same per-query times, probe 2x slower -> calibrated 0.5x
+    new_timings = {n: 1.0 for n in bench.HEADLINE}
+    adj = bench.self_adjudication(new_timings, 0.80, str(tmp_path))
+    assert adj["prev_artifact"] == "BENCH_r07.json"
+    assert adj["calibrated_vs_prev"] == 0.5
+    assert adj["byte_gate_md5"] is not None and len(adj["byte_gate_md5"]) == 12
+    out = bench.emit_lines(new_timings, 3, 0.80, 0.1, adjudication=adj)
+    head, compact, summary = (json.loads(x) for x in out)
+    for rec in (head, summary):
+        assert rec["calibrated_vs_prev"] == 0.5
+        assert rec["prev_artifact"] == "BENCH_r07.json"
+        assert rec["byte_gate_md5"] == adj["byte_gate_md5"]
+    assert "calibrated_vs_prev" not in compact
+    # the final line must still fit the driver's tail window
+    assert len(out[2]) < 600
+
+
+def test_self_adjudication_absence_is_explicit_null(tmp_path):
+    """No prior artifact / stale digest / missing probe -> explicit
+    nulls, never an inferred or cross-list ratio."""
+    import bench
+
+    adj = bench.self_adjudication({n: 1.0 for n in bench.HEADLINE}, 0.4, str(tmp_path))
+    assert adj == {
+        "calibrated_vs_prev": None,
+        "prev_artifact": None,
+        "byte_gate_md5": None,
+    }
+    # a prev artifact with a STALE names_md5 cannot be compared
+    stale = {
+        "metric": "headline_query_times_compact",
+        "names_md5": "deadbeef0000",
+        "values": [1.0] * len(bench.HEADLINE),
+    }
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"tail": json.dumps(stale) + '\n{"calibration_sec": 0.4}\n'})
+    )
+    adj2 = bench.self_adjudication({n: 1.0 for n in bench.HEADLINE}, 0.4, str(tmp_path))
+    assert adj2["calibrated_vs_prev"] is None and adj2["prev_artifact"] is None
+
+
+def test_decode_prev_artifact_last_wins(tmp_path):
+    """Two bench runs in one tail: the LAST compact line pairs with the
+    LAST probe — same contract as bench_compare's loaders."""
+    import bench
+
+    def compact(v):
+        return json.dumps({
+            "metric": "headline_query_times_compact",
+            "names_md5": bench.names_digest(bench.HEADLINE),
+            "values": [v] * len(bench.HEADLINE),
+        })
+
+    p = tmp_path / "BENCH_r05.json"
+    p.write_text(json.dumps({"tail": (
+        compact(1.0) + '\n{"calibration_sec": 0.30}\n'
+        + compact(2.0) + '\n{"calibration_sec": 0.45}\n'
+    )}))
+    t, cal = bench.decode_prev_artifact(str(p))
+    assert t[bench.HEADLINE[0]] == 2.0 and cal == 0.45
