@@ -191,8 +191,14 @@ class UDPLineServer:
                     from refluxdb_spark.protocol import LineProtocol
 
                     try:
+                        # typed engines echo the typed wire grammar —
+                        # the reference's own test lines (quoted string
+                        # fields) round-trip through echo mode intact
+                        lp = LineProtocol.parse(
+                            line, typed=outer.engine.typed_fields
+                        )
                         sock.sendto(
-                            (LineProtocol.parse(line).serialize() + "\n").encode(),
+                            (lp.serialize() + "\n").encode(),
                             self.client_address,
                         )
                     except ParseError as e:

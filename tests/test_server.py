@@ -146,3 +146,39 @@ def test_metrics_ingest_endpoint(served):
     status, body = _http("GET", port, "/metrics/ingest")
     assert status == 200 and len(body) == 1
     assert body[0]["rows"] == 1 and body[0]["null_values"] == 0
+
+
+def test_udp_typed_engine_echoes_reference_test_line(spark, tmp_path_factory):
+    """A typed engine's UDP echo round-trips the reference's OWN
+    parser-test line (quoted string field, protocol.rs:155) byte for
+    byte — the line the f64-only reference cannot ingest — and the
+    ingested row lands typed."""
+    import socket as _socket
+    import time as _time
+
+    eng = RefluxEngine(
+        spark, str(tmp_path_factory.mktemp("wh_typed_srv")), typed_fields=True
+    )
+    udp = UDPLineServer(eng, port=0, echo=True).start()
+    line = (
+        b'mySingleTagMeasurement,tag1=value1 fieldKey1="fieldValue" '
+        b"1556813561098000000"
+    )
+    try:
+        with _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM) as s:
+            s.settimeout(5)
+            s.sendto(line + b"\n", ("127.0.0.1", udp.port))
+            echoed, _ = s.recvfrom(1024)
+        assert echoed == line + b"\n"
+        deadline = _time.time() + 5
+        while _time.time() < deadline and not udp._buf:
+            _time.sleep(0.05)
+        udp.flush()
+        rows = eng.query_rows(
+            "SELECT name, value_type, value_str FROM mySingleTagMeasurement"
+        )
+        assert [(r["name"], r["value_type"], r["value_str"]) for r in rows] == [
+            ("fieldKey1", "string", "fieldValue")
+        ]
+    finally:
+        udp.stop()
