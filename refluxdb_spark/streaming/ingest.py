@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from refluxdb_spark.engine import RefluxEngine
-from refluxdb_spark.sources.lineprotocol import explode_fields, parse_lines_df
+from refluxdb_spark.sources.lineprotocol import (
+    explode_fields,
+    explode_typed_fields,
+    parse_lines_df,
+    parse_lines_typed_df,
+)
 
 
 def stream_ingest_lines(
@@ -45,15 +50,22 @@ def stream_ingest_lines(
     ``record_metrics=True`` meters each micro-batch through the
     engine's observe()-based ingest ledger (rows, nulls, event-time
     bounds — computed by the write job itself, no second scan), the
-    feed for ingest-lag/SLA dashboards."""
+    feed for ingest-lag/SLA dashboards.
+
+    A ``typed_fields=True`` engine streams through the typed grammar
+    (int/bool/quoted-string wire values) and lands the typed lake
+    schema — the streaming path follows the engine's flag the same
+    way ``write_lines`` does."""
     raw = engine.spark.readStream.format("text").load(lines_dir)
-    parsed = parse_lines_df(raw)
+    parse = parse_lines_typed_df if engine.typed_fields else parse_lines_df
+    explode = explode_typed_fields if engine.typed_fields else explode_fields
+    parsed = parse(raw)
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
             engine.write_dataframe(
-                explode_fields(batch_df), record_metrics=record_metrics
+                explode(batch_df), record_metrics=record_metrics
             )
             bad = batch_df.filter(batch_df.error.isNotNull())
             # DataFrame isEmpty stays in the codegen path; .rdd.isEmpty()

@@ -243,3 +243,32 @@ def test_stream_interval_join_equals_batch(spark, sf_dir):
         for r in QUERIES["ts_interval_join_error_clicks"](spark, sf_dir).collect()
     }
     assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_stream_ingest_lines_typed_engine(spark, tmp_path):
+    """The streaming ingest path follows the engine's typed_fields
+    flag: typed wire values (42i / bool / quoted string with a comma
+    and spaces inside) land in the typed lake schema through
+    foreachBatch, and bad lines still dead-letter."""
+    lines_dir = tmp_path / "lines"
+    lines_dir.mkdir()
+    (lines_dir / "batch1.txt").write_text(
+        'cpu,host=a usage=0.5,cores=16i,hot=true,model="Xeon, E5 v4" '
+        "1700000000000000000\n"
+        "cpu,host=b bad=nope 1700000060000000000\n"
+    )
+    eng = RefluxEngine(spark, str(tmp_path / "wh_typed"), typed_fields=True)
+    q = stream_ingest_lines(
+        eng, str(lines_dir), str(tmp_path / "ckpt_typed"), available_now=True
+    )
+    q.awaitTermination()
+    rows = eng.query_rows(
+        "SELECT name, value_type, value, value_int, value_bool, value_str "
+        "FROM cpu ORDER BY name"
+    )
+    got = {r["name"]: r for r in rows}
+    assert got["cores"]["value_int"] == 16 and got["cores"]["value"] == 16.0
+    assert got["hot"]["value_bool"] is True
+    assert got["model"]["value_str"] == "Xeon, E5 v4"
+    assert got["usage"]["value"] == 0.5 and got["usage"]["value_type"] == "float"
+    assert eng.dead_letters().count() == 1
