@@ -43,6 +43,7 @@ from refluxdb_spark.schema import (
     MEASUREMENT_COLUMNS,
     MEASUREMENTS_SCHEMA,
     MEASUREMENTS_TYPED_SCHEMA,
+    TYPED_MEASUREMENT_COLUMNS,
 )
 from refluxdb_spark.sources.lineprotocol import (
     explode_fields,
@@ -1235,11 +1236,14 @@ class RefluxEngine:
         end_ts = _parse_rfc3339(end)
         if not self.series_exists(series):
             raise TableNotFoundError(f"table not found: {series}")  # 404 path
+        cols = (
+            TYPED_MEASUREMENT_COLUMNS if self.typed_fields else MEASUREMENT_COLUMNS
+        )
         return (
             self._table()
             .filter(F.col("series") == series)
             .filter(F.col("time").between(F.lit(start_ts), F.lit(end_ts)))
-            .select(*MEASUREMENT_COLUMNS)
+            .select(*cols)
         )
 
 

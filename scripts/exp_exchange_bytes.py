@@ -127,10 +127,24 @@ def _get(url: str):
 
 def _ui_session(name: str):
     """A session with the UI REST API enabled (the shared builder
-    disables the UI; this experiment is its only consumer)."""
+    disables the UI; this experiment is its only consumer).
+
+    Driver heap defaults to 16g here (engine default: 8g): a
+    measurement session lives through dozens of heavy queries with the
+    UI status store retaining every stage/task for attribution, and at
+    the x100 leg that aging pushed a mid-size broadcast build over the
+    8g driver's free-heap check ("Not enough memory to build and
+    broadcast") — the same query passes in a fresh 8g session, so this
+    is measurement-harness headroom, not an engine sizing change."""
     spark = get_spark(
         app_name=name,
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4099"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4099",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "16g"
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     return spark

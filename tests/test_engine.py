@@ -943,3 +943,13 @@ def test_tag_scan_unselective_tag_costs_out_of_routing(tag_engine):
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "INSET" not in plan and "LeftSemi" not in plan
     assert routed.count() == 500
+
+
+def test_typed_range_scan_carries_typed_columns(typed_engine):
+    out = typed_engine.range(
+        "cpu", "2019-01-01T00:00:00Z", "2020-01-01T00:00:00Z"
+    )
+    from refluxdb_spark.schema import TYPED_MEASUREMENT_COLUMNS
+
+    assert [c.lower() for c in out.columns] == TYPED_MEASUREMENT_COLUMNS
+    assert out.filter("value_type = 'string'").count() == 2
