@@ -1308,3 +1308,121 @@ def source_overlap_matrix(
             F.min(score_col).alias("min_score"),
         )
     )
+
+
+def position_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+) -> DataFrame:
+    """(id, pos, h) for the k-word window starting at every token
+    position of the normalized text — the grams-at-every-position
+    relation that distributed ExactSubstr-style span detection runs on.
+    Windows are built by array slicing beside the scan (sequence +
+    slice + md5 inside one ``transform``): no posexplode round trip, no
+    per-document window sort — the relation leaves the scan already
+    positioned. Documents shorter than ``k`` words contribute nothing."""
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).filter(
+        F.size("_toks") >= k
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - k),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(F.array_join(F.slice("_toks", i + 1, k), " ")).alias("h"),
+        ),
+    )
+    return base.select("id", F.explode(grams).alias("_g")).select(
+        "id", F.col("_g.pos").alias("pos"), F.col("_g.h").alias("h")
+    )
+
+
+def merge_position_islands(
+    hits: DataFrame, k: int, id_col: str = "id", pos_col: str = "pos"
+) -> DataFrame:
+    """Merge duplicated k-window start positions into maximal spans
+    (the island pattern): a window starting at ``pos`` covers tokens
+    [pos, pos+k-1]; consecutive windows whose coverage overlaps or
+    touches collapse into one span. One window sort per document
+    (running max of covered end decides island breaks, running sum
+    numbers them) — cost ∝ duplicated positions, which is tiny next to
+    the corpus. Returns (id, span_start, span_end, span_tokens,
+    n_windows)."""
+    w = Window.partitionBy(id_col).orderBy(pos_col)
+    prev_end = F.max(F.col(pos_col) + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col(pos_col) > prev_end + 1), 1).otherwise(0),
+    )
+    island = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("_isl", island)
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min(pos_col).cast("int").alias("span_start"),
+            (F.max(pos_col) + (k - 1)).cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int")
+            .alias("span_tokens"),
+            "n_windows",
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+    scope: str = "corpus",
+) -> DataFrame:
+    """ExactSubstr span dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022) at word grain: every token
+    position whose k-word window also occurs verbatim elsewhere is
+    duplicated; overlapping/adjacent duplicated windows merge into the
+    maximal spans ExactSubstr would cut. ``scope="corpus"`` flags
+    windows appearing in >= 2 DISTINCT documents (cross-document
+    boilerplate/quotes — the paper's setting); ``scope="doc"`` flags
+    windows repeated >= 2 times WITHIN a document (the
+    within-page repetition Gopher's dup-n-gram rules measure).
+
+    The paper's suffix array is a single-machine structure; the
+    distributed equivalent is grams-at-every-position: duplication is
+    ONE exchange on the fixed-width gram digest (map-side combine),
+    the hit join carries only (id, pos) rows, and span merging sorts
+    only the duplicated positions — cost ∝ tokens for discovery, then
+    ∝ duplicates; never pairwise in either phase.
+
+    Returns (id, span_start, span_end, span_tokens, n_windows), one
+    row per maximal duplicated span.
+    """
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
+    g = position_grams(df, text_col=text_col, id_col=id_col, k=k)
+    if scope == "corpus":
+        dup = (
+            g.groupBy("h")
+            .agg(F.count_distinct("id").alias("_docs"))
+            .filter(F.col("_docs") >= 2)
+            .select("h")
+        )
+        hits = g.join(dup, "h").select("id", "pos")
+    else:
+        dup = (
+            g.groupBy("id", "h")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 2)
+            .select("id", "h")
+        )
+        hits = g.join(dup, ["id", "h"]).select("id", "pos")
+    return merge_position_islands(hits, k)

@@ -328,3 +328,103 @@ def importance_sample(
         "bigint"
     )
     return df.select(*df.columns, (h < thresh).alias(out))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: F.Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+    keep_ratio: tuple[int, int] = (1, 5),
+    seed: str = "dsir0",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every raw document by how target-like its
+    hashed n-gram distribution is, then keep the most target-like
+    slice. Features are the paper's hashed unigrams AND bigrams (one
+    bucket space, md5-seeded so every engine and every future batch
+    hashes identically — no vocabulary artifact); the per-bucket
+    log-likelihood ratio uses add-1 smoothed bag models
+    ln((t_b+1)(R+B) / ((r_b+1)(T+B))) where t_b/r_b are target/raw
+    bucket counts and T/R their totals; a document's log importance
+    weight is the sum of its feature instances' ratios. Selection is
+    the deterministic stand-in for the paper's Gumbel resampling: keep
+    the top ceil(N * keep_ratio) documents by (weight, id) — same
+    ranking the noisy version concentrates on, reproducible across
+    engines.
+
+    Scale: one explode feeds ONE map-side-combined bucket aggregation
+    (num_buckets rows), the ratio table broadcasts back onto the
+    feature stream (no shuffle), and the per-document sum is one
+    exchange on id. The global rank orders only the N doc-level rows —
+    the corpus itself never sorts. Weight sums route through
+    DECIMAL(28,18) (order-independent) and round to 6 digits.
+
+    Returns (id, n_feats, log_weight, selected) for every document
+    with at least one token."""
+    from refluxdb_spark.operators.dedup import _H32, normalize_text
+
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("id"), target.alias("_t"), toks.alias("_toks")
+    ).filter(F.size("_toks") >= 1)
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - 2),
+            lambda i: F.concat_ws(" ", F.get("_toks", i), F.get("_toks", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select(
+        "id", "_t", F.explode(F.concat(F.col("_toks"), bigrams)).alias("_f")
+    )
+    h = F.expr(_H32.format(seed=f"{seed}:", col="_f"))
+    bucketed = feats.select(
+        "id", "_t", (h % num_buckets).cast("int").alias("bucket")
+    )
+    dict_df = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("bigint").alias("t_b"),
+        F.count(F.lit(1)).cast("bigint").alias("r_b"),
+    )
+    totals = dict_df.agg(
+        F.sum("t_b").cast("bigint").alias("_T"),
+        F.sum("r_b").cast("bigint").alias("_R"),
+    )
+    b = F.lit(num_buckets).cast("bigint")
+    lr = F.log(
+        ((F.col("t_b") + 1).cast("double") * (F.col("_R") + b).cast("double"))
+        / ((F.col("r_b") + 1).cast("double") * (F.col("_T") + b).cast("double"))
+    ).cast("decimal(28,18)")
+    ratio_table = dict_df.crossJoin(F.broadcast(totals)).select(
+        "bucket", lr.alias("_lr")
+    )
+    scored = (
+        bucketed.join(F.broadcast(ratio_table), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.round(F.sum("_lr").cast("double"), 6).alias("log_weight"),
+        )
+    )
+    n_docs = scored.agg(F.count(F.lit(1)).cast("bigint").alias("_N"))
+    keep_num, keep_den = keep_ratio
+    w = Window.orderBy(F.col("log_weight").desc(), F.col("id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "n_feats",
+            "log_weight",
+            # ceil(N * num / den) via floor((N*num + den-1)/den); the
+            # double quotient is safe — an integer-valued quotient of
+            # exactly-representable ints divides exactly under IEEE
+            (
+                F.col("_rn")
+                <= F.floor(
+                    (F.col("_N") * keep_num + (keep_den - 1)) / keep_den
+                ).cast("bigint")
+            ).alias("selected"),
+        )
+    )

@@ -1096,3 +1096,137 @@ def feature_hash(
         .agg(F.sum("_s").cast("bigint").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+def dup_ngram_char_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher repetition rule (Rae et al. 2021, Table A1): the fraction
+    of a document's characters contained within duplicated n-grams,
+    counting characters in overlapping occurrences ONCE — the rule the
+    paper applies for n in 5..10 on web text (the n is parametric; the
+    register default suits small synthetic corpora). "Counting once" is
+    what makes this different from a plain dup-gram count: positions
+    whose n-gram repeats within the document merge into maximal covered
+    spans (dedup.merge_position_islands), and the covered characters
+    are the span's token lengths plus its interior spaces, measured on
+    the same normalized text the grams came from.
+
+    Scale: grams leave the scan positioned (array slices, no window),
+    within-doc duplication is one (id, gram-hash) aggregation with
+    map-side combine, island merging sorts only duplicated positions,
+    and the char accounting joins the tiny span relation back to the
+    docs. Returns (id, total_chars, n_spans, dup_chars, dup_frac) for
+    EVERY document (zero rows keep 0.0 — filters need the full
+    population, not just offenders)."""
+    from refluxdb_spark.operators.dedup import (
+        duplicated_spans,
+        normalize_text,
+    )
+
+    spans = duplicated_spans(df, text_col=text_col, id_col=id_col, k=n, scope="doc")
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.length(F.array_join(toks, " ")).cast("bigint").alias("total_chars"),
+    )
+    covered = (
+        F.aggregate(
+            F.slice("_toks", F.col("span_start") + 1, F.col("span_tokens")),
+            F.lit(0),
+            lambda acc, t: acc + F.length(t),
+        )
+        + F.col("span_tokens")
+        - 1
+    )
+    j = base.join(spans, "id", "left").select(
+        "id",
+        "total_chars",
+        F.when(F.col("span_start").isNotNull(), covered).alias("_covered"),
+    )
+    return j.groupBy("id", "total_chars").agg(
+        F.count("_covered").cast("bigint").alias("n_spans"),
+        F.coalesce(F.sum("_covered"), F.lit(0)).cast("bigint").alias("dup_chars"),
+    ).select(
+        "id",
+        "total_chars",
+        "n_spans",
+        "dup_chars",
+        F.when(
+            F.col("total_chars") > 0,
+            F.col("dup_chars").cast("double") / F.col("total_chars").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
+def top_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Gopher repetition rule (Rae et al. 2021, Table A1): per document
+    and per n, the single most frequent word n-gram and the fraction of
+    characters its occurrences account for (count x gram chars / total
+    chars — the paper's "fraction of characters contained in the most
+    frequently-occurring n-gram", applied for n in 2..4). Tie-break is
+    lexicographic on the gram so the winner is engine-independent.
+
+    Scale: per-n grams are array slices beside the scan, the count is
+    one (id, gram) aggregation with map-side combine, and the winner is
+    a per-document window over the per-doc distinct-gram relation.
+    Long output (id, n, top_gram, top_count, top_frac); documents
+    shorter than n words contribute no row for that n."""
+    from functools import reduce
+
+    from refluxdb_spark.operators.dedup import normalize_text
+
+    toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_toks"),
+        F.length(F.array_join(toks, " ")).cast("bigint").alias("total_chars"),
+    )
+    def _grams_for(n: int) -> Column:
+        # factory closure, NOT a defaulted lambda parameter: pyspark's
+        # transform() treats a second lambda parameter as the array
+        # index, so `lambda i, n=n:` would bind n to the index
+        return F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - n),
+            lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
+        )
+
+    outs = []
+    for n in ns:
+        grams = _grams_for(n)
+        g = base.filter(F.size("_toks") >= n).select(
+            "id", "total_chars", F.explode(grams).alias("gram")
+        )
+        counted = g.groupBy("id", "total_chars", "gram").agg(
+            F.count(F.lit(1)).cast("bigint").alias("top_count")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("top_count").desc(), F.col("gram")
+        )
+        top = (
+            counted.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "id",
+                F.lit(n).cast("int").alias("n"),
+                F.col("gram").alias("top_gram"),
+                "top_count",
+                (
+                    (F.col("top_count") * F.length("gram")).cast("double")
+                    / F.col("total_chars").cast("double")
+                ).alias("top_frac"),
+            )
+        )
+        outs.append(top)
+    return reduce(lambda a, b: a.unionByName(b), outs)

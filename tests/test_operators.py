@@ -3253,3 +3253,107 @@ def test_stdlib_tier_unknown_formats_still_raise(spark):
         )
         with pytest.raises(Exception, match="NotImplementedError|PPM streams"):
             frame_sample(mediav, fake=False).collect()
+
+
+def test_duplicated_spans_corpus_merges_overlaps(spark):
+    """Cross-document ExactSubstr spans at k=3: two docs sharing a
+    4-word run produce TWO overlapping duplicated windows each, which
+    must merge into ONE maximal span covering the full shared run."""
+    from refluxdb_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),       # shared run "a b c d" at pos 0
+            (2, "p q a b c d r"),       # same run at pos 2
+            (3, "u v w u u u u"),       # no cross-doc sharing
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id): (r.span_start, r.span_end, r.span_tokens, r.n_windows)
+        for r in duplicated_spans(df, k=3).collect()
+    }
+    # windows "a b c" and "b c d" both duplicated -> one merged span
+    assert got[1] == (0, 3, 4, 2)
+    assert got[2] == (2, 5, 4, 2)
+    assert 3 not in got
+
+
+def test_duplicated_spans_doc_scope_adjacent_merge(spark):
+    """Within-document scope: every 3-window of 'u v w u v w u v w'
+    repeats, so the whole document collapses to one span; a repeat-free
+    document contributes nothing."""
+    from refluxdb_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "u v w u v w u v w"), (2, "a b c d e f g")],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans(df, k=3, scope="doc").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id, r.span_start, r.span_end, r.span_tokens) == (1, 0, 8, 9)
+
+    with pytest.raises(ValueError):
+        duplicated_spans(df, scope="bogus")
+
+
+def test_dup_ngram_char_fraction_counts_coverage_once(spark):
+    """'u v w u v w': dup 3-gram 'u v w' at pos 0 and 3 — the two
+    windows touch, merge to one span covering the WHOLE normalized
+    text (11 chars), so dup_frac is exactly 1.0 even though the gram
+    occurs twice. Repeat-free docs keep 0.0 rows (full population)."""
+    from refluxdb_spark.operators.text import dup_ngram_char_fraction
+
+    df = spark.createDataFrame(
+        [(1, "u v w u v w"), (2, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in dup_ngram_char_fraction(df, n=3).collect()}
+    assert got[1].total_chars == 11
+    assert got[1].n_spans == 1
+    assert got[1].dup_chars == 11
+    assert got[1].dup_frac == 1.0
+    assert got[2].dup_chars == 0 and got[2].dup_frac == 0.0
+
+
+def test_top_ngram_stats_counts_and_tiebreak(spark):
+    """'a b a b c' (9 normalized chars): top 2-gram is 'a b' (x2,
+    6/9 chars); at n=3 all grams are singletons so the lexicographic
+    tie-break must pick 'a b a' (5/9)."""
+    from refluxdb_spark.operators.text import top_ngram_stats
+
+    df = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    got = {r.n: r for r in top_ngram_stats(df, ns=(2, 3)).collect()}
+    assert (got[2].top_gram, got[2].top_count) == ("a b", 2)
+    assert got[2].top_frac == pytest.approx(6 / 9, abs=0)
+    assert (got[3].top_gram, got[3].top_count) == ("a b a", 1)
+    assert got[3].top_frac == pytest.approx(5 / 9, abs=0)
+
+
+def test_dsir_weights_orders_by_target_likeness(spark):
+    """Docs made of the target's token score above docs made of the
+    raw-only token, and the deterministic resampling keeps exactly
+    ceil(N/5) docs — the most target-like first."""
+    from refluxdb_spark.operators.sampling import dsir_weights
+
+    rows = []
+    # 3 target docs saturated with 'alpha', 7 raw docs with 'beta'
+    for i in range(3):
+        rows.append((i, True, "alpha alpha alpha alpha"))
+    for i in range(3, 10):
+        rows.append((i, False, "beta beta beta beta"))
+    df = spark.createDataFrame(rows, "doc_id long, is_t boolean, text string")
+    got = {r.id: r for r in dsir_weights(df, target=F.col("is_t")).collect()}
+    assert len(got) == 10
+    alpha_w = got[0].log_weight
+    beta_w = got[5].log_weight
+    assert alpha_w > beta_w
+    # every alpha doc shares one weight, every beta doc the other
+    assert {got[i].log_weight for i in range(3)} == {alpha_w}
+    assert {got[i].log_weight for i in range(3, 10)} == {beta_w}
+    # ceil(10/5) = 2 kept, and both must be alpha docs
+    kept = [i for i, r in got.items() if r.selected]
+    assert len(kept) == 2 and set(kept) <= {0, 1, 2}
+    # n_feats: 4 unigrams + 3 bigrams
+    assert got[0].n_feats == 7
