@@ -1230,3 +1230,130 @@ def top_ngram_stats(
         )
         outs.append(top)
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval scoring (Robertson & Zaragoza 2009;
+    Lucene's non-negative idf variant ln(1 + (N-df+0.5)/(df+0.5)),
+    k1=1.2, b=0.75) of every document against a fixed bag of query
+    terms — the ranking function RAG retrieval and search evaluation
+    run on, as a corpus-scale batch scorer. Returns (id, n_matched,
+    bm25) for documents matching at least one term.
+
+    Determinism: tf, df, dl, N are exact integers; each per-term score
+    is ONE fixed-shape double expression over them (IEEE ops reproduce
+    bit-for-bit given identical inputs), routed through DECIMAL(28,18)
+    for the order-independent per-document sum, rounded to 6 digits.
+
+    Scale: term-frequency rows exist only for the |terms| query words
+    (the filter rides the explode — the corpus never aggregates
+    full-vocabulary tf), df and the corpus stats broadcast, and the
+    only data-sized exchanges are the doc-length aggregation and the
+    id-keyed join — both ∝ documents, never vocabulary."""
+    from refluxdb_spark.operators.dedup import normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(list(terms)))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df_t").cast("double") + F.lit(0.5))
+        / (F.col("df_t").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(1.2) * (
+        F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = (idf * (tfd * F.lit(2.2)) / denom).cast("decimal(28,18)")
+    return (
+        scored.select("id", term_score.alias("_s"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.round(F.sum("_s").cast("double"), 6).alias("bm25"),
+        )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    score each document under ITS OWN group's unigram LM (CCNet trains
+    one LM per language) and split every group into quality tertiles by
+    score — bucket 1 is the paper's "head" (lowest perplexity), the
+    slice kept for pretraining. ntile over (score desc, id) makes the
+    split deterministic; ln terms come from exact integer ratios and
+    the per-doc mean routes through DECIMAL(28,18) (the
+    unigram_logprob recipe, conditioned on the group).
+
+    Scale: the per-group vocab is one map-side-combined aggregation;
+    scoring joins tokens back on (group, token); the ntile window
+    sorts only doc-level rows within each group. Returns
+    (id, <by>, n_tokens, avg_logprob, ppl_bucket)."""
+    from refluxdb_spark.operators.dedup import normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(by).alias("_grp"),
+        F.explode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    vocab = toks.groupBy("_grp", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    tot = vocab.groupBy("_grp").agg(F.sum("_c").cast("bigint").alias("_t"))
+    lp = F.log(F.col("_c").cast("double") / F.col("_t").cast("double")).cast(
+        "decimal(28,18)"
+    )
+    scored = (
+        toks.join(vocab, ["_grp", "token"])
+        .join(F.broadcast(tot), "_grp")
+        .select("id", "_grp", lp.alias("_lp"))
+    )
+    per = scored.groupBy("id", "_grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("_lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logprob"),
+    )
+    w = Window.partitionBy("_grp").orderBy(
+        F.col("avg_logprob").desc(), F.col("id")
+    )
+    return per.select(
+        "id",
+        F.col("_grp").alias(by),
+        "n_tokens",
+        "avg_logprob",
+        F.ntile(n_buckets).over(w).cast("int").alias("ppl_bucket"),
+    )

@@ -12478,3 +12478,94 @@ def mm_audio_stdlib_decode(spark, sf_dir):
     )
     media = M.attach_media(docs, "payload", "audio/wav")
     return M.audio_features(media, id_col="doc_id", fake=False)
+
+
+@register(
+    "text_bm25_scores",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest(list_filter({_TOKENS_SQL}, t -> t != '')) AS tok
+        FROM documents
+    ),
+    dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY id),
+    stats AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM dl
+    ),
+    tf AS (
+        SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+        WHERE tok IN ('hash', 'join', 'window', 'vector', 'stream')
+        GROUP BY id, tok
+    ),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.id,
+               CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+                             / (CAST(df_t AS DOUBLE) + 0.5))
+                    * (CAST(tf AS DOUBLE) * 2.2)
+                    / (CAST(tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                                / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                    AS DECIMAL(28,18)) AS s
+        FROM tf JOIN dft USING (tok) JOIN dl USING (id) CROSS JOIN stats
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS n_matched,
+           round(CAST(sum(s) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY id
+    """,
+)
+def text_bm25_scores(spark, sf_dir):
+    """Okapi BM25 batch retrieval scoring (Robertson & Zaragoza 2009;
+    operators.text.bm25_scores): every document scored against a fixed
+    5-term query with Lucene's non-negative idf, k1=1.2, b=0.75 — the
+    search/RAG ranking function as a corpus-scale operator. tf rows
+    exist only for the query terms (filter rides the explode), df and
+    corpus stats broadcast; per-term scores are fixed-shape IEEE
+    expressions over exact integers, decimal-summed, 6-digit rounded."""
+    return X.bm25_scores(
+        load(spark, sf_dir, "documents"),
+        terms=["hash", "join", "window", "vector", "stream"],
+    )
+
+
+@register(
+    "text_perplexity_buckets",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS id, lang,
+               unnest(list_filter({_TOKENS_SQL}, t -> t != '')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY lang, token
+    ),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM vocab GROUP BY lang),
+    scored AS (
+        SELECT toks.id, toks.lang,
+               CAST(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) AS DECIMAL(28,18)) AS lp
+        FROM toks JOIN vocab USING (lang, token) JOIN tot USING (lang)
+    ),
+    per AS (
+        SELECT id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+        FROM scored GROUP BY id, lang
+    )
+    SELECT id, lang, n_tokens, avg_logprob,
+           CAST(ntile(3) OVER (PARTITION BY lang
+                               ORDER BY avg_logprob DESC, id) AS INT) AS ppl_bucket
+    FROM per
+    """,
+)
+def text_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality bucketing (Wenzek et al. LREC
+    2020; operators.text.perplexity_buckets): each document scored
+    under its OWN language's unigram LM (the paper trains one LM per
+    language), then split into per-language tertiles by score — bucket
+    1 is the "head" slice CCNet keeps for pretraining. Deterministic
+    ntile over (score desc, id); ln from exact integer ratios,
+    decimal-routed mean."""
+    return X.perplexity_buckets(
+        load(spark, sf_dir, "documents"), by="lang", n_buckets=3
+    )

@@ -3357,3 +3357,47 @@ def test_dsir_weights_orders_by_target_likeness(spark):
     assert len(kept) == 2 and set(kept) <= {0, 1, 2}
     # n_feats: 4 unigrams + 3 bigrams
     assert got[0].n_feats == 7
+
+
+def test_bm25_scores_hand_computed(spark):
+    """One query term over three docs: score matches the hand-built
+    Okapi formula (Lucene idf, k1=1.2, b=0.75); non-matching docs are
+    absent."""
+    import math
+
+    from refluxdb_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "cat dog cat"), (2, "dog dog dog dog"), (3, "bird")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in bm25_scores(df, terms=["cat"]).collect()}
+    assert set(got) == {1}
+    n_docs, sum_dl, tf, dfreq, dl = 3, 8, 2, 1, 3
+    idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+    denom = tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (sum_dl / n_docs)))
+    expected = round(idf * (tf * 2.2) / denom, 6)
+    assert got[1].n_matched == 1
+    assert got[1].bm25 == pytest.approx(expected, abs=1e-6)
+
+
+def test_perplexity_buckets_head_is_most_typical(spark):
+    """Within one group, the doc built from the group's most common
+    tokens lands in bucket 1 (CCNet 'head'); the rare-token doc lands
+    in the last bucket; groups never mix."""
+    from refluxdb_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "common common common"),
+            (2, "en", "common common rare"),
+            (3, "en", "rare odd odd"),
+            (4, "de", "und und"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {r.id: r for r in perplexity_buckets(df, by="lang").collect()}
+    assert got[1].ppl_bucket == 1
+    assert got[3].ppl_bucket == 3
+    assert got[4].lang == "de" and got[4].ppl_bucket == 1
+    assert got[1].avg_logprob > got[2].avg_logprob > got[3].avg_logprob
