@@ -407,24 +407,29 @@ def dsir_weights(
             F.round(F.sum("_lr").cast("double"), 6).alias("log_weight"),
         )
     )
-    n_docs = scored.agg(F.count(F.lit(1)).cast("bigint").alias("_N"))
     keep_num, keep_den = keep_ratio
     w = Window.orderBy(F.col("log_weight").desc(), F.col("id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w).cast("bigint"))
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "id",
-            "n_feats",
-            "log_weight",
-            # ceil(N * num / den) via floor((N*num + den-1)/den); the
-            # double quotient is safe — an integer-valued quotient of
-            # exactly-representable ints divides exactly under IEEE
-            (
-                F.col("_rn")
-                <= F.floor(
-                    (F.col("_N") * keep_num + (keep_den - 1)) / keep_den
-                ).cast("bigint")
-            ).alias("selected"),
-        )
+    # N rides an unpartitioned count window: same single-partition pass
+    # the rank already pays — no separate count aggregation, no
+    # crossJoin, no second evaluation of `scored`
+    ranked = scored.select(
+        "id",
+        "n_feats",
+        "log_weight",
+        F.row_number().over(w).cast("bigint").alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("_N"),
+    )
+    return ranked.select(
+        "id",
+        "n_feats",
+        "log_weight",
+        # ceil(N * num / den) via floor((N*num + den-1)/den); the
+        # double quotient is safe — an integer-valued quotient of
+        # exactly-representable ints divides exactly under IEEE
+        (
+            F.col("_rn")
+            <= F.floor(
+                (F.col("_N") * keep_num + (keep_den - 1)) / keep_den
+            ).cast("bigint")
+        ).alias("selected"),
     )

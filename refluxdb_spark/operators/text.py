@@ -1202,34 +1202,40 @@ def top_ngram_stats(
             lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
         )
 
-    outs = []
-    for n in ns:
-        grams = _grams_for(n)
-        g = base.filter(F.size("_toks") >= n).select(
-            "id", "total_chars", F.explode(grams).alias("gram")
+    # union the per-n gram streams FIRST so the count is ONE
+    # map-side-combined aggregation and the winner ONE (id, n) window —
+    # two exchanges total, independent of |ns| (per-n pipelines would
+    # pay both exchanges per n)
+    per_n = [
+        base.filter(F.size("_toks") >= n).select(
+            "id",
+            "total_chars",
+            F.lit(n).cast("int").alias("n"),
+            F.explode(_grams_for(n)).alias("gram"),
         )
-        counted = g.groupBy("id", "total_chars", "gram").agg(
-            F.count(F.lit(1)).cast("bigint").alias("top_count")
+        for n in ns
+    ]
+    g = reduce(lambda a, b: a.unionByName(b), per_n)
+    counted = g.groupBy("id", "total_chars", "n", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("top_count")
+    )
+    w = Window.partitionBy("id", "n").orderBy(
+        F.col("top_count").desc(), F.col("gram")
+    )
+    return (
+        counted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "id",
+            "n",
+            F.col("gram").alias("top_gram"),
+            "top_count",
+            (
+                (F.col("top_count") * F.length("gram")).cast("double")
+                / F.col("total_chars").cast("double")
+            ).alias("top_frac"),
         )
-        w = Window.partitionBy("id").orderBy(
-            F.col("top_count").desc(), F.col("gram")
-        )
-        top = (
-            counted.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(
-                "id",
-                F.lit(n).cast("int").alias("n"),
-                F.col("gram").alias("top_gram"),
-                "top_count",
-                (
-                    (F.col("top_count") * F.length("gram")).cast("double")
-                    / F.col("total_chars").cast("double")
-                ).alias("top_frac"),
-            )
-        )
-        outs.append(top)
-    return reduce(lambda a, b: a.unionByName(b), outs)
+    )
 
 
 def bm25_scores(
@@ -1250,35 +1256,50 @@ def bm25_scores(
     bit-for-bit given identical inputs), routed through DECIMAL(28,18)
     for the order-independent per-document sum, rounded to 6 digits.
 
-    Scale: term-frequency rows exist only for the |terms| query words
-    (the filter rides the explode — the corpus never aggregates
-    full-vocabulary tf), df and the corpus stats broadcast, and the
-    only data-sized exchanges are the doc-length aggregation and the
-    id-keyed join — both ∝ documents, never vocabulary."""
+    Scale: ONE pass over the token stream — doc length and the
+    per-term tfs come out of a single map-side-combined aggregation
+    (one conditional sum per query term), the wide row unpivots with
+    stack() (a generator: preserves the id partitioning, so the final
+    per-document sum needs NO further exchange), and df/corpus stats
+    broadcast. The single data-sized shuffle is the per-doc
+    aggregation, ∝ documents — never vocabulary, never a second token
+    scan."""
+    import re as _re
+
     from refluxdb_spark.operators.dedup import normalize_text
 
+    terms = list(terms)
+    for t in terms:
+        # terms are spliced into the stack() expression as literals
+        if not _re.fullmatch(r"[a-z0-9]+", t):
+            raise ValueError(f"bm25 terms must be normalized words, got {t!r}")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
         ).alias("tok"),
     )
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
-    stats = dl.agg(
+    per_doc = toks.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
         F.sum("dl").cast("bigint").alias("sum_dl"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
     )
-    tf = (
-        toks.filter(F.col("tok").isin(list(terms)))
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
-    scored = (
-        tf.join(F.broadcast(df_t), "tok")
-        .join(dl, "id")
-        .crossJoin(F.broadcast(stats))
-    )
+    stack_args = ", ".join(f"'{t}', _tf{i}" for i, t in enumerate(terms))
+    long = per_doc.select(
+        "id",
+        "dl",
+        F.expr(f"stack({len(terms)}, {stack_args}) AS (tok, tf)"),
+    ).filter(F.col("tf") > 0)
+    df_t = long.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df_t"))
+    scored = long.join(F.broadcast(df_t), "tok").crossJoin(F.broadcast(stats))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     idf = F.log(
         F.lit(1.0)
