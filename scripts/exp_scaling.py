@@ -93,6 +93,15 @@ TIERS: dict[int, list[str]] = {
         "graph_kcore_parts", "graph_communities_parts",
         "graph_assortativity_parts", "events_markov_stationary",
     ],
+    6: [  # r16 additions: position-gram span dedup (grams ∝ tokens;
+        # the word-suffix scheme keeps cross-copy 6-grams disjoint, so
+        # dup positions scale ~linearly), Gopher repetition fractions,
+        # DSIR (bucket table is fixed 1024 rows at every factor), BM25
+        # (tf rows ∝ docs x |terms|), per-language LM bucketing
+        "dedup_exact_substr_spans", "text_dup_ngram_chars",
+        "text_top_ngram_fraction", "sample_dsir_select",
+        "text_bm25_scores", "text_perplexity_buckets",
+    ],
 }
 
 # (query name, table the factor applies to, callable or None=QUERIES[name])

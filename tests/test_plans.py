@@ -248,6 +248,18 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "events_user_behavior_entropy": 4, # user-type agg + entropy fold
         "pipeline_rag_end_to_end": 2,      # chunk fingerprint + rollup
         "events_bot_signals": 7,           # per-signal aggs + user join
+        # r16 additions (budget = measured shape):
+        "dedup_exact_substr_spans": 3,  # gram agg + hit join + island window
+        "text_dup_ngram_chars": 3,      # within-doc gram agg + island + rollup
+        "text_top_ngram_fraction": 2,   # ONE union-first count + (id,n) window
+        # bucket agg + per-doc agg + single-partition rank window; the
+        # static count re-walks the shared bucket lineage for dict+scored
+        # (ReusedExchange at runtime)
+        "sample_dsir_select": 5,
+        # one-pass per-doc agg; static count re-walks it for stats+long
+        "text_bm25_scores": 5,
+        "text_perplexity_buckets": 5,   # vocab agg + LM join + doc agg + ntile
+        "mm_audio_stdlib_decode": 0,    # payload build + decode beside the scan
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
