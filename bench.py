@@ -145,6 +145,16 @@ HEADLINE = [
     "events_dau_wau_stickiness",
     "sample_quality_budget",
     "events_session_duration_stats",
+    # round-16 pipeline additions
+    "dedup_exact_substr_spans",
+    "text_dup_ngram_chars",
+    "text_top_ngram_fraction",
+    "sample_dsir_select",
+    "text_bm25_scores",
+    "text_perplexity_buckets",
+    "mm_audio_stdlib_decode",
+    "mm_keyframe_select",
+    "events_psi_drift",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

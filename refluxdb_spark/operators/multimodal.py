@@ -648,3 +648,86 @@ def image_resize(
             )
 
     return src.mapInPandas(_batches, out_schema)
+
+
+def keyframe_select(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    threshold: float = 0.05,
+    fake: bool = False,
+) -> DataFrame:
+    """Keyframe selection over a video frame stream — the temporal twin
+    of ``frame_sample``: decode every frame, compute its ITU-R 601-2
+    mean luma, and keep frame 0 plus every frame whose luma moves more
+    than ``threshold`` from the PREVIOUS frame (shot-change detection's
+    first cut; the frames a captioning/embedding stage would actually
+    pay for). ``fake=False`` REALLY decodes concatenated binary-PPM
+    (P6) streams with the stdlib tier — runs in CI with no ffmpeg;
+    other containers raise NotImplementedError at execution, same
+    contract as ``frame_sample``. ``fake=True`` derives a
+    deterministic pseudo-luma per 256-byte chunk (sha-based, the
+    ``frame_sample`` fake shape) so the fan-out plumbing is testable
+    against any engine.
+
+    The delta rule is sequential per clip but frames of ONE clip ride
+    one Arrow batch row — the recurrence never crosses rows, so this
+    stays a map (zero shuffle), embarrassing-parallel across clips.
+    Returns (id, frame_idx, n_frames, mean_luma) for keyframes only."""
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload")
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def _lumas(b: bytes) -> list[float]:
+            if fake:
+                chunks = [b[i : i + 256] for i in range(0, max(len(b), 1), 256)]
+                return [
+                    (int(hashlib.sha256(c).hexdigest()[:8], 16) % 1000) / 1000.0
+                    for c in chunks
+                ]
+            if not b.startswith(b"P6"):
+                raise NotImplementedError(
+                    "keyframe selection beyond the stdlib tier (P6 PPM "
+                    "streams) requires ffmpeg; pass fake=True for the "
+                    "deterministic stub"
+                )
+            out = []
+            for fr in _split_ppm_stream(b):
+                _w, _h, px = _decode_p6(fr)
+                out.append(
+                    float(
+                        np.mean(0.299 * px[:, 0] + 0.587 * px[:, 1] + 0.114 * px[:, 2])
+                        / 255.0
+                    )
+                )
+            return out
+
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                lumas = _lumas(b)
+                prev = None
+                for i, lum in enumerate(lumas):
+                    if prev is None or abs(lum - prev) > threshold:
+                        rows.append(
+                            {
+                                "id": rid,
+                                "frame_idx": i,
+                                "n_frames": len(lumas),
+                                "mean_luma": lum,
+                            }
+                        )
+                    prev = lum
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_idx", "n_frames", "mean_luma"]
+            )
+
+    return src.mapInPandas(
+        _batches, "id bigint, frame_idx int, n_frames int, mean_luma double"
+    )

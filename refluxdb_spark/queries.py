@@ -12569,3 +12569,149 @@ def text_perplexity_buckets(spark, sf_dir):
     return X.perplexity_buckets(
         load(spark, sf_dir, "documents"), by="lang", n_buckets=3
     )
+
+
+# concatenated binary-PPM frame stream, one 4x2 frame per f in
+# 0..nf-1, constant gray g_f = ((doc_id + f*f) * 13) % 96 + 32 (always
+# ASCII 32..127, so chr()/encode round-trips the exact bytes)
+_PPM_STREAM_SQL = """encode(array_join(transform(
+    sequence(0, (3 + doc_id % 4) - 1),
+    f -> concat('P6', chr(10), '4 2', chr(10), '255', chr(10),
+                repeat(chr((doc_id + f * f) * 13 % 96 + 32), 24))
+), ''), 'UTF-8')"""
+
+
+@register(
+    "mm_keyframe_select",
+    """
+    WITH d AS (
+        SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS nf FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, CAST(f AS INT) AS frame_idx, nf,
+               CAST((doc_id + f * f) * 13 % 96 + 32 AS DOUBLE) AS g
+        FROM d, LATERAL (SELECT unnest(range(nf)) AS f)
+    ),
+    lum AS (
+        SELECT doc_id, frame_idx, nf,
+               (0.299 * g + 0.587 * g + 0.114 * g) / 255.0 AS mean_luma
+        FROM fr
+    ),
+    flag AS (
+        SELECT *, lag(mean_luma) OVER (PARTITION BY doc_id
+                                       ORDER BY frame_idx) AS prev
+        FROM lum
+    )
+    SELECT doc_id AS id, frame_idx, nf AS n_frames, mean_luma
+    FROM flag WHERE prev IS NULL OR abs(mean_luma - prev) > 0.05
+    """,
+)
+def mm_keyframe_select(spark, sf_dir):
+    """REAL multi-frame decode + temporal keyframe selection
+    (operators.multimodal.keyframe_select): every document becomes a
+    genuine 3-6 frame binary-PPM stream (pure column expressions), the
+    stdlib P6 parser decodes EACH frame inside Arrow-batched
+    mapInPandas, and the luma-delta rule keeps frame 0 plus every
+    frame that moves >0.05 from its predecessor — shot-change
+    detection's first cut, the frames a captioning stage would pay
+    for. The oracle replays the per-frame luma arithmetic and the lag
+    rule in SQL; constant-gray 4x2 frames make the decoded mean luma
+    bit-equal to the closed form."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PPM_STREAM_SQL).alias("payload")
+    )
+    media = M.attach_media(docs, "payload", "video/x-ppm-stream")
+    return M.keyframe_select(media, id_col="doc_id", threshold=0.05, fake=False)
+
+
+@register(
+    "events_psi_drift",
+    """
+    WITH days AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        FROM events
+    ),
+    lab AS (
+        SELECT event_type,
+               CAST(ts AS DATE) <=
+                   d0 + CAST(floor(date_diff('day', d0, d1) / 2) AS INT)
+                   AS is_ref
+        FROM events CROSS JOIN days
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        FROM lab GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS na,
+               CAST(sum(n_cur) AS BIGINT) AS nb,
+               CAST(count(*) AS BIGINT) AS k
+        FROM per
+    ),
+    terms AS (
+        SELECT event_type, n_ref, n_cur,
+               CAST((CAST(n_ref + 1 AS DOUBLE) / CAST(na + k AS DOUBLE)
+                     - CAST(n_cur + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))
+                    * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+                         / (CAST(n_cur + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE)))
+                    AS DECIMAL(28,18)) AS term
+        FROM per CROSS JOIN tot
+    )
+    SELECT event_type, n_ref, n_cur,
+           round(CAST(term AS DOUBLE), 6) AS psi_term,
+           round(CAST(sum(term) OVER () AS DOUBLE), 6) AS psi_total
+    FROM terms
+    """,
+)
+def events_psi_drift(spark, sf_dir):
+    """Population Stability Index drift between the first and second
+    half of the event horizon — THE model-monitoring drift metric
+    (PSI = sum (p_ref - p_cur) ln(p_ref/p_cur), add-1 smoothed so a
+    vanished category contributes a finite term; PSI > 0.2 is the
+    classic retrain trigger). Day-grain split at the midpoint of the
+    observed range (deterministic, layout-free); counts are exact
+    integers, each term one fixed-shape IEEE expression routed through
+    DECIMAL(28,18); the total rides an unpartitioned window over the
+    category-sized relation."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    days = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    lab = ev.crossJoin(F.broadcast(days)).select(
+        "event_type",
+        (
+            F.to_date("ts")
+            <= F.date_add(
+                F.col("d0"),
+                F.floor(F.datediff("d1", "d0") / 2).cast("int"),
+            )
+        ).alias("is_ref"),
+    )
+    per = lab.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("bigint").alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("bigint").alias("n_cur"),
+    )
+    tot = per.agg(
+        F.sum("n_ref").cast("bigint").alias("na"),
+        F.sum("n_cur").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    pa = (F.col("n_ref") + 1).cast("double") / (F.col("na") + F.col("k")).cast("double")
+    pb = (F.col("n_cur") + 1).cast("double") / (F.col("nb") + F.col("k")).cast("double")
+    term = ((pa - pb) * F.log(pa / pb)).cast("decimal(28,18)")
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        "event_type", "n_ref", "n_cur", term.alias("_term")
+    )
+    return terms.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("_term").cast("double"), 6).alias("psi_term"),
+        F.round(
+            F.sum("_term").over(Window.partitionBy()).cast("double"), 6
+        ).alias("psi_total"),
+    )

@@ -3401,3 +3401,34 @@ def test_perplexity_buckets_head_is_most_typical(spark):
     assert got[3].ppl_bucket == 3
     assert got[4].lang == "de" and got[4].ppl_bucket == 1
     assert got[1].avg_logprob > got[2].avg_logprob > got[3].avg_logprob
+
+
+def test_keyframe_select_stdlib_ppm_stream(spark):
+    """Real decode of a 4-frame P6 stream: frame 0 always kept, a big
+    luma jump kept, a tiny jump dropped; fake mode still fans out; a
+    non-PPM payload raises at execution."""
+    from refluxdb_spark.operators.multimodal import attach_media, keyframe_select
+
+    def gray_frame(g):
+        return _make_p6(2, 1, [[(g, g, g), (g, g, g)]])
+
+    # lumas ~ g/255: 0.157, 0.549 (jump .39), 0.553 (jump .004), 0.157
+    stream = b"".join(gray_frame(g) for g in (40, 140, 141, 40))
+    df = spark.createDataFrame([(1, stream)], "id long, payload binary")
+    media = attach_media(df, "payload", "video/x-ppm-stream")
+    rows = {
+        r.frame_idx: r
+        for r in keyframe_select(media, threshold=0.05, fake=False).collect()
+    }
+    assert set(rows) == {0, 1, 3}
+    assert all(r.n_frames == 4 for r in rows.values())
+    lum40 = (0.299 * 40 + 0.587 * 40 + 0.114 * 40) / 255.0
+    assert rows[0].mean_luma == pytest.approx(lum40, abs=1e-12)
+
+    # fake mode: deterministic pseudo-lumas, >=1 frame per 256B chunk
+    fake_rows = keyframe_select(media, fake=True).collect()
+    assert fake_rows and fake_rows[0].frame_idx == 0
+
+    bad = spark.createDataFrame([(2, b"\x00\x01notppm")], "id long, payload binary")
+    with pytest.raises(Exception, match="stdlib tier"):
+        keyframe_select(attach_media(bad, "payload", "video/mp4"), fake=False).collect()

@@ -260,6 +260,10 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "text_bm25_scores": 5,
         "text_perplexity_buckets": 5,   # vocab agg + LM join + doc agg + ntile
         "mm_audio_stdlib_decode": 0,    # payload build + decode beside the scan
+        "mm_keyframe_select": 0,        # frame stream decodes beside the scan
+        # category agg + totals + psi window; static count re-walks the
+        # shared per-type lineage (ReusedExchange at runtime)
+        "events_psi_drift": 6,
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
