@@ -155,6 +155,8 @@ HEADLINE = [
     "mm_audio_stdlib_decode",
     "mm_keyframe_select",
     "events_psi_drift",
+    "dedup_decontaminate_spans",
+    "sim_cluster_db_index",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -1426,3 +1426,34 @@ def duplicated_spans(
         )
         hits = g.join(dup, ["id", "h"]).select("id", "pos")
     return merge_position_islands(hits, k)
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+) -> DataFrame:
+    """Span-level benchmark decontamination (the ExactSubstr treatment
+    of eval leakage, Lee et al. ACL 2022 §6): instead of just flagging
+    a training document that shares a k-word window with the eval set
+    (``decontaminate``), REPORT the maximal contaminated spans — the
+    evidence a data audit needs and the cut list a surgical scrubber
+    (remove the span, keep the document) consumes.
+
+    Same scale shape as ``decontaminate``: the eval set's position-gram
+    digests are tiny next to a 100 TB corpus and BROADCAST into a semi
+    join on the corpus's position-gram stream (built by array slices
+    beside the scan — the corpus never shuffles for the check); only
+    the contaminated positions pay the island-merge window. Returns
+    (id, span_start, span_end, span_tokens, n_windows), one row per
+    maximal contaminated span."""
+    bench_grams = (
+        position_grams(benchmark, text_col=text_col, id_col=id_col, k=k)
+        .select("h")
+        .distinct()
+    )
+    g = position_grams(docs, text_col=text_col, id_col=id_col, k=k)
+    hits = g.join(F.broadcast(bench_grams), "h", "left_semi").select("id", "pos")
+    return merge_position_islands(hits, k)

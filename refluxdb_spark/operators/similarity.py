@@ -1661,3 +1661,81 @@ def load_ivfpq_topk(
         cents, codebooks, codes, queries, k, nprobe,
         num_subspaces, num_codewords, id_col, vec_col,
     )
+
+
+def davies_bouldin(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Davies-Bouldin clustering-quality index (Davies & Bouldin, TPAMI
+    1979) over the IVF assignment — the quality gate that tells an ANN
+    index operator whether the cell structure is worth probing (low DB
+    = tight, well-separated cells; a rising DB after appends is the
+    retrain trigger). Distances are cosine distances on the same
+    ROUNDED-6 similarities the assignment itself ranks on, so the whole
+    metric carries a full value oracle like the rest of the IVF family.
+
+    Scale: membership similarity is the assignment broadcast join
+    re-evaluated (corpus scanned once, never shuffled for scoring);
+    per-cell scatter is one map-side-combined aggregation to
+    num_centroids rows routed through DECIMAL (rounded-6 terms are
+    exact decimals — order-free); everything pairwise happens on the
+    centroid dimension (k x k, broadcast-sized). Returns one row per
+    cell: (centroid_id, n_members, scatter, db_component, db_index)
+    with the corpus-level index repeated per row."""
+    cents, assigned = build_ivf_index(
+        corpus, num_centroids=num_centroids, id_col=id_col, vec_col=vec_col
+    )
+    sim = F.round(
+        _dot(vec_col, "_centvec") / (_norm(vec_col) * _norm("_centvec")), 6
+    )
+    mem = assigned.join(F.broadcast(cents), "centroid_id").select(
+        "centroid_id", (F.lit(1.0) - sim).cast("decimal(18,6)").alias("_d")
+    )
+    scat = mem.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        (F.sum("_d").cast("double") / F.count(F.lit(1))).alias("scatter"),
+    )
+    a = cents.select(
+        F.col("centroid_id").alias("_i"), F.col("_centvec").alias("_vi")
+    )
+    b = cents.select(
+        F.col("centroid_id").alias("_j"), F.col("_centvec").alias("_vj")
+    )
+    dist = F.lit(1.0) - F.round(
+        _dot("_vi", "_vj") / (_norm("_vi") * _norm("_vj")), 6
+    )
+    cd = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("_i") != F.col("_j"))
+        .select("_i", "_j", dist.alias("_dist"))
+    )
+    si = scat.select(F.col("centroid_id").alias("_i"), F.col("scatter").alias("_si"))
+    sj = scat.select(F.col("centroid_id").alias("_j"), F.col("scatter").alias("_sj"))
+    ratio = (
+        cd.join(F.broadcast(si), "_i")
+        .join(F.broadcast(sj), "_j")
+        .select(
+            "_i",
+            F.round((F.col("_si") + F.col("_sj")) / F.col("_dist"), 6).alias("_r"),
+        )
+    )
+    comp = ratio.groupBy("_i").agg(F.max("_r").alias("db_component"))
+    out = scat.join(
+        comp.select(F.col("_i").alias("centroid_id"), "db_component"),
+        "centroid_id",
+    )
+    wall = Window.partitionBy()
+    return out.select(
+        "centroid_id",
+        "n_members",
+        "scatter",
+        "db_component",
+        F.round(
+            F.sum(F.col("db_component").cast("decimal(18,6)")).over(wall).cast("double")
+            / F.count(F.lit(1)).over(wall),
+            6,
+        ).alias("db_index"),
+    )

@@ -12715,3 +12715,106 @@ def events_psi_drift(spark, sf_dir):
             F.sum("_term").over(Window.partitionBy()).cast("double"), 6
         ).alias("psi_total"),
     )
+
+
+@register(
+    "dedup_decontaminate_spans",
+    f"""
+    WITH base AS (
+        SELECT doc_id AS id,
+               list_filter({_TOKENS_SQL}, t -> t != '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT id, CAST(j AS INT) AS pos,
+               md5(array_to_string(toks[j+1 : j+6], ' ')) AS h
+        FROM base, LATERAL (SELECT unnest(range(len(toks) - 5)) AS j)
+        WHERE len(toks) >= 6
+    ),
+    bench AS (SELECT DISTINCT h FROM g WHERE id % 7 = 0),
+    hits AS (
+        SELECT id, pos FROM g JOIN bench USING (h) WHERE id % 7 != 0
+    ),
+    flagged AS (
+        SELECT id, pos,
+               CASE WHEN max(pos + 5) OVER w1 IS NULL
+                         OR pos > max(pos + 5) OVER w1 + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM hits
+        WINDOW w1 AS (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    isl AS (
+        SELECT id, pos,
+               sum(new_island) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 5 AS INT) AS span_end,
+           CAST(max(pos) + 5 - min(pos) + 1 AS INT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY id, island
+    """,
+)
+def dedup_decontaminate_spans(spark, sf_dir):
+    """Span-level benchmark decontamination (operators.dedup.
+    decontaminate_spans; the ExactSubstr treatment of eval leakage):
+    maximal contaminated spans of training documents vs the eval set
+    (stand-in: doc_id % 7 == 0) at 6-word grain — the audit evidence
+    and surgical cut list the 13-gram flag-only decontaminate doesn't
+    produce. Eval gram digests broadcast; the corpus never shuffles for
+    the check; only contaminated positions pay the island merge."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return D.decontaminate_spans(corpus, bench, k=6)
+
+
+@register(
+    "sim_cluster_db_index",
+    f"""
+    WITH {_IVF_CTES},
+    mem AS (
+        SELECT a.centroid_id, CAST(1.0 - s.sim AS DECIMAL(18,6)) AS d
+        FROM assigned a
+        JOIN ascore s ON a.vec_id = s.vec_id AND a.centroid_id = s.centroid_id
+    ),
+    scat AS (
+        SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(d) AS DOUBLE) / count(*) AS scatter
+        FROM mem GROUP BY centroid_id
+    ),
+    cd AS (
+        SELECT a.centroid_id AS i, b.centroid_id AS j,
+               1.0 - round(list_dot_product(a.cv, b.cv) /
+                     (sqrt(list_dot_product(a.cv, a.cv))
+                      * sqrt(list_dot_product(b.cv, b.cv))), 6) AS dist
+        FROM c a JOIN c b ON a.centroid_id != b.centroid_id
+    ),
+    ratio AS (
+        SELECT cd.i,
+               round((si.scatter + sj.scatter) / cd.dist, 6) AS r
+        FROM cd
+        JOIN scat si ON cd.i = si.centroid_id
+        JOIN scat sj ON cd.j = sj.centroid_id
+    ),
+    comp AS (SELECT i AS centroid_id, max(r) AS db_component FROM ratio GROUP BY i)
+    SELECT s.centroid_id, s.n_members, s.scatter, comp.db_component,
+           round(CAST(sum(CAST(comp.db_component AS DECIMAL(18,6))) OVER ()
+                      AS DOUBLE) / count(*) OVER (), 6) AS db_index
+    FROM scat s JOIN comp USING (centroid_id)
+    """,
+)
+def sim_cluster_db_index(spark, sf_dir):
+    """Davies-Bouldin clustering-quality index over the IVF assignment
+    (operators.similarity.davies_bouldin) — the ANN operator's retrain
+    trigger: per-cell scatter (avg rounded-6 cosine distance to the
+    cell centroid, decimal-routed), worst (s_i+s_j)/d_ij neighbor
+    ratio per cell, and the corpus-level mean. Everything pairwise
+    happens on the 16-row centroid dimension; the corpus pays one
+    broadcast-join scan."""
+    return S.davies_bouldin(
+        load(spark, sf_dir, "embeddings"), num_centroids=16
+    )

@@ -3432,3 +3432,50 @@ def test_keyframe_select_stdlib_ppm_stream(spark):
     bad = spark.createDataFrame([(2, b"\x00\x01notppm")], "id long, payload binary")
     with pytest.raises(Exception, match="stdlib tier"):
         keyframe_select(attach_media(bad, "payload", "video/mp4"), fake=False).collect()
+
+
+def test_decontaminate_spans_reports_maximal_spans(spark):
+    """A training doc sharing a 4-word run with the eval set yields ONE
+    merged span covering the run; clean docs yield nothing."""
+    from refluxdb_spark.operators.dedup import decontaminate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "x y a b c d z w"), (2, "p q r s t u v")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d is the secret eval answer")],
+        "doc_id long, text string",
+    )
+    rows = decontaminate_spans(docs, bench, k=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # windows "a b c" (pos 2) and "b c d" (pos 3) merge to [2, 5]
+    assert (r.id, r.span_start, r.span_end, r.span_tokens, r.n_windows) == (
+        1, 2, 5, 4, 2,
+    )
+
+
+def test_davies_bouldin_tight_clusters_score_low(spark):
+    """Two orthogonal cells: exact-duplicate members give zero scatter;
+    one off-axis vector in cell 0 contributes exactly its rounded
+    cosine distance; the corpus index equals the hand-computed value."""
+    from refluxdb_spark.operators.similarity import davies_bouldin
+
+    rows = [
+        (0, [1.0, 0.0]),  # seed centroid 0
+        (1, [0.0, 1.0]),  # seed centroid 1
+        (2, [2.0, 0.0]),  # cell 0, distance 0
+        (3, [0.0, 3.0]),  # cell 1, distance 0
+        (4, [1.0, 1.0]),  # cos .707107 to both -> cell 0 by tiebreak
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.centroid_id: r for r in davies_bouldin(df, num_centroids=2).collect()}
+    assert got[0].n_members == 3 and got[1].n_members == 2
+    assert got[1].scatter == 0.0
+    expected_scatter = round((1 - 0.707107) / 3, 10)
+    assert got[0].scatter == pytest.approx(expected_scatter, abs=1e-9)
+    # d(c0,c1) = 1 - 0 = 1, so both components equal s0 + s1 = s0
+    assert got[0].db_component == pytest.approx(0.097631, abs=1e-6)
+    assert got[0].db_index == got[1].db_index
+    assert got[0].db_index == pytest.approx(0.097631, abs=1e-6)

@@ -264,6 +264,10 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # category agg + totals + psi window; static count re-walks the
         # shared per-type lineage (ReusedExchange at runtime)
         "events_psi_drift": 6,
+        "dedup_decontaminate_spans": 2, # bench grams broadcast; island window
+        # scatter agg + component window on k-row relations; static
+        # count re-walks the shared assignment lineage
+        "sim_cluster_db_index": 8,
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
