@@ -953,3 +953,88 @@ def test_typed_range_scan_carries_typed_columns(typed_engine):
 
     assert [c.lower() for c in out.columns] == TYPED_MEASUREMENT_COLUMNS
     assert out.filter("value_type = 'string'").count() == 2
+
+
+def test_typed_lake_survives_maintenance_lifecycle(spark, tmp_path_factory):
+    """The typed lake (r16 surface) through EVERY maintenance path in
+    one lifecycle: compaction (+ time travel to the pre-compaction
+    version), incremental rollup, retention, the tag index's routed
+    scan, and targeted erasure — after each step the typed payload
+    columns (value_type/value_int/value_bool/value_str) must survive
+    byte-for-byte. Maintenance rewrites whole partitions, so a path
+    that re-selected the untyped 6-column shape would silently strip
+    the typed surface; this is the fence against that."""
+    from pyspark.sql import functions as F
+
+    eng = RefluxEngine(
+        spark, str(tmp_path_factory.mktemp("typed_maint")), typed_fields=True
+    )
+    day_ns = 86400 * 10**9
+    base = 1556755200 * 10**9  # 2019-05-02 00:00:00 UTC
+    lines = []
+    for d in range(3):
+        for i in range(4):
+            ts = base + d * day_ns + i * 10**9
+            lines.append(
+                f'srv,host=h{i % 2} temp={20 + i}.5,cores={i}i,'
+                f'ok={"true" if i % 2 else "false"},model="m{i}" {ts}'
+            )
+    n, dead = eng.write_lines(lines)
+    assert (n, dead) == (48, 0)  # 12 lines x 4 typed fields
+
+    def snapshot(df):
+        return sorted(
+            (r["time"], r["name"], r["value_type"], r["value"],
+             r["value_int"], r["value_bool"], r["value_str"])
+            for r in df.select(
+                "time", "name", "value_type", "value",
+                "value_int", "value_bool", "value_str",
+            ).collect()
+        )
+
+    before = snapshot(eng.query("SELECT * FROM srv"))
+    assert len(before) == 48
+    assert {r[2] for r in before} == {"float", "int", "bool", "string"}
+
+    # 1) compaction: typed rows byte-identical; the superseded version
+    #    remains time-travel readable with the typed schema
+    old_version = eng._data.versions()[-1]
+    eng.compact(vacuum=False)
+    assert snapshot(eng.query("SELECT * FROM srv")) == before
+    assert snapshot(eng.table_as_of(old_version)) == before
+
+    # 2) incremental rollup on the typed lake: the numeric view drives
+    #    the aggregate; totals must match the base table's own sum
+    eng.maintain_rollup(incremental=True)
+    roll_sum = eng.query(
+        "SELECT CAST(SUM(CAST(sum_value AS DECIMAL(18,2))) AS DOUBLE) AS s "
+        "FROM rollup_1h"
+    ).collect()[0]["s"]
+    base_sum = eng.query(
+        "SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s FROM srv"
+    ).collect()[0]["s"]
+    assert roll_sum == base_sum
+
+    # 3) tag index on a typed engine: routed scan returns typed rows
+    eng.maintain_tag_index()
+    assert eng.tag_index_fresh()
+    routed_rows = snapshot(eng.tag_scan("srv", "host", "h0"))
+    fallback_rows = snapshot(eng.tag_scan("srv", "host", "h0", prefer_index=False))
+    assert routed_rows == fallback_rows and len(routed_rows) == 24
+
+    # 4) retention: drop day 0, typed columns intact on survivors
+    eng.apply_retention(keep_after="2019-05-03T00:00:00")
+    kept = snapshot(eng.query("SELECT * FROM srv"))
+    assert len(kept) == 32
+    assert {r[2] for r in kept} == {"float", "int", "bool", "string"}
+    assert kept == [r for r in before if r[0].isoformat() >= "2019-05-03"]
+
+    # 5) targeted erasure by tag: h1 rows gone, typed payloads intact
+    eng.erase("tags['host'] = 'h1'", series="srv")
+    final = snapshot(eng.query("SELECT * FROM srv"))
+    assert len(final) == 16
+    assert {r[2] for r in final} == {"float", "int", "bool", "string"}
+    # survivors are exactly the kept h0 rows (hosts alternate with i%2,
+    # so h0 carries the even-i field values)
+    assert {r[4] for r in final if r[1] == "cores"} == {0, 2}
+    assert len([r for r in kept if r not in final]) == 16
