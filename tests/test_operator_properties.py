@@ -505,3 +505,79 @@ def test_kcore_matches_reference_peel(spark, raw_edges, k):
             changed = True
     expect = {n: len(ns) for n, ns in adj.items() if ns}
     assert got == expect
+
+
+def _py_duplicated_spans(texts, k, scope):
+    """Pure-Python replay of operators.dedup.duplicated_spans: grams at
+    every position of the normalized text, dup rule per scope, island
+    merge of overlapping/touching windows."""
+    import re
+
+    toks = {
+        i: [t for t in re.sub(r"[^a-z0-9]+", " ", txt.lower()).strip().split(" ") if t]
+        for i, txt in enumerate(texts)
+    }
+    grams = {
+        i: [" ".join(ts[p : p + k]) for p in range(len(ts) - k + 1)]
+        for i, ts in toks.items()
+        if len(ts) >= k
+    }
+    if scope == "corpus":
+        owners: dict[str, set] = {}
+        for i, gs in grams.items():
+            for g in gs:
+                owners.setdefault(g, set()).add(i)
+        dup_pos = {
+            i: [p for p, g in enumerate(gs) if len(owners[g]) >= 2]
+            for i, gs in grams.items()
+        }
+    else:
+        dup_pos = {}
+        for i, gs in grams.items():
+            from collections import Counter
+
+            c = Counter(gs)
+            dup_pos[i] = [p for p, g in enumerate(gs) if c[g] >= 2]
+    out = []
+    for i, ps in dup_pos.items():
+        span = None
+        for p in ps:
+            if span is not None and p <= span[1] + 1:  # touch/overlap: covered
+                span = (span[0], max(span[1], p + k - 1), span[2] + 1)
+            else:
+                if span is not None:
+                    out.append((i, *span))
+                span = (p, p + k - 1, 1)
+        if span is not None:
+            out.append((i, *span))
+    return sorted(out)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(list("abc")), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.sampled_from([2, 3]),
+    scope=st.sampled_from(["corpus", "doc"]),
+)
+@settings(max_examples=8, deadline=None)
+def test_duplicated_spans_matches_python_replay(spark, texts, k, scope):
+    """ExactSubstr spans over adversarial tiny-alphabet corpora (dense
+    collisions, heavy within- and cross-doc repetition) equal the
+    brute-force Python replay exactly — start, end, and window count
+    of every maximal island."""
+    from refluxdb_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r.id, r.span_start, r.span_end, r.n_windows)
+        for r in duplicated_spans(df, k=k, scope=scope).collect()
+    )
+    want = _py_duplicated_spans(texts, k, scope)
+    assert got == want
