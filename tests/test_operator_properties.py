@@ -581,3 +581,57 @@ def test_duplicated_spans_matches_python_replay(spark, texts, k, scope):
     )
     want = _py_duplicated_spans(texts, k, scope)
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=6).map(" ".join),
+        min_size=2, max_size=12,
+    ),
+    n_target=st.integers(0, 4),
+)
+@settings(max_examples=6, deadline=None)
+def test_dsir_selection_invariants(spark, texts, n_target):
+    """DSIR's deterministic resampling: exactly ceil(N/5) docs selected,
+    and they are precisely the top of the (log_weight desc, id) order —
+    for any corpus and any target split (including empty/full)."""
+    import math
+
+    from refluxdb_spark.operators.sampling import dsir_weights
+
+    rows = [(i, i < n_target, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, is_t boolean, text string")
+    got = dsir_weights(df, target=F.col("is_t")).collect()
+    assert len(got) == len(texts)
+    k = math.ceil(len(texts) / 5)
+    order = sorted(got, key=lambda r: (-r.log_weight, r.id))
+    assert [r.selected for r in order] == [True] * k + [False] * (len(order) - k)
+
+
+@given(
+    grays=st.lists(st.integers(32, 127), min_size=1, max_size=6),
+    threshold=st.sampled_from([0.02, 0.05, 0.2]),
+)
+@settings(max_examples=8, deadline=None)
+def test_keyframe_select_matches_python_replay(spark, grays, threshold):
+    """Real P6 decode + luma-delta rule over arbitrary constant-gray
+    frame streams equals the Python replay of the same IEEE arithmetic
+    exactly (lumas AND kept indices)."""
+    from refluxdb_spark.operators.multimodal import attach_media, keyframe_select
+
+    stream = b"".join(
+        b"P6\n2 2\n255\n" + bytes([g] * 12) for g in grays
+    )
+    df = spark.createDataFrame([(1, stream)], "id long, payload binary")
+    media = attach_media(df, "payload", "video/x-ppm-stream")
+    got = {
+        r.frame_idx: r.mean_luma
+        for r in keyframe_select(media, threshold=threshold, fake=False).collect()
+    }
+    lumas = [(0.299 * g + 0.587 * g + 0.114 * g) / 255.0 for g in grays]
+    want, prev = {}, None
+    for i, lum in enumerate(lumas):
+        if prev is None or abs(lum - prev) > threshold:
+            want[i] = lum
+        prev = lum
+    assert got == want
