@@ -157,6 +157,9 @@ HEADLINE = [
     "events_psi_drift",
     "dedup_decontaminate_spans",
     "sim_cluster_db_index",
+    "graph_harmonic_trade",
+    "sketch_kmv_jaccard",
+    "sim_ivf_nprobe_sweep",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

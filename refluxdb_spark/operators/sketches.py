@@ -430,3 +430,86 @@ def ams_f2_estimate(
         F.avg("m").alias("f2_est"),
         F.lit(estimators).cast("bigint").alias("n_estimators"),
     )
+
+
+def kmv_jaccard_pairs(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set-similarity estimate between every pair of groups
+    (Beyer et al. SIGMOD'07 / the theta-sketch Jaccard): for groups A
+    and B, take the k smallest hashes of their UNION (which is just
+    the merged per-group KMV states re-cut at k — the mergeability the
+    sketch exists for) and count how many of those union samples lie
+    in BOTH sets; that fraction is an unbiased estimate of
+    |A∩B|/|A∪B|. The per-group states are the module's md5-derived
+    integer hashes, so the estimate — not just the exact check — is
+    reproducible on any engine.
+
+    Scale: per-group state is k rows regardless of input (the ONE
+    data-sized pass is kmv_hashes' map-side-combined distinct); all
+    pair work happens on the groups²-by-k sketch relation. The exact
+    Jaccard computed alongside is the oracle gate — at 100 TB you keep
+    the estimate and drop the exact branch. Returns
+    (group_a, group_b, inter_k, union_k, kmv_jaccard, n_inter,
+    exact_jaccard)."""
+    sk = kmv_hashes(df, col, k=k, by=[group_col]).select(
+        F.col(group_col).alias("_g"), "h"
+    )
+    groups = sk.select("_g").distinct()
+    pairs = (
+        groups.select(F.col("_g").alias("ga"))
+        .crossJoin(groups.select(F.col("_g").alias("gb")))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    left = pairs.join(sk.withColumnRenamed("_g", "ga"), "ga").select(
+        "ga", "gb", "h", F.lit(1).alias("_ia"), F.lit(0).alias("_ib")
+    )
+    right = pairs.join(sk.withColumnRenamed("_g", "gb"), "gb").select(
+        "ga", "gb", "h", F.lit(0).alias("_ia"), F.lit(1).alias("_ib")
+    )
+    u = (
+        left.unionByName(right)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("_ia").alias("_ia"), F.max("_ib").alias("_ib"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy(F.col("h").asc())
+    union_k = (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("union_k"),
+            F.sum(F.col("_ia") * F.col("_ib")).cast("bigint").alias("inter_k"),
+        )
+    )
+    d = df.select(F.col(group_col).alias("_g"), F.col(col).alias("_v")).distinct()
+    sizes = d.groupBy("_g").agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    inter = (
+        d.select(F.col("_g").alias("ga"), "_v")
+        .join(d.select(F.col("_g").alias("gb"), "_v"), "_v")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    out = (
+        union_k.join(inter, ["ga", "gb"], "left")
+        .join(F.broadcast(sizes.select(F.col("_g").alias("ga"), F.col("_n").alias("_na"))), "ga")
+        .join(F.broadcast(sizes.select(F.col("_g").alias("gb"), F.col("_n").alias("_nb"))), "gb")
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "inter_k",
+            "union_k",
+            (F.col("inter_k").cast("double") / F.col("union_k").cast("double"))
+            .alias("kmv_jaccard"),
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("bigint").alias("n_inter"),
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("n_inter"), F.lit(0))).cast("double")
+            ).alias("exact_jaccard"),
+        )
+    )
+    return out

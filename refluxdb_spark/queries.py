@@ -9751,46 +9751,22 @@ _TRADE_EDGES_SPARSE_SQL = """
 """
 
 
-@register(
-    "graph_bfs_depths_trade",
-    f"""
-    WITH RECURSIVE {_TRADE_EDGES_SPARSE_SQL.strip()},
-    seeds AS (
-        SELECT n_name AS node FROM nation
-        JOIN region ON r_regionkey = n_regionkey
-        WHERE r_name = 'AMERICA'
-    ),
-    walk(node, depth) AS (
-        SELECT node, 0 FROM seeds
-        UNION
-        SELECT e.dst, w.depth + 1
-        FROM walk w JOIN edges e ON e.src = w.node
-        WHERE w.depth < 6
-    )
-    SELECT node, CAST(min(depth) AS BIGINT) AS depth
-    FROM walk GROUP BY node
-    """,
-)
-def graph_bfs_depths_trade(spark, sf_dir):
-    """Multi-source BFS layering (operators.graph.bfs_depths) over a
-    deterministically sparsified nation-trade graph, seeded from one
-    region's nations: min-hop distance per reachable node. The oracle
-    is the same reachability as a depth-bounded recursive CTE with a
-    min-aggregate — the Spark side never materializes the walk space
-    (frontier expansion visits each node once)."""
+def _trade_edges_sparse(spark, sf_dir):
+    """Deterministically sparsified nation-trade edge relation shared
+    by the BFS and harmonic-centrality queries (the Spark twin of
+    ``_TRADE_EDGES_SPARSE_SQL``)."""
     li = load(spark, sf_dir, "lineitem")
     sup = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    reg = load(spark, sf_dir, "region")
     ns = nat.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
     )
     nc = nat.select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
     )
-    edges = (
+    return (
         li.select("l_suppkey", "l_orderkey")
         .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
               li.l_suppkey == F.col("s_suppkey"))
@@ -9821,6 +9797,39 @@ def graph_bfs_depths_trade(spark, sf_dir):
             < 3
         )
     )
+
+
+
+@register(
+    "graph_bfs_depths_trade",
+    f"""
+    WITH RECURSIVE {_TRADE_EDGES_SPARSE_SQL.strip()},
+    seeds AS (
+        SELECT n_name AS node FROM nation
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'AMERICA'
+    ),
+    walk(node, depth) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT e.dst, w.depth + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.depth < 6
+    )
+    SELECT node, CAST(min(depth) AS BIGINT) AS depth
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_depths_trade(spark, sf_dir):
+    """Multi-source BFS layering (operators.graph.bfs_depths) over a
+    deterministically sparsified nation-trade graph, seeded from one
+    region's nations: min-hop distance per reachable node. The oracle
+    is the same reachability as a depth-bounded recursive CTE with a
+    min-aggregate — the Spark side never materializes the walk space
+    (frontier expansion visits each node once)."""
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    edges = _trade_edges_sparse(spark, sf_dir)
     seeds = (
         nat.join(
             F.broadcast(reg.filter(F.col("r_name") == "AMERICA")),
@@ -12818,3 +12827,197 @@ def sim_cluster_db_index(spark, sf_dir):
     return S.davies_bouldin(
         load(spark, sf_dir, "embeddings"), num_centroids=16
     )
+
+
+@register(
+    "graph_harmonic_trade",
+    f"""
+    WITH RECURSIVE {_TRADE_EDGES_SPARSE_SQL.strip()},
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    walk(root, node, depth) AS (
+        SELECT node, node, 0 FROM nodes
+        UNION
+        SELECT w.root, e.dst, w.depth + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.depth < 6
+    ),
+    d AS (
+        SELECT root, node, CAST(min(depth) AS BIGINT) AS dist
+        FROM walk GROUP BY root, node
+    )
+    SELECT node,
+           CAST(count(*) AS BIGINT) AS n_reachable,
+           CAST(CAST(sum(2520 // dist) AS BIGINT) AS DOUBLE) / 2520.0
+               AS harmonic
+    FROM d WHERE dist >= 1 GROUP BY node
+    """,
+)
+def graph_harmonic_trade(spark, sf_dir):
+    """Exact harmonic centrality (operators.graph.harmonic_centrality)
+    over the sparsified nation-trade graph: all-pairs depth-bounded BFS
+    with reciprocal depths summed as EXACT lcm(1..10)-scaled integers —
+    order-free, engine-identical. The oracle seeds a recursive CTE from
+    every node and folds the same integer units. The exact all-pairs
+    form is for dimension-sized graphs; it doubles as the oracle for a
+    HyperBall-style approximation at web scale."""
+    from refluxdb_spark.operators import graph as G
+
+    return G.harmonic_centrality(
+        _trade_edges_sparse(spark, sf_dir), max_depth=6
+    )
+
+
+@register(
+    "sketch_kmv_jaccard",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type AS g,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    state AS (
+        SELECT g, h FROM (
+            SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rank
+            FROM h
+        ) WHERE rank <= 64
+    ),
+    pairs AS (
+        SELECT a.g AS ga, b.g AS gb
+        FROM (SELECT DISTINCT g FROM state) a, (SELECT DISTINCT g FROM state) b
+        WHERE a.g < b.g
+    ),
+    u AS (
+        SELECT ga, gb, h, max(ia) AS ia, max(ib) AS ib FROM (
+            SELECT p.ga, p.gb, s.h, 1 AS ia, 0 AS ib
+            FROM pairs p JOIN state s ON s.g = p.ga
+            UNION ALL
+            SELECT p.ga, p.gb, s.h, 0 AS ia, 1 AS ib
+            FROM pairs p JOIN state s ON s.g = p.gb
+        ) GROUP BY ga, gb, h
+    ),
+    cut AS (
+        SELECT ga, gb, ia, ib FROM (
+            SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+            FROM u
+        ) WHERE rn <= 64
+    ),
+    est AS (
+        SELECT ga, gb,
+               CAST(sum(ia * ib) AS BIGINT) AS inter_k,
+               CAST(count(*) AS BIGINT) AS union_k
+        FROM cut GROUP BY ga, gb
+    ),
+    d AS (SELECT DISTINCT event_type AS g, user_id AS v FROM events),
+    sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY g),
+    inter AS (
+        SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_inter
+        FROM d a JOIN d b ON a.v = b.v AND a.g < b.g
+        GROUP BY a.g, b.g
+    )
+    SELECT e.ga AS group_a, e.gb AS group_b, e.inter_k, e.union_k,
+           CAST(e.inter_k AS DOUBLE) / CAST(e.union_k AS DOUBLE) AS kmv_jaccard,
+           CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+               / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE)
+               AS exact_jaccard
+    FROM est e
+    LEFT JOIN inter i ON i.ga = e.ga AND i.gb = e.gb
+    JOIN sizes sa ON sa.g = e.ga
+    JOIN sizes sb ON sb.g = e.gb
+    """,
+)
+def sketch_kmv_jaccard(spark, sf_dir):
+    """KMV set-similarity estimate between every pair of event types'
+    user sets (operators.sketches.kmv_jaccard_pairs; Beyer et al.
+    SIGMOD'07 / theta-sketch Jaccard): the k smallest union hashes are
+    the merged per-group states re-cut at k, and the in-both fraction
+    estimates |A∩B|/|A∪B| — sketch mergeability doing set algebra. The
+    exact Jaccard rides along as the oracle gate; at 100 TB only the
+    k-row states survive."""
+    return SK.kmv_jaccard_pairs(
+        load(spark, sf_dir, "events"), "user_id", "event_type", k=64
+    )
+
+
+def _nprobe_sweep_block(p: int) -> str:
+    """One nprobe configuration of the sweep oracle: the shared IVF
+    top-k CTEs re-cut at ``rn <= p`` probes, scored for recall@5
+    against the exact ranking, aggregated to one row."""
+    ctes = _IVF_TOPK_CTES.replace("rn <= 4", f"rn <= {p}")
+    return f"""(
+    WITH {ctes},
+    exact_scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, v.vv) /
+                     (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(v.vv, v.vv))), 6) AS cosine
+        FROM q CROSS JOIN v
+        WHERE q.query_id != v.vec_id
+    ),
+    exact_ranked AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM exact_scored
+        ) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT i.query_id, count(*) AS hits
+        FROM ivf_ranked i JOIN exact_ranked e
+          ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+        GROUP BY i.query_id
+    ),
+    per AS (
+        SELECT q.query_id, coalesce(h.hits, 0) AS hits
+        FROM (SELECT DISTINCT query_id FROM exact_ranked) q
+        LEFT JOIN hits h USING (query_id)
+    )
+    SELECT CAST({p} AS INT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(sum(hits) AS DOUBLE) / CAST(count(*) * 5 AS DOUBLE)
+               AS mean_recall
+    FROM per
+    )"""
+
+
+@register(
+    "sim_ivf_nprobe_sweep",
+    " UNION ALL ".join(_nprobe_sweep_block(p) for p in (1, 2, 4, 8)),
+)
+def sim_ivf_nprobe_sweep(spark, sf_dir):
+    """The IVF tuning curve: recall@5 vs exact brute force at nprobe in
+    1/2/4/8, one row per configuration — the measurement an index
+    operator reads to pick the latency/recall point (FAISS's nprobe
+    sweep as a first-class, fully-oracled query). Every configuration
+    shares the same deterministic assignment; the exact side is ranked
+    once per block on rounded cosines, so the whole curve is
+    hash-reproducible."""
+    from functools import reduce
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, qs, k=5, round_digits=6)
+    parts = []
+    for p in (1, 2, 4, 8):
+        approx = S.ivf_topk(emb, qs, k=5, num_centroids=16, nprobe=p)
+        rec = S.topk_recall(exact, approx, k=5)
+        parts.append(
+            rec.agg(
+                F.sum("hits").cast("bigint").alias("total_hits"),
+                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            ).select(
+                F.lit(p).cast("int").alias("nprobe"),
+                "n_queries",
+                "total_hits",
+                (
+                    F.col("total_hits").cast("double")
+                    / (F.col("n_queries") * 5).cast("double")
+                ).alias("mean_recall"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

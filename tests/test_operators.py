@@ -3479,3 +3479,43 @@ def test_davies_bouldin_tight_clusters_score_low(spark):
     assert got[0].db_component == pytest.approx(0.097631, abs=1e-6)
     assert got[0].db_index == got[1].db_index
     assert got[0].db_index == pytest.approx(0.097631, abs=1e-6)
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Directed path a->b->c: exact lcm-scaled reciprocals — H(b)=1
+    (one node at distance 1), H(c)=1+1/2, H(a)=0 (absent: nothing
+    reaches it)."""
+    from refluxdb_spark.operators.graph import harmonic_centrality
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {r.node: r for r in harmonic_centrality(df, max_depth=6).collect()}
+    assert "a" not in got
+    assert (got["b"].n_reachable, got["b"].harmonic) == (1, 1.0)
+    assert (got["c"].n_reachable, got["c"].harmonic) == (2, 1.5)
+
+    with pytest.raises(ValueError, match="depths <= 10"):
+        harmonic_centrality(df, max_depth=11)
+
+
+def test_kmv_jaccard_small_sets_exact_regime(spark):
+    """With k larger than the union, the KMV estimate IS the exact
+    Jaccard (the sketch degrades gracefully to the true value); both
+    columns must agree with the hand-computed overlap."""
+    from refluxdb_spark.operators.sketches import kmv_jaccard_pairs
+
+    rows = [("A", v) for v in [1, 2, 3, 4]] + [("B", v) for v in [3, 4, 5, 6]] + [
+        ("C", v) for v in [7, 8]
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r.group_a, r.group_b): r
+        for r in kmv_jaccard_pairs(df, "v", "g", k=64).collect()
+    }
+    ab = got[("A", "B")]
+    assert (ab.n_inter, ab.exact_jaccard) == (2, 2 / 6)
+    assert ab.union_k == 6 and ab.inter_k == 2
+    assert ab.kmv_jaccard == ab.exact_jaccard
+    ac = got[("A", "C")]
+    assert ac.n_inter == 0 and ac.kmv_jaccard == 0.0 and ac.exact_jaccard == 0.0

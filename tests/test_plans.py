@@ -268,6 +268,15 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # scatter agg + component window on k-row relations; static
         # count re-walks the shared assignment lineage
         "sim_cluster_db_index": 8,
+        "graph_harmonic_trade": 1,      # per-round frontiers checkpointed
+        # sketch state is k x groups rows; static count re-walks the
+        # shared distinct/state lineage across the pair branches and
+        # the exact-oracle side (ReusedExchange at runtime)
+        "sketch_kmv_jaccard": 20,
+        # eval harness: 4 nprobe configs re-walk the shared assignment
+        # and exact-ranking lineage statically; identical exchanges
+        # dedupe at runtime (same class as sim_ivfpq_recall)
+        "sim_ivf_nprobe_sweep": 48,
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
