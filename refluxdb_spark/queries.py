@@ -12432,7 +12432,12 @@ def _wav_le_hex(expr: str, width: int) -> str:
 
 
 _WAV_N = "(40 + doc_id % 17)"
-_WAV_SAMPLE = "((doc_id * 2654435761 + i * 40503) % 4096 - 2048 + 65536) % 65536"
+# doc_id reduces mod 4096 BEFORE the Knuth multiplier: identical values
+# ((a*b) % m == ((a%m)*b) % m) but the product stays ~1e13 — the
+# unreduced form overflows int64 once doc_ids reach the 1e9-offset
+# range (caught by the x30 weak-scaling corpus, where it threw
+# ARITHMETIC_OVERFLOW under ANSI mode)
+_WAV_SAMPLE = "(((doc_id % 4096) * 2654435761 + i * 40503) % 4096 - 2048 + 65536) % 65536"
 # 16-bit PCM mono WAV at 1000 Hz, built entirely from column
 # expressions: RIFF header (chunk sizes little-endian) + n deterministic
 # samples. 'E8030000' = le32(1000 Hz), 'D0070000' = le32(2000 B/s).
@@ -12454,7 +12459,8 @@ _WAV_PAYLOAD_SQL = f"""unhex(concat(
     ),
     s AS (
         SELECT doc_id, n,
-               CAST((doc_id * 2654435761 + i * 40503) % 4096 - 2048 AS BIGINT) AS v
+               CAST(((doc_id % 4096) * 2654435761 + i * 40503) % 4096 - 2048
+                    AS BIGINT) AS v
         FROM d, LATERAL (SELECT unnest(range(n)) AS i)
     ),
     agg AS (

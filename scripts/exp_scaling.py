@@ -102,6 +102,16 @@ TIERS: dict[int, list[str]] = {
         "text_top_ngram_fraction", "sample_dsir_select",
         "text_bm25_scores", "text_perplexity_buckets",
     ],
+    7: [  # r16 batch 3-5: real-decode map ops (payload build + decode
+        # beside the scan), span decontamination (eval grams broadcast),
+        # PSI (category-sized), KMV jaccard (k-row states), harmonic
+        # centrality (node-fixed graph; cost is the edge extraction),
+        # DB index (centroid-dim pairwise)
+        "mm_audio_stdlib_decode", "mm_keyframe_select",
+        "dedup_decontaminate_spans", "events_psi_drift",
+        "sketch_kmv_jaccard", "graph_harmonic_trade",
+        "sim_cluster_db_index",
+    ],
 }
 
 # (query name, table the factor applies to, callable or None=QUERIES[name])
