@@ -160,6 +160,8 @@ HEADLINE = [
     "graph_harmonic_trade",
     "sketch_kmv_jaccard",
     "sim_ivf_nprobe_sweep",
+    "sample_kcenter_coreset",
+    "orders_abc_classification",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

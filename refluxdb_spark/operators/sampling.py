@@ -433,3 +433,80 @@ def dsir_weights(
             ).cast("bigint")
         ).alias("selected"),
     )
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the farthest-
+    point sampling behind coreset-based data pruning and active
+    learning): start from the lowest-id vector, then repeatedly add
+    the point FARTHEST from the already-selected set (max over points
+    of min over selected of distance) — a 2-approximation to the
+    optimal k-center cover, i.e. a maximally diverse k-point summary
+    of the corpus.
+
+    Determinism: distances are cosine distances on ROUNDED-6
+    similarities (the IVF family's convention) and every argmax breaks
+    ties by id, so the selection order is a pure function of the data
+    on any engine or partitioning — which is what lets the greedy
+    TRAJECTORY itself carry a full value oracle.
+
+    Scale: each round is one broadcast join of the (<= k)-row selected
+    set onto the corpus scan + one global top-1 — k corpus scans
+    total, never a pairwise matrix. The sequential dependence is
+    inherent to the greedy (each pick conditions the next); k is small
+    by construction. Returns (sel_round, vec_id, min_dist) — the
+    selection order and each pick's covering radius at selection time
+    (sel_round 0 = the seed, min_dist null)."""
+    from pyspark.sql import Window
+
+    corpus = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    corpus = corpus.localCheckpoint(eager=True)
+    seed = corpus.orderBy(F.col("_id").asc()).limit(1)
+    selected = seed.select(
+        F.lit(0).cast("int").alias("sel_round"),
+        F.col("_id"),
+        F.lit(None).cast("double").alias("min_dist"),
+        "_v",
+    ).localCheckpoint(eager=True)
+    sim = F.round(
+        F.aggregate(
+            F.zip_with("_v", "_sv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(F.aggregate(F.zip_with("_v", "_v", lambda a, b: a * b),
+                               F.lit(0.0), lambda acc, x: acc + x))
+            * F.sqrt(F.aggregate(F.zip_with("_sv", "_sv", lambda a, b: a * b),
+                                 F.lit(0.0), lambda acc, x: acc + x))
+        ),
+        6,
+    )
+    for r in range(1, k):
+        sel = selected.select(F.col("_id").alias("_sid"), F.col("_v").alias("_sv"))
+        dists = (
+            corpus.join(F.broadcast(sel.select("_sid")), corpus._id == F.col("_sid"), "left_anti")
+            .crossJoin(F.broadcast(sel))
+            .select("_id", "_v", (F.lit(1.0) - sim).alias("_d"))
+            .groupBy("_id")
+            .agg(F.min("_d").alias("_mind"), F.first("_v").alias("_v"))
+        )
+        pick = (
+            dists.orderBy(F.col("_mind").desc(), F.col("_id").asc())
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("sel_round"),
+                "_id",
+                F.col("_mind").alias("min_dist"),
+                "_v",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "sel_round", F.col("_id").alias(id_col), "min_dist"
+    )

@@ -13027,3 +13027,129 @@ def sim_ivf_nprobe_sweep(spark, sf_dir):
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Chained-CTE replay of the greedy k-center trajectory: round r
+    re-scores every unselected vector against the selected set (min of
+    rounded-6 cosine distances) and picks the argmax with id tiebreak —
+    the same deterministic greedy the operator runs, unrolled."""
+    cos = (
+        "round(list_dot_product(v.vv, sv.vv) / "
+        "(sqrt(list_dot_product(v.vv, v.vv)) * "
+        "sqrt(list_dot_product(sv.vv, sv.vv))), 6)"
+    )
+    parts = [
+        "v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings)",
+        "s0 AS (SELECT id FROM v ORDER BY id LIMIT 1)",
+    ]
+    unions = ["SELECT CAST(0 AS INT) AS sel_round, id AS vec_id, CAST(NULL AS DOUBLE) AS min_dist FROM s0"]
+    for r in range(1, k):
+        prev = f"s{r - 1}"
+        # every stage MATERIALIZED: s{r} references s{r-1} twice, so
+        # DuckDB's default CTE inlining makes the final stage expand
+        # the base 2^k times (measured 205s at k=8 vs ~1s materialized)
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+        SELECT v.id, min(1.0 - {cos}) AS mind
+        FROM v
+        JOIN (SELECT vv2.id, vv2.vv FROM v vv2 JOIN {prev} s ON s.id = vv2.id) sv
+          ON TRUE
+        WHERE v.id NOT IN (SELECT id FROM {prev})
+        GROUP BY v.id
+    )"""
+        )
+        parts.append(
+            f"pick{r} AS MATERIALIZED (SELECT id, mind FROM p{r} ORDER BY mind DESC, id LIMIT 1)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT id FROM {prev} UNION ALL SELECT id FROM pick{r})"
+        )
+        unions.append(
+            f"SELECT CAST({r} AS INT) AS sel_round, id AS vec_id, mind AS min_dist FROM pick{r}"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL ".join(unions)
+
+
+@register("sample_kcenter_coreset", _kcenter_oracle(8))
+def sample_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset selection (Gonzalez 1985; the
+    farthest-point sampling behind coreset data pruning and active
+    learning; operators.sampling.kcenter_coreset): 8 maximally-diverse
+    exemplar vectors, each round adding the point farthest (min
+    rounded-6 cosine distance) from the selected set. The whole greedy
+    TRAJECTORY — order, ids, covering radii — is hash-checked against
+    an unrolled chained-CTE oracle."""
+    return Smp.kcenter_coreset(
+        load(spark, sf_dir, "embeddings"), k=8
+    )
+
+
+@register(
+    "orders_abc_classification",
+    """
+    WITH rev AS (
+        SELECT l_partkey AS p_partkey,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS rev_c
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT p_partkey, rev_c,
+               sum(rev_c) OVER (ORDER BY rev_c DESC, p_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_c,
+               sum(rev_c) OVER () AS tot_c
+        FROM rev
+    )
+    SELECT p_partkey,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) AS cum_share,
+           CASE WHEN CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) <= 0.7
+                THEN 'A'
+                WHEN CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) <= 0.9
+                THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def orders_abc_classification(spark, sf_dir):
+    """ABC inventory classification (the Pareto rule as an operating
+    decision): parts ranked by exact integer-cent revenue, cumulative
+    share cut at 70%/90% into A/B/C classes — the slice-by-value
+    companion to orders_pareto_concentration. One part-keyed aggregate,
+    then a part-dimension-sized running sum (the RFM global-sort
+    class); class boundaries compare the same int/int double on both
+    engines."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("rev_c")
+    )
+    w = Window.orderBy(F.col("rev_c").desc(), F.col("p_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    share = F.col("cum_c").cast("double") / F.col("tot_c").cast("double")
+    return (
+        rev.select(
+            "p_partkey",
+            "rev_c",
+            F.sum("rev_c").over(w).alias("cum_c"),
+            F.sum("rev_c").over(wall).alias("tot_c"),
+        )
+        .select(
+            "p_partkey",
+            (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+            share.alias("cum_share"),
+            F.when(share <= 0.7, "A")
+            .when(share <= 0.9, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )

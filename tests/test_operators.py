@@ -3519,3 +3519,24 @@ def test_kmv_jaccard_small_sets_exact_regime(spark):
     assert ab.kmv_jaccard == ab.exact_jaccard
     ac = got[("A", "C")]
     assert ac.n_inter == 0 and ac.kmv_jaccard == 0.0 and ac.exact_jaccard == 0.0
+
+
+def test_kcenter_coreset_greedy_trajectory(spark):
+    """Hand-checkable farthest-point walk: seed is the lowest id; the
+    first pick is the vector most dissimilar to the seed; every later
+    pick maximizes the min cosine distance to ALL selected so far."""
+    from refluxdb_spark.operators.sampling import kcenter_coreset
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.1]),    # near the seed
+        (2, [0.0, 1.0]),    # orthogonal -> farthest from seed
+        (3, [-1.0, 0.0]),   # opposite -> farthest overall
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.sel_round: r for r in kcenter_coreset(df, k=3).collect()}
+    assert got[0].vec_id == 0 and got[0].min_dist is None
+    # round 1: distances to seed — id3 at cos -1 (dist 2.0) wins
+    assert got[1].vec_id == 3 and got[1].min_dist == 2.0
+    # round 2: id2 (orthogonal to both, min dist 1.0) beats id1 (~0.005)
+    assert got[2].vec_id == 2 and got[2].min_dist == 1.0

@@ -277,6 +277,8 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # and exact-ranking lineage statically; identical exchanges
         # dedupe at runtime (same class as sim_ivfpq_recall)
         "sim_ivf_nprobe_sweep": 48,
+        "sample_kcenter_coreset": 0,    # rounds checkpointed; broadcast sel
+        "orders_abc_classification": 2, # part agg + part-dim running sum
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
