@@ -635,3 +635,85 @@ def test_keyframe_select_matches_python_replay(spark, grays, threshold):
             want[i] = lum
         prev = lum
     assert got == want
+
+
+@given(
+    sets=st.dictionaries(
+        st.sampled_from(["A", "B", "C"]),
+        st.sets(st.integers(0, 30), min_size=1, max_size=15),
+        min_size=2, max_size=3,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_kmv_jaccard_exact_regime_property(spark, sets):
+    """With k >= |union|, the KMV estimate must EQUAL the exact Jaccard
+    for every pair (the sketch's graceful-degradation contract), and
+    both must match the set-arithmetic replay."""
+    from refluxdb_spark.operators.sketches import kmv_jaccard_pairs
+
+    rows = [(g, v) for g, vs in sets.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r.group_a, r.group_b): r
+        for r in kmv_jaccard_pairs(df, "v", "g", k=64).collect()
+    }
+    names = sorted(sets)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            r = got[(a, b)]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            assert r.n_inter == inter
+            assert r.exact_jaccard == inter / union
+            assert r.union_k == union
+            assert r.kmv_jaccard == r.exact_jaccard
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1, max_size=12,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_harmonic_centrality_matches_bfs_replay(spark, edges):
+    """Harmonic centrality over arbitrary small digraphs equals a
+    brute-force per-root BFS replay with the same lcm-scaled integer
+    reciprocals — reachable counts and harmonic values both."""
+    from collections import deque
+
+    from refluxdb_spark.operators.graph import harmonic_centrality
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    )
+    got = {
+        r.node: (r.n_reachable, r.harmonic)
+        for r in harmonic_centrality(df, max_depth=6).collect()
+    }
+    adj: dict[str, list[str]] = {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(str(a), []).append(str(b))
+        nodes.update({str(a), str(b)})
+    hsum: dict[str, int] = {}
+    nreach: dict[str, int] = {}
+    for root in nodes:
+        dist = {root: 0}
+        q = deque([root])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 6:
+                continue
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for v, d in dist.items():
+            if d >= 1:
+                hsum[v] = hsum.get(v, 0) + 2520 // d
+                nreach[v] = nreach.get(v, 0) + 1
+    want = {v: (nreach[v], hsum[v] / 2520.0) for v in hsum}
+    assert got == want
