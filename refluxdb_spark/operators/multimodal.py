@@ -673,7 +673,11 @@ def keyframe_select(
     The delta rule is sequential per clip but frames of ONE clip ride
     one Arrow batch row — the recurrence never crosses rows, so this
     stays a map (zero shuffle), embarrassing-parallel across clips.
-    Returns (id, frame_idx, n_frames, mean_luma) for keyframes only."""
+    Returns (id, frame_idx, n_frames, mean_luma) for keyframes only;
+    the id field keeps the INPUT column's type (a string/uuid id flows
+    through instead of dying in Arrow conversion on a hardcoded
+    bigint)."""
+    id_type = df.schema[id_col].dataType.simpleString()
     src = df.select(
         F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload")
     )
@@ -729,5 +733,5 @@ def keyframe_select(
             )
 
     return src.mapInPandas(
-        _batches, "id bigint, frame_idx int, n_frames int, mean_luma double"
+        _batches, f"id {id_type}, frame_idx int, n_frames int, mean_luma double"
     )

@@ -1707,10 +1707,18 @@ def davies_bouldin(
     dist = F.lit(1.0) - F.round(
         _dot("_vi", "_vj") / (_norm("_vi") * _norm("_vj")), 6
     )
+    # dist rounds to exactly 0.0 when two centroids are near-duplicates
+    # (similarity rounds to 1.0); (s_i+s_j)/0 is engine-defined (inf vs
+    # NULL vs error), so zero-distance pairs are EXCLUDED from the max
+    # on both engines — a duplicated centroid pair reads as "no
+    # separation information", not as an infinite component. A cell
+    # whose every neighbor is zero-distance drops from the output (its
+    # DB component is undefined); the oracle applies the same filter.
     cd = (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("_i") != F.col("_j"))
         .select("_i", "_j", dist.alias("_dist"))
+        .filter(F.col("_dist") > 0)
     )
     si = scat.select(F.col("centroid_id").alias("_i"), F.col("scatter").alias("_si"))
     sj = scat.select(F.col("centroid_id").alias("_j"), F.col("scatter").alias("_sj"))

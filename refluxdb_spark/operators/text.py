@@ -1269,6 +1269,15 @@ def bm25_scores(
     from refluxdb_spark.operators.dedup import normalize_text
 
     terms = list(terms)
+    if not terms:
+        # an empty list would render the invalid expression
+        # "stack(0, )" and die in the SQL parser with an opaque error
+        raise ValueError("bm25 terms must be a non-empty list")
+    if len(set(terms)) != len(terms):
+        # a duplicated term would emit TWO stack rows per document,
+        # doubling its df_t and its summed contribution — a silently
+        # wrong score, so reject instead of dedupe
+        raise ValueError(f"bm25 terms must be unique, got {terms!r}")
     for t in terms:
         # terms are spliced into the stack() expression as literals
         if not _re.fullmatch(r"[a-z0-9]+", t):

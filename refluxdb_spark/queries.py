@@ -12809,11 +12809,14 @@ def dedup_decontaminate_spans(spark, sf_dir):
         FROM c a JOIN c b ON a.centroid_id != b.centroid_id
     ),
     ratio AS (
+        -- cd.dist > 0: zero-distance (duplicate) centroid pairs are
+        -- excluded on BOTH engines — division by 0.0 is engine-defined
         SELECT cd.i,
                round((si.scatter + sj.scatter) / cd.dist, 6) AS r
         FROM cd
         JOIN scat si ON cd.i = si.centroid_id
         JOIN scat sj ON cd.j = sj.centroid_id
+        WHERE cd.dist > 0
     ),
     comp AS (SELECT i AS centroid_id, max(r) AS db_component FROM ratio GROUP BY i)
     SELECT s.centroid_id, s.n_members, s.scatter, comp.db_component,

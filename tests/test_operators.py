@@ -3381,6 +3381,19 @@ def test_bm25_scores_hand_computed(spark):
     assert got[1].bm25 == pytest.approx(expected, abs=1e-6)
 
 
+def test_bm25_scores_rejects_empty_and_duplicate_terms(spark):
+    """An empty term list would render invalid 'stack(0, )' SQL and a
+    duplicated term would double its df and score — both rejected up
+    front with a clear error (ADVICE r16)."""
+    from refluxdb_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame([(1, "cat dog")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, terms=[])
+    with pytest.raises(ValueError, match="unique"):
+        bm25_scores(df, terms=["cat", "cat"])
+
+
 def test_perplexity_buckets_head_is_most_typical(spark):
     """Within one group, the doc built from the group's most common
     tokens lands in bucket 1 (CCNet 'head'); the rare-token doc lands
@@ -3479,6 +3492,38 @@ def test_davies_bouldin_tight_clusters_score_low(spark):
     assert got[0].db_component == pytest.approx(0.097631, abs=1e-6)
     assert got[0].db_index == got[1].db_index
     assert got[0].db_index == pytest.approx(0.097631, abs=1e-6)
+
+
+def test_davies_bouldin_zero_distance_pairs_are_skipped(spark):
+    """Duplicate centroids (cosine rounds to 1.0, distance 0.0) must
+    not divide by zero: zero-distance pairs are excluded from the max,
+    and a cell whose EVERY neighbor is zero-distance drops from the
+    output instead of erroring (ADVICE r16)."""
+    from refluxdb_spark.operators.similarity import davies_bouldin
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [2.0, 0.0]),  # same direction as vec 0 -> duplicate centroid
+        (2, [3.0, 0.0]),
+        (3, [4.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = davies_bouldin(df, num_centroids=2).collect()
+    assert got == []  # every centroid pair is zero-distance: no crash
+
+
+def test_keyframe_select_id_type_follows_input(spark):
+    """A string id flows through keyframe_select instead of dying in
+    Arrow conversion on a hardcoded bigint schema (ADVICE r16)."""
+    from refluxdb_spark.operators.multimodal import attach_media, keyframe_select
+
+    stream = _make_p6(2, 1, [[(40, 40, 40), (40, 40, 40)]])
+    df = spark.createDataFrame(
+        [("clip-a", stream)], "clip string, payload binary"
+    )
+    media = attach_media(df, "payload", "video/x-ppm-stream")
+    rows = keyframe_select(media, id_col="clip", fake=False).collect()
+    assert [(r.id, r.frame_idx) for r in rows] == [("clip-a", 0)]
 
 
 def test_harmonic_centrality_path_graph(spark):
