@@ -158,6 +158,7 @@ HEADLINE = [
     "dedup_decontaminate_spans",
     "sim_cluster_db_index",
     "graph_harmonic_trade",
+    "graph_harmonic_hyperball",
     "sketch_kmv_jaccard",
     "sim_ivf_nprobe_sweep",
     "sample_kcenter_coreset",
@@ -290,9 +291,15 @@ def main() -> None:
         calibration_py=calibration_py,
         calibration_end=calibration_end,
         adjudication=self_adjudication(
-            timings, calibration, os.path.dirname(os.path.abspath(__file__))
+            timings,
+            calibration,
+            os.path.dirname(os.path.abspath(__file__)),
+            calibration_end=calibration_end,
         ),
     )
+    # record this HEADLINE generation so FUTURE grown-registry rounds
+    # can still decode this run's compact line by name
+    save_names_registry()
     for line in lines:
         print(line)
     out = os.environ.get(
@@ -309,15 +316,61 @@ def names_digest(names: list[str]) -> str:
     return hashlib.md5(",".join(names).encode()).hexdigest()[:12]
 
 
-def decode_prev_artifact(path: str) -> tuple[dict[str, float], float | None]:
+NAMES_REGISTRY = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_headline_names.json"
+)
+
+
+def load_names_registry(path: str = NAMES_REGISTRY) -> dict[str, list[str]]:
+    """names_md5 -> HEADLINE name list, for every HEADLINE generation
+    that ever ran bench on this repo. The compact stdout line is too
+    size-constrained to carry ~114 names (the driver captures a ~2000
+    char tail), so the names live in this committed registry instead:
+    a grown-HEADLINE round can still decode the PREVIOUS round's
+    compact values by that round's own name order and intersect by
+    name (VERDICT r16 item 2 — r16's calibrated_vs_prev stamped null
+    exactly when the registry grew, the round that most needed it).
+    The current list is always unioned in, so a missing/stale file
+    only loses CROSS-generation decode, never same-generation."""
+    reg: dict[str, list[str]] = {}
+    try:
+        with open(path) as fh:
+            loaded = json.load(fh)
+        if isinstance(loaded, dict):
+            reg = {
+                k: [str(n) for n in v]
+                for k, v in loaded.items()
+                if isinstance(v, list)
+            }
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
+    reg[names_digest(HEADLINE)] = list(HEADLINE)
+    return reg
+
+
+def save_names_registry(path: str = NAMES_REGISTRY) -> None:
+    """Merge the current HEADLINE generation into the registry file
+    (append-on-change: old generations are kept so their artifacts
+    stay decodable)."""
+    reg = load_names_registry(path)
+    with open(path, "w") as fh:
+        json.dump(reg, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
+def decode_prev_artifact(
+    path: str, names_registry: dict[str, list[str]] | None = None
+) -> tuple[dict[str, float], float | None]:
     """Minimal decoder for a prior round's BENCH artifact (driver tail
     or full record): (timings, last calibration_sec). Timings come from
-    the LAST compact line whose names_md5 matches the CURRENT HEADLINE
-    (last-wins, pairing the final run's timings with the final run's
-    probe); a stale-digest artifact decodes to ({}, ...) and the caller
-    skips self-adjudication rather than compare across list drift."""
+    the LAST compact line whose names_md5 resolves — against the
+    CURRENT HEADLINE or any generation in the committed names registry
+    — (last-wins, pairing the final run's timings with the final run's
+    probe); an unresolvable digest decodes to ({}, ...) and the caller
+    skips self-adjudication rather than guess across list drift."""
     import re as _re
 
+    registry = names_registry if names_registry is not None else load_names_registry()
     text = open(path).read()
     try:
         d = json.loads(text)
@@ -339,11 +392,11 @@ def decode_prev_artifact(path: str) -> tuple[dict[str, float], float | None]:
         if (
             isinstance(rec, dict)
             and rec.get("metric") == "headline_query_times_compact"
-            and rec.get("names_md5") == names_digest(HEADLINE)
-            and len(rec.get("values", [])) == len(HEADLINE)
         ):
-            timings = dict(zip(HEADLINE, (float(v) for v in rec["values"])))
-            break
+            names = registry.get(rec.get("names_md5", ""))
+            if names is not None and len(rec.get("values", [])) == len(names):
+                timings = dict(zip(names, (float(v) for v in rec["values"])))
+                break
     hits = _re.findall(r'"calibration_sec": ([0-9.]+)', text)
     return timings, (float(hits[-1]) if hits else None)
 
@@ -361,7 +414,10 @@ def prev_round_artifact(repo_dir: str) -> str | None:
 
 
 def self_adjudication(
-    timings: dict[str, float], calibration: float, repo_dir: str
+    timings: dict[str, float],
+    calibration: float,
+    repo_dir: str,
+    calibration_end: float | None = None,
 ) -> dict:
     """Fields that let an archived artifact adjudicate ITSELF (VERDICT
     r15 item 5 — r15's raw 1.13x was a calibrated 0.94x, but the raw
@@ -370,8 +426,21 @@ def self_adjudication(
 
     - ``calibrated_vs_prev``: this run's probe-normalized common-query
       total over the newest committed BENCH_r{N}; null when no prior
-      artifact decodes against the current HEADLINE or a probe is
-      missing — absence is explicit, never inferred.
+      artifact decodes (against the current HEADLINE or any registry
+      generation — survives HEADLINE growth via the committed names
+      registry) or a probe is missing — absence is explicit, never
+      inferred.
+    - ``raw_vs_prev`` / ``common_n``: the UNCALIBRATED common-query
+      ratio and how many queries it covers — the number that stays
+      stable when the probe itself is noisy (VERDICT r16: same-code
+      probes spread 0.32-0.44s, larger than any drift measured, so the
+      calibrated ratio alone flip-flopped 0.92x/1.28x).
+    - ``probe_spread_pct`` / ``calibrated_noise_dominated``: the
+      session's own start-vs-end probe disagreement, and whether it
+      EXCEEDS the raw delta being measured — when true, the archived
+      artifact itself says "headline the raw + byte numbers; the
+      calibrated ratio is probe noise", instead of leaving that
+      adjudication to a future reader with a fifth re-run.
     - ``prev_artifact``: which artifact the ratio is against.
     - ``byte_gate_md5``: 12-hex digest of the committed exchange-bytes
       gate profile in force when this bench ran, so the byte claim of
@@ -380,12 +449,20 @@ def self_adjudication(
     """
     out: dict = {
         "calibrated_vs_prev": None,
+        "raw_vs_prev": None,
+        "common_n": 0,
+        "probe_spread_pct": None,
+        "calibrated_noise_dominated": None,
         "prev_artifact": None,
         "byte_gate_md5": None,
     }
     gate = os.path.join(repo_dir, "scripts", "exchange_profile_sf001.json")
     if os.path.exists(gate):
         out["byte_gate_md5"] = hashlib.md5(open(gate, "rb").read()).hexdigest()[:12]
+    if calibration and calibration > 0 and calibration_end and calibration_end > 0:
+        out["probe_spread_pct"] = round(
+            abs(calibration_end - calibration) / calibration * 100.0, 1
+        )
     prev = prev_round_artifact(repo_dir)
     if prev is None:
         return out
@@ -401,7 +478,13 @@ def self_adjudication(
     if tb <= 0:
         return out
     out["prev_artifact"] = prev
+    out["common_n"] = len(common)
+    out["raw_vs_prev"] = round(tn / tb, 3)
     out["calibrated_vs_prev"] = round((tn / calibration) / (tb / prev_cal), 3)
+    if out["probe_spread_pct"] is not None:
+        out["calibrated_noise_dominated"] = (
+            out["probe_spread_pct"] / 100.0 > abs(tn / tb - 1.0)
+        )
     return out
 
 

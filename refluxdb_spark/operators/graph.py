@@ -718,3 +718,106 @@ def harmonic_centrality(
             (F.col("_h").cast("double") / F.lit(float(scale))).alias("harmonic"),
         )
     )
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 10,
+    p: int = 8,
+) -> DataFrame:
+    """HyperBall approximate harmonic centrality (Boldi & Vigna,
+    "In-Core Computation of Geometric Centralities with HyperBall",
+    2013) — the WEB-SCALE path ``harmonic_centrality``'s docstring
+    declares: instead of the exact all-pairs (root, node) relation
+    (node²-bounded), every node carries ONE mergeable HLL register set
+    summarizing its in-ball B(v, t) = {u : d(u -> v) <= t}, and
+
+        H(v) ~= sum over t of (|B(v, t)| - |B(v, t-1)|) / t
+
+    integrates the estimated ball growth. State is register-bounded —
+    at most ``m = 2^p`` rows per node, REGARDLESS of how many nodes
+    reach v — so 100 TB graphs pay n*m state where the exact form pays
+    n².
+
+    Per iteration: each edge (u, v) forwards u's registers to v (one
+    shuffle of at most |E| * m̄ rows, m̄ = occupied registers, capped by
+    both ball size and m), then one map-side-combined MAX per
+    (node, bucket) — the HLL merge property. Convergence is detected
+    from the monotone state ((row count, rho sum) strictly grows under
+    any register change — both from the same cheap aggregate), so
+    ``max_depth`` is a diameter bound, not a cost floor; the exact-0
+    contribution of post-convergence depths means early exit is
+    EXACT, not approximate.
+
+    Determinism: registers are md5-derived integers (engine-invariant,
+    ``sketches.hll_registers``); ball sizes come from the
+    LinearCounting-corrected estimator rounded to 6 digits
+    (``sketches.hll_estimate_corrected_from_registers`` — raw HLL
+    floors at ~0.72m, so ball DIFFERENCES need the small-range
+    switch); the harmonic sum is a FIXED left-to-right expression over
+    the per-depth estimate columns, never a shuffle-ordered double
+    sum. The exact ``harmonic_centrality`` is this operator's oracle
+    on dimension-sized graphs (the ``sim_ivf_recall`` pattern).
+
+    Returns ``(node, n_ball, harmonic_hb)``: n_ball = estimated
+    |B(v, T)| including v itself; harmonic_hb ~= H(v), 0.0 for nodes
+    nothing reaches."""
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    from refluxdb_spark.operators.sketches import (
+        hll_estimate_corrected_from_registers,
+        hll_registers,
+    )
+
+    state = hll_registers(nodes, "node", p=p, by=["node"]).localCheckpoint(
+        eager=True
+    )
+
+    def _sig(s: DataFrame) -> tuple:
+        r = s.agg(
+            F.count(F.lit(1)).alias("c"), F.sum("rho_max").alias("r")
+        ).collect()[0]
+        return (r["c"], r["r"])
+
+    def _est(s: DataFrame, t: int) -> DataFrame:
+        return hll_estimate_corrected_from_registers(s, p=p, by=["node"]).select(
+            "node", F.col("hll_estimate").alias(f"_e{t}")
+        )
+
+    ests = [_est(state, 0)]
+    sig = _sig(state)
+    for t in range(1, max_depth + 1):
+        prop = (
+            edges.join(state.withColumnRenamed("node", src), src)
+            .select(F.col(dst).alias("node"), "bucket", "rho_max")
+        )
+        new_state = (
+            state.union(prop)
+            .groupBy("node", "bucket")
+            .agg(F.max("rho_max").alias("rho_max"))
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(new_state)
+        if new_sig == sig:
+            break  # no register moved: every later depth contributes 0
+        state, sig = new_state, new_sig
+        ests.append(_est(state, t))
+    edges.unpersist()
+    wide = ests[0]
+    for t in range(1, len(ests)):
+        wide = wide.join(ests[t], "node")
+    hb = F.lit(0.0)
+    for t in range(1, len(ests)):
+        hb = hb + (F.col(f"_e{t}") - F.col(f"_e{t - 1}")) / F.lit(float(t))
+    last = f"_e{len(ests) - 1}"
+    return wide.select(
+        "node",
+        F.col(last).alias("n_ball"),
+        F.round(hb, 6).alias("harmonic_hb"),
+    )

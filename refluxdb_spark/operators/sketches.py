@@ -115,6 +115,55 @@ def hll_estimate_from_registers(
     )
 
 
+def hll_estimate_corrected_from_registers(
+    regs: DataFrame,
+    p: int = 8,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """HLL estimate with Flajolet's LinearCounting small-range switch:
+    when the raw harmonic-mean estimate is <= 2.5m and at least one
+    register is empty, register OCCUPANCY is the better statistic and
+    the estimate becomes ``m * ln(m / V)`` with ``V = m - occupied``
+    (exact integers into one IEEE ln). Raw HLL floors at ~0.72m for
+    tiny sets — useless for ball-size DIFFERENCES, which is exactly
+    what HyperBall (``graph.hyperball_harmonic``) integrates, so that
+    operator routes through this estimator. Rounded to 6 digits so a
+    1-ulp libm ``ln`` difference between engines cannot surface; the
+    raw branch is rounded identically so the output column has ONE
+    precision contract. Same merge discipline as
+    ``hll_estimate_from_registers``: estimate AFTER max-merging."""
+    by = by or []
+    m = 1 << p
+    rbits = _HASH_BITS - p
+    scale = 1 << (rbits + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    term = F.expr(f"cast(shiftleft(cast(1 as bigint), {rbits + 1} - rho_max) as bigint)")
+    raw = (
+        F.lit(alpha) * F.lit(float(m)) * F.lit(float(m)) * F.lit(float(scale))
+        / (
+            F.col("_occ_sum") + (F.lit(m) - F.col("_occ_n")) * F.lit(scale)
+        ).cast("double")
+    )
+    linear = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / (F.lit(m) - F.col("_occ_n")).cast("double")
+    )
+    return (
+        regs.groupBy(*by)
+        .agg(
+            F.sum(term).alias("_occ_sum"),
+            F.count(F.lit(1)).alias("_occ_n"),
+        )
+        .withColumn(
+            "hll_estimate",
+            F.when(
+                (raw <= F.lit(2.5 * m)) & (F.col("_occ_n") < F.lit(m)),
+                F.round(linear, 6),
+            ).otherwise(F.round(raw, 6)),
+        )
+        .drop("_occ_sum", "_occ_n")
+    )
+
+
 def countmin_counters(
     df: DataFrame,
     col: str,

@@ -12879,6 +12879,127 @@ def graph_harmonic_trade(spark, sf_dir):
 
 
 @register(
+    "graph_harmonic_hyperball",
+    f"""
+    WITH RECURSIVE {_TRADE_EDGES_SPARSE_SQL.strip()},
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    walk(root, node, depth) AS (
+        SELECT node, node, 0 FROM nodes
+        UNION
+        SELECT w.root, e.dst, w.depth + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.depth < 6
+    ),
+    d AS (
+        SELECT root, node, CAST(min(depth) AS BIGINT) AS dist
+        FROM walk GROUP BY root, node
+    ),
+    ex AS (
+        SELECT node,
+               CAST(count(*) AS BIGINT) AS n_reachable,
+               CAST(CAST(sum(2520 // dist) AS BIGINT) AS DOUBLE) / 2520.0
+                   AS harmonic
+        FROM d WHERE dist >= 1 GROUP BY node
+    ),
+    -- HyperBall replay: the ball of v at radius t is {{u : d(u,v) <= t}};
+    -- its HLL registers are the per-(t, v, bucket) MAX over the members'
+    -- md5-derived rho — identical integers to sketches.hll_registers
+    regs AS (
+        SELECT ts.t, d.node AS v,
+               CAST(concat('0x', substr(md5(d.root), 1, 15)) AS BIGINT) % 256
+                   AS bucket,
+               max(CASE WHEN CAST(concat('0x', substr(md5(d.root), 1, 15))
+                              AS BIGINT) // 256 = 0
+                        THEN 53
+                        ELSE 53 - length(printf('%b',
+                             CAST(concat('0x', substr(md5(d.root), 1, 15))
+                                  AS BIGINT) // 256)) END) AS rho_max
+        FROM d CROSS JOIN (SELECT unnest(range(7)) AS t) ts
+        WHERE d.dist <= ts.t
+        GROUP BY ts.t, d.node, bucket
+    ),
+    folded AS (
+        SELECT t, v,
+               CAST(sum(CAST(1 AS BIGINT) << (53 - rho_max)) AS BIGINT)
+                   AS occ_sum,
+               CAST(count(*) AS BIGINT) AS occ_n
+        FROM regs GROUP BY t, v
+    ),
+    este AS (
+        SELECT t, v,
+               CASE WHEN raw <= 640.0 AND occ_n < 256
+                    THEN round(256.0 * ln(256.0 / CAST(256 - occ_n AS DOUBLE)), 6)
+                    ELSE round(raw, 6) END AS est
+        FROM (
+            SELECT t, v, occ_n,
+                   0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                       * 9007199254740992.0
+                       / CAST(occ_sum + (256 - occ_n) * 9007199254740992
+                              AS DOUBLE) AS raw
+            FROM folded
+        )
+    ),
+    wide AS (
+        SELECT v AS node,
+               max(CASE WHEN t = 0 THEN est END) AS e0,
+               max(CASE WHEN t = 1 THEN est END) AS e1,
+               max(CASE WHEN t = 2 THEN est END) AS e2,
+               max(CASE WHEN t = 3 THEN est END) AS e3,
+               max(CASE WHEN t = 4 THEN est END) AS e4,
+               max(CASE WHEN t = 5 THEN est END) AS e5,
+               max(CASE WHEN t = 6 THEN est END) AS e6
+        FROM este GROUP BY v
+    ),
+    hb AS (
+        SELECT node, e6 AS n_ball,
+               round((e1 - e0) / 1.0 + (e2 - e1) / 2.0 + (e3 - e2) / 3.0
+                     + (e4 - e3) / 4.0 + (e5 - e4) / 5.0 + (e6 - e5) / 6.0,
+                     6) AS harmonic_hb
+        FROM wide
+    )
+    SELECT hb.node,
+           CAST(coalesce(ex.n_reachable, 0) AS BIGINT) AS n_reachable,
+           coalesce(ex.harmonic, 0.0) AS harmonic_exact,
+           hb.n_ball, hb.harmonic_hb,
+           round(abs(hb.harmonic_hb - coalesce(ex.harmonic, 0.0)), 6) AS abs_err
+    FROM hb LEFT JOIN ex USING (node)
+    """,
+)
+def graph_harmonic_hyperball(spark, sf_dir):
+    """HyperBall approximate harmonic centrality (operators.graph.
+    hyperball_harmonic; Boldi & Vigna 2013) next to its exact oracle —
+    the web-scale path harmonic_centrality's docstring declares, now
+    built and QUALITY-GATED the sim_ivf_recall way: per node, the
+    register-bounded HLL-ball estimate AND the exact all-pairs value
+    AND their absolute error in one row. State is n x m registers
+    (never node²); per depth one edge-scan shuffle + one map-side MAX.
+    The DuckDB oracle replays the ball growth from the recursive
+    distance relation through the SAME md5 registers and
+    LinearCounting-corrected estimate — both engines integrate
+    identical round-6 ball sizes."""
+    from refluxdb_spark.operators import graph as G
+
+    edges = _trade_edges_sparse(spark, sf_dir)
+    hb = G.hyperball_harmonic(edges, max_depth=6, p=8)
+    ex = G.harmonic_centrality(edges, max_depth=6)
+    return hb.join(ex, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_reachable"), F.lit(0)).cast("bigint").alias(
+            "n_reachable"
+        ),
+        F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic_exact"),
+        "n_ball",
+        "harmonic_hb",
+        F.round(
+            F.abs(F.col("harmonic_hb") - F.coalesce(F.col("harmonic"), F.lit(0.0))),
+            6,
+        ).alias("abs_err"),
+    )
+
+
+@register(
     "sketch_kmv_jaccard",
     """
     WITH h AS (

@@ -112,7 +112,42 @@ TIERS: dict[int, list[str]] = {
         "sketch_kmv_jaccard", "graph_harmonic_trade",
         "sim_cluster_db_index",
     ],
+    8: [  # r17: HyperBall — the registry query runs on the node-FIXED
+        # trade graph (cost is the edge extraction); the production
+        # probe below runs on the factor-sized co-purchase part graph,
+        # where the exact all-pairs form would be node²-bounded and
+        # the register-bounded claim is the thing under test
+        "graph_harmonic_hyperball",
+        ("hyperball_parts_prod", "lineitem", "_hyperball_parts_prod"),
+    ],
 }
+
+
+def _hyperball_parts_prod(spark, sf_dir):
+    """hyperball_harmonic over the FACTOR-SIZED co-purchase part graph
+    (the graph_kcore_parts edge relation, symmetrized): per-node state
+    is at most m=256 HLL registers regardless of how many parts reach
+    it, so 10x parts should cost ~10x bytes — the exact all-pairs
+    harmonic would carry a (root, node) relation growing with reachable
+    PAIRS (the declared node² ceiling hyperball removes)."""
+    from refluxdb_spark.operators import graph as G
+    from refluxdb_spark.queries import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_sup"))
+        .filter(F.col("_sup") >= 2)
+        .select("pa", "pb")
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).union(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    return G.hyperball_harmonic(edges, max_depth=4, p=8)
 
 # (query name, table the factor applies to, callable or None=QUERIES[name])
 MEASURED = [
@@ -253,7 +288,18 @@ def main() -> None:
                   file=sys.stderr)
             sys.exit(2)
         tier = int(args[1])
-        measured = MEASURED if tier == 1 else [(q, "", None) for q in TIERS[tier]]
+        if tier == 1:
+            measured = MEASURED
+        else:
+            # tier entries are registry-query names, or (name, table,
+            # "_callable_name") tuples for production-sized probes not
+            # registered in QUERIES (resolved here because TIERS is
+            # defined above the probe functions)
+            measured = [
+                (q[0], q[1], globals()[q[2]]) if isinstance(q, tuple)
+                else (q, "", None)
+                for q in TIERS[tier]
+            ]
         args = args[2:]
     # reject unknown --flags and non-integer factors with usage, not a
     # traceback through int() (same class as the bench_compare fix)

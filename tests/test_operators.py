@@ -3494,6 +3494,56 @@ def test_davies_bouldin_tight_clusters_score_low(spark):
     assert got[0].db_index == pytest.approx(0.097631, abs=1e-6)
 
 
+def test_hll_corrected_estimate_tracks_small_cardinalities(spark):
+    """LinearCounting switch: for n << m the corrected estimate is
+    within ~15% of n (raw HLL floors at ~0.72*m ~ 185 and never
+    resolves small sets); large sets still route to the raw branch."""
+    from refluxdb_spark.operators.sketches import (
+        hll_estimate_corrected_from_registers,
+        hll_registers,
+    )
+
+    small = spark.range(10).select(F.col("id").cast("string").alias("v"))
+    est = hll_estimate_corrected_from_registers(
+        hll_registers(small, "v", p=8), p=8
+    ).collect()[0]["hll_estimate"]
+    assert 8.0 <= est <= 12.0  # raw HLL would report ~185 here
+    big = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    est_big = hll_estimate_corrected_from_registers(
+        hll_registers(big, "v", p=8), p=8
+    ).collect()[0]["hll_estimate"]
+    assert 4000.0 <= est_big <= 6000.0
+
+
+def test_hyperball_harmonic_approximates_exact(spark):
+    """HyperBall on the path a->b->c: H(a)=0 exactly (no register ever
+    reaches it, so every depth contributes exactly 0), H(b)~1 and
+    H(c)~1.5 within LinearCounting error; early convergence (diameter
+    2 << max_depth 6) must not change values. Also pins convergence
+    early-exit: state for t>2 is identical so the loop breaks."""
+    from refluxdb_spark.operators.graph import (
+        harmonic_centrality,
+        hyperball_harmonic,
+    )
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r.node: r for r in hyperball_harmonic(df, max_depth=6).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"].harmonic_hb == 0.0
+    assert got["b"].harmonic_hb == pytest.approx(1.0, abs=0.05)
+    assert got["c"].harmonic_hb == pytest.approx(1.5, abs=0.05)
+    # the ball estimate includes the node itself
+    assert got["c"].n_ball == pytest.approx(3.0, abs=0.1)
+    # exact twin agrees on who is reachable
+    ex = {r.node: r for r in harmonic_centrality(df, max_depth=6).collect()}
+    assert set(ex) == {"b", "c"}
+    # determinism: a second run reproduces bit-identical values
+    again = {r.node: r for r in hyperball_harmonic(df, max_depth=6).collect()}
+    assert {n: r.harmonic_hb for n, r in again.items()} == {
+        n: r.harmonic_hb for n, r in got.items()
+    }
+
+
 def test_davies_bouldin_zero_distance_pairs_are_skipped(spark):
     """Duplicate centroids (cosine rounds to 1.0, distance 0.0) must
     not divide by zero: zero-distance pairs are excluded from the max,

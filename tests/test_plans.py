@@ -269,6 +269,10 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # count re-walks the shared assignment lineage
         "sim_cluster_db_index": 8,
         "graph_harmonic_trade": 1,      # per-round frontiers checkpointed
+        # one register-fold agg per materialized depth (states are
+        # checkpointed; the trade graph converges by depth ~5) + the
+        # node-sized wide join; budget covers max_depth=6 convergence
+        "graph_harmonic_hyperball": 12,
         # sketch state is k x groups rows; static count re-walks the
         # shared distinct/state lineage across the pair branches and
         # the exact-oracle side (ReusedExchange at runtime)
