@@ -140,6 +140,122 @@ def _decode_bmp24(b: bytes):
     return w, h, bgr[:, ::-1]  # BGR -> RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+class UnsupportedFlavorError(ValueError):
+    """A payload whose format is recognized but whose FLAVOR the
+    stdlib tier doesn't cover (palette/16-bit/interlaced PNG) — the
+    caller falls through to the codec tier. Distinct from plain
+    ValueError (corrupt data), which must surface as a decode error,
+    not masquerade as a missing codec."""
+
+
+def _unfilter_png(raw: bytes, w: int, h: int, ch: int):
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth, chosen per row by a leading filter byte) on the decompressed
+    IDAT stream. Returns a uint8 array shaped (h, w*ch). Up/None rows
+    vectorize; Sub/Average/Paeth carry an in-row recurrence, so those
+    rows run a per-byte Python loop — fine for the thumbnail-scale
+    payloads this tier decodes, and a documented numpy-vectorization
+    TODO beyond it."""
+    import numpy as np
+
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).copy()
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = line + prev  # uint8 wraps mod 256, per spec
+        elif f in (1, 3, 4):
+            cur = line
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0  # left
+                bb = int(prev[i])  # up
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + bb) // 2
+                else:  # Paeth
+                    c = int(prev[i - ch]) if i >= ch else 0  # up-left
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else bb if pb <= pc else c
+                cur[i] = (int(cur[i]) + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {f} is invalid")
+        out[r] = cur
+        prev = out[r]
+    return out
+
+
+def _decode_png(b: bytes):
+    """Pure stdlib+numpy decode of an 8-bit non-interlaced PNG
+    (grayscale, truecolor, or either +alpha) — ``zlib`` IS stdlib, so
+    the most common web image format decodes with zero external deps:
+    parse IHDR, concatenate IDAT, inflate, reverse scanline filters.
+    Returns (width, height, float64 RGB array shaped (h*w, 3)); alpha
+    is dropped, gray replicates to RGB. Raises ValueError for
+    palette/16-bit/interlaced flavors (the caller falls through to the
+    codec tier) and for corrupt files (bad chunk layout, truncated or
+    checksum-failing IDAT — ``zlib.decompress`` verifies adler32)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG file")
+    pos, w, h, colort, idat = 8, None, None, None, []
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("PNG chunk truncated")
+        if ctype == b"IHDR":
+            if ln != 13:
+                raise ValueError("PNG IHDR length invalid")
+            w, h, bitd, colort, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bitd != 8 or colort not in (0, 2, 4, 6) or comp or filt or inter:
+                raise UnsupportedFlavorError(
+                    "only 8-bit non-interlaced gray/truecolor(+alpha) PNG "
+                    "is stdlib-decodable"
+                )
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if w == 0 or h == 0:
+        raise ValueError("PNG has zero dimension")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT stream corrupt: {e}") from None
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[colort]
+    px = _unfilter_png(raw, w, h, ch).reshape(h * w, ch).astype(np.float64)
+    if ch == 1:
+        rgb = np.repeat(px, 3, axis=1)
+    elif ch == 2:
+        rgb = np.repeat(px[:, :1], 3, axis=1)  # gray+alpha: drop alpha
+    else:
+        rgb = px[:, :3]  # RGB / RGBA: drop alpha
+    return w, h, rgb
+
+
 def _resize_p6(b: bytes, scale: float) -> tuple[int, int, bytes]:
     """Stdlib-tier resize of one P6 PPM: nearest-neighbor sampling
     (deterministic — no filter kernels to disagree about), re-encoded
@@ -199,12 +315,22 @@ def image_features(
                     return _decode_bmp24(b)
                 except ValueError:
                     pass  # exotic BMP flavor -> codec tier
+            if b[:8] == _PNG_MAGIC:
+                try:
+                    return _decode_png(b)
+                except UnsupportedFlavorError:
+                    pass  # palette/16-bit/interlaced -> codec tier
+                # a CORRUPT PNG (truncated chunk, failing adler32)
+                # raises ValueError through here — the dead-letter
+                # contract: magic said PNG, so falling through to
+                # "needs Pillow" would mislabel bad data as a
+                # missing codec
             if Image is None:
                 raise NotImplementedError(
                     "image decoding beyond the stdlib tier (P6 PPM, "
-                    "uncompressed 24-bit BMP) requires Pillow (not "
-                    "installed on the executors); pass fake=True for the "
-                    "deterministic stub"
+                    "uncompressed 24-bit BMP, 8-bit gray/truecolor PNG) "
+                    "requires Pillow (not installed on the executors); "
+                    "pass fake=True for the deterministic stub"
                 ) from None
             return None  # codec tier
 

