@@ -161,6 +161,7 @@ HEADLINE = [
     "graph_harmonic_trade",
     "graph_harmonic_hyperball",
     "sketch_kmv_jaccard",
+    "sketch_quantile_sample",
     "sim_ivf_nprobe_sweep",
     "sample_kcenter_coreset",
     "orders_abc_classification",

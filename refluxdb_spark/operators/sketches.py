@@ -421,6 +421,125 @@ def kmv_merge(
     )
 
 
+def quantile_sample_state(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    k: int = 256,
+    by: list[str] | None = None,
+    fanin: int = 64,
+) -> DataFrame:
+    """Mergeable quantile-sketch state: the rows whose 60-bit md5 key
+    hashes are the k smallest per group — (by..., rank, h, v).
+
+    This is the hash-sample answer to KLL (Karnin-Lang-Liberty, FOCS
+    2016) / t-digest: those get better space-accuracy trade-offs from
+    RANDOMIZED or insertion-order-dependent compactions, which makes
+    their state partition-layout-dependent — two cluster runs (or two
+    engines) produce different sketches, so neither can be
+    value-oracled. Bottom-k-by-hash is the deterministic, order-FREE
+    point in that design space: the retained rows are a uniform random
+    sample (hash order is value-independent), giving
+    distribution-independent rank error O(sqrt(q(1-q)/k)) — worse
+    space for a target error than KLL's O((1/eps)·loglog), but
+    engine-invariant, exactly mergeable, and testable bit-for-bit,
+    the same trade every sketch in this module makes.
+
+    Scale: bottom-k is computed in TWO levels — per-(group, salt)
+    bottom-k over ``fanin`` salt buckets, then bottom-k of the
+    fanin*k survivors — so no single sort ever sees a whole 100 TB
+    group; level 1 sorts hash-partitioned slices, level 2 sorts k*fanin
+    rows. Exactly equal to a single global bottom-k (any global
+    bottom-k row is its salt bucket's bottom-k too — the mergeability
+    property). Merge of per-day/per-partition states:
+    ``quantile_sample_merge``."""
+    by = by or []
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    base = df.select(*by, h.alias("h"), F.col(value_col).alias("v"))
+    w1 = Window.partitionBy(
+        *[F.col(c) for c in by], F.col("_salt")
+    ).orderBy(F.col("h").asc(), F.col("v").asc())
+    lvl1 = (
+        base.withColumn("_salt", F.pmod(F.col("h"), F.lit(fanin)))
+        .withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= k)
+        .drop("_salt", "_rk")
+    )
+    w2 = Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)]).orderBy(
+        F.col("h").asc(), F.col("v").asc()
+    )
+    return (
+        lvl1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(*by, "rank", "h", "v")
+    )
+
+
+def quantile_sample_merge(
+    states: DataFrame,
+    k: int = 256,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Merge quantile-sample states (union of any number of
+    ``quantile_sample_state`` outputs): distinct (h, v) rows, re-take
+    the k hash-smallest per group — EXACTLY the state one pass over
+    the combined data would produce (rows present in several states
+    share their hash and collapse), the same contract as
+    ``kmv_merge``."""
+    by = by or []
+    d = states.select(*by, "h", "v").distinct()
+    w = Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)]).orderBy(
+        F.col("h").asc(), F.col("v").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*by, "rank", "h", "v")
+    )
+
+
+def quantile_sample_values(
+    state: DataFrame,
+    qs: list[float],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a (by..., h, v) relation: rank the
+    retained values (tiebreak by hash — fully deterministic), pick the
+    row at index ``max(1, ceil(q * s))`` per quantile. Works on a
+    SKETCH state (estimates) or on the full base relation (the exact
+    twin, for quality gates) — the rule is the same, so estimate and
+    truth differ only by sampling. Returns (by..., q, n_state, value);
+    q is exposed as a double on both engines."""
+    by = by or []
+    w = Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)]).orderBy(
+        F.col("v").asc(), F.col("h").asc()
+    )
+    cw = Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)])
+    ranked = (
+        state.select(*by, "h", "v")
+        .withColumn("_vr", F.row_number().over(w))
+        .withColumn("_s", F.count(F.lit(1)).over(cw))
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        ranked.select(*by, "_vr", "_s", "v", F.explode(qarr).alias("q"))
+        .filter(
+            F.col("_vr")
+            == F.greatest(
+                F.lit(1).cast("bigint"),
+                F.ceil(F.col("q") * F.col("_s")).cast("bigint"),
+            )
+        )
+        .select(
+            *by,
+            "q",
+            F.col("_s").cast("bigint").alias("n_state"),
+            F.col("v").alias("value"),
+        )
+    )
+
+
 def ams_f2_estimate(
     df: DataFrame,
     key_col: str,

@@ -13091,6 +13091,97 @@ def graph_harmonic_hyperball(spark, sf_dir):
 
 
 @register(
+    "sketch_quantile_sample",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h,
+               value AS v
+        FROM events
+    ),
+    state AS (
+        SELECT event_type, h, v FROM (
+            SELECT event_type, h, v,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h, v) AS rk
+            FROM base
+        ) WHERE rk <= 128
+    ),
+    qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+    ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vr,
+               count(*) OVER (PARTITION BY event_type) AS s
+        FROM state
+    ),
+    est AS (
+        SELECT r.event_type, qs.q, CAST(r.s AS BIGINT) AS n_state,
+               r.v AS est_value
+        FROM ranked r JOIN qs
+          ON r.vr = greatest(CAST(1 AS BIGINT),
+                             CAST(ceil(qs.q * r.s) AS BIGINT))
+    ),
+    exact_ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vr,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ),
+    exact AS (
+        SELECT e.event_type, qs.q, e.v AS exact_value
+        FROM exact_ranked e JOIN qs
+          ON e.vr = greatest(CAST(1 AS BIGINT),
+                             CAST(ceil(qs.q * e.n) AS BIGINT))
+    )
+    SELECT est.event_type, est.q, est.n_state, est.est_value,
+           exact.exact_value,
+           round(abs(est.est_value - exact.exact_value), 6) AS abs_err
+    FROM est JOIN exact
+      ON est.event_type = exact.event_type AND est.q = exact.q
+    """,
+)
+def sketch_quantile_sample(spark, sf_dir):
+    """Mergeable quantile sketch with its exact twin in one row
+    (operators.sketches.quantile_sample_*): per event type, the
+    bottom-128-by-hash row sample estimates q10/q50/q90/q99 of value,
+    reported next to the exact same-rule quantile over ALL rows and
+    the absolute error — the KLL/t-digest slot filled with the
+    deterministic, engine-invariant, exactly-mergeable point in that
+    design space (randomized compactions cannot be value-oracled; a
+    uniform hash sample can). The sketch state is k rows per group
+    built in two salt levels so no global sort ever sees the full
+    relation; merge ≡ single-pass is property-tested."""
+    from refluxdb_spark.operators import sketches as K
+
+    e = load(spark, sf_dir, "events")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    state = K.quantile_sample_state(
+        e, "value", ["event_id"], k=128, by=["event_type"]
+    )
+    est = K.quantile_sample_values(state, qs, by=["event_type"]).select(
+        "event_type", "q", "n_state", F.col("value").alias("est_value")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    base = e.select("event_type", h.alias("h"), F.col("value").alias("v"))
+    exact = K.quantile_sample_values(base, qs, by=["event_type"]).select(
+        "event_type", "q", F.col("value").alias("exact_value")
+    )
+    return est.join(exact, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "n_state",
+        "est_value",
+        "exact_value",
+        F.round(F.abs(F.col("est_value") - F.col("exact_value")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+@register(
     "sketch_kmv_jaccard",
     """
     WITH h AS (

@@ -120,6 +120,9 @@ TIERS: dict[int, list[str]] = {
         # the register-bounded claim is the thing under test
         "graph_harmonic_hyperball",
         ("hyperball_parts_prod", "lineitem", "_hyperball_parts_prod"),
+        # r17: two-level bottom-k sketch — level 1 sorts salt slices,
+        # level 2 sorts k*fanin rows; cost should track the scan
+        "sketch_quantile_sample",
     ],
 }
 

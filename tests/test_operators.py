@@ -2268,6 +2268,69 @@ def test_kmv_merge_equals_global(spark):
     assert whole.collect()[0]["kmv_estimate"] == merged.collect()[0]["kmv_estimate"]
 
 
+def test_quantile_sample_merge_equals_global(spark):
+    """quantile_sample merge property: the union of two partitions'
+    states, re-taken k-hash-smallest, is EXACTLY the single-pass state
+    of the full data — frame equality, not just estimate equality —
+    and the derived quantile values therefore agree bit-for-bit."""
+    from refluxdb_spark.operators.sketches import (
+        quantile_sample_merge,
+        quantile_sample_state,
+        quantile_sample_values,
+    )
+
+    df = spark.range(0, 600).selectExpr(
+        "'g' as grp", "id as k", "cast(id % 97 as double) as v"
+    )
+    whole = quantile_sample_state(df, "v", ["k"], k=64, by=["grp"])
+    a = quantile_sample_state(df.filter("k < 300"), "v", ["k"], k=64, by=["grp"])
+    b = quantile_sample_state(df.filter("k >= 300"), "v", ["k"], k=64, by=["grp"])
+    merged = quantile_sample_merge(a.union(b), k=64, by=["grp"])
+    rows_w = sorted((r.rank, r.h, r.v) for r in whole.collect())
+    rows_m = sorted((r.rank, r.h, r.v) for r in merged.collect())
+    assert rows_w == rows_m and len(rows_w) == 64
+    qw = {r.q: r.value for r in quantile_sample_values(whole, [0.5], by=["grp"]).collect()}
+    qm = {r.q: r.value for r in quantile_sample_values(merged, [0.5], by=["grp"]).collect()}
+    assert qw == qm
+
+
+def test_quantile_sample_accuracy_and_small_state(spark):
+    """Rank error: with k=256 of 2000 uniform values, each estimated
+    quantile's true rank must be within ~4 standard errors of q; a
+    group smaller than k is sampled whole, so its quantiles are EXACT
+    by the shared picking rule."""
+    from refluxdb_spark.operators.sketches import (
+        quantile_sample_state,
+        quantile_sample_values,
+    )
+
+    df = spark.range(0, 2000).selectExpr(
+        "'g' as grp", "id as k", "cast(id as double) as v"
+    )
+    state = quantile_sample_state(df, "v", ["k"], k=256, by=["grp"])
+    got = {
+        r.q: r.value
+        for r in quantile_sample_values(state, [0.1, 0.5, 0.9], by=["grp"]).collect()
+    }
+    import math
+
+    for q, v in got.items():
+        true_rank = v / 2000.0  # v == its own rank fraction here
+        se = math.sqrt(q * (1 - q) / 256)
+        assert abs(true_rank - q) < 4 * se, (q, v)
+    # small group: 10 rows << k -> the state IS the data -> exact
+    small = spark.range(0, 10).selectExpr(
+        "'s' as grp", "id as k", "cast(id as double) as v"
+    )
+    st = quantile_sample_state(small, "v", ["k"], k=256, by=["grp"])
+    vals = {
+        r.q: (r.value, r.n_state)
+        for r in quantile_sample_values(st, [0.5, 0.99], by=["grp"]).collect()
+    }
+    assert vals[0.5] == (4.0, 10)   # ceil(.5*10) = 5th of 0..9 -> 4.0
+    assert vals[0.99] == (9.0, 10)  # ceil(.99*10) = 10th -> 9.0
+
+
 def test_kmv_exact_below_k(spark):
     from refluxdb_spark.operators.sketches import kmv_estimate, kmv_hashes
 

@@ -278,6 +278,9 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # shared distinct/state lineage across the pair branches and
         # the exact-oracle side (ReusedExchange at runtime)
         "sketch_kmv_jaccard": 20,
+        # salt-level window + global k*fanin window + exact-twin
+        # window + the est/exact join
+        "sketch_quantile_sample": 5,
         # eval harness: 4 nprobe configs re-walk the shared assignment
         # and exact-ranking lineage statically; identical exchanges
         # dedupe at runtime (same class as sim_ivfpq_recall)
