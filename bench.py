@@ -158,6 +158,7 @@ HEADLINE = [
     "events_psi_drift",
     "dedup_decontaminate_spans",
     "sim_cluster_db_index",
+    "sim_rrf_fusion",
     "graph_harmonic_trade",
     "graph_harmonic_hyperball",
     "sketch_kmv_jaccard",

@@ -1663,6 +1663,60 @@ def load_ivfpq_topk(
     )
 
 
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of two per-query rankings — THE standard hybrid-retrieval combiner
+    (BM25 list + vector list in every production RAG stack):
+
+        rrf(d) = 1/(k + rank_a(d)) + 1/(k + rank_b(d))
+
+    with k=60 as published. Inputs are (query_id, neighbor_id, rank)
+    frames (the ``cosine_topk`` / ``ivf_topk`` shape); a document
+    missing from one list contributes 0 from it. Binary on purpose:
+    n-ary fusion would fold additions in list order and change IEEE
+    rounding with the fold shape — two fixed coalesce terms in one
+    expression are engine-reproducible, and deeper stacks compose by
+    fusing pairwise in a documented order.
+
+    Scale: both inputs are queries x k rows (rank-truncated upstream),
+    so the full join and the per-query re-rank are broadcast-sized
+    regardless of corpus size — fusion cost never touches the corpus.
+    Returns (query_id, neighbor_id, rrf_score, rrf_rank), score
+    rounded to 6 before ranking (ties break on neighbor_id) so the
+    order itself is oracle-stable."""
+    ta = a.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("_sa"),
+    )
+    tb = b.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("_sb"),
+    )
+    fused = ta.join(tb, ["query_id", "neighbor_id"], "full").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.coalesce(F.col("_sa"), F.lit(0.0))
+            + F.coalesce(F.col("_sb"), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w))
+        .filter(F.col("rrf_rank") <= topk)
+    )
+
+
 def davies_bouldin(
     corpus: DataFrame,
     num_centroids: int = 16,

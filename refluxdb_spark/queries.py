@@ -2072,6 +2072,64 @@ def sim_ivf_recall(spark, sf_dir):
 
 
 @register(
+    "sim_rrf_fusion",
+    f"""
+    WITH {_IVF_TOPK_CTES},
+    exact_scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, v.vv) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.vv, v.vv))), 6) AS cosine
+        FROM q CROSS JOIN v
+        WHERE q.query_id != v.vec_id
+    ),
+    exact_ranked AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM exact_scored
+        ) WHERE rank <= 5
+    ),
+    sa AS (
+        SELECT query_id, neighbor_id, 1.0 / (60.0 + rank) AS s
+        FROM ivf_ranked
+    ),
+    sb AS (
+        SELECT query_id, neighbor_id, 1.0 / (60.0 + rank) AS s
+        FROM exact_ranked
+    ),
+    fused AS (
+        SELECT coalesce(sa.query_id, sb.query_id) AS query_id,
+               coalesce(sa.neighbor_id, sb.neighbor_id) AS neighbor_id,
+               round(coalesce(sa.s, 0.0) + coalesce(sb.s, 0.0), 6) AS rrf_score
+        FROM sa FULL JOIN sb
+          ON sa.query_id = sb.query_id AND sa.neighbor_id = sb.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf_score, CAST(rrf_rank AS INT) AS rrf_rank
+    FROM (
+        SELECT query_id, neighbor_id, rrf_score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, neighbor_id) AS rrf_rank
+        FROM fused
+    ) WHERE rrf_rank <= 10
+    """,
+)
+def sim_rrf_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion (operators.similarity.rrf_fuse; Cormack
+    et al. 2009) of the IVF top-5 list with the exact cosine top-5 —
+    the hybrid-retrieval combiner every production RAG stack runs,
+    here with both input rankings AND the fused order fully
+    deterministic (round-6 scores, id tiebreaks), so the fusion is
+    value-oracled end to end. Fusion cost is queries x k rows — never
+    the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    approx = S.ivf_topk(emb, qs, k=5, num_centroids=16, nprobe=4)
+    exact = S.cosine_topk(emb, qs, k=5, round_digits=6)
+    return S.rrf_fuse(approx, exact, k=60, topk=10)
+
+
+@register(
     "mm_media_summary",
     """
     SELECT doc_id,

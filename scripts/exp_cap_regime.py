@@ -128,10 +128,15 @@ def main() -> int:
     from refluxdb_spark.queries import ORACLES, QUERIES
 
     # production-sizing probes live in exp_scaling, not the registry
-    from exp_scaling import _rp_lsh_prod, _semantic_prune_prod
+    from exp_scaling import (
+        _hyperball_parts_prod,
+        _rp_lsh_prod,
+        _semantic_prune_prod,
+    )
     extra = {
         "semantic_prune_prod": _semantic_prune_prod,
         "rp_lsh_prod": _rp_lsh_prod,
+        "hyperball_parts_prod": _hyperball_parts_prod,
     }
 
     args = sys.argv[1:]

@@ -3638,6 +3638,25 @@ def test_decontaminate_spans_reports_maximal_spans(spark):
     )
 
 
+def test_rrf_fuse_hand_computed(spark):
+    """RRF of two tiny rankings: a doc in both lists sums both
+    reciprocal terms; one-list docs contribute a single term; order
+    follows the rounded score with id tiebreak."""
+    from refluxdb_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 101, 1), (1, 102, 2)], "query_id long, neighbor_id long, rank int"
+    )
+    got = {r.neighbor_id: r for r in rrf_fuse(a, b, k=60, topk=10).collect()}
+    assert got[101].rrf_score == round(1 / 62 + 1 / 61, 6)  # both lists
+    assert got[100].rrf_score == round(1 / 61, 6)
+    assert got[102].rrf_score == round(1 / 62, 6)
+    assert [got[i].rrf_rank for i in (101, 100, 102)] == [1, 2, 3]
+
+
 def test_davies_bouldin_tight_clusters_score_low(spark):
     """Two orthogonal cells: exact-duplicate members give zero scatter;
     one off-axis vector in cell 0 contributes exactly its rounded

@@ -269,6 +269,10 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # scatter agg + component window on k-row relations; static
         # count re-walks the shared assignment lineage
         "sim_cluster_db_index": 8,
+        # both input rankings re-walk the shared IVF assignment +
+        # exact-ranking lineage statically (ReusedExchange at runtime);
+        # the fusion itself adds only queries-x-k-sized exchanges
+        "sim_rrf_fusion": 11,
         "graph_harmonic_trade": 1,      # per-round frontiers checkpointed
         # one register-fold agg per materialized depth (states are
         # checkpointed; the trade graph converges by depth ~5) + the
