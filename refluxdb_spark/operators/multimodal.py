@@ -72,7 +72,8 @@ def attach_media(
     )
 
 
-_IMAGE_FEATURE_SCHEMA = "id bigint, n_bytes bigint, sha256 string, width int, height int, mean_luma double"
+# id keeps the INPUT column type (string/uuid ids flow through)
+_IMAGE_FEATURE_FIELDS = "n_bytes bigint, sha256 string, width int, height int, mean_luma double"
 
 
 def _parse_ppm_header(buf: bytes, pos: int = 0) -> tuple[int, int, int, int]:
@@ -296,6 +297,7 @@ def image_features(
     execution with a clear message. mean_luma uses ITU-R 601-2 weights
     on both tiers (Pillow's 'L' and ``_mean_luma`` agree).
     """
+    id_type = df.schema[id_col].dataType.simpleString()
     src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -375,7 +377,7 @@ def image_features(
                     )
             yield pd.DataFrame(rows, columns=["id", "n_bytes", "sha256", "width", "height", "mean_luma"])
 
-    return src.mapInPandas(_batches, _IMAGE_FEATURE_SCHEMA)
+    return src.mapInPandas(_batches, f"id {id_type}, {_IMAGE_FEATURE_FIELDS}")
 
 
 def frame_sample(
@@ -401,6 +403,7 @@ def frame_sample(
     (mapInPandas producing >1 row per input) is real AND deterministic
     — the per-frame hashes are reproducible by any engine that can
     chunk the same bytes."""
+    id_type = df.schema[id_col].dataType.simpleString()
     src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -446,7 +449,10 @@ def frame_sample(
                     )
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_ts_ms", "frame_sha256"])
 
-    return src.mapInPandas(_batches, "id bigint, frame_idx int, frame_ts_ms bigint, frame_sha256 string")
+    return src.mapInPandas(
+        _batches,
+        f"id {id_type}, frame_idx int, frame_ts_ms bigint, frame_sha256 string",
+    )
 
 
 def _ffmpeg_ppm_frames(ffmpeg: str, data: bytes, every_ms: int) -> list[bytes]:
@@ -593,6 +599,7 @@ def audio_features(
     testable everywhere. Unsupported WAV widths (24-bit PCM) take the
     same fallback rather than failing when a real decoder is
     available."""
+    id_type = df.schema[id_col].dataType.simpleString()
     src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -692,7 +699,9 @@ def audio_features(
             )
 
     return src.mapInPandas(
-        _batches, "id bigint, n_bytes bigint, duration_ms bigint, sample_rate int, rms_energy double"
+        _batches,
+        f"id {id_type}, n_bytes bigint, duration_ms bigint, sample_rate int,"
+        " rms_energy double",
     )
 
 
@@ -718,7 +727,10 @@ def image_resize(
     resize → re-encode in the source format); a non-PPM payload without
     Pillow raises NotImplementedError at execution."""
     src = df.select(F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload"))
-    out_schema = "id bigint, out_payload binary, out_bytes bigint, out_sha256 string, width int, height int"
+    out_schema = (
+        f"id {df.schema[id_col].dataType.simpleString()}, out_payload binary,"
+        " out_bytes bigint, out_sha256 string, width int, height int"
+    )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
