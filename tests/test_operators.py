@@ -3394,12 +3394,14 @@ def test_stdlib_tier_unknown_formats_still_raise(spark):
         [(1, b"\x89PNG\r\n\x1a\nnotreallyapng")], "id long, payload binary"
     )
     media = attach_media(df, "payload", "image/png")
-    for op in (
-        lambda m: image_features(m, fake=False),
-        lambda m: image_resize(m, scale=0.5, fake=False),
-    ):
-        with pytest.raises(Exception, match="NotImplementedError|stdlib tier"):
-            op(media).collect()
+    # since r17 image_features KNOWS PNG: magic + garbage is a CORRUPT
+    # file and dead-letters as a decode error, never "needs Pillow"
+    with pytest.raises(Exception, match="missing IHDR|corrupt|truncated"):
+        image_features(media, fake=False).collect()
+    # image_resize has no stdlib PNG path: still the honest codec-tier
+    # NotImplementedError
+    with pytest.raises(Exception, match="NotImplementedError|stdlib tier"):
+        image_resize(media, scale=0.5, fake=False).collect()
     # 8-bit paletted BMP: sniffs as BM but is not stdlib-decodable
     body = b"\x00" * 40
     bmp8 = (

@@ -126,8 +126,8 @@ def test_main_arg_errors_exit_2_with_usage(monkeypatch, capsys):
             es.main()
         assert exc.value.code == 2, argv
         assert frag in capsys.readouterr().err, argv
-    # valid tiers 1..7 pass the guard (1 = MEASURED, 2-7 = TIERS)
-    assert sorted({1, *es.TIERS}) == [1, 2, 3, 4, 5, 6, 7]
+    # valid tiers 1..8 pass the guard (1 = MEASURED, 2-8 = TIERS)
+    assert sorted({1, *es.TIERS}) == [1, 2, 3, 4, 5, 6, 7, 8]
 
 
 def test_exp_tag_index_arg_errors_exit_2(monkeypatch, capsys):
