@@ -159,6 +159,7 @@ HEADLINE = [
     "dedup_decontaminate_spans",
     "sim_cluster_db_index",
     "sim_rrf_fusion",
+    "sim_matryoshka_topk",
     "graph_harmonic_trade",
     "graph_harmonic_hyperball",
     "sketch_kmv_jaccard",

@@ -1663,6 +1663,86 @@ def load_ivfpq_topk(
     )
 
 
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_dims: int = 4,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncated-dimension retrieval (Kusupati et al.,
+    NeurIPS 2022): score the corpus on only the FIRST ``prefix_dims``
+    dimensions (MRL-trained embeddings front-load information, so the
+    prefix is a usable coarse ranking), keep a per-query ``shortlist``,
+    then exact full-dimension re-rank of the shortlist to top-k — the
+    adaptive-retrieval pattern that cuts the expensive stage's
+    multiply-add AND (with dimension-sliced storage) its IO by d/d'
+    while the full-precision stage touches only queries x shortlist
+    rows.
+
+    Scale shape: stage 1 is the ``cosine_topk`` plan on sliced vectors
+    (broadcast queries x corpus scan, no corpus shuffle); stage 2
+    joins the queries-x-shortlist result back to the corpus by id —
+    broadcast-sized — and re-ranks inside one window. Both stages rank
+    rounded-6 scores with id tiebreaks, so the whole cascade is
+    value-oracled. Returns (query_id, neighbor_id, prefix_cosine,
+    cosine, rank)."""
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.slice(F.col(vec_col), 1, prefix_dims).alias("_qp"),
+    )
+    cp = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.slice(F.col(vec_col), 1, prefix_dims).alias("_cp"),
+    )
+    psim = (
+        F.broadcast(qp)
+        .crossJoin(cp)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "prefix_cosine",
+            F.round(_dot("_qp", "_cp") / (_norm("_qp") * _norm("_cp")), 6),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("prefix_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        psim.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= shortlist)
+        .select("query_id", "neighbor_id", "prefix_cosine")
+    )
+    qf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cf = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    full = (
+        F.broadcast(short)
+        .join(F.broadcast(qf), "query_id")
+        .join(cf, "neighbor_id")
+        .withColumn(
+            "cosine", F.round(_dot("_qv", "_cv") / (_norm("_qv") * _norm("_cv")), 6)
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        full.select(
+            "query_id",
+            "neighbor_id",
+            "prefix_cosine",
+            "cosine",
+            F.row_number().over(wf).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def rrf_fuse(
     a: DataFrame,
     b: DataFrame,

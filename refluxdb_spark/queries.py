@@ -2072,6 +2072,66 @@ def sim_ivf_recall(spark, sf_dir):
 
 
 @register(
+    "sim_matryoshka_topk",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ),
+    pscore AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv[1:4], v.vv[1:4]) /
+                     (sqrt(list_dot_product(q.qv[1:4], q.qv[1:4]))
+                      * sqrt(list_dot_product(v.vv[1:4], v.vv[1:4]))), 6)
+                   AS prefix_cosine
+        FROM q CROSS JOIN v
+        WHERE q.query_id != v.vec_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id, prefix_cosine FROM (
+            SELECT query_id, neighbor_id, prefix_cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY prefix_cosine DESC, neighbor_id)
+                       AS rn
+            FROM pscore
+        ) WHERE rn <= 20
+    ),
+    fullr AS (
+        SELECT s.query_id, s.neighbor_id, s.prefix_cosine,
+               round(list_dot_product(q.qv, v.vv) /
+                     (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(v.vv, v.vv))), 6) AS cosine
+        FROM short s
+        JOIN q USING (query_id)
+        JOIN v ON s.neighbor_id = v.vec_id
+    )
+    SELECT query_id, neighbor_id, prefix_cosine, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, prefix_cosine, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM fullr
+    ) WHERE rank <= 5
+    """,
+)
+def sim_matryoshka_topk(spark, sf_dir):
+    """Matryoshka truncated-dimension retrieval cascade
+    (operators.similarity.matryoshka_topk; Kusupati et al. 2022):
+    coarse ranking on the first 4 of 16 dimensions (4x less multiply-
+    add and, with dimension-sliced storage, 4x less IO on the scan
+    stage), exact full-dimension re-rank of the 20-row shortlist to
+    top-5 — the adaptive-retrieval pattern, both stages rounded-6 and
+    id-tiebroken so the whole cascade value-oracles."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return S.matryoshka_topk(emb, qs, k=5, prefix_dims=4, shortlist=20)
+
+
+@register(
     "sim_rrf_fusion",
     f"""
     WITH {_IVF_TOPK_CTES},

@@ -123,6 +123,8 @@ TIERS: dict[int, list[str]] = {
         # r17: two-level bottom-k sketch — level 1 sorts salt slices,
         # level 2 sorts k*fanin rows; cost should track the scan
         "sketch_quantile_sample",
+        # r17: truncated-dim cascade — stage-1 scan dominates, linear
+        "sim_matryoshka_topk",
     ],
 }
 

@@ -3640,6 +3640,29 @@ def test_decontaminate_spans_reports_maximal_spans(spark):
     )
 
 
+def test_matryoshka_topk_reranks_prefix_mistakes(spark):
+    """The prefix stage misranks a vector whose first dims look close
+    but whose tail diverges; a wide-enough shortlist lets the full-dim
+    re-rank correct it, while shortlist=1 documents the trade: the
+    coarse stage's mistake becomes a recall miss."""
+    from refluxdb_spark.operators.similarity import matryoshka_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # query
+        (1, [1.0, 0.0, 9.0, 0.0]),   # prefix-perfect, full-poor
+        (2, [0.9, 0.1, 0.0, 0.0]),   # prefix-good, full-great
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter("vec_id = 0")
+    wide = matryoshka_topk(df, qs, k=1, prefix_dims=2, shortlist=2)
+    assert [r.neighbor_id for r in wide.collect()] == [2]  # re-rank fixed it
+    narrow = matryoshka_topk(df, qs, k=1, prefix_dims=2, shortlist=1)
+    assert [r.neighbor_id for r in narrow.collect()] == [1]  # coarse miss
+    # both stages' scores ride the output
+    r = wide.collect()[0]
+    assert 0.99 < r.cosine <= 1.0 and r.prefix_cosine < 1.0
+
+
 def test_rrf_fuse_hand_computed(spark):
     """RRF of two tiny rankings: a doc in both lists sums both
     reciprocal terms; one-list docs contribute a single term; order

@@ -273,6 +273,8 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # exact-ranking lineage statically (ReusedExchange at runtime);
         # the fusion itself adds only queries-x-k-sized exchanges
         "sim_rrf_fusion": 11,
+        # prefix window + shortlist re-rank window + two broadcast prep
+        "sim_matryoshka_topk": 4,
         "graph_harmonic_trade": 1,      # per-round frontiers checkpointed
         # one register-fold agg per materialized depth (states are
         # checkpointed; the trade graph converges by depth ~5) + the
