@@ -153,6 +153,7 @@ HEADLINE = [
     "text_bm25_scores",
     "text_perplexity_buckets",
     "mm_audio_stdlib_decode",
+    "mm_vad_segments",
     "mm_png_stdlib_decode",
     "mm_keyframe_select",
     "events_psi_drift",

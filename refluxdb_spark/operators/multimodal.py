@@ -788,6 +788,126 @@ def image_resize(
     return src.mapInPandas(_batches, out_schema)
 
 
+def audio_segments(
+    df: DataFrame,
+    id_col: str = "id",
+    media_col: str = "media",
+    window: int = 8,
+    threshold: float = 0.05,
+    fake: bool = False,
+) -> DataFrame:
+    """Energy-based activity segmentation over PCM WAV — the audio twin
+    of ``keyframe_select`` and the first stage of voice-activity
+    detection in speech-data curation: frame the clip into ``window``-
+    sample windows, mark windows whose full-scale RMS exceeds
+    ``threshold``, merge adjacent active windows into segments
+    (gaps-and-islands). The segments are what a transcription/embedding
+    stage would actually pay for.
+
+    ``fake=False`` REALLY decodes 16-bit mono PCM WAV with the stdlib
+    ``wave`` module (zero external deps, runs in CI); other widths/
+    channel counts/containers raise NotImplementedError at execution —
+    the ``audio_features`` codec tier is the general path, this
+    operator is deliberately the deterministic stdlib one. Per-window
+    energy is exact-dyadic arithmetic (each (v/2^15)^2 is a multiple
+    of 2^-30, the windowed sum stays far under 53 bits, so numpy's
+    mean reproduces (ss/2^30)/cnt bit-for-bit), which is what lets an
+    oracle replay the SEGMENTATION decision, not just a summary stat.
+    ``fake=True`` derives pseudo-energies per 256-byte chunk (the
+    keyframe fake shape) so the fan-out plumbing tests anywhere.
+
+    Segmentation is sequential per clip but one clip is ONE Arrow row —
+    a map, zero shuffle, embarrassing-parallel across clips. Returns
+    (id, seg_idx, start_ms, end_ms, n_windows); ms are exact sample
+    positions at the clip's own rate."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(f"{media_col}.payload").alias("payload")
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io as _io
+        import wave
+
+        import numpy as np
+
+        def _energies(b: bytes):
+            """-> (list of per-window rms, list of (start, end) sample
+            bounds, sample rate)."""
+            if fake:
+                chunks = [b[i : i + 256] for i in range(0, max(len(b), 1), 256)]
+                return (
+                    [
+                        (int(hashlib.sha256(c).hexdigest()[:8], 16) % 1000) / 1000.0
+                        for c in chunks
+                    ],
+                    [(i * 256, min(len(b), (i + 1) * 256)) for i in range(len(chunks))],
+                    1000,
+                )
+            try:
+                with wave.open(_io.BytesIO(b)) as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise NotImplementedError(
+                            "audio_segments stdlib tier handles 16-bit mono "
+                            "PCM WAV; use audio_features' codec tier for "
+                            "other formats, or pass fake=True"
+                        )
+                    sr = w.getframerate()
+                    frames = w.readframes(w.getnframes())
+            except (wave.Error, EOFError):
+                raise NotImplementedError(
+                    "audio_segments stdlib tier handles 16-bit mono PCM "
+                    "WAV; use audio_features' codec tier for other "
+                    "formats, or pass fake=True"
+                ) from None
+            x = np.frombuffer(frames, dtype=np.int16).astype(np.float64) / 32768.0
+            rms, bounds = [], []
+            for w0 in range(0, len(x), window):
+                seg = x[w0 : w0 + window]
+                rms.append(float(np.sqrt(np.mean(seg**2))))
+                bounds.append((w0, w0 + len(seg)))
+            return rms, bounds, sr
+
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                rms, bounds, sr = _energies(b)
+                seg_idx, in_seg = 0, False
+                s0 = s1 = nw = 0
+                def _emit():
+                    rows.append(
+                        {
+                            "id": rid,
+                            "seg_idx": seg_idx,
+                            "start_ms": int(round(s0 * 1000 / sr)),
+                            "end_ms": int(round(s1 * 1000 / sr)),
+                            "n_windows": nw,
+                        }
+                    )
+                for e, (a, z) in zip(rms, bounds):
+                    if e > threshold:
+                        if not in_seg:
+                            seg_idx += 1
+                            s0, nw, in_seg = a, 0, True
+                        s1, nw = z, nw + 1
+                    elif in_seg:
+                        _emit()
+                        in_seg = False
+                if in_seg:
+                    _emit()
+            yield pd.DataFrame(
+                rows, columns=["id", "seg_idx", "start_ms", "end_ms", "n_windows"]
+            )
+
+    return src.mapInPandas(
+        _batches,
+        f"id {id_type}, seg_idx int, start_ms bigint, end_ms bigint,"
+        " n_windows bigint",
+    )
+
+
 def keyframe_select(
     df: DataFrame,
     id_col: str = "id",

@@ -12705,6 +12705,69 @@ def mm_png_stdlib_decode(spark, sf_dir):
 
 
 @register(
+    "mm_vad_segments",
+    """
+    WITH d AS (
+        SELECT doc_id, CAST(40 + doc_id % 17 AS BIGINT) AS n FROM documents
+    ),
+    s AS (
+        SELECT doc_id, i,
+               CAST(((doc_id % 4096) * 2654435761 + i * 40503) % 4096 - 2048
+                    AS BIGINT) AS v
+        FROM d, LATERAL (SELECT unnest(range(n)) AS i)
+    ),
+    w AS (
+        SELECT doc_id, i // 8 AS w,
+               CAST(sum(v * v) AS BIGINT) AS ss,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(min(i) AS BIGINT) AS i0, CAST(max(i) AS BIGINT) AS i1
+        FROM s GROUP BY doc_id, i // 8
+    ),
+    act AS (
+        SELECT doc_id, w, i0, i1 FROM w
+        WHERE sqrt((CAST(ss AS DOUBLE) / 1073741824.0)
+                   / CAST(cnt AS DOUBLE)) > 0.036
+    ),
+    isl AS (
+        SELECT doc_id, w, i0, i1,
+               w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        FROM act
+    ),
+    seg AS (
+        SELECT doc_id, min(w) AS w0,
+               CAST(min(i0) AS BIGINT) AS s0,
+               CAST(max(i1) AS BIGINT) AS s1,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id AS id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY w0) AS INT)
+               AS seg_idx,
+           s0 AS start_ms, s1 + 1 AS end_ms, n_windows
+    FROM seg
+    """,
+)
+def mm_vad_segments(spark, sf_dir):
+    """REAL energy-based activity segmentation through the stdlib tier
+    (operators.multimodal.audio_segments) — the first stage of VAD in
+    speech-data curation: the same genuine 16-bit PCM WAVs as
+    mm_audio_stdlib_decode, framed into 8-sample windows, full-scale
+    RMS thresholded at 0.036, adjacent active windows island-merged
+    into segments. Per-window energy is exact-dyadic, so the DuckDB
+    oracle replays the SEGMENTATION DECISION (which windows fire,
+    where islands merge) from the sample recurrence — a real decode's
+    control flow hash-checked, not just its summary stats. At 1000 Hz
+    sample index == millisecond, so bounds are exact integers."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WAV_PAYLOAD_SQL).alias("payload")
+    )
+    media = M.attach_media(docs, "payload", "audio/wav")
+    return M.audio_segments(
+        media, id_col="doc_id", window=8, threshold=0.036, fake=False
+    )
+
+
+@register(
     "text_bm25_scores",
     f"""
     WITH toks AS (

@@ -108,7 +108,7 @@ TIERS: dict[int, list[str]] = {
         # centrality (node-fixed graph; cost is the edge extraction),
         # DB index (centroid-dim pairwise)
         "mm_audio_stdlib_decode", "mm_keyframe_select",
-        "mm_png_stdlib_decode",
+        "mm_png_stdlib_decode", "mm_vad_segments",
         "dedup_decontaminate_spans", "events_psi_drift",
         "sketch_kmv_jaccard", "graph_harmonic_trade",
         "sim_cluster_db_index",

@@ -3757,6 +3757,45 @@ def test_hyperball_harmonic_approximates_exact(spark):
     }
 
 
+def test_audio_segments_islands_and_bounds(spark):
+    """Hand-built 16-bit mono WAV: 8 loud, 16 quiet, 12 loud samples at
+    1000 Hz with window=8 -> two segments with exact ms bounds; the
+    trailing PARTIAL window (4 samples) must extend the last segment;
+    a stereo payload raises the stdlib-tier contract error."""
+    import struct
+
+    from refluxdb_spark.operators.multimodal import attach_media, audio_segments
+
+    def wav(samples, channels=1):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, 1000,
+                                    2000 * channels, 2 * channels, 16)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        return hdr + data
+
+    loud, quiet = 8000, 10
+    samples = [loud] * 8 + [quiet] * 16 + [loud] * 12
+    df = spark.createDataFrame([(1, wav(samples))], "id long, payload binary")
+    media = attach_media(df, "payload", "audio/wav")
+    got = audio_segments(media, window=8, threshold=0.05, fake=False).collect()
+    assert [(r.seg_idx, r.start_ms, r.end_ms, r.n_windows) for r in got] == [
+        (1, 0, 8, 1),     # first loud window
+        (2, 24, 36, 2),   # windows 3 (24..32) + partial 4 (32..36)
+    ]
+    stereo = spark.createDataFrame(
+        [(2, wav(samples, channels=2))], "id long, payload binary"
+    )
+    with pytest.raises(Exception, match="16-bit mono"):
+        audio_segments(
+            attach_media(stereo, "payload", "audio/wav"), fake=False
+        ).collect()
+    # fake mode still fans out deterministically
+    assert audio_segments(media, threshold=0.0, fake=True).collect()
+
+
 def test_davies_bouldin_zero_distance_pairs_are_skipped(spark):
     """Duplicate centroids (cosine rounds to 1.0, distance 0.0) must
     not divide by zero: zero-distance pairs are excluded from the max,

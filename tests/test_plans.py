@@ -261,6 +261,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "text_perplexity_buckets": 5,   # vocab agg + LM join + doc agg + ntile
         "mm_audio_stdlib_decode": 0,    # payload build + decode beside the scan
         "mm_png_stdlib_decode": 0,      # PNG build + inflate beside the scan
+        "mm_vad_segments": 0,           # WAV build + segmentation beside the scan
         "mm_keyframe_select": 0,        # frame stream decodes beside the scan
         # category agg + totals + psi window; static count re-walks the
         # shared per-type lineage (ReusedExchange at runtime)
