@@ -163,6 +163,7 @@ HEADLINE = [
     "sim_matryoshka_topk",
     "graph_harmonic_trade",
     "graph_harmonic_hyperball",
+    "graph_lin_hyperball",
     "sketch_kmv_jaccard",
     "sketch_quantile_sample",
     "sim_ivf_nprobe_sweep",

@@ -764,6 +764,25 @@ def hyperball_harmonic(
     Returns ``(node, n_ball, harmonic_hb)``: n_ball = estimated
     |B(v, T)| including v itself; harmonic_hb ~= H(v), 0.0 for nodes
     nothing reaches."""
+    wide, n_ests = _hyperball_ball_ests(edges, src, dst, max_depth, p)
+    hb = F.lit(0.0)
+    for t in range(1, n_ests):
+        hb = hb + (F.col(f"_e{t}") - F.col(f"_e{t - 1}")) / F.lit(float(t))
+    last = f"_e{n_ests - 1}"
+    return wide.select(
+        "node",
+        F.col(last).alias("n_ball"),
+        F.round(hb, 6).alias("harmonic_hb"),
+    )
+
+
+def _hyperball_ball_ests(
+    edges: DataFrame, src: str, dst: str, max_depth: int, p: int
+) -> tuple[DataFrame, int]:
+    """The HyperBall register-growth loop shared by every ball-growth
+    centrality: returns (wide node frame with round-6 ball-size columns
+    ``_e0.._eT``, T+1) where T <= max_depth is the convergence depth.
+    See ``hyperball_harmonic`` for the full contract."""
     edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -812,12 +831,45 @@ def hyperball_harmonic(
     wide = ests[0]
     for t in range(1, len(ests)):
         wide = wide.join(ests[t], "node")
-    hb = F.lit(0.0)
-    for t in range(1, len(ests)):
-        hb = hb + (F.col(f"_e{t}") - F.col(f"_e{t - 1}")) / F.lit(float(t))
-    last = f"_e{len(ests) - 1}"
+    return wide, len(ests)
+
+
+def hyperball_lin_index(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 10,
+    p: int = 8,
+) -> DataFrame:
+    """Lin's index via HyperBall (Boldi & Vigna 2013, eq. for Lin
+    1976): closeness made size-aware — nodes that reach few others
+    shouldn't look central just because their average distance is
+    small. With the same register balls as ``hyperball_harmonic``,
+
+        sum_dist(v) ~= sum over t of t * (|B(v,t)| - |B(v,t-1)|)
+        lin(v)       = (|B(v,T)| - 1)^2 / sum_dist(v)
+
+    (the coreachable count squared over the distance sum; a node
+    nothing reaches has Lin index 1 BY CONVENTION — Boldi & Vigna's
+    choice, reproduced here as a fixed CASE on sum_dist = 0). One
+    register-growth pass, register-bounded state, every output a
+    fixed-order round-6 expression — same oracle discipline as the
+    harmonic twin. Returns (node, n_ball, sum_dist_hb, lin_index)."""
+    wide, n_ests = _hyperball_ball_ests(edges, src, dst, max_depth, p)
+    sd = F.lit(0.0)
+    for t in range(1, n_ests):
+        sd = sd + F.lit(float(t)) * (F.col(f"_e{t}") - F.col(f"_e{t - 1}"))
+    last = f"_e{n_ests - 1}"
+    sd_r = F.round(sd, 6)
     return wide.select(
         "node",
         F.col(last).alias("n_ball"),
-        F.round(hb, 6).alias("harmonic_hb"),
+        sd_r.alias("sum_dist_hb"),
+        F.when(sd_r == 0.0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                (F.col(last) - F.lit(1.0)) * (F.col(last) - F.lit(1.0)) / sd_r, 6
+            )
+        )
+        .alias("lin_index"),
     )

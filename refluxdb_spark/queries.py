@@ -13272,6 +13272,98 @@ def graph_harmonic_hyperball(spark, sf_dir):
 
 
 @register(
+    "graph_lin_hyperball",
+    f"""
+    WITH RECURSIVE {_TRADE_EDGES_SPARSE_SQL.strip()},
+    nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    walk(root, node, depth) AS (
+        SELECT node, node, 0 FROM nodes
+        UNION
+        SELECT w.root, e.dst, w.depth + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.depth < 6
+    ),
+    d AS (
+        SELECT root, node, CAST(min(depth) AS BIGINT) AS dist
+        FROM walk GROUP BY root, node
+    ),
+    regs AS (
+        SELECT ts.t, d.node AS v,
+               CAST(concat('0x', substr(md5(d.root), 1, 15)) AS BIGINT) % 256
+                   AS bucket,
+               max(CASE WHEN CAST(concat('0x', substr(md5(d.root), 1, 15))
+                              AS BIGINT) // 256 = 0
+                        THEN 53
+                        ELSE 53 - length(printf('%b',
+                             CAST(concat('0x', substr(md5(d.root), 1, 15))
+                                  AS BIGINT) // 256)) END) AS rho_max
+        FROM d CROSS JOIN (SELECT unnest(range(7)) AS t) ts
+        WHERE d.dist <= ts.t
+        GROUP BY ts.t, d.node, bucket
+    ),
+    folded AS (
+        SELECT t, v,
+               CAST(sum(CAST(1 AS BIGINT) << (53 - rho_max)) AS BIGINT)
+                   AS occ_sum,
+               CAST(count(*) AS BIGINT) AS occ_n
+        FROM regs GROUP BY t, v
+    ),
+    este AS (
+        SELECT t, v,
+               CASE WHEN raw <= 640.0 AND occ_n < 256
+                    THEN round(256.0 * ln(256.0 / CAST(256 - occ_n AS DOUBLE)), 6)
+                    ELSE round(raw, 6) END AS est
+        FROM (
+            SELECT t, v, occ_n,
+                   0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                       * 9007199254740992.0
+                       / CAST(occ_sum + (256 - occ_n) * 9007199254740992
+                              AS DOUBLE) AS raw
+            FROM folded
+        )
+    ),
+    wide AS (
+        SELECT v AS node,
+               max(CASE WHEN t = 0 THEN est END) AS e0,
+               max(CASE WHEN t = 1 THEN est END) AS e1,
+               max(CASE WHEN t = 2 THEN est END) AS e2,
+               max(CASE WHEN t = 3 THEN est END) AS e3,
+               max(CASE WHEN t = 4 THEN est END) AS e4,
+               max(CASE WHEN t = 5 THEN est END) AS e5,
+               max(CASE WHEN t = 6 THEN est END) AS e6
+        FROM este GROUP BY v
+    )
+    SELECT node, e6 AS n_ball, sum_dist_hb,
+           CASE WHEN sum_dist_hb = 0.0 THEN 1.0
+                ELSE round((e6 - 1.0) * (e6 - 1.0) / sum_dist_hb, 6) END
+               AS lin_index
+    FROM (
+        SELECT node, e0, e6,
+               round(1.0 * (e1 - e0) + 2.0 * (e2 - e1) + 3.0 * (e3 - e2)
+                     + 4.0 * (e4 - e3) + 5.0 * (e5 - e4) + 6.0 * (e6 - e5),
+                     6) AS sum_dist_hb
+        FROM wide
+    )
+    """,
+)
+def graph_lin_hyperball(spark, sf_dir):
+    """Lin's index via HyperBall (operators.graph.hyperball_lin_index)
+    over the sparsified nation-trade graph — size-aware closeness from
+    the SAME register balls as graph_harmonic_hyperball (one growth
+    pass per operator, shared code): coreachable-count-squared over
+    the estimated distance sum, isolated nodes pinned to 1 by the
+    Boldi-Vigna convention. The oracle replays the ball growth and
+    folds t-weighted differences in the same fixed order."""
+    from refluxdb_spark.operators import graph as G
+
+    return G.hyperball_lin_index(
+        _trade_edges_sparse(spark, sf_dir), max_depth=6, p=8
+    )
+
+
+@register(
     "sketch_quantile_sample",
     """
     WITH base AS (

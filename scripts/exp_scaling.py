@@ -118,7 +118,7 @@ TIERS: dict[int, list[str]] = {
         # probe below runs on the factor-sized co-purchase part graph,
         # where the exact all-pairs form would be node²-bounded and
         # the register-bounded claim is the thing under test
-        "graph_harmonic_hyperball",
+        "graph_harmonic_hyperball", "graph_lin_hyperball",
         ("hyperball_parts_prod", "lineitem", "_hyperball_parts_prod"),
         # r17: two-level bottom-k sketch — level 1 sorts salt slices,
         # level 2 sorts k*fanin rows; cost should track the scan

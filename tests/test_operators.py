@@ -3796,6 +3796,54 @@ def test_audio_segments_islands_and_bounds(spark):
     assert audio_segments(media, threshold=0.0, fake=True).collect()
 
 
+def test_hyperball_lin_index_path_and_isolated(spark):
+    """Lin's index on a->b->c: node a (nothing reaches it) gets the
+    conventional 1.0; c's distance sum ~ 1+2 = 3 and its coreachable
+    count ~ 2, so lin(c) ~ 4/3; b's single in-neighbor gives ~1."""
+    from refluxdb_spark.operators.graph import hyperball_lin_index
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r.node: r for r in hyperball_lin_index(df, max_depth=6).collect()}
+    assert got["a"].lin_index == 1.0 and got["a"].sum_dist_hb == 0.0
+    assert got["b"].lin_index == pytest.approx(1.0, abs=0.1)
+    assert got["c"].sum_dist_hb == pytest.approx(3.0, abs=0.15)
+    assert got["c"].lin_index == pytest.approx(4.0 / 3.0, abs=0.15)
+
+
+def test_quantile_sample_merge_is_associative_3way(spark):
+    """Three-way merge in either association order equals the global
+    single-pass state — the property that lets per-day states roll up
+    in any tree shape a 1000-executor reducer picks."""
+    from refluxdb_spark.operators.sketches import (
+        quantile_sample_merge,
+        quantile_sample_state,
+    )
+
+    df = spark.range(0, 900).selectExpr(
+        "'g' as grp", "id as k", "cast(id % 113 as double) as v"
+    )
+    parts = [
+        quantile_sample_state(df.filter(f"k % 3 = {i}"), "v", ["k"], k=48, by=["grp"])
+        for i in range(3)
+    ]
+    whole = quantile_sample_state(df, "v", ["k"], k=48, by=["grp"])
+    left = quantile_sample_merge(
+        quantile_sample_merge(parts[0].union(parts[1]), k=48, by=["grp"]).union(
+            parts[2]
+        ),
+        k=48, by=["grp"],
+    )
+    right = quantile_sample_merge(
+        parts[0].union(
+            quantile_sample_merge(parts[1].union(parts[2]), k=48, by=["grp"])
+        ),
+        k=48, by=["grp"],
+    )
+    rows_w = sorted((r.rank, r.h, r.v) for r in whole.collect())
+    assert sorted((r.rank, r.h, r.v) for r in left.collect()) == rows_w
+    assert sorted((r.rank, r.h, r.v) for r in right.collect()) == rows_w
+
+
 def test_davies_bouldin_zero_distance_pairs_are_skipped(spark):
     """Duplicate centroids (cosine rounds to 1.0, distance 0.0) must
     not divide by zero: zero-distance pairs are excluded from the max,

@@ -281,6 +281,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # checkpointed; the trade graph converges by depth ~5) + the
         # node-sized wide join; budget covers max_depth=6 convergence
         "graph_harmonic_hyperball": 12,
+        "graph_lin_hyperball": 12,      # same register-growth pass
         # sketch state is k x groups rows; static count re-walks the
         # shared distinct/state lineage across the pair branches and
         # the exact-oracle side (ReusedExchange at runtime)
