@@ -767,7 +767,14 @@ def hyperball_harmonic(
     wide, n_ests = _hyperball_ball_ests(edges, src, dst, max_depth, p)
     hb = F.lit(0.0)
     for t in range(1, n_ests):
-        hb = hb + (F.col(f"_e{t}") - F.col(f"_e{t - 1}")) / F.lit(float(t))
+        # monotonize (ADVICE r17): balls only grow, but the corrected
+        # HLL estimate is not monotone in t at the LinearCounting->raw
+        # crossover, so a raw difference can dip negative — clamp each
+        # per-depth contribution at 0 (Boldi & Vigna's usual HyperBall
+        # monotonization); the oracle applies the same greatest(,0)
+        hb = hb + F.greatest(
+            F.col(f"_e{t}") - F.col(f"_e{t - 1}"), F.lit(0.0)
+        ) / F.lit(float(t))
     last = f"_e{n_ests - 1}"
     return wide.select(
         "node",
@@ -858,7 +865,10 @@ def hyperball_lin_index(
     wide, n_ests = _hyperball_ball_ests(edges, src, dst, max_depth, p)
     sd = F.lit(0.0)
     for t in range(1, n_ests):
-        sd = sd + F.lit(float(t)) * (F.col(f"_e{t}") - F.col(f"_e{t - 1}"))
+        # same monotonization as hyperball_harmonic (ADVICE r17)
+        sd = sd + F.lit(float(t)) * F.greatest(
+            F.col(f"_e{t}") - F.col(f"_e{t - 1}"), F.lit(0.0)
+        )
     last = f"_e{n_ests - 1}"
     sd_r = F.round(sd, 6)
     return wide.select(

@@ -228,7 +228,18 @@ def _decode_png(b: bytes):
             w, h, bitd, colort, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", data
             )
-            if bitd != 8 or colort not in (0, 2, 4, 6) or comp or filt or inter:
+            # split invalid from merely-unsupported (ADVICE r17): the
+            # PNG spec defines ONLY 0 for the compression and filter
+            # method bytes, so a nonzero value is corrupt data and must
+            # dead-letter as a decode error — routing it to the codec
+            # tier would print a misleading "needs Pillow" reason for a
+            # file no codec can decode either
+            if comp or filt:
+                raise ValueError(
+                    "PNG IHDR compression/filter method invalid "
+                    f"(comp={comp}, filt={filt}; spec defines only 0)"
+                )
+            if bitd != 8 or colort not in (0, 2, 4, 6) or inter:
                 raise UnsupportedFlavorError(
                     "only 8-bit non-interlaced gray/truecolor(+alpha) PNG "
                     "is stdlib-decodable"

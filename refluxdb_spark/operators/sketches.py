@@ -486,7 +486,17 @@ def quantile_sample_merge(
     the k hash-smallest per group — EXACTLY the state one pass over
     the combined data would produce (rows present in several states
     share their hash and collapse), the same contract as
-    ``kmv_merge``."""
+    ``kmv_merge``.
+
+    Contract scope (ADVICE r17): merge ≡ single-pass holds when
+    ``key_cols`` uniquely identify rows within a group, which is how
+    every caller in this repo uses it (event_id / doc_id keys). If the
+    SAME (key, value) row genuinely occurs in several states — i.e.
+    key_cols are NOT unique row ids — a single pass keeps each
+    occurrence in its own bottom-k slot while distinct() collapses
+    them to one; with non-unique keys, count multiplicity upstream
+    (carry an occurrence column into key_cols) instead of relying on
+    this merge."""
     by = by or []
     d = states.select(*by, "h", "v").distinct()
     w = Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)]).orderBy(

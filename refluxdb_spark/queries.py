@@ -13225,9 +13225,16 @@ def graph_harmonic_trade(spark, sf_dir):
         FROM este GROUP BY v
     ),
     hb AS (
+        -- per-depth differences clamped at 0: the corrected HLL
+        -- estimate is not monotone at the LinearCounting crossover
+        -- (ADVICE r17), same greatest(,0) as the Spark operator
         SELECT node, e6 AS n_ball,
-               round((e1 - e0) / 1.0 + (e2 - e1) / 2.0 + (e3 - e2) / 3.0
-                     + (e4 - e3) / 4.0 + (e5 - e4) / 5.0 + (e6 - e5) / 6.0,
+               round(greatest(e1 - e0, 0.0) / 1.0
+                     + greatest(e2 - e1, 0.0) / 2.0
+                     + greatest(e3 - e2, 0.0) / 3.0
+                     + greatest(e4 - e3, 0.0) / 4.0
+                     + greatest(e5 - e4, 0.0) / 5.0
+                     + greatest(e6 - e5, 0.0) / 6.0,
                      6) AS harmonic_hb
         FROM wide
     )
@@ -13340,9 +13347,14 @@ def graph_harmonic_hyperball(spark, sf_dir):
                 ELSE round((e6 - 1.0) * (e6 - 1.0) / sum_dist_hb, 6) END
                AS lin_index
     FROM (
+        -- same greatest(,0) monotonization as the Spark operator
         SELECT node, e0, e6,
-               round(1.0 * (e1 - e0) + 2.0 * (e2 - e1) + 3.0 * (e3 - e2)
-                     + 4.0 * (e4 - e3) + 5.0 * (e5 - e4) + 6.0 * (e6 - e5),
+               round(1.0 * greatest(e1 - e0, 0.0)
+                     + 2.0 * greatest(e2 - e1, 0.0)
+                     + 3.0 * greatest(e3 - e2, 0.0)
+                     + 4.0 * greatest(e4 - e3, 0.0)
+                     + 5.0 * greatest(e5 - e4, 0.0)
+                     + 6.0 * greatest(e6 - e5, 0.0),
                      6) AS sum_dist_hb
         FROM wide
     )

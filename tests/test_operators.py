@@ -3316,6 +3316,47 @@ def test_image_features_stdlib_png(spark):
             ).collect()
 
 
+def test_png_invalid_ihdr_method_bytes_are_corrupt_not_unsupported():
+    """IHDR compression/filter method bytes other than 0 are INVALID
+    per the PNG spec (only 0 is defined) — they must dead-letter as
+    corrupt data (ValueError), never route to the codec tier as a
+    'needs Pillow' UnsupportedFlavorError (ADVICE r17). Interlace=1
+    (Adam7) stays on the unsupported path: it is a real, decodable
+    flavor this tier just doesn't implement."""
+    import struct
+    import zlib
+
+    from refluxdb_spark.operators.multimodal import (
+        UnsupportedFlavorError,
+        _decode_png,
+    )
+
+    def png_with_ihdr(comp=0, filt=0, inter=0):
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, comp, filt, inter)
+        raw = b"\x00\x01\x02\x03"
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    for bad in (dict(comp=1), dict(filt=1), dict(comp=2, filt=3)):
+        with pytest.raises(ValueError, match="invalid"):
+            _decode_png(png_with_ihdr(**bad))
+    with pytest.raises(UnsupportedFlavorError):
+        _decode_png(png_with_ihdr(inter=1))
+    # the all-zero control decodes
+    w, h, px = _decode_png(png_with_ihdr())
+    assert (w, h) == (1, 1) and list(px[0]) == [1.0, 2.0, 3.0]
+
+
 def test_image_resize_stdlib_ppm(spark):
     """Stdlib-tier resize: P6 in, P6 out, nearest-neighbor — exact
     expected payload for a known grid, and the output re-decodes."""
