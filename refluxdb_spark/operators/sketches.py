@@ -691,3 +691,222 @@ def kmv_jaccard_pairs(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic KLL-family quantile compactor (the Munro-Paterson /
+# derandomized-KLL member of the family; closes the r16/r17 KLL slot)
+# ---------------------------------------------------------------------------
+
+def _kll_parity(level_col) -> F.Column:
+    """The compaction 'coin flip', seeded from md5 like every sketch in
+    this module (KLL randomizes it; Munro-Paterson fixes it — here it
+    is a deterministic function of the LEVEL only, so two engines, two
+    partition layouts, and two merge branches all flip the same coin):
+    bit = md5("kll|<level>") mod 2."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kll|"), level_col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+
+
+def _kll_compact_round(st: DataFrame, k: int, by: list[str]) -> DataFrame:
+    """One synchronous compaction round over a (by..., level, v, h)
+    state: every (group, level) cell holding MORE than k items compacts
+    — sort the whole cell by (v, h), keep the alternating positions the
+    level's md5 parity selects, promote survivors to level+1 (weight
+    doubles) — and every cell within capacity passes through untouched.
+    A full-cell compaction of equal-weight-w items introduces at most w
+    rank error for ANY query point (the classic alternating-halves
+    bound), which is what makes the final guarantee deterministic."""
+    cw = Window.partitionBy(*[F.col(c) for c in by], F.col("level"))
+    ws = Window.partitionBy(*[F.col(c) for c in by], F.col("level")).orderBy(
+        F.col("v").asc(), F.col("h").asc()
+    )
+    g = (
+        st.withColumn("_n", F.count(F.lit(1)).over(cw))
+        .withColumn("_pos", F.row_number().over(ws))
+    )
+    return (
+        g.filter(
+            (F.col("_n") <= k)
+            | ((F.col("_pos") - 1) % 2 == _kll_parity(F.col("level")))
+        )
+        .select(
+            *by,
+            F.when(F.col("_n") > k, F.col("level") + 1)
+            .otherwise(F.col("level"))
+            .cast("int")
+            .alias("level"),
+            "v",
+            "h",
+        )
+    )
+
+
+def kll_state(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    k: int = 64,
+    by: list[str] | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Deterministic KLL-family quantile-sketch state: (by..., level,
+    v, h), each row carrying weight 2^level.
+
+    This is the DISTRIBUTION-INDEPENDENT-guarantee member of the
+    family the r17 ``quantile_sample_state`` (bottom-k-by-hash, rank
+    error O(sqrt(q(1-q)/k)) SAMPLING error) deliberately traded away:
+    a Munro-Paterson 1980-style full-level compactor — KLL
+    (Karnin-Lang-Liberty, FOCS 2016) with the coin flips derandomized
+    to an md5 bit per level (``_kll_parity``), which is exactly what
+    makes the state a pure function of the input MULTISET: no
+    insertion-order or partition-layout dependence, so two engines
+    produce bit-identical states and the sketch is value-oracled like
+    everything else in this module.
+
+    Algorithm: level 0 = all rows; each round, every (group, level)
+    cell with more than k items compacts as a whole (sort by (v, h),
+    keep the md5-parity alternation, promote to level+1); rounds
+    repeat until no cell overflows (a 2-scalar convergence probe per
+    round, the hyperball discipline). In a single batch pass each
+    level compacts at most once, so the total rank error is at most
+    sum(2^t, t < T) = 2^T - 1 with T the final level, and 2^T < 2n/k
+    — a DETERMINISTIC eps ~ 2/k rank guarantee, no distribution or
+    probability qualifier. Space: at most k items per occupied level,
+    <= k * (T + 1) per group.
+
+    Scale: the only data-sized operation is round 1's per-(group,
+    level-0) sort — executed as a hash-partitioned window, and at
+    100 TB the same two-level salt split ``quantile_sample_state``
+    uses applies (compact per salt bucket first, then compact the
+    survivors: each salt cell is a valid equal-weight compaction, so
+    the guarantee composes — per-compaction error stays <= its
+    weight). Every later round touches <= n/2^t rows. Merge:
+    ``kll_merge``; estimates: ``kll_quantile_values``."""
+    by = by or []
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    st = df.select(
+        *by,
+        F.lit(0).cast("int").alias("level"),
+        F.col(value_col).alias("v"),
+        h.alias("h"),
+    )
+    return _kll_compact_to_fixpoint(st, k, by, max_rounds)
+
+
+def _kll_compact_to_fixpoint(
+    st: DataFrame, k: int, by: list[str], max_rounds: int
+) -> DataFrame:
+    def _overflowing(s: DataFrame) -> bool:
+        return not (
+            s.groupBy(*by, "level")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > k)
+            .isEmpty()
+        )
+
+    rounds = 0
+    while rounds < max_rounds and _overflowing(st):
+        st = _kll_compact_round(st, k, by).localCheckpoint(eager=True)
+        rounds += 1
+    return st
+
+
+def kll_merge(
+    states: DataFrame,
+    k: int = 64,
+    by: list[str] | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Merge KLL states (the plain union of any number of
+    ``kll_state`` outputs): re-run the same compaction loop on the
+    combined rows. Cells that still fit pass through; overflowing
+    cells compact with the SAME md5 parity their level always uses,
+    so the merge is commutative bit-for-bit (the union multiset is
+    symmetric and every compaction is a pure function of cell
+    content).
+
+    Unlike the hash-structured sketches (KMV, HLL, bottom-k sample),
+    the merged state is NOT bit-identical to a single pass over the
+    combined data — no rank-structured summary can be, because each
+    branch already discarded different items. What merging preserves
+    is the GUARANTEE: each branch contributes its own <= 2^T_branch-1
+    error and each post-union compaction at level t adds <= 2^t, so
+    the merged estimate stays within 2^(T+1) ranks (T = final max
+    level) — the property ``test_kll_merge_rank_error_within_bound``
+    pins across adversarial splits. This is the same trade Apache
+    DataSketches' KLL makes; the bit-mergeable twin remains
+    ``quantile_sample_state``."""
+    by = by or []
+    return _kll_compact_to_fixpoint(
+        states.select(*by, "level", "v", "h"), k, by, max_rounds
+    )
+
+
+def kll_quantile_values(
+    state: DataFrame,
+    qs: list[float],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a KLL state: rows weighted 2^level,
+    ranked by (v, h) — fully deterministic — and for each q the
+    estimate is the first row whose cumulative weight reaches
+    max(1, ceil(q * W)). Returns (by..., q, n_state, w_total,
+    final_level, err_bound, value, value_h):
+
+    - ``err_bound`` = 2^(T+1) ranks (T = final_level): the analytic
+      deterministic envelope — single-pass compaction error is
+      <= 2^T - 1, and the odd-cell weight drift plus the ceil target
+      discrepancy stay under another 2^T. No probability qualifier.
+    - ``value_h`` rides along so callers can measure the estimate's
+      TRUE rank in the base relation under the same (v, h) total
+      order (the registered query reports that measured rank error
+      next to the bound and the exact same-rule quantile)."""
+    by = by or []
+    w_val = F.pow(F.lit(2.0), F.col("level")).cast("bigint")
+    ws = Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)]).orderBy(
+        F.col("v").asc(), F.col("h").asc()
+    )
+    cw = Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)])
+    ranked = (
+        state.select(*by, "level", "v", "h", w_val.alias("_w"))
+        .withColumn(
+            "_cw",
+            F.sum("_w").over(
+                ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("_wt", F.sum("_w").over(cw))
+        .withColumn("_s", F.count(F.lit(1)).over(cw))
+        .withColumn("_T", F.max("level").over(cw))
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    tgt = F.greatest(
+        F.lit(1).cast("bigint"), F.ceil(F.col("q") * F.col("_wt")).cast("bigint")
+    )
+    return (
+        ranked.select(
+            *by, "v", "h", "_w", "_cw", "_wt", "_s", "_T",
+            F.explode(qarr).alias("q"),
+        )
+        .filter((F.col("_cw") >= tgt) & (F.col("_cw") - F.col("_w") < tgt))
+        .select(
+            *by,
+            "q",
+            F.col("_s").cast("bigint").alias("n_state"),
+            F.col("_wt").cast("bigint").alias("w_total"),
+            F.col("_T").cast("bigint").alias("final_level"),
+            F.pow(F.lit(2.0), F.col("_T") + 1).cast("bigint").alias("err_bound"),
+            F.col("v").alias("value"),
+            F.col("h").alias("value_h"),
+        )
+    )

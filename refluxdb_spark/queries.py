@@ -13466,6 +13466,191 @@ def sketch_quantile_sample(spark, sf_dir):
     )
 
 
+def _kll_oracle(k: int = 64, rounds: int = 10) -> str:
+    """DuckDB replay of the deterministic KLL compactor
+    (operators.sketches.kll_state): the compaction loop unrolled to a
+    fixed ``rounds`` depth — each round is one window count + one
+    window rank per (group, level) cell, keeping the level's md5-parity
+    alternation when the cell overflows. Extra rounds past convergence
+    are content no-ops (every cell fits, the WHERE passes everything
+    through), so a generous fixed unroll equals the Spark side's
+    dynamic convergence loop; rounds=10 covers k*2^10 items per group,
+    far above any sf0.01 group."""
+    parity = (
+        "CAST(concat('0x', substr(md5('kll|' || CAST(level AS VARCHAR)), 1, "
+        "15)) AS BIGINT) % 2"
+    )
+    lvls = []
+    for r in range(1, rounds + 1):
+        lvls.append(f"""
+    lvl{r} AS (
+        SELECT event_type,
+               CASE WHEN _n > {k} THEN level + 1 ELSE level END AS level,
+               v, h
+        FROM (
+            SELECT event_type, level, v, h,
+                   count(*) OVER (PARTITION BY event_type, level) AS _n,
+                   row_number() OVER (PARTITION BY event_type, level
+                                      ORDER BY v, h) AS _pos
+            FROM lvl{r - 1}
+        )
+        WHERE _n <= {k} OR (_pos - 1) % 2 = {parity}
+    )""")
+    return f"""
+    WITH base AS (
+        SELECT event_type, value AS v,
+               CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    lvl0 AS (SELECT event_type, 0 AS level, v, h FROM base),
+    {",".join(lvls)},
+    st AS (
+        SELECT event_type, level, v, h,
+               CAST(power(2, level) AS BIGINT) AS w
+        FROM lvl{rounds}
+    ),
+    ranked AS (
+        SELECT event_type, level, v, h, w,
+               CAST(sum(w) OVER (PARTITION BY event_type ORDER BY v, h
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS wt,
+               count(*) OVER (PARTITION BY event_type) AS s,
+               max(level) OVER (PARTITION BY event_type) AS maxlvl
+        FROM st
+    ),
+    qs AS (SELECT CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+    est AS (
+        SELECT r.event_type, qs.q, r.s AS n_state, r.wt AS w_total,
+               CAST(r.maxlvl AS BIGINT) AS final_level,
+               CAST(power(2, r.maxlvl + 1) AS BIGINT) AS err_bound,
+               r.v AS est_value, r.h AS est_h
+        FROM ranked r JOIN qs
+          ON r.cw >= greatest(CAST(1 AS BIGINT),
+                              CAST(ceil(qs.q * r.wt) AS BIGINT))
+         AND r.cw - r.w < greatest(CAST(1 AS BIGINT),
+                                   CAST(ceil(qs.q * r.wt) AS BIGINT))
+    ),
+    exact_ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vr,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ),
+    exact AS (
+        SELECT e.event_type, qs.q, e.v AS exact_value,
+               greatest(CAST(1 AS BIGINT),
+                        CAST(ceil(qs.q * e.n) AS BIGINT)) AS tgt_rank
+        FROM exact_ranked e JOIN qs
+          ON e.vr = greatest(CAST(1 AS BIGINT),
+                             CAST(ceil(qs.q * e.n) AS BIGINT))
+    ),
+    erank AS (
+        SELECT e.event_type, e.q, CAST(count(*) AS BIGINT) AS est_rank
+        FROM est e JOIN base b
+          ON b.event_type = e.event_type
+         AND (b.v < e.est_value
+              OR (b.v = e.est_value AND b.h <= e.est_h))
+        GROUP BY e.event_type, e.q
+    )
+    SELECT est.event_type, est.q, est.n_state, est.w_total,
+           est.final_level, est.err_bound, est.est_value,
+           exact.exact_value,
+           round(abs(est.est_value - exact.exact_value), 6) AS abs_err,
+           CAST(abs(erank.est_rank - exact.tgt_rank) AS BIGINT) AS rank_err,
+           abs(erank.est_rank - exact.tgt_rank) <= est.err_bound
+               AS within_bound
+    FROM est
+    JOIN exact ON est.event_type = exact.event_type AND est.q = exact.q
+    JOIN erank ON est.event_type = erank.event_type AND est.q = erank.q
+    """
+
+
+@register("sketch_kll_quantiles", _kll_oracle(k=64, rounds=10))
+def sketch_kll_quantiles(spark, sf_dir):
+    """Deterministic KLL-family quantile compactor with its measured
+    rank error AND analytic bound in every row (operators.sketches.
+    kll_state / kll_quantile_values) — the distribution-independent
+    guarantee the r17 sampling sketch deliberately traded away, now
+    delivered: a Munro-Paterson full-level compactor (KLL FOCS 2016
+    with the coin flips derandomized to one md5 bit per level), whose
+    state is a pure function of the input multiset and therefore
+    value-oracled bit-for-bit like every sketch in the module. Per
+    event type: q10/q50/q90/q99 from the weighted state, the exact
+    same-rule quantile, the value error, the MEASURED rank error of
+    the estimate in the base order, and the deterministic 2^(T+1)
+    rank envelope it must sit inside (within_bound is part of the
+    oracled result — the guarantee itself is cross-checked, the
+    sim_ivf_recall pattern)."""
+    e = load(spark, sf_dir, "events")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    state = SK.kll_state(e, "value", ["event_id"], k=64, by=["event_type"])
+    est = SK.kll_quantile_values(state, qs, by=["event_type"]).select(
+        "event_type", "q", "n_state", "w_total", "final_level",
+        "err_bound", F.col("value").alias("est_value"),
+        F.col("value_h").alias("est_h"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    from pyspark.sql import Window
+
+    base = e.select("event_type", h.alias("h"), F.col("value").alias("v"))
+    wv = Window.partitionBy("event_type").orderBy(
+        F.col("v").asc(), F.col("h").asc()
+    )
+    cn = Window.partitionBy("event_type")
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    tgt = F.greatest(
+        F.lit(1).cast("bigint"), F.ceil(F.col("q") * F.col("_n")).cast("bigint")
+    )
+    exact = (
+        base.withColumn("_vr", F.row_number().over(wv))
+        .withColumn("_n", F.count(F.lit(1)).over(cn))
+        .select("event_type", "v", "_vr", "_n", F.explode(qarr).alias("q"))
+        .filter(F.col("_vr") == tgt)
+        .select(
+            "event_type", "q", F.col("v").alias("exact_value"),
+            tgt.alias("tgt_rank"),
+        )
+    )
+    e2 = est.select(
+        F.col("event_type").alias("_et"), "q", "est_value", "est_h"
+    )
+    erank = (
+        F.broadcast(e2)
+        .join(
+            base,
+            (base["event_type"] == e2["_et"])
+            & (
+                (base["v"] < e2["est_value"])
+                | (
+                    (base["v"] == e2["est_value"])
+                    & (base["h"] <= e2["est_h"])
+                )
+            ),
+        )
+        .groupBy(F.col("_et").alias("event_type"), "q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("est_rank"))
+    )
+    return (
+        est.join(exact, ["event_type", "q"])
+        .join(erank, ["event_type", "q"])
+        .select(
+            "event_type", "q", "n_state", "w_total", "final_level",
+            "err_bound", "est_value", "exact_value",
+            F.round(F.abs(F.col("est_value") - F.col("exact_value")), 6)
+            .alias("abs_err"),
+            F.abs(F.col("est_rank") - F.col("tgt_rank")).cast("bigint")
+            .alias("rank_err"),
+            (
+                F.abs(F.col("est_rank") - F.col("tgt_rank"))
+                <= F.col("err_bound")
+            ).alias("within_bound"),
+        )
+    )
+
+
 @register(
     "sketch_kmv_jaccard",
     """

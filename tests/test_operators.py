@@ -3976,3 +3976,131 @@ def test_kcenter_coreset_greedy_trajectory(spark):
     assert got[1].vec_id == 3 and got[1].min_dist == 2.0
     # round 2: id2 (orthogonal to both, min dist 1.0) beats id1 (~0.005)
     assert got[2].vec_id == 2 and got[2].min_dist == 1.0
+
+
+def _kll_rank_errors(state_rows, values, qs):
+    """Measured rank error of each estimated quantile: replay the
+    weighted estimator on collected state rows (weight 2^level, ranked
+    by (v, h)) and compare the estimate's true rank in the sorted base
+    against the exact target rank ceil(q*n)."""
+    import math
+
+    st = sorted(((r.v, r.h, 1 << r.level) for r in state_rows))
+    wt = sum(w for _, _, w in st)
+    base = sorted(values)
+    errs = {}
+    for q in qs:
+        tgt = max(1, math.ceil(q * wt))
+        cw = 0
+        est = None
+        for v, h, w in st:
+            cw += w
+            if cw >= tgt:
+                est = v
+                break
+        # the estimate VALUE occupies the whole rank interval of its
+        # ties in the base; the standard eps-quantile criterion is
+        # distance from the target to that interval (0 if covered)
+        lo = sum(1 for x in base if x < est) + 1
+        hi = sum(1 for x in base if x <= est)
+        t = max(1, math.ceil(len(base) * q))
+        errs[q] = 0 if lo <= t <= hi else min(abs(t - lo), abs(t - hi))
+    return errs
+
+
+def test_kll_state_layout_invariant_and_size_bounded(spark):
+    """The KLL compactor state is a pure function of the input multiset
+    (md5-parity coins, full-level compactions): any repartitioning
+    produces the bit-identical state, and the state never holds more
+    than k rows per occupied level."""
+    from refluxdb_spark.operators.sketches import kll_state
+
+    df = spark.range(0, 1500).selectExpr(
+        "'g' as grp", "id as k", "cast((id * 37) % 1009 as double) as v"
+    )
+    a = kll_state(df, "v", ["k"], k=32, by=["grp"])
+    b = kll_state(df.repartition(13), "v", ["k"], k=32, by=["grp"])
+    ra = sorted((r.level, r.v, r.h) for r in a.collect())
+    rb = sorted((r.level, r.v, r.h) for r in b.collect())
+    assert ra == rb
+    from collections import Counter
+
+    per_level = Counter(lvl for lvl, _, _ in ra)
+    assert all(c <= 32 for c in per_level.values()), per_level
+
+
+def test_kll_rank_error_within_deterministic_bound(spark):
+    """The deterministic guarantee across adversarial distributions
+    (constant, two-cluster, heavy-tail, uniform): measured rank error
+    of every estimated quantile is within the analytic 2^(T+1)
+    envelope — no distribution or probability qualifier, the property
+    the sampling sketch cannot offer."""
+    from refluxdb_spark.operators.sketches import kll_quantile_values, kll_state
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    dists = {
+        "uniform": "cast(id as double)",
+        "constant": "cast(7 as double)",
+        "two_cluster": "cast(case when id % 2 = 0 then 1 else 1000000 end as double)",
+        "heavy_tail": "cast(power(1.01, id % 800) as double)",
+    }
+    for name, expr in dists.items():
+        df = spark.range(0, 2000).selectExpr(
+            "'g' as grp", "id as k", f"{expr} as v"
+        )
+        state = kll_state(df, "v", ["k"], k=32, by=["grp"])
+        est = kll_quantile_values(state, qs, by=["grp"]).collect()
+        bound = est[0].err_bound
+        vals = [r.v for r in df.select("v").collect()]
+        errs = _kll_rank_errors(
+            state.collect(), vals, qs
+        )
+        assert all(e <= bound for e in errs.values()), (name, errs, bound)
+        # and the bound is the documented 2^(T+1)
+        assert bound == 2 ** (est[0].final_level + 1)
+
+
+def test_kll_merge_commutes_and_keeps_guarantee(spark):
+    """Merging KLL states re-runs the same content-deterministic
+    compaction on the union: merge(A,B) == merge(B,A) bit-for-bit, a
+    3-way merge of arbitrary splits stays within the 2^(T+1) rank
+    envelope, and a group that never overflowed merges losslessly
+    (union below capacity passes through untouched)."""
+    from refluxdb_spark.operators.sketches import (
+        kll_merge,
+        kll_quantile_values,
+        kll_state,
+    )
+
+    df = spark.range(0, 1800).selectExpr(
+        "'g' as grp", "id as k", "cast((id * id) % 4999 as double) as v"
+    )
+    parts = [
+        df.filter("k % 3 = 0"),
+        df.filter("k % 3 = 1"),
+        df.filter("k % 3 = 2"),
+    ]
+    states = [kll_state(p, "v", ["k"], k=32, by=["grp"]) for p in parts]
+    m_ab = kll_merge(states[0].union(states[1]), k=32, by=["grp"])
+    m_ba = kll_merge(states[1].union(states[0]), k=32, by=["grp"])
+    assert sorted((r.level, r.v, r.h) for r in m_ab.collect()) == sorted(
+        (r.level, r.v, r.h) for r in m_ba.collect()
+    )
+    merged = kll_merge(m_ab.union(states[2]), k=32, by=["grp"])
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = kll_quantile_values(merged, qs, by=["grp"]).collect()
+    bound = est[0].err_bound
+    vals = [r.v for r in df.select("v").collect()]
+    errs = _kll_rank_errors(merged.collect(), vals, qs)
+    assert all(e <= bound for e in errs.values()), (errs, bound)
+
+    # no-overflow merge is lossless: two 10-row states, k=64
+    small = spark.range(0, 20).selectExpr(
+        "'s' as grp", "id as k", "cast(id as double) as v"
+    )
+    sa = kll_state(small.filter("k < 10"), "v", ["k"], k=64, by=["grp"])
+    sb = kll_state(small.filter("k >= 10"), "v", ["k"], k=64, by=["grp"])
+    m = kll_merge(sa.union(sb), k=64, by=["grp"])
+    assert sorted((r.level, r.v) for r in m.collect()) == [
+        (0, float(i)) for i in range(20)
+    ]
