@@ -64,6 +64,35 @@ def get_spark(
         # explicitly (queries.load) — exact integer arithmetic, no
         # double round-trip.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Streaming state store: RocksDB (rocksdbjni ships with Spark),
+        # not the default HDFSBackedStateStoreProvider, which keeps
+        # EVERY key's state deserialized in executor HEAP — at real
+        # series/sender cardinality (millions of keys across the
+        # applyInPandasWithState family, streaming/stateful.py) heap-
+        # resident state is the first streaming OOM (VERDICT r17 item
+        # 1). RocksDB keeps state on local disk with a bounded block
+        # cache, so per-executor memory is O(cache), not O(keys).
+        # Override via $SPARK_GRAFT_STATE_STORE (set it to
+        # "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+        # to get the old behavior); fenced by
+        # test_state_store_provider_is_rocksdb.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            os.environ.get(
+                "SPARK_GRAFT_STATE_STORE",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            ),
+        )
+        # Changelog checkpointing: upload per-batch deltas instead of
+        # full RocksDB snapshots — checkpoint cost scales with CHANGED
+        # keys per batch, not total state size (the right default once
+        # state no longer fits heap).
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -229,3 +229,40 @@ def test_importance_sample_extremes(spark):
     got = {r["doc_id"]: r["kept"] for r in importance_sample(df, "score", "doc_id").collect()}
     # score 1.0 -> threshold 2^32 > any 32-bit hash; score 0 -> threshold 0
     assert got[1] and got[2] and not got[3] and not got[4]
+
+
+def test_state_store_provider_is_rocksdb(spark, tmp_path):
+    """The session default must route stateful streaming through the
+    RocksDB state store (VERDICT r17 item 1: heap-backed state is the
+    first streaming OOM at real key cardinality) — asserted from the
+    query's own progress metrics, not just the conf: the RocksDB
+    provider publishes rocksdb* custom metrics per state operator,
+    the HDFS-backed one publishes none."""
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    lines_dir = tmp_path / "rk_in"
+    lines_dir.mkdir()
+    (lines_dir / "b.json").write_text(
+        '{"series":"cpu","ts":1,"value":10.0}\n'
+        '{"series":"mem","ts":1,"value":5.0}\n'
+    )
+    src = spark.readStream.schema("series string, ts long, value double").json(
+        str(lines_dir)
+    )
+    out = stream_ema(src, alpha=ALPHA)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rk_probe")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "rk_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    ops = progress["stateOperators"]
+    assert ops, "stateful query reported no state operators"
+    custom = ops[0].get("customMetrics", {})
+    rocks_keys = [k for k in custom if k.lower().startswith("rocksdb")]
+    assert rocks_keys, f"no rocksdb metrics in {sorted(custom)}"
