@@ -19,6 +19,15 @@ round-over-round comparison via scripts/bench_compare.py.
 
 Each query is executed to completion (count() materializes every
 operator in the plan) after a warm-up of the input files' footers.
+
+Since r18 the bench also records an executor-CPU axis: per-query
+executorCpuTime scraped from the UI REST API (the same endpoint the
+byte gate uses), per rep. CPU is insensitive to the scheduler stalls
+and box contention that spread same-code WALL totals 50%+ on this
+host, so the round gate cites byte ratio + CPU ratio together;
+per-query CPU rides the full record (bench_latest.json, committed
+per round), cpu_total_sec rides the tail-surviving summary line, and
+diffs run via `scripts/bench_compare.py --cpu`.
 """
 
 from __future__ import annotations
@@ -175,10 +184,61 @@ HEADLINE = [
 ]
 
 
+def _ui_stages(spark) -> list[dict]:
+    """Completed/active stage list via the UI REST API (the same
+    endpoint the exchange-bytes gate scrapes)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages", timeout=10
+    ) as r:
+        return json.loads(r.read())
+
+
+def _settled_new_cpu_ns(spark, before: set, deadline_s: float = 10.0):
+    """Sum executorCpuTime (ns) over stages not in ``before``, polling
+    until the new-stage set and its CPU sum are stable across two
+    consecutive reads with no stage still ACTIVE/PENDING (the status
+    store is fed asynchronously — same poll the byte gate uses).
+    Returns (new_stage_ids, cpu_ns, settled)."""
+    prev = None
+    deadline = time.time() + deadline_s
+    while True:
+        stages = _ui_stages(spark)
+        new = [
+            s for s in stages if (s["stageId"], s["attemptId"]) not in before
+        ]
+        cpu = sum(s.get("executorCpuTime", 0) for s in new)
+        snap = (
+            tuple(sorted((s["stageId"], s["attemptId"]) for s in new)),
+            cpu,
+        )
+        settled = all(
+            s.get("status") not in ("ACTIVE", "PENDING") for s in new
+        )
+        if snap == prev and settled:
+            return {(s["stageId"], s["attemptId"]) for s in new}, cpu, True
+        if time.time() > deadline:
+            return {(s["stageId"], s["attemptId"]) for s in new}, cpu, False
+        prev = snap
+        time.sleep(0.1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="refluxdb_spark_bench")
+    # UI enabled (engine default is off): the bench scrapes per-stage
+    # executorCpuTime as a SECOND, deterministic-leaning axis beside
+    # wall clock — CPU time is insensitive to the scheduler stalls and
+    # box contention that give wall a 50%+ same-code spread on this
+    # host (VERDICT r17 item 4), so round-over-round CPU ratios can
+    # make positive claims wall cannot.
+    spark = get_spark(
+        app_name="refluxdb_spark_bench",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4098"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up: JIT/classloading + parquet footer reads, so timings
@@ -254,7 +314,14 @@ def main() -> None:
           file=sys.stderr)
 
     timings: dict[str, float] = {}
+    timings_cpu: dict[str, float] = {}
     rep_counts: dict[str, int] = {}
+    cpu_ok = True
+    try:
+        seen, _, _ = _settled_new_cpu_ns(spark, set())
+    except Exception as e:  # UI scrape unavailable: wall-only bench
+        print(f"# cpu axis disabled (UI scrape failed: {e})", file=sys.stderr)
+        cpu_ok, seen = False, set()
     for name in HEADLINE:
         fn = QUERIES[name]
         samples = []
@@ -275,8 +342,23 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         rep_counts[name] = len(samples)
+        cpu_note = ""
+        if cpu_ok:
+            try:
+                new_ids, cpu_ns, settled = _settled_new_cpu_ns(spark, seen)
+                seen |= new_ids
+                # total executor CPU across ALL reps of this query,
+                # divided by the rep count -> per-execution CPU sec
+                timings_cpu[name] = round(cpu_ns / 1e9 / len(samples), 3)
+                cpu_note = f", cpu {timings_cpu[name]}s/rep" + (
+                    "" if settled else " UNSETTLED"
+                )
+            except Exception as e:
+                cpu_ok = False
+                timings_cpu.clear()
+                print(f"# cpu axis disabled mid-run ({e})", file=sys.stderr)
         print(
-            f"# {name}: median {timings[name]}s of {[round(s, 3) for s in samples]} ({n} rows)",
+            f"# {name}: median {timings[name]}s of {[round(s, 3) for s in samples]} ({n} rows{cpu_note})",
             file=sys.stderr,
         )
 
@@ -301,7 +383,9 @@ def main() -> None:
             calibration,
             os.path.dirname(os.path.abspath(__file__)),
             calibration_end=calibration_end,
+            timings_cpu=timings_cpu or None,
         ),
+        timings_cpu=timings_cpu or None,
     )
     # record this HEADLINE generation so FUTURE grown-registry rounds
     # can still decode this run's compact line by name
@@ -424,6 +508,7 @@ def self_adjudication(
     calibration: float,
     repo_dir: str,
     calibration_end: float | None = None,
+    timings_cpu: dict[str, float] | None = None,
 ) -> dict:
     """Fields that let an archived artifact adjudicate ITSELF (VERDICT
     r15 item 5 — r15's raw 1.13x was a calibrated 0.94x, but the raw
@@ -461,10 +546,36 @@ def self_adjudication(
         "calibrated_noise_dominated": None,
         "prev_artifact": None,
         "byte_gate_md5": None,
+        # common-query CPU-time ratio vs the previous round's artifact
+        # (VERDICT r17 item 4: a second, contention-insensitive axis);
+        # null until a prior artifact carries queries_cpu — absence is
+        # explicit, never inferred
+        "cpu_vs_prev": None,
+        "cpu_common_n": 0,
     }
     gate = os.path.join(repo_dir, "scripts", "exchange_profile_sf001.json")
     if os.path.exists(gate):
         out["byte_gate_md5"] = hashlib.md5(open(gate, "rb").read()).hexdigest()[:12]
+    # CPU prev source: the committed bench_latest.json still on disk at
+    # adjudication time IS the previous round's full record (the driver
+    # tail truncates the head that carries queries_cpu, so the tail can
+    # never supply it; the full record can — bench overwrites the file
+    # only AFTER this runs)
+    if timings_cpu:
+        try:
+            prev_full = json.load(
+                open(os.path.join(repo_dir, "bench_latest.json"))
+            )
+            prev_cpu = prev_full.get("queries_cpu") or {}
+            cpu_common = sorted(set(prev_cpu) & set(timings_cpu))
+            pb = sum(float(prev_cpu[q]) for q in cpu_common)
+            if cpu_common and pb > 0:
+                out["cpu_vs_prev"] = round(
+                    sum(timings_cpu[q] for q in cpu_common) / pb, 3
+                )
+                out["cpu_common_n"] = len(cpu_common)
+        except (OSError, ValueError, json.JSONDecodeError):
+            pass
     if calibration and calibration > 0 and calibration_end and calibration_end > 0:
         out["probe_spread_pct"] = round(
             abs(calibration_end - calibration) / calibration * 100.0, 1
@@ -503,6 +614,7 @@ def emit_lines(
     calibration_py: float | None = None,
     calibration_end: float | None = None,
     adjudication: dict | None = None,
+    timings_cpu: dict[str, float] | None = None,
 ) -> list[str]:
     """The stdout contract, testable without running queries: the full
     JSON record first (head-truncated by the driver's ~2000-char tail
@@ -528,6 +640,14 @@ def emit_lines(
         head["calibration_end_sec"] = calibration_end
     if rep_counts is not None:
         head["rep_counts"] = rep_counts
+    if timings_cpu:
+        # per-query executor CPU seconds (per rep) — the second axis;
+        # rides the FULL record (bench_latest.json) only: the driver
+        # tail truncates the head, and the compact line is size-capped
+        # (a cpu values array would push the wall values out of the
+        # ~2000-char window). The tail keeps cpu_total_sec via summary.
+        head["queries_cpu"] = timings_cpu
+        head["cpu_total_sec"] = round(sum(timings_cpu.values()), 3)
     if adjudication is not None:
         # self-adjudication context rides head AND summary (the tail's
         # final parseable record), never the size-constrained compact
@@ -546,7 +666,11 @@ def emit_lines(
         # and 7 coexist, and a reader adjudicating a flagged regression
         # needs to know which cohort the number came from
         compact["reps_values"] = [rep_counts.get(n, reps) for n in names]
-    summary = {k: v for k, v in head.items() if k not in ("queries", "rep_counts")}
+    summary = {
+        k: v
+        for k, v in head.items()
+        if k not in ("queries", "rep_counts", "queries_cpu")
+    }
     summary["n_queries"] = len(timings)
     return [json.dumps(head), json.dumps(compact), json.dumps(summary)]
 

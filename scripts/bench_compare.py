@@ -32,6 +32,15 @@ scripts/exp_exchange_bytes.py --baseline/--out) instead of timings:
 
     python scripts/bench_compare.py --bytes base.json new.json [1.2]
 
+Pass --cpu to diff the executor-CPU axis (bench.py scrapes per-stage
+executorCpuTime into queries_cpu since r18): CPU is insensitive to
+the scheduler stalls that spread same-code wall totals 50%+, so this
+ratio makes positive claims without a calibration probe. Needs FULL
+bench records (bench_latest.json per round) — driver tails truncate
+the head that carries queries_cpu:
+
+    python scripts/bench_compare.py --cpu prev_latest.json bench_latest.json [1.3]
+
 Raw stdout (full JSON line), bench_latest.json, and driver tails mix
 freely; timings keyed "reps"/"sf"/"calibration_sec"/"value"/
 "n_queries" are excluded.
@@ -245,6 +254,65 @@ def compare_bytes(base_path: str, new_path: str, thresh: float) -> int:
     return 0
 
 
+def load_cpu(path: str) -> dict[str, float]:
+    """Per-query executor-CPU seconds from a FULL bench record
+    (bench_latest.json / raw head line). Driver BENCH_r{N} tails
+    truncate the head that carries queries_cpu, so they decode to {} —
+    keep each round's bench_latest.json (committed) as the CPU
+    artifact of record and diff those."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and "queries_cpu" in d:
+            return {k: float(v) for k, v in d["queries_cpu"].items()}
+        if isinstance(d, dict) and "tail" in d:
+            text = d["tail"]
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        try:
+            rec = json.loads(line.strip())
+        except json.JSONDecodeError:
+            continue
+        if isinstance(rec, dict) and "queries_cpu" in rec:
+            return {k: float(v) for k, v in rec["queries_cpu"].items()}
+    return {}
+
+
+def compare_cpu(base_path: str, new_path: str, thresh: float) -> int:
+    """Diff two artifacts on the executor-CPU axis (VERDICT r17 item
+    4): CPU time is insensitive to the scheduler stalls and box
+    contention that spread same-code WALL totals 50%+ on this host, so
+    the CPU ratio can make positive round-over-round claims without a
+    calibration probe. Exit 0 clean / 1 regressions / 2 no data."""
+    base, new = load_cpu(base_path), load_cpu(new_path)
+    missing = [p for p, d in ((base_path, base), (new_path, new)) if not d]
+    if missing:
+        print(f"error: no queries_cpu in: {' '.join(missing)} — --cpu "
+              f"needs FULL bench records (bench_latest.json), not driver "
+              f"tails", file=sys.stderr)
+        return 2
+    common = sorted(set(base) & set(new))
+    if not common:
+        print("no common queries between the two cpu records")
+        return 2
+    tb, tn = sum(base[q] for q in common), sum(new[q] for q in common)
+    print(f"cpu common queries: {len(common)}  base total {tb:.2f}s  "
+          f"new total {tn:.2f}s  ratio {tn / tb:.2f}x")
+    regressions = [
+        (q, base[q], new[q], new[q] / base[q])
+        for q in common
+        # 0.05s floor: CPU is steadier than wall, so the noise floor
+        # is tighter than compare_timings' 0.15s
+        if new[q] > base[q] * thresh and new[q] - base[q] > 0.05
+    ]
+    for q, b, n, r in sorted(regressions, key=lambda t: -t[3]):
+        print(f"  CPU REGRESSION {q}: {b:.2f}s -> {n:.2f}s ({r:.2f}x)")
+    if not regressions:
+        print(f"zero cpu regressions > {thresh}x")
+    return 1 if regressions else 0
+
+
 def compare_timings(
     base_path: str, new_path: str, thresh: float, calibrated: bool = False
 ) -> int:
@@ -315,7 +383,7 @@ def compare_timings(
 
 
 def main() -> int:
-    flags = {"--bytes", "--calibrated"}
+    flags = {"--bytes", "--calibrated", "--cpu"}
     # an unknown --flag (e.g. the typo --calibrate) must not fall
     # through as a positional and reach open() as a "file path"
     unknown = [a for a in sys.argv[1:] if a.startswith("--") and a not in flags]
@@ -328,6 +396,10 @@ def main() -> int:
     if len(args) < 2:
         print(__doc__)
         return 2
+    if "--bytes" in sys.argv and "--cpu" in sys.argv:
+        print("error: --bytes and --cpu are mutually exclusive",
+              file=sys.stderr)
+        return 2
     if "--bytes" in sys.argv:
         if "--calibrated" in sys.argv:
             # bytes are deterministic — there is nothing to normalize;
@@ -336,6 +408,13 @@ def main() -> int:
                   "(shuffle bytes are not wall-clock)", file=sys.stderr)
         return compare_bytes(
             args[0], args[1], float(args[2]) if len(args) > 2 else 1.2
+        )
+    if "--cpu" in sys.argv:
+        if "--calibrated" in sys.argv:
+            print("warning: --calibrated has no effect with --cpu "
+                  "(CPU time needs no box-speed probe)", file=sys.stderr)
+        return compare_cpu(
+            args[0], args[1], float(args[2]) if len(args) > 2 else 1.3
         )
     return compare_timings(
         args[0], args[1],

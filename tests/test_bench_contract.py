@@ -552,6 +552,8 @@ def test_self_adjudication_absence_is_explicit_null(tmp_path):
         "calibrated_noise_dominated": None,
         "prev_artifact": None,
         "byte_gate_md5": None,
+        "cpu_vs_prev": None,
+        "cpu_common_n": 0,
     }
     # a prev artifact with a STALE names_md5 cannot be compared
     stale = {
@@ -662,3 +664,57 @@ def test_names_registry_committed_file_decodes_r16_artifact():
     adj = bench.self_adjudication(t, cal, repo, calibration_end=cal)
     assert adj["prev_artifact"] is not None
     assert adj["raw_vs_prev"] is not None
+
+
+def test_cpu_axis_rides_head_and_summary_not_compact(tmp_path):
+    """The executor-CPU axis (VERDICT r17 item 4): per-query CPU rides
+    the FULL record only (the compact line is size-capped and the
+    driver tail truncates the head), cpu_total_sec rides head AND
+    summary so the tail always keeps the total, and cpu_vs_prev is
+    computed against the bench_latest.json still on disk when the
+    bench starts (the previous round's committed full record)."""
+    import bench
+
+    timings = {n: 1.0 for n in bench.HEADLINE}
+    cpu = {n: 0.5 for n in bench.HEADLINE}
+    out = bench.emit_lines(timings, 3, 0.4, 0.1, timings_cpu=cpu)
+    head, compact, summary = (json.loads(x) for x in out)
+    assert head["queries_cpu"] == cpu
+    assert head["cpu_total_sec"] == round(0.5 * len(bench.HEADLINE), 3)
+    assert summary["cpu_total_sec"] == head["cpu_total_sec"]
+    assert "queries_cpu" not in summary and "queries_cpu" not in compact
+    assert len(out[2]) < 700  # summary still fits the tail window
+
+    # cpu_vs_prev: prev full record on disk as bench_latest.json
+    (tmp_path / "bench_latest.json").write_text(
+        json.dumps({"queries_cpu": {n: 1.0 for n in bench.HEADLINE}})
+    )
+    adj = bench.self_adjudication(
+        timings, 0.4, str(tmp_path), timings_cpu=cpu
+    )
+    assert adj["cpu_vs_prev"] == 0.5
+    assert adj["cpu_common_n"] == len(bench.HEADLINE)
+
+
+def test_bench_compare_cpu_mode(tmp_path, capsys):
+    """--cpu diffs two full records' queries_cpu: clean ratio exits 0,
+    a >thresh per-query growth exits 1 naming the query, and a driver
+    tail (no queries_cpu) is rejected with exit 2, not compared as
+    empty."""
+    import bench_compare as bc
+
+    base = tmp_path / "base.json"
+    new = tmp_path / "new.json"
+    base.write_text(json.dumps({"queries_cpu": {"q1": 1.0, "q2": 2.0}}))
+    new.write_text(json.dumps({"queries_cpu": {"q1": 1.05, "q2": 1.9}}))
+    assert bc.compare_cpu(str(base), str(new), 1.3) == 0
+    out = capsys.readouterr().out
+    assert "ratio" in out and "zero cpu regressions" in out
+
+    new.write_text(json.dumps({"queries_cpu": {"q1": 2.0, "q2": 2.0}}))
+    assert bc.compare_cpu(str(base), str(new), 1.3) == 1
+    assert "CPU REGRESSION q1" in capsys.readouterr().out
+
+    tail = tmp_path / "tail.json"
+    tail.write_text(json.dumps({"tail": '{"metric": "x"}'}))
+    assert bc.compare_cpu(str(tail), str(new), 1.3) == 2
