@@ -178,6 +178,10 @@ HEADLINE = [
     "sim_ivf_nprobe_sweep",
     "sample_kcenter_coreset",
     "orders_abc_classification",
+    # round-18 additions
+    "sketch_kll_quantiles",
+    "sim_hnsw_topk",
+    "sim_hnsw_recall",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape

@@ -1959,7 +1959,13 @@ def nsw_topk(
     traversal replays bit-for-bit in SQL (hops unrolled) — recall is
     then gated against brute force exactly like ``sim_ivf_recall``.
     Returns (query_id, neighbor_id, cosine, rank)."""
-    g = graph if graph is not None else nsw_graph(corpus, m, id_col, vec_col)
+    # materialize the adjacency once: each hop references it, and
+    # without the checkpoint every hop's plan re-embeds (and runtime
+    # re-executes) the n² graph build — measured 91 static exchanges
+    # for 4 hops before this, ~12 after (the hyperball discipline)
+    g = (
+        graph if graph is not None else nsw_graph(corpus, m, id_col, vec_col)
+    ).localCheckpoint(eager=True)
     c = corpus.select(
         F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
     )
@@ -2003,8 +2009,11 @@ def nsw_topk(
 
     bm = _score_and_cut(
         q.select("query_id").crossJoin(F.broadcast(entries)), beam
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(hops):
+        # the beam relation is referenced twice per hop (expansion +
+        # union) — checkpointing it keeps the plan per-hop-constant
+        # instead of doubling the lineage every hop
         expanded = (
             F.broadcast(bm.select("query_id", "cand"))
             .join(g.withColumnRenamed("src", "cand"), "cand")
@@ -2012,7 +2021,7 @@ def nsw_topk(
             .union(bm.select("query_id", "cand"))
             .distinct()
         )
-        bm = _score_and_cut(expanded, beam)
+        bm = _score_and_cut(expanded, beam).localCheckpoint(eager=True)
     return (
         bm.withColumn("rank", F.row_number().over(wb).cast("bigint"))
         .filter(F.col("rank") <= k)

@@ -126,6 +126,16 @@ TIERS: dict[int, list[str]] = {
         # r17: truncated-dim cascade — stage-1 scan dominates, linear
         "sim_matryoshka_topk",
     ],
+    9: [  # r18: KLL compactor (state <= k*levels per group; round-1
+        # window is the data-sized pass), graph ANN (n² build + beam
+        # search whose per-hop cost is queries x beam x m, corpus-
+        # independent), and its recall harness (adds the exact side).
+        # The OTHER r18 tier-9 axis — state vs key cardinality — is
+        # scripts/exp_state_cardinality.py (SCALE.md §12).
+        "sketch_kll_quantiles",
+        "sim_hnsw_topk",
+        "sim_hnsw_recall",
+    ],
 }
 
 

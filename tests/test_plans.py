@@ -295,6 +295,12 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "sim_ivf_nprobe_sweep": 48,
         "sample_kcenter_coreset": 0,    # rounds checkpointed; broadcast sel
         "orders_abc_classification": 2, # part agg + part-dim running sum
+        # r18 additions (budget = measured shape):
+        # compaction rounds + graph build are checkpointed; the static
+        # plan sees only the final estimator window + rank joins
+        "sketch_kll_quantiles": 6,
+        "sim_hnsw_topk": 1,     # graph + beams checkpointed; final rank
+        "sim_hnsw_recall": 7,   # + exact brute-force side + hits agg
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
