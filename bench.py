@@ -181,6 +181,7 @@ HEADLINE = [
     # round-18 additions
     "sketch_kll_quantiles",
     "sim_hnsw_topk",
+    "sim_hnsw_persisted_topk",
     "sim_hnsw_recall",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),

@@ -155,11 +155,12 @@ class UnsupportedFlavorError(ValueError):
 def _unfilter_png(raw: bytes, w: int, h: int, ch: int):
     """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
     Paeth, chosen per row by a leading filter byte) on the decompressed
-    IDAT stream. Returns a uint8 array shaped (h, w*ch). Up/None rows
-    vectorize; Sub/Average/Paeth carry an in-row recurrence, so those
-    rows run a per-byte Python loop — fine for the thumbnail-scale
-    payloads this tier decodes, and a documented numpy-vectorization
-    TODO beyond it."""
+    IDAT stream. Returns a uint8 array shaped (h, w*ch). None/Up/Sub
+    rows vectorize (Sub as a per-column cumsum mod 256); Average/Paeth
+    carry a non-linear in-row recurrence (floor / min-predictor), so
+    those rows run a per-byte Python loop — fine for the
+    thumbnail-scale payloads this tier decodes, and a documented
+    numpy-vectorization TODO beyond it."""
     import numpy as np
 
     stride = w * ch
@@ -176,14 +177,23 @@ def _unfilter_png(raw: bytes, w: int, h: int, ch: int):
             cur = line
         elif f == 2:
             cur = line + prev  # uint8 wraps mod 256, per spec
-        elif f in (1, 3, 4):
+        elif f == 1:
+            # Sub is a pure prefix recurrence per byte column mod ch:
+            # cur[i] = line[i] + cur[i-ch]  ==  cumsum over each
+            # residue class, mod 256 — vectorized (ADVICE r17); only
+            # Average/Paeth keep the per-byte loop (their floor/
+            # min-predictor steps are not cumsum-able)
+            cur = line.copy()
+            for r0 in range(ch):
+                cur[r0::ch] = np.cumsum(
+                    line[r0::ch], dtype=np.uint64
+                ).astype(np.uint8)
+        elif f in (3, 4):
             cur = line
             for i in range(stride):
                 a = int(cur[i - ch]) if i >= ch else 0  # left
                 bb = int(prev[i])  # up
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + bb) // 2
                 else:  # Paeth
                     c = int(prev[i - ch]) if i >= ch else 0  # up-left

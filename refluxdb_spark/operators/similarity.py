@@ -1972,15 +1972,37 @@ def nsw_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
+    return _nsw_search(q, c, g, _nsw_entries(c, n_entries), k, beam, hops)
+
+
+def _nsw_entries(c: DataFrame, n_entries: int) -> DataFrame:
+    """Entry points = the n nodes with the smallest md5 hash of their
+    id (deterministic, content-independent — the module's usual coin);
+    c is the (_cid, _cvec) projection."""
     h = F.conv(
         F.substring(F.md5(F.col("_cid").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    entries = (
+    return (
         c.select("_cid", h.alias("_h"))
         .orderBy(F.col("_h").asc(), F.col("_cid").asc())
         .limit(n_entries)
         .select(F.col("_cid").alias("cand"))
     )
+
+
+def _nsw_search(
+    q: DataFrame,
+    c: DataFrame,
+    g: DataFrame,
+    entries: DataFrame,
+    k: int,
+    beam: int,
+    hops: int,
+) -> DataFrame:
+    """The beam-search core shared by the inline (``nsw_topk``) and
+    persisted (``load_nsw_topk``) index forms — one source for the
+    traversal, so both shapes share an oracle. q = (query_id, _qvec),
+    c = (_cid, _cvec), g = (src, dst) materialized, entries = (cand)."""
     wb = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand").asc()
     )
@@ -2029,3 +2051,54 @@ def nsw_topk(
             "query_id", F.col("cand").alias("neighbor_id"), "cosine", "rank"
         )
     )
+
+
+def save_nsw_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 12,
+    n_entries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the NSW index: symmetrized adjacency + entry points
+    + the id->vector table the search scores against — the graph
+    twin of ``save_ivf_index``. Build cost (the n² or IVF-blocked
+    m-NN scoring) is paid once; searches read the snapshot. At 100 TB
+    the edge table would be bucketed by ``src`` so the per-hop
+    beam-edge join co-locates without a shuffle; at the dimension
+    sizes the oracled queries run on, plain parquet reads are already
+    broadcast-joined against the beam."""
+    g = nsw_graph(corpus, m, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    g.write.mode("overwrite").parquet(f"{path}/edges")
+    _nsw_entries(c, n_entries).write.mode("overwrite").parquet(
+        f"{path}/entries"
+    )
+    c.write.mode("overwrite").parquet(f"{path}/vectors")
+
+
+def load_nsw_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 24,
+    hops: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a saved NSW index: identical traversal to ``nsw_topk``
+    (shared ``_nsw_search`` core, so the persisted form shares its
+    oracle); the difference is purely physical — the adjacency, entry
+    points, and vector table come off parquet instead of being built
+    in-session."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = spark.read.parquet(f"{path}/vectors")
+    g = spark.read.parquet(f"{path}/edges")
+    entries = spark.read.parquet(f"{path}/entries")
+    return _nsw_search(q, c, g, entries, k, beam, hops)

@@ -111,6 +111,7 @@ WARM_REQUIRED = {
     "sim_ivf_persisted_topk",
     "sim_ivf_append_topk",
     "sim_ivfpq_persisted_topk",
+    "sim_hnsw_persisted_topk",
     "ts_streaming_incremental_dedup",
 }
 

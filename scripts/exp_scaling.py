@@ -134,6 +134,7 @@ TIERS: dict[int, list[str]] = {
         # scripts/exp_state_cardinality.py (SCALE.md §12).
         "sketch_kll_quantiles",
         "sim_hnsw_topk",
+        "sim_hnsw_persisted_topk",
         "sim_hnsw_recall",
     ],
 }

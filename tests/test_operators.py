@@ -4167,3 +4167,35 @@ def test_nsw_topk_navigates_connected_graph_exactly(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_nsw_persisted_index_matches_inline(spark, tmp_path):
+    """save_nsw_index + load_nsw_topk must return EXACTLY what the
+    inline nsw_topk returns (shared _nsw_search core; the persisted
+    form differs only physically) — the persisted-parity discipline
+    the IVF/IVF-PQ families already carry."""
+    import pyspark.sql.functions as F
+
+    from refluxdb_spark.operators.similarity import (
+        load_nsw_topk,
+        nsw_topk,
+        save_nsw_index,
+    )
+
+    df = spark.range(0, 80).selectExpr(
+        "id as vec_id",
+        "array(cast(cos(id * 0.0785) as float), cast(sin(id * 0.0785) as float),"
+        " cast((id % 5) / 5.0 as float)) as embedding",
+    )
+    qs = df.filter(F.col("vec_id") < 3)
+    inline = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in nsw_topk(df, qs, k=4, m=6, n_entries=4, beam=12, hops=3).collect()
+    }
+    path = str(tmp_path / "nsw_idx")
+    save_nsw_index(df, path, m=6, n_entries=4)
+    persisted = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in load_nsw_topk(spark, path, qs, k=4, beam=12, hops=3).collect()
+    }
+    assert persisted == inline and len(inline) == 12

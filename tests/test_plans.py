@@ -300,6 +300,7 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # plan sees only the final estimator window + rank joins
         "sketch_kll_quantiles": 6,
         "sim_hnsw_topk": 1,     # graph + beams checkpointed; final rank
+        "sim_hnsw_persisted_topk": 1,  # same search core off parquet
         "sim_hnsw_recall": 7,   # + exact brute-force side + hits agg
     }
     for name, budget in budgets.items():
