@@ -130,6 +130,7 @@ def main() -> int:
     # production-sizing probes live in exp_scaling, not the registry
     from exp_scaling import (
         _hyperball_parts_prod,
+        _nsw_blocked_prod,
         _rp_lsh_prod,
         _semantic_prune_prod,
     )
@@ -137,6 +138,7 @@ def main() -> int:
         "semantic_prune_prod": _semantic_prune_prod,
         "rp_lsh_prod": _rp_lsh_prod,
         "hyperball_parts_prod": _hyperball_parts_prod,
+        "nsw_blocked_prod": _nsw_blocked_prod,
     }
 
     args = sys.argv[1:]

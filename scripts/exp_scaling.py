@@ -136,8 +136,62 @@ TIERS: dict[int, list[str]] = {
         "sim_hnsw_topk",
         "sim_hnsw_persisted_topk",
         "sim_hnsw_recall",
+        # production probe: IVF-blocked graph build (sqrt-N cells)
+        # instead of the oracled n² build — the declared scale path
+        ("nsw_blocked_prod", "embeddings", "_nsw_blocked_prod"),
     ],
 }
+
+
+def _nsw_blocked_prod(spark, sf_dir):
+    """nsw_topk with the graph built in its PRODUCTION sizing: m-NN
+    scored WITHIN IVF cells (sqrt-N centroids, the default_num_centroids
+    rule) instead of the n² cross join — the blocked build the
+    nsw_graph docstring declares for 100 TB. Per-cell pair cost is
+    ~N^1.5 worst-case with sqrt-N cells (the semantic_prune bound);
+    the beam search on top stays O(queries x beam x m x hops)
+    regardless of corpus size. The oracled queries keep the exact n²
+    build (dimension-sized corpora, determinism pin); this probe
+    measures the scale path."""
+    from pyspark.sql import Window
+
+    from refluxdb_spark.operators import similarity as S
+    from refluxdb_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.default_num_centroids(emb.count())
+    _, assigned = S.build_ivf_index(emb, cents)
+    left = assigned.select(
+        "centroid_id", F.col("vec_id").alias("src"),
+        F.col("embedding").alias("_ev1"),
+    )
+    right = assigned.select(
+        "centroid_id", F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("_ev2"),
+    )
+    scored = (
+        left.join(right, "centroid_id")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn(
+            "_sim",
+            F.round(
+                S._dot("_ev1", "_ev2") / (S._norm("_ev1") * S._norm("_ev2")), 6
+            ),
+        )
+    )
+    wm = Window.partitionBy("src").orderBy(
+        F.col("_sim").desc(), F.col("dst").asc()
+    )
+    g = (
+        scored.withColumn("_rn", F.row_number().over(wm))
+        .filter(F.col("_rn") <= 12)
+        .select("src", "dst")
+    )
+    g = g.union(
+        g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    qs = emb.filter(F.col("vec_id") < 10)
+    return S.nsw_topk(emb, qs, k=5, beam=24, hops=4, graph=g)
 
 
 def _hyperball_parts_prod(spark, sf_dir):
