@@ -109,7 +109,11 @@ def test_main_arg_errors_exit_2_with_usage(monkeypatch, capsys):
 
     for argv, frag in [
         (["exp_scaling.py", "--tier"], "--tier requires"),
-        (["exp_scaling.py", "--tier", "9"], "--tier requires"),
+        # an out-of-range tier number: derive it from TIERS instead of
+        # hardcoding (r18 added tier 9 and the hardcoded "9" case
+        # silently became VALID — the "invalid" probe ran a full sweep)
+        (["exp_scaling.py", "--tier", str(max(es.TIERS) + 1)],
+         "--tier requires"),
         (["exp_scaling.py", "--tier", "x"], "--tier requires"),
         (["exp_scaling.py", "--teir", "2"], "unknown flag"),
         # ADVICE r15: a LATE --tier is position-invalid — the message
@@ -126,8 +130,8 @@ def test_main_arg_errors_exit_2_with_usage(monkeypatch, capsys):
             es.main()
         assert exc.value.code == 2, argv
         assert frag in capsys.readouterr().err, argv
-    # valid tiers 1..8 pass the guard (1 = MEASURED, 2-8 = TIERS)
-    assert sorted({1, *es.TIERS}) == [1, 2, 3, 4, 5, 6, 7, 8]
+    # valid tiers 1..9 pass the guard (1 = MEASURED, 2-9 = TIERS)
+    assert sorted({1, *es.TIERS}) == [1, 2, 3, 4, 5, 6, 7, 8, 9]
 
 
 def test_exp_tag_index_arg_errors_exit_2(monkeypatch, capsys):
