@@ -178,11 +178,16 @@ HEADLINE = [
     "sim_ivf_nprobe_sweep",
     "sample_kcenter_coreset",
     "orders_abc_classification",
-    # round-18 additions
+    # round-18 additions. sim_hnsw_topk and sim_hnsw_recall stay
+    # correctness-only (the pagerank/ivfpq_recall precedent): both
+    # carry the INLINE n² graph build inside the measured plan
+    # (~100 s/rep at sf0.1 — the build exists for oracle determinism
+    # at dimension scale; the scale path is the blocked build and the
+    # persisted snapshot, byte-measured in SCALE.md §13). The
+    # persisted form below is the production shape the wall bench
+    # tracks: build paid once, search corpus-independent.
     "sketch_kll_quantiles",
-    "sim_hnsw_topk",
     "sim_hnsw_persisted_topk",
-    "sim_hnsw_recall",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape
