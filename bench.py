@@ -187,6 +187,7 @@ HEADLINE = [
     # persisted form below is the production shape the wall bench
     # tracks: build paid once, search corpus-independent.
     "sketch_kll_quantiles",
+    "sketch_kll_merged_days",
     "sim_hnsw_persisted_topk",
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),

@@ -13843,6 +13843,200 @@ def sketch_kll_quantiles(spark, sf_dir):
     )
 
 
+def _kll_merged_oracle(k: int = 32, rounds_day: int = 8,
+                       rounds_merge: int = 8) -> str:
+    """DuckDB replay of the KLL MERGE path (kll_state per day ->
+    kll_merge across days): phase A compacts per (event_type, day,
+    level) cell, phase B drops day and compacts per (event_type,
+    level) — the same content-deterministic loop, so the merged state
+    replays exactly. Extra rounds past convergence are no-ops, as in
+    _kll_oracle."""
+    parity = (
+        "CAST(concat('0x', substr(md5('kll|' || CAST(level AS VARCHAR)), 1, "
+        "15)) AS BIGINT) % 2"
+    )
+
+    def phase(prefix: str, src: str, keys: str, rounds: int) -> str:
+        out = []
+        prev = src
+        for r in range(1, rounds + 1):
+            out.append(f"""
+    {prefix}{r} AS (
+        SELECT {keys},
+               CASE WHEN _n > {k} THEN level + 1 ELSE level END AS level,
+               v, h
+        FROM (
+            SELECT {keys}, level, v, h,
+                   count(*) OVER (PARTITION BY {keys}, level) AS _n,
+                   row_number() OVER (PARTITION BY {keys}, level
+                                      ORDER BY v, h) AS _pos
+            FROM {prev}
+        )
+        WHERE _n <= {k} OR (_pos - 1) % 2 = {parity}
+    )""")
+            prev = f"{prefix}{r}"
+        return ",".join(out)
+
+    return f"""
+    WITH base AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, value AS v,
+               CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events
+    ),
+    day0 AS (SELECT event_type, day, 0 AS level, v, h FROM base),
+    {phase("day", "day0", "event_type, day", rounds_day)},
+    mrg0 AS (
+        SELECT event_type, level, v, h FROM day{rounds_day}
+    ),
+    {phase("mrg", "mrg0", "event_type", rounds_merge)},
+    st AS (
+        SELECT event_type, level, v, h,
+               CAST(power(2, level) AS BIGINT) AS w
+        FROM mrg{rounds_merge}
+    ),
+    ranked AS (
+        SELECT event_type, level, v, h, w,
+               CAST(sum(w) OVER (PARTITION BY event_type ORDER BY v, h
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS wt,
+               count(*) OVER (PARTITION BY event_type) AS s,
+               max(level) OVER (PARTITION BY event_type) AS maxlvl
+        FROM st
+    ),
+    qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q),
+    est AS (
+        SELECT r.event_type, qs.q, r.s AS n_state, r.wt AS w_total,
+               CAST(r.maxlvl AS BIGINT) AS final_level,
+               CAST(power(2, r.maxlvl + 1) AS BIGINT) AS err_bound,
+               r.v AS est_value, r.h AS est_h
+        FROM ranked r JOIN qs
+          ON r.cw >= greatest(CAST(1 AS BIGINT),
+                              CAST(ceil(qs.q * r.wt) AS BIGINT))
+         AND r.cw - r.w < greatest(CAST(1 AS BIGINT),
+                                   CAST(ceil(qs.q * r.wt) AS BIGINT))
+    ),
+    exact_ranked AS (
+        SELECT event_type, v,
+               row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vr,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ),
+    exact AS (
+        SELECT e.event_type, qs.q, e.v AS exact_value,
+               greatest(CAST(1 AS BIGINT),
+                        CAST(ceil(qs.q * e.n) AS BIGINT)) AS tgt_rank
+        FROM exact_ranked e JOIN qs
+          ON e.vr = greatest(CAST(1 AS BIGINT),
+                             CAST(ceil(qs.q * e.n) AS BIGINT))
+    ),
+    erank AS (
+        SELECT e.event_type, e.q, CAST(count(*) AS BIGINT) AS est_rank
+        FROM est e JOIN base b
+          ON b.event_type = e.event_type
+         AND (b.v < e.est_value
+              OR (b.v = e.est_value AND b.h <= e.est_h))
+        GROUP BY e.event_type, e.q
+    )
+    SELECT est.event_type, est.q, est.n_state, est.w_total,
+           est.final_level, est.err_bound, est.est_value,
+           exact.exact_value,
+           CAST(abs(erank.est_rank - exact.tgt_rank) AS BIGINT) AS rank_err,
+           abs(erank.est_rank - exact.tgt_rank) <= est.err_bound
+               AS within_bound
+    FROM est
+    JOIN exact ON est.event_type = exact.event_type AND est.q = exact.q
+    JOIN erank ON est.event_type = erank.event_type AND est.q = erank.q
+    """
+
+
+@register("sketch_kll_merged_days", _kll_merged_oracle())
+def sketch_kll_merged_days(spark, sf_dir):
+    """KLL MERGE in anger, fully value-oracled (the
+    sketch_hll_rolling_actives discipline applied to the compactor):
+    one KLL state per (event_type, day) — the per-partition/per-day
+    sketches a 100 TB ingest would maintain — merged across days with
+    kll_merge (drop the day key, re-run the same content-deterministic
+    compaction loop), then q50/q90 from the merged weighted state next
+    to the exact whole-corpus quantile, the measured rank error, and
+    the 2^(T+1) envelope. The DuckDB oracle replays BOTH phases
+    unrolled (per-day cells, then merged cells), so the merge path —
+    not just the single-pass path — is pinned bit-for-bit across
+    engines."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    qs = [0.5, 0.9]
+    day_states = SK.kll_state(
+        e.withColumn("day", F.to_date("ts")),
+        "value", ["event_id"], k=32, by=["event_type", "day"],
+    )
+    merged = SK.kll_merge(
+        day_states.select("event_type", "level", "v", "h"),
+        k=32, by=["event_type"],
+    )
+    est = SK.kll_quantile_values(merged, qs, by=["event_type"]).select(
+        "event_type", "q", "n_state", "w_total", "final_level",
+        "err_bound", F.col("value").alias("est_value"),
+        F.col("value_h").alias("est_h"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    base = e.select("event_type", h.alias("h"), F.col("value").alias("v"))
+    wv = Window.partitionBy("event_type").orderBy(
+        F.col("v").asc(), F.col("h").asc()
+    )
+    cn = Window.partitionBy("event_type")
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    tgt = F.greatest(
+        F.lit(1).cast("bigint"), F.ceil(F.col("q") * F.col("_n")).cast("bigint")
+    )
+    exact = (
+        base.withColumn("_vr", F.row_number().over(wv))
+        .withColumn("_n", F.count(F.lit(1)).over(cn))
+        .select("event_type", "v", "_vr", "_n", F.explode(qarr).alias("q"))
+        .filter(F.col("_vr") == tgt)
+        .select(
+            "event_type", "q", F.col("v").alias("exact_value"),
+            tgt.alias("tgt_rank"),
+        )
+    )
+    e2 = est.select(
+        F.col("event_type").alias("_et"), "q", "est_value", "est_h"
+    )
+    erank = (
+        F.broadcast(e2)
+        .join(
+            base,
+            (base["event_type"] == e2["_et"])
+            & (
+                (base["v"] < e2["est_value"])
+                | (
+                    (base["v"] == e2["est_value"])
+                    & (base["h"] <= e2["est_h"])
+                )
+            ),
+        )
+        .groupBy(F.col("_et").alias("event_type"), "q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("est_rank"))
+    )
+    return (
+        est.join(exact, ["event_type", "q"])
+        .join(erank, ["event_type", "q"])
+        .select(
+            "event_type", "q", "n_state", "w_total", "final_level",
+            "err_bound", "est_value", "exact_value",
+            F.abs(F.col("est_rank") - F.col("tgt_rank")).cast("bigint")
+            .alias("rank_err"),
+            (
+                F.abs(F.col("est_rank") - F.col("tgt_rank"))
+                <= F.col("err_bound")
+            ).alias("within_bound"),
+        )
+    )
+
+
 @register(
     "sketch_kmv_jaccard",
     """

@@ -299,6 +299,9 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # compaction rounds + graph build are checkpointed; the static
         # plan sees only the final estimator window + rank joins
         "sketch_kll_quantiles": 6,
+        # per-day cells + merged cells checkpointed per round; static
+        # plan = estimator window + exact twin + rank joins
+        "sketch_kll_merged_days": 11,
         "sim_hnsw_topk": 1,     # graph + beams checkpointed; final rank
         "sim_hnsw_persisted_topk": 1,  # same search core off parquet
         "sim_hnsw_recall": 7,   # + exact brute-force side + hits agg
