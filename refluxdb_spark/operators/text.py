@@ -1387,3 +1387,151 @@ def perplexity_buckets(
         "avg_logprob",
         F.ntile(n_buckets).over(w).cast("int").alias("ppl_bucket"),
     )
+
+
+def keyness_llr(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+    k: int = 10,
+) -> DataFrame:
+    """Dunning log-likelihood keyness (Dunning 1993, "Accurate Methods
+    for the Statistics of Surprise and Coincidence"): for every group
+    (source/feed/domain), the top-k terms most characteristic of that
+    group versus the REST of the corpus by the G² log-likelihood-ratio
+    statistic — the corpus-comparison primitive behind "what changed
+    in this feed" triage and per-source vocabulary drift drill-down
+    (the term-level companion of ``jsd_source_drift``'s one-number
+    distance).
+
+    Contingency per (group, term): a = term count in the group, b =
+    count in the rest, with group/rest token totals n_s/n_r, N total.
+    G² = 2·[xlx(a)+xlx(b)+xlx(n_s−a)+xlx(n_r−b)−xlx(a+b)
+            −xlx(N−a−b)−xlx(n_s)−xlx(n_r)+xlx(N)]
+    with xlx(x) = x·ln(x), xlx(0) = 0 — the entropy formulation, a
+    single fixed-order expression over BIGINT scalars, so both engines
+    evaluate identical doubles term by term (no accumulation over
+    data-dependent order anywhere). ``overused`` flags direction via
+    the exact integer cross-product test a·n_r > b·n_s.
+
+    Scale: the (group × term) table is the Zipf-small vocabulary per
+    group — two map-side-combined aggregations over one corpus scan,
+    vocabulary-sized broadcast joins, a top-k window over the grid.
+    Ranking rounds G² to 6 and tiebreaks by token (the tfidf_topk
+    policy). Returns (by, token, cnt_group, cnt_rest, llr, overused,
+    rank).
+    """
+    toks = df.select(
+        F.col(by).alias("_grp"),
+        F.explode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    sv = toks.groupBy("_grp", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    ns = sv.groupBy("_grp").agg(F.sum("a").cast("bigint").alias("n_s"))
+    g = sv.groupBy("token").agg(F.sum("a").cast("bigint").alias("c"))
+    tot = ns.agg(F.sum("n_s").cast("bigint").alias("nn"))
+
+    def xlx(col: Column) -> Column:
+        d = col.cast("double")
+        return F.when(col > 0, d * F.log(d)).otherwise(F.lit(0.0))
+
+    b = (F.col("c") - F.col("a")).alias("b")
+    grid = (
+        sv.join(F.broadcast(g), "token")
+        .join(F.broadcast(ns), "_grp")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("b", b)
+        .withColumn("n_r", F.col("nn") - F.col("n_s"))
+    )
+    g2 = F.lit(2.0) * (
+        xlx(F.col("a"))
+        + xlx(F.col("b"))
+        + xlx(F.col("n_s") - F.col("a"))
+        + xlx(F.col("n_r") - F.col("b"))
+        - xlx(F.col("a") + F.col("b"))
+        - xlx(F.col("nn") - F.col("a") - F.col("b"))
+        - xlx(F.col("n_s"))
+        - xlx(F.col("n_r"))
+        + xlx(F.col("nn"))
+    )
+    scored = grid.withColumn("llr", F.round(g2, 6)).withColumn(
+        "overused", F.col("a") * F.col("n_r") > F.col("b") * F.col("n_s")
+    )
+    w = Window.partitionBy("_grp").orderBy(F.col("llr").desc(), F.col("token").asc())
+    return (
+        scored.select(
+            F.col("_grp").alias(by),
+            "token",
+            F.col("a").alias("cnt_group"),
+            F.col("b").alias("cnt_rest"),
+            "llr",
+            "overused",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str = "source",
+) -> DataFrame:
+    """Zipf rank-frequency fit per group: OLS slope/intercept of
+    ln(frequency) against ln(rank) over the group's full vocabulary —
+    the corpus-health diagnostic (natural text runs slope ≈ −1;
+    boilerplate-heavy or template-generated feeds flatten the head or
+    break the tail) that complements ``vocab_growth``'s Heaps'-law
+    view with the other classic power law.
+
+    Ranks are exact integers from a (count desc, token asc)
+    row_number, so x = ln(rank) and y = ln(count) are identical
+    doubles in both engines. The four OLS sufficient statistics Σx,
+    Σy, Σxy, Σx² accumulate over vocabulary order, so each term is
+    cast to DECIMAL(28,18) first (order-free exact sums — the
+    unigram_logprob contract); slope and intercept are then a fixed
+    arithmetic expression over the four decimal-exact sums cast back
+    to double. Returns (by, n_types, n_tokens, slope, intercept),
+    slope/intercept rounded to 6.
+
+    Scale: one corpus scan into the per-group vocabulary (Zipf-small),
+    a vocabulary-sized window for ranks, one map-side-combined
+    aggregate per group. Nothing is corpus-sized after the first
+    aggregation.
+    """
+    toks = df.select(
+        F.col(by).alias("_grp"),
+        F.explode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    cnt = toks.groupBy("_grp", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("_grp").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = cnt.withColumn("r", F.row_number().over(w).cast("bigint"))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    dec = "decimal(28,18)"
+    stats = ranked.groupBy("_grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(y.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * y).cast(dec)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+    )
+    n = F.col("n_types").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return stats.select(
+        F.col("_grp").alias(by),
+        "n_types",
+        "n_tokens",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+    )

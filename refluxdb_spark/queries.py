@@ -14315,3 +14315,117 @@ def orders_abc_classification(spark, sf_dir):
             .alias("abc_class"),
         )
     )
+
+
+# ---- round 19 additions: corpus-comparison statistics --------------
+
+_XLX = "CASE WHEN {x} > 0 THEN CAST({x} AS DOUBLE) * ln(CAST({x} AS DOUBLE)) ELSE 0.0 END"
+
+
+@register(
+    "text_keyness_llr",
+    f"""
+    WITH toks AS (
+        SELECT source AS grp,
+               unnest(list_filter({_TOKENS_SQL}, t -> t != '')) AS token
+        FROM documents
+    ),
+    sv AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS a
+           FROM toks GROUP BY grp, token),
+    ns AS (SELECT grp, CAST(sum(a) AS BIGINT) AS n_s FROM sv GROUP BY grp),
+    g AS (SELECT token, CAST(sum(a) AS BIGINT) AS c FROM sv GROUP BY token),
+    tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn FROM ns),
+    grid AS (
+        SELECT sv.grp, sv.token, sv.a, g.c - sv.a AS b,
+               ns.n_s, tot.nn - ns.n_s AS n_r, tot.nn
+        FROM sv
+        JOIN g USING (token)
+        JOIN ns ON ns.grp = sv.grp
+        CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT grp, token, a, b,
+               round(2.0 * ({_XLX.format(x='a')}
+                   + {_XLX.format(x='b')}
+                   + {_XLX.format(x='n_s - a')}
+                   + {_XLX.format(x='n_r - b')}
+                   - {_XLX.format(x='a + b')}
+                   - {_XLX.format(x='nn - a - b')}
+                   - {_XLX.format(x='n_s')}
+                   - {_XLX.format(x='n_r')}
+                   + {_XLX.format(x='nn')}), 6) AS llr,
+               a * n_r > b * n_s AS overused
+        FROM grid
+    )
+    SELECT grp AS source, token, a AS cnt_group, b AS cnt_rest,
+           llr, overused, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY grp
+                                     ORDER BY llr DESC, token) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def text_keyness_llr(spark, sf_dir):
+    """Dunning G² log-likelihood keyness (operators.text.keyness_llr):
+    the top-10 terms most characteristic of each source versus the
+    rest of the corpus — the term-level drill-down behind the
+    jsd_source_drift one-number alarm (Dunning 1993). G² is a single
+    fixed-order expression over BIGINT contingency scalars (xlx
+    entropy form), so both engines evaluate identical doubles with no
+    data-ordered accumulation; ranking rounds to 6 with a token
+    tiebreak. The (source × vocab) grid is Zipf-small; everything
+    after the one corpus scan is vocabulary-sized."""
+    return X.keyness_llr(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_zipf_fit",
+    f"""
+    WITH toks AS (
+        SELECT source AS grp,
+               unnest(list_filter({_TOKENS_SQL}, t -> t != '')) AS token
+        FROM documents
+    ),
+    cnt AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY grp, token),
+    ranked AS (
+        SELECT grp, cnt,
+               CAST(row_number() OVER (PARTITION BY grp
+                                       ORDER BY cnt DESC, token) AS BIGINT) AS r
+        FROM cnt
+    ),
+    stats AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,18))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(28,18))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+                             AS DECIMAL(28,18))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))
+                             AS DECIMAL(28,18))) AS DOUBLE) AS sxx
+        FROM ranked GROUP BY grp
+    )
+    SELECT grp AS source, n_types, n_tokens,
+           round(slope, 6) AS slope,
+           round((sy - slope * sx) / CAST(n_types AS DOUBLE), 6) AS intercept
+    FROM (
+        SELECT grp, n_types, n_tokens, sx, sy,
+               (CAST(n_types AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_types AS DOUBLE) * sxx - sx * sx) AS slope
+        FROM stats
+    )
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency OLS fit per source
+    (operators.text.zipf_fit): ln(freq)-vs-ln(rank) slope/intercept
+    over each source's full vocabulary — the power-law corpus-health
+    check beside text_vocab_growth's Heaps' law (natural text ≈ −1;
+    template-generated feeds bend the line). Ranks are exact integers,
+    each ln term is an identical double in both engines, and the four
+    OLS sufficient statistics are DECIMAL(28,18)-routed so the
+    vocabulary-order sums are exact; slope/intercept are one fixed
+    expression over the four sums."""
+    return X.zipf_fit(load(spark, sf_dir, "documents"))
