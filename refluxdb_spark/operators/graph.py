@@ -883,3 +883,120 @@ def hyperball_lin_index(
         )
         .alias("lin_index"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    scale: int = 10**12,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Integer-exact HITS hubs-and-authorities (Kleinberg 1999,
+    "Authoritative Sources in a Hyperlinked Environment") over a
+    (src, dst) edge relation — the query-dependent companion of
+    ``pagerank``: authorities are nodes good hubs point AT, hubs are
+    nodes that point at good authorities.
+
+    Per iteration (the classic order: authorities from hubs, then
+    hubs from the new authorities), with L1-style integer
+    renormalization instead of the float L2 norm::
+
+        a_raw(v) = sum over in-edges (u, v) of h(u)
+        a(v)     = a_raw(v) * scale div sum(a_raw)      (0 if sum = 0)
+        h_raw(u) = sum over out-edges (u, v) of a(v)
+        h(u)     = h_raw(u) * scale div sum(h_raw)
+
+    The renormalization product runs through DECIMAL(38,0) (a_raw is
+    bounded by |E|·scale, so raw·scale can pass 2^63; decimal `div`
+    truncates exactly like DuckDB's HUGEINT `//` on nonnegative
+    values) — both engines walk the identical BIGINT trajectory, the
+    same contract as ``pagerank``/``stationary_distribution``.
+
+    Scale: each half-step is one edge scan with the node-sized score
+    relation broadcast on, one map-side-combined aggregate keyed by
+    the receiving endpoint, and a 1-row total broadcast back — no
+    sort-merge machinery anywhere; lineage is cut per iteration
+    (node-sized, cheap). Returns (node, auth_scaled, hub_scaled).
+    """
+    n_col = F.col("n")
+    # every half-step scans the edge relation (2 per iteration, plus
+    # the node derivation): persist it for the operator's lifetime so
+    # a derived edge set (joins upstream) is built once — the same
+    # reuse contract as ``pagerank``; released before return, after
+    # the final scores are materialized past it.
+    cache_edges = checkpoint and iterations > 0
+    if cache_edges:
+        edges = edges.persist()
+    nodes = (
+        edges.select(F.col(src).alias("n"))
+        .union(edges.select(F.col(dst).alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        if cache_edges:
+            edges.unpersist()
+        return nodes.select(
+            n_col.alias("node"),
+            F.lit(0).cast("bigint").alias("auth_scaled"),
+            F.lit(0).cast("bigint").alias("hub_scaled"),
+        )
+    e = edges.select(src, dst)
+
+    def _half_step(scores: DataFrame, recv: str, send: str) -> DataFrame:
+        """One normalization half-step: push `scores` (node, x) along
+        edges onto the `recv` endpoint, renormalize to total=scale."""
+        raw = (
+            e.join(F.broadcast(scores), e[send] == scores["n"])
+            .select(F.col(recv).alias("n"), "x")
+            .groupBy("n")
+            .agg(F.sum("x").cast("bigint").alias("raw"))
+        )
+        tot = raw.agg(F.sum("raw").cast("bigint").alias("s"))
+        return (
+            nodes.join(F.broadcast(raw), "n", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "n",
+                F.when(
+                    F.col("s") > 0,
+                    F.expr(
+                        f"CAST((CAST(coalesce(raw, 0L) AS DECIMAL(38,0))"
+                        f" * {scale}) div s AS BIGINT)"
+                    ),
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("x"),
+            )
+        )
+
+    hubs = nodes.select("n", F.lit(scale // n_nodes).cast("bigint").alias("x"))
+    auth = None
+    for _ in range(iterations):
+        auth = _half_step(hubs, recv=dst, send=src)
+        if checkpoint:
+            # checkpoint each half-step: `raw` is referenced twice
+            # (the push join and its 1-row total), so an unmaterialized
+            # chain doubles per half-step — the node-sized cut is
+            # cheaper than the 2^depth recomputation it prevents
+            auth = auth.localCheckpoint(eager=True)
+        hubs = _half_step(auth, recv=src, send=dst)
+        if checkpoint:
+            hubs = hubs.localCheckpoint(eager=True)
+    out = (
+        nodes.join(
+            F.broadcast(auth.select("n", F.col("x").alias("auth_scaled"))), "n"
+        )
+        .join(F.broadcast(hubs.select("n", F.col("x").alias("hub_scaled"))), "n")
+        .select(n_col.alias("node"), "auth_scaled", "hub_scaled")
+    )
+    if cache_edges:
+        # the final scores are already materialized (localCheckpoint
+        # above), so nothing recomputes through the released cache
+        out = out.localCheckpoint(eager=True)
+        edges.unpersist()
+    return out

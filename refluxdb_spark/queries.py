@@ -14429,3 +14429,65 @@ def text_zipf_fit(spark, sf_dir):
     vocabulary-order sums are exact; slope/intercept are one fixed
     expression over the four sums."""
     return X.zipf_fit(load(spark, sf_dir, "documents"))
+
+
+def _hits_half_sql(name: str, prev: str, recv: str, send: str) -> str:
+    """One HITS half-step as three CTEs (raw push, 1-row total,
+    renormalized scores) — mirrors operators.graph.hits exactly."""
+    return f"""
+    {name}r AS (
+        SELECT e.{recv} AS n, CAST(sum(p.x) AS BIGINT) AS raw
+        FROM edges e JOIN {name}_prev p ON p.n = e.{send}
+        GROUP BY e.{recv}
+    ),
+    {name}s AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM {name}r),
+    {name} AS (
+        SELECT nd.n,
+               CASE WHEN (SELECT s FROM {name}s) > 0
+                    THEN CAST(CAST(COALESCE(r.raw, 0) AS HUGEINT)
+                              * 1000000000000
+                              // (SELECT s FROM {name}s) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS x
+        FROM nodes nd LEFT JOIN {name}r r ON r.n = nd.n
+    )""".replace(f"{name}_prev", prev)
+
+
+@register(
+    "graph_hits_trade",
+    f"""
+    WITH {_TRADE_EDGES_SPARSE_SQL.strip()},
+    nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+    h0 AS (
+        SELECT n, CAST(1000000000000 // (SELECT count(*) FROM nodes)
+                       AS BIGINT) AS x
+        FROM nodes
+    ),
+    {_hits_half_sql('a1', 'h0', 'dst', 'src')},
+    {_hits_half_sql('h1', 'a1', 'src', 'dst')},
+    {_hits_half_sql('a2', 'h1', 'dst', 'src')},
+    {_hits_half_sql('h2', 'a2', 'src', 'dst')}
+    SELECT nd.n AS node, a2.x AS auth_scaled, h2.x AS hub_scaled
+    FROM nodes nd
+    JOIN a2 ON a2.n = nd.n
+    JOIN h2 ON h2.n = nd.n
+    ORDER BY auth_scaled DESC, node
+    """,
+)
+def graph_hits_trade(spark, sf_dir):
+    """Integer-exact HITS (operators.graph.hits; Kleinberg 1999) over
+    the sparsified nation-trade graph the BFS/harmonic queries share
+    (the dense trade graph is near-complete, which collapses HITS to
+    the uniform fixpoint — the md5-sparsified subgraph has the degree
+    variance the statistic exists for): 2 iterations of the
+    authorities-from-hubs / hubs-from-authorities alternation with
+    L1-style integer renormalization (DECIMAL-routed product, `div` ≡
+    HUGEINT `//` on nonnegative values), so both engines produce the
+    identical BIGINT score trajectory — the oracle unrolls the same
+    four half-steps as CTEs. Each half-step is one edge scan with the
+    node-sized score table broadcast on plus a 1-row total broadcast
+    back."""
+    from refluxdb_spark.operators import graph as G
+
+    return G.hits(_trade_edges_sparse(spark, sf_dir), iterations=2).orderBy(
+        F.desc("auth_scaled"), "node"
+    )
