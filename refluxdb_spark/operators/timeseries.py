@@ -1501,3 +1501,67 @@ def funnel_conversion_times(
         .agg(F.min(F.col("_tp") - F.col("_t0")).cast("bigint").alias("fastest_us"))
         .select(F.col("_u").alias("user"), "fastest_us")
     )
+
+
+def sax_symbols(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SAX symbolization (Lin, Keogh, Lonardi & Chiu, DMKD 2003,
+    "A Symbolic Representation of Time Series"): per-series PAA at day
+    grain, z-normalized against the series' own moments, quantized to
+    a 4-letter alphabet at the N(0,1) quartile breakpoints
+    (−0.6745, 0, 0.6745) — the discretization under SAX-indexed motif
+    discovery, anomaly grammars, and symbolic similarity search.
+
+    Determinism: values go to integer cents (the ts_autocorrelation
+    idiom), so the PAA frame sums and the series sufficient statistics
+    (Σc as BIGINT, Σc² through DECIMAL(38,0) — square sums outgrow
+    2^63 at warehouse row counts) are exact and order-free; mean,
+    population σ, and each frame's z are then fixed-order double
+    expressions over identical operands, and symbols come from
+    comparing the identical unrounded z against the breakpoint
+    constants. Returns (by, day, n_obs, paa, z, symbol) with paa/z
+    rounded for display.
+
+    Scale: two map-side-combined aggregations over one scan (frames
+    keyed by (series, day), moments keyed by series) and a
+    series-dimension-sized broadcast join — no window over raw rows,
+    nothing corpus-sized after the first aggregate.
+    """
+    cents = F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+    base = df.select(
+        F.col(by).alias("_k"),
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+        cents.alias("c"),
+    )
+    frames = base.groupBy("_k", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("c").cast("bigint").alias("sc"),
+    )
+    mom = base.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(c * c AS DECIMAL(38,0))")).alias("ss"),
+    )
+    j = frames.join(F.broadcast(mom), "_k")
+    muc = F.col("s").cast("double") / F.col("n").cast("double")
+    paac = F.col("sc").cast("double") / F.col("n_obs").cast("double")
+    varc = F.col("ss").cast("double") / F.col("n").cast("double") - muc * muc
+    sig = F.sqrt(F.greatest(varc, F.lit(0.0)))
+    z = F.when(sig > 0, (paac - muc) / sig).otherwise(F.lit(0.0))
+    return j.select(
+        F.col("_k").alias(by),
+        "day",
+        "n_obs",
+        F.round(paac / 100.0, round_digits).alias("paa"),
+        F.round(z, round_digits).alias("z"),
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )

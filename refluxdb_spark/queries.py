@@ -14491,3 +14491,64 @@ def graph_hits_trade(spark, sf_dir):
     return G.hits(_trade_edges_sparse(spark, sf_dir), iterations=2).orderBy(
         F.desc("auth_scaled"), "node"
     )
+
+
+@register(
+    "ts_sax_symbols",
+    """
+    WITH base AS (
+        SELECT event_type AS k,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    frames AS (
+        SELECT k, day, CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(c) AS BIGINT) AS sc
+        FROM base GROUP BY k, day
+    ),
+    mom AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ss
+        FROM base GROUP BY k
+    ),
+    scored AS (
+        SELECT f.k, f.day, f.n_obs,
+               CAST(f.sc AS DOUBLE) / CAST(f.n_obs AS DOUBLE) AS paac,
+               CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) AS muc,
+               sqrt(greatest(
+                   CAST(m.ss AS DOUBLE) / CAST(m.n AS DOUBLE)
+                   - (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                     * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)),
+                   0.0)) AS sig
+        FROM frames f JOIN mom m ON m.k = f.k
+    ),
+    zed AS (
+        SELECT k, day, n_obs, paac,
+               CASE WHEN sig > 0 THEN (paac - muc) / sig ELSE 0.0 END AS z
+        FROM scored
+    )
+    SELECT k AS event_type, day, n_obs,
+           round(paac / 100.0, 6) AS paa,
+           round(z, 6) AS z,
+           CASE WHEN z < -0.6745 THEN 'a'
+                WHEN z < 0.0 THEN 'b'
+                WHEN z < 0.6745 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM zed
+    """,
+)
+def ts_sax_symbols(spark, sf_dir):
+    """SAX symbolization (operators.timeseries.sax_symbols; Lin/Keogh
+    DMKD 2003): day-grain PAA per series, z-normalized on the series'
+    own exact integer-cent moments, quantized to the 4-letter alphabet
+    at the N(0,1) quartile breakpoints — the symbolic representation
+    under motif discovery and symbolic anomaly grammars. Two map-side
+    aggregations over one scan plus a series-dimension broadcast join;
+    every float is a fixed-order expression over exact integer
+    sufficient statistics (Σc² DECIMAL-routed for warehouse-scale row
+    counts)."""
+    from refluxdb_spark.operators import timeseries as T
+
+    return T.sax_symbols(load(spark, sf_dir, "events"))
