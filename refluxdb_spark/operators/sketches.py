@@ -346,6 +346,7 @@ def kmv_hashes(
     col: str,
     k: int = 32,
     by: list[str] | None = None,
+    presalt: int = 0,
 ) -> DataFrame:
     """K-minimum-values distinct sketch state: the k smallest 60-bit
     md5 hashes of the distinct values per group — (by..., rank, h).
@@ -357,13 +358,29 @@ def kmv_hashes(
     per-day/per-partition sketches roll up without rescanning.
 
     Scale: distinct on (by, value) collapses map-side; the top-k window
-    keeps k rows per group — state size k, independent of input.
+    keeps k rows per group — state size k, independent of input. With
+    no grouping keys the bottom-k window would otherwise pull EVERY
+    distinct hash to one partition; ``presalt > 0`` inserts a
+    deterministic two-stage cut (bottom-k per hash-derived salt bucket
+    in parallel, then the ≤ presalt·k survivors re-cut globally — the
+    sketch's own mergeability applied inside the operator), which
+    produces the IDENTICAL state with the wide stage parallel. The
+    salt is h mod presalt, so no row moves twice for it.
     """
     by = by or []
     h = F.expr(
         f"cast(conv(substring(md5(cast({col} as string)), 1, 15), 16, 10) as bigint)"
     )
     d = df.select(*by, F.col(col)).distinct().select(*by, h.alias("h")).distinct()
+    if presalt > 0:
+        ws = Window.partitionBy(
+            *[F.col(c) for c in by], F.pmod(F.col("h"), F.lit(presalt))
+        ).orderBy(F.col("h").asc())
+        d = (
+            d.withColumn("_sr", F.row_number().over(ws))
+            .filter(F.col("_sr") <= k)
+            .drop("_sr")
+        )
     w = Window.partitionBy(*[F.col(c) for c in by] or [F.lit(1)]).orderBy(
         F.col("h").asc()
     )
@@ -908,5 +925,104 @@ def kll_quantile_values(
             F.pow(F.lit(2.0), F.col("_T") + 1).cast("bigint").alias("err_bound"),
             F.col("v").alias("value"),
             F.col("h").alias("value_h"),
+        )
+    )
+
+
+def kmv_difference(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV/theta-sketch set-difference estimate |A \\ B| (the
+    A-not-B operation of the theta-sketch family — Dasgupta et al.,
+    "Theta-Sketch Framework", and the audience-analytics twin of
+    ``kmv_jaccard_pairs``): from the two per-set KMV states alone,
+    estimate how many distinct values of A are absent from B — e.g.
+    "users who clicked but never hit an error" without rescanning
+    either side.
+
+    With theta = min(theta_A, theta_B) (each side's k-th smallest
+    hash, or the full 2^60 space when the state holds the whole set —
+    the exact regime), every retained A-hash below theta is a uniform
+    sample of A, and B's state provably contains ALL of B's hashes
+    below theta, so membership checks against it are exact within the
+    sample. The estimate is ``|{h ∈ S_A : h < theta, h ∉ S_B}| · 2^60
+    / theta`` — in the exact regime the multiplier collapses to 1 and
+    the estimate IS the exact difference. Hash space and counts are
+    exactly-representable doubles (the ``kmv_estimate`` contract), so
+    the estimate is bit-identical cross-engine.
+
+    Scale: the two data-sized passes are kmv_hashes' map-side
+    distincts; everything after runs on ≤k-row sketch relations
+    (1-row totals broadcast, sketch-sized anti join). The exact
+    difference computed alongside is the oracle gate — at 100 TB you
+    keep the estimate and drop the exact branch. Returns one row:
+    (n_state_a, n_state_b, theta, n_kept, kmv_diff_estimate,
+    exact_diff, rel_err).
+    """
+    space = 1 << 60
+    # presalt: the ungrouped bottom-k would otherwise single-partition
+    # the whole distinct-hash set (see kmv_hashes docstring)
+    sa = kmv_hashes(df_a, col, k=k, presalt=32)
+    sb = kmv_hashes(df_b, col, k=k, presalt=32)
+    ta = sa.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_state_a"),
+        F.when(F.count(F.lit(1)) < k, F.lit(space))
+        .otherwise(F.max("h"))
+        .cast("bigint")
+        .alias("theta_a"),
+    )
+    tb = sb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_state_b"),
+        F.when(F.count(F.lit(1)) < k, F.lit(space))
+        .otherwise(F.max("h"))
+        .cast("bigint")
+        .alias("theta_b"),
+    )
+    th = ta.crossJoin(tb).select(
+        "n_state_a",
+        "n_state_b",
+        F.least("theta_a", "theta_b").alias("theta"),
+    )
+    kept = (
+        sa.select("h")
+        .crossJoin(F.broadcast(th.select("theta")))
+        .filter(F.col("h") < F.col("theta"))
+        .join(sb.select("h"), "h", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    exact = (
+        df_a.select(F.col(col).alias("_v"))
+        .distinct()
+        .join(df_b.select(F.col(col).alias("_v")).distinct(), "_v", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_diff"))
+    )
+    est = (
+        F.col("n_kept").cast("double")
+        * F.lit(float(space))
+        / F.col("theta").cast("double")
+    )
+    return (
+        th.crossJoin(kept)
+        .crossJoin(exact)
+        .select(
+            "n_state_a",
+            "n_state_b",
+            "theta",
+            "n_kept",
+            est.alias("kmv_diff_estimate"),
+            "exact_diff",
+            F.when(
+                F.col("exact_diff") > 0,
+                F.round(
+                    F.abs(est - F.col("exact_diff").cast("double"))
+                    / F.col("exact_diff").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rel_err"),
         )
     )

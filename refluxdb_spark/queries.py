@@ -14552,3 +14552,74 @@ def ts_sax_symbols(spark, sf_dir):
     from refluxdb_spark.operators import timeseries as T
 
     return T.sax_symbols(load(spark, sf_dir, "events"))
+
+
+@register(
+    "sketch_kmv_difference",
+    """
+    WITH ua AS (SELECT DISTINCT user_id AS v FROM events
+                WHERE event_type = 'click'),
+    ub AS (SELECT DISTINCT user_id AS v FROM events
+           WHERE event_type = 'error'),
+    ha AS (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 15))
+                                AS BIGINT) AS h FROM ua),
+    hb AS (SELECT DISTINCT CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 15))
+                                AS BIGINT) AS h FROM ub),
+    sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r
+                          FROM ha) WHERE r <= 64),
+    sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS r
+                          FROM hb) WHERE r <= 64),
+    ta AS (SELECT CAST(count(*) AS BIGINT) AS n_state_a,
+                  CAST(CASE WHEN count(*) < 64 THEN 1152921504606846976
+                            ELSE max(h) END AS BIGINT) AS theta_a
+           FROM sa),
+    tb AS (SELECT CAST(count(*) AS BIGINT) AS n_state_b,
+                  CAST(CASE WHEN count(*) < 64 THEN 1152921504606846976
+                            ELSE max(h) END AS BIGINT) AS theta_b
+           FROM sb),
+    th AS (SELECT n_state_a, n_state_b,
+                  least(theta_a, theta_b) AS theta
+           FROM ta CROSS JOIN tb),
+    kept AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_kept
+        FROM sa CROSS JOIN th
+        WHERE sa.h < th.theta
+          AND NOT EXISTS (SELECT 1 FROM sb WHERE sb.h = sa.h)
+    ),
+    ex AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_diff
+        FROM ua
+        WHERE NOT EXISTS (SELECT 1 FROM ub WHERE ub.v = ua.v)
+    )
+    SELECT n_state_a, n_state_b, theta, n_kept,
+           CAST(n_kept AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+               / CAST(theta AS DOUBLE) AS kmv_diff_estimate,
+           exact_diff,
+           CASE WHEN exact_diff > 0
+                THEN round(abs(CAST(n_kept AS DOUBLE)
+                               * CAST(1152921504606846976 AS DOUBLE)
+                               / CAST(theta AS DOUBLE)
+                               - CAST(exact_diff AS DOUBLE))
+                           / CAST(exact_diff AS DOUBLE), 6)
+                ELSE 0.0 END AS rel_err
+    FROM th CROSS JOIN kept CROSS JOIN ex
+    """,
+)
+def sketch_kmv_difference(spark, sf_dir):
+    """KMV/theta-sketch A-not-B (operators.sketches.kmv_difference):
+    estimate the distinct users who clicked but never hit an error
+    from the two per-set KMV states alone — the set-difference member
+    of the sketch family beside kmv_jaccard's intersection view.
+    theta = min of the two k-th-smallest hashes; A-samples below theta
+    absent from B's state (provably complete below theta) scale by
+    2^60/theta; the exact anti-join difference rides along as the
+    quality gate (dropped at 100 TB). All sketch-relation work after
+    the two map-side distinct passes."""
+    from refluxdb_spark.operators import sketches as K
+
+    e = load(spark, sf_dir, "events")
+    return K.kmv_difference(
+        e.filter(F.col("event_type") == "click").select("user_id"),
+        e.filter(F.col("event_type") == "error").select("user_id"),
+        "user_id",
+    )
