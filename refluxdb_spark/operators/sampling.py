@@ -510,3 +510,79 @@ def kcenter_coreset(
     return selected.select(
         "sel_round", F.col("_id").alias(id_col), "min_dist"
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    value_col: str,
+    by: str = "source",
+    total_n: int = 1000,
+) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman 1934; the
+    survey-sampling planning primitive): split a fixed sample budget
+    ``total_n`` across strata proportionally to N_h·S_h — stratum size
+    times stratum standard deviation — which minimizes the variance of
+    the stratified mean estimator. This is the sizing step that runs
+    BEFORE ``stratified_sample`` when strata differ in spread (a noisy
+    crawl source earns more sample than a uniform template feed of the
+    same size).
+
+    S_h is the sample standard deviation from exact BIGINT sufficient
+    statistics (n·Σx² − (Σx)² over n(n−1) — the integer ``value_col``
+    is summed raw and squared through DECIMAL(38,0) so warehouse row
+    counts cannot overflow); singleton strata get S_h = 0. Weights
+    w_h = N_h·S_h are identical doubles cross-engine; their total is
+    DECIMAL(28,6)-routed so the stratum-order sum is exact. Integer
+    seats are dealt by largest remainder (floor(n·w_h/W) each, the
+    leftover seats to the largest fractional parts, stratum name
+    tiebreak) — allocations are integers that sum EXACTLY to
+    ``total_n``. Returns (by, n_rows, sd, weight_share, alloc_n).
+
+    Scale: one map-side-combined aggregate to stratum grain, then all
+    work on the strata-dimension relation (1-row totals broadcast
+    back, a strata-sized window for remainder seats).
+    """
+    x = F.col(value_col).cast("bigint")
+    per = df.groupBy(F.col(by).alias("_grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(F.expr(f"CAST(CAST({value_col} AS BIGINT) * CAST({value_col} AS BIGINT)"
+                     f" AS DECIMAL(38,0))")).alias("sxx"),
+    )
+    n = F.col("n_rows").cast("double")
+    var = F.when(
+        F.col("n_rows") > 1,
+        (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / (n * (n - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    weighted = per.withColumn("w", n * sd)
+    tot = weighted.agg(
+        F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("tw")
+    )
+    j = weighted.crossJoin(F.broadcast(tot))
+    ideal = F.lit(float(total_n)) * F.col("w") / F.col("tw")
+    base = F.floor(ideal).cast("bigint")
+    j = j.select(
+        "_grp",
+        "n_rows",
+        F.round(sd, 6).alias("sd"),
+        F.round(F.col("w") / F.col("tw"), 6).alias("weight_share"),
+        base.alias("_base"),
+        F.round(ideal - base.cast("double"), 6).alias("_frac"),
+    )
+    leftover = F.lit(total_n) - F.sum("_base").over(Window.partitionBy())
+    wr = Window.partitionBy().orderBy(F.col("_frac").desc(), F.col("_grp").asc())
+    return (
+        j.withColumn("_r", F.row_number().over(wr))
+        .withColumn("_left", leftover)
+        .select(
+            F.col("_grp").alias(by),
+            "n_rows",
+            "sd",
+            "weight_share",
+            (F.col("_base") + F.when(F.col("_r") <= F.col("_left"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("alloc_n"),
+        )
+    )

@@ -14623,3 +14623,71 @@ def sketch_kmv_difference(spark, sf_dir):
         e.filter(F.col("event_type") == "error").select("user_id"),
         "user_id",
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    """
+    WITH per AS (
+        SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+               CAST(sum(CAST(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)
+                             AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        FROM documents GROUP BY source
+    ),
+    sdv AS (
+        SELECT grp, n_rows,
+               sqrt(greatest(
+                   CASE WHEN n_rows > 1
+                        THEN (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             / (CAST(n_rows AS DOUBLE)
+                                * (CAST(n_rows AS DOUBLE) - 1.0))
+                        ELSE 0.0 END, 0.0)) AS sd_raw
+        FROM per
+    ),
+    wtab AS (
+        SELECT grp, n_rows, sd_raw,
+               CAST(n_rows AS DOUBLE) * sd_raw AS w
+        FROM sdv
+    ),
+    tw AS (SELECT CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS tw
+           FROM wtab),
+    j AS (
+        SELECT grp, n_rows,
+               round(sd_raw, 6) AS sd,
+               round(w / tw.tw, 6) AS weight_share,
+               CAST(floor(CAST(1000 AS DOUBLE) * w / tw.tw) AS BIGINT) AS base,
+               round(CAST(1000 AS DOUBLE) * w / tw.tw
+                     - CAST(CAST(floor(CAST(1000 AS DOUBLE) * w / tw.tw)
+                                 AS BIGINT) AS DOUBLE), 6) AS frac
+        FROM wtab CROSS JOIN tw
+    ),
+    seats AS (
+        SELECT grp, n_rows, sd, weight_share, base,
+               row_number() OVER (ORDER BY frac DESC, grp) AS r,
+               1000 - sum(base) OVER () AS leftover
+        FROM j
+    )
+    SELECT grp AS source, n_rows, sd, weight_share,
+           CAST(base + CASE WHEN r <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_n
+    FROM seats
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman optimal stratified allocation
+    (operators.sampling.neyman_allocation; Neyman 1934): a 1000-row
+    sample budget split across sources proportionally to N_h·S_h of
+    the document length — the variance-minimizing sizing step that
+    runs before stratified_sample when strata differ in spread.
+    Stratum standard deviations come from exact BIGINT/DECIMAL
+    sufficient statistics, the weight total is DECIMAL-routed, and
+    integer seats are dealt by largest remainder with a source
+    tiebreak — allocations sum exactly to the budget on both
+    engines."""
+    from refluxdb_spark.operators import sampling as Smpl
+
+    return Smpl.neyman_allocation(
+        load(spark, sf_dir, "documents"), "n_chars", by="source", total_n=1000
+    )
