@@ -4199,3 +4199,175 @@ def test_nsw_persisted_index_matches_inline(spark, tmp_path):
         for r in load_nsw_topk(spark, path, qs, k=4, beam=12, hops=3).collect()
     }
     assert persisted == inline and len(inline) == 12
+
+
+def test_keyness_llr_flags_distinctive_token(spark):
+    """A token concentrated in one source must surface as that
+    source's top overused key term; G² must match the hand-computed
+    entropy-form statistic."""
+    import math
+
+    from refluxdb_spark.operators.text import keyness_llr
+
+    rows = (
+        [("a", "zebra zebra zebra common common")] * 3
+        + [("b", "common common common plain plain")] * 3
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    out = {
+        (r.source, r.rank): (r.token, r.cnt_group, r.cnt_rest, r.llr, r.overused)
+        for r in keyness_llr(df, by="source", k=2).collect()
+    }
+    tok, a, b, llr, over = out[("a", 1)]
+    assert tok == "zebra" and a == 9 and b == 0 and over is True
+    # hand entropy-form G2: a=9,b=0,ns=15,nr=15,N=30
+    def xlx(x):
+        return x * math.log(x) if x > 0 else 0.0
+    exp = 2.0 * (
+        xlx(9) + xlx(0) + xlx(6) + xlx(15)
+        - xlx(9) - xlx(21) - xlx(15) - xlx(15) + xlx(30)
+    )
+    assert llr == round(exp, 6)
+
+
+def test_zipf_fit_matches_hand_ols(spark):
+    """Slope/intercept must equal the hand OLS over (ln rank,
+    ln count) for a constructed vocabulary, and stay invariant
+    under repartition (decimal-routed sums)."""
+    import math
+
+    from refluxdb_spark.operators.text import zipf_fit
+
+    text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+    df = spark.createDataFrame([("s", text), ("s", "aa")], ["source", "text"])
+    out = zipf_fit(df, by="source").collect()[0]
+    counts = [9, 4, 2, 1]  # aa=9 after the second row
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in counts]
+    n = 4.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert out.n_types == 4 and out.n_tokens == 16
+    assert out.slope == round(slope, 6)
+    assert out.intercept == round((sy - slope * sx) / n, 6)
+    again = zipf_fit(df.repartition(5), by="source").collect()[0]
+    assert (again.slope, again.intercept) == (out.slope, out.intercept)
+
+
+def test_hits_uniform_on_complete_digraph(spark):
+    """On the complete bidirectional digraph HITS is the uniform
+    fixpoint: every node identical scores, exactly scale//n after
+    integer renormalization."""
+    from refluxdb_spark.operators.graph import hits
+
+    nodes = ["a", "b", "c"]
+    edges = [(u, v) for u in nodes for v in nodes if u != v]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = hits(df, iterations=2).collect()
+    assert len(out) == 3
+    assert {(r.auth_scaled, r.hub_scaled) for r in out} == {
+        (333333333333, 333333333333)
+    }
+
+
+def test_hits_matches_python_recurrence(spark):
+    """The BIGINT trajectory must equal a driver-side replay of the
+    same renormalized recurrence on an asymmetric graph."""
+    from refluxdb_spark.operators.graph import hits
+
+    edges = [("a", "c"), ("b", "c"), ("c", "d"), ("a", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    scale = 10**12
+    nodes = sorted({x for e in edges for x in e})
+    h = {n: scale // len(nodes) for n in nodes}
+    a = {}
+    for _ in range(2):
+        raw = {n: sum(h[u] for u, v in edges if v == n) for n in nodes}
+        s = sum(raw.values())
+        a = {n: (raw[n] * scale) // s if s else 0 for n in nodes}
+        raw = {n: sum(a[v] for u, v in edges if u == n) for n in nodes}
+        s = sum(raw.values())
+        h = {n: (raw[n] * scale) // s if s else 0 for n in nodes}
+    got = {r.node: (r.auth_scaled, r.hub_scaled) for r in hits(df, iterations=2).collect()}
+    assert got == {n: (a[n], h[n]) for n in nodes}
+
+
+def test_sax_symbols_quartile_mapping(spark):
+    """Day-frame PAA, z against the series' own moments, quartile
+    breakpoints: replicate in Python and compare row for row."""
+    import datetime
+    import math
+
+    from refluxdb_spark.operators.timeseries import sax_symbols
+
+    vals = [(d, v) for d, v in enumerate([1.0, 1.0, 5.0, 9.0, 9.0, 5.0])]
+    rows = [
+        ("s", datetime.datetime(2024, 1, 1 + d, 0, 0, 0), v) for d, v in vals
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = {r.day.isoformat(): (r.n_obs, r.paa, r.z, r.symbol)
+           for r in sax_symbols(df).collect()}
+    cents = [round(v * 100) for _, v in vals]
+    n, s = len(cents), sum(cents)
+    mu = s / n
+    var = sum(c * c for c in cents) / n - mu * mu
+    sig = math.sqrt(var)
+    for d, v in vals:
+        c = round(v * 100)
+        z = (c - mu) / sig
+        sym = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+        day = datetime.date(2024, 1 + d // 31, 1 + d % 31).isoformat()
+        assert out[day] == (1, round(c / 100.0, 6), round(z, 6), sym)
+
+
+def test_kmv_difference_exact_regime(spark):
+    """With both sets inside k the sketch is the set and the estimate
+    IS the exact difference (theta = 2^60 collapses the multiplier)."""
+    from refluxdb_spark.operators.sketches import kmv_difference
+
+    a = spark.range(1, 51).selectExpr("id as v")
+    b = spark.range(30, 81).selectExpr("id as v")
+    out = kmv_difference(a, b, "v", k=64).collect()[0]
+    assert out.theta == 1 << 60
+    assert out.exact_diff == 29
+    assert out.n_kept == 29
+    assert out.kmv_diff_estimate == 29.0
+    assert out.rel_err == 0.0
+
+
+def test_kmv_difference_sketch_regime(spark):
+    """Beyond k the estimate must stay within the KMV error envelope
+    of the exact difference and be layout-invariant."""
+    from refluxdb_spark.operators.sketches import kmv_difference
+
+    a = spark.range(0, 2000).selectExpr("id as v")
+    b = spark.range(1000, 3000).selectExpr("id as v")
+    out = kmv_difference(a, b, "v", k=128).collect()[0]
+    assert out.exact_diff == 1000
+    assert abs(out.kmv_diff_estimate - 1000) / 1000 < 0.5
+    again = kmv_difference(
+        a.repartition(7), b.repartition(3), "v", k=128
+    ).collect()[0]
+    assert again.kmv_diff_estimate == out.kmv_diff_estimate
+
+
+def test_neyman_allocation_seats_and_proportions(spark):
+    """Allocations must sum exactly to the budget, follow N_h*S_h
+    (zero-variance stratum gets zero), and match the hand
+    largest-remainder deal."""
+    from refluxdb_spark.operators.sampling import neyman_allocation
+
+    rows = (
+        [("flat", 100) for _ in range(10)]
+        + [("spread", v) for v in (0, 200, 0, 200, 0, 200, 0, 200, 0, 200)]
+        + [("mid", v) for v in (50, 150) * 5]
+    )
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r.source: r for r in neyman_allocation(
+        df, "n_chars", by="source", total_n=7
+    ).collect()}
+    assert sum(r.alloc_n for r in out.values()) == 7
+    assert out["flat"].sd == 0.0 and out["flat"].alloc_n == 0
+    assert out["spread"].alloc_n > out["mid"].alloc_n > 0
