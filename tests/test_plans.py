@@ -745,3 +745,52 @@ def test_theil_sen_exchange_budget(spark, sf_dir):
     pts = pts.localCheckpoint(eager=True)
     df = theil_sen(pts, "x", "y", by=["event_type"])
     assert count_exchanges(df) <= 4
+
+
+def test_keyness_grid_is_vocab_broadcast(spark, sf_dir):
+    """Keyness joins the vocabulary-sized global table and the
+    group-totals dimension by broadcast — the corpus-sized token
+    stream is aggregated once and never sort-merge joined."""
+    from refluxdb_spark.operators.text import keyness_llr
+
+    d = load(spark, sf_dir, "documents")
+    plan = explain_str(keyness_llr(d), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zipf_fit_exchange_budget(spark, sf_dir):
+    """Zipf fit: the token rollup, the vocab-sized rank window, and
+    the group stats fold — nothing corpus-sized past the first
+    aggregate."""
+    from refluxdb_spark.operators.text import zipf_fit
+
+    d = load(spark, sf_dir, "documents")
+    assert count_exchanges(zipf_fit(d)) <= 3
+
+
+def test_sax_broadcasts_series_moments(spark, sf_dir):
+    """SAX joins the series-dimension moment table onto the day
+    frames by broadcast; no sort-merge anywhere."""
+    from refluxdb_spark.operators.timeseries import sax_symbols
+
+    e = load(spark, sf_dir, "events")
+    plan = explain_str(sax_symbols(e), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_difference_presalted_state(spark, sf_dir):
+    """The A/B sketch states cut bottom-k per salt bucket BEFORE the
+    global window — the single-partition stage only ever sees
+    presalt*k rows per side."""
+    from refluxdb_spark.operators.sketches import kmv_difference
+
+    e = load(spark, sf_dir, "events")
+    out = kmv_difference(
+        e.filter(F.col("event_type") == "click").select("user_id"),
+        e.filter(F.col("event_type") == "error").select("user_id"),
+        "user_id",
+    )
+    plan = explain_str(out, "formatted")
+    assert "pmod" in plan  # the salt-bucket window partitioning survived
