@@ -192,6 +192,14 @@ HEADLINE = [
     # graph_pagerank_nations stays correctness-only: at sf0.1 its
     # runtime is ~10 tiny-graph job launches (iteration machinery),
     # which measures scheduler latency, not the operator's scale shape
+    # round-19 additions. graph_hits_trade stays correctness-only for
+    # the same pagerank reason (per-half-step checkpoints on a
+    # 25-node graph measure scheduler latency, not the operator).
+    "text_keyness_llr",
+    "text_zipf_fit",
+    "ts_sax_symbols",
+    "sketch_kmv_difference",
+    "sample_neyman_allocation",
 ]
 
 
