@@ -1565,3 +1565,107 @@ def sax_symbols(
         .otherwise("d")
         .alias("symbol"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: str = "event_type",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition at hour grain with a
+    24-hour season (the moving-average method of Macaulay 1931, the
+    textbook `decompose()`): observed = trend + seasonal + remainder —
+    the structural view behind ``ts_seasonality_strength``'s one
+    R² number and the baseline ``events_seasonal_anomaly`` compares
+    against.
+
+    - trend: centered 25-hour pooled moving mean over the hourly
+      bucket series — frame sums of integer-cent totals and counts
+      (exact, order-free; the pooled form replaces the even-period
+      half-weight endpoint convention with an odd window, a documented
+      simplification), emitted only where the full 25-bucket frame
+      exists (edges stay null and are dropped);
+    - seasonal: per hour-of-day mean of the detrended series, centered
+      so the 24 indices sum to zero — both means are DECIMAL(28,18)-
+      routed sums of identical doubles, so data-order cannot leak in;
+    - remainder: observed − trend − seasonal.
+
+    Missing hours simply don't occupy a frame slot (ROWS frames on the
+    bucket series; both engines see the identical bucket set).
+    Returns (by, bucket_ts, n_obs, observed, trend, seasonal,
+    remainder), all rounded for display.
+
+    Scale: one map-side-combined aggregate to (series, hour) grain —
+    everything after runs on the bucket relation (three window passes
+    and an hour-of-day-sized aggregate broadcast back), never on raw
+    rows.
+    """
+    cents = F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+    b = (
+        df.select(
+            F.col(by).alias("_k"),
+            F.date_trunc("hour", F.col(ts_col)).alias("t"),
+            cents.alias("c"),
+        )
+        .groupBy("_k", "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("c").cast("bigint").alias("sc"),
+        )
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(-12, 12)
+    )
+    b = b.select(
+        "_k",
+        "t",
+        "n_obs",
+        (F.col("sc").cast("double") / (F.lit(100.0) * F.col("n_obs").cast("double"))).alias(
+            "observed"
+        ),
+        F.count(F.lit(1)).over(wf).alias("_fb"),
+        F.sum("sc").over(wf).cast("bigint").alias("_fsc"),
+        F.sum("n_obs").over(wf).cast("bigint").alias("_fn"),
+    )
+    trend = F.when(
+        F.col("_fb") == 25,
+        F.col("_fsc").cast("double") / (F.lit(100.0) * F.col("_fn").cast("double")),
+    )
+    b = b.select(
+        "_k", "t", "n_obs", "observed", trend.alias("_trend")
+    ).filter(F.col("_trend").isNotNull())
+    b = b.withColumn("_det", F.col("observed") - F.col("_trend")).withColumn(
+        "_hod", F.hour("t")
+    )
+    dec = "decimal(28,18)"
+    raw = b.groupBy("_k", "_hod").agg(
+        (
+            F.sum(F.col("_det").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_raw")
+    )
+    center = raw.groupBy("_k").agg(
+        (
+            F.sum(F.col("_raw").cast(dec)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_m")
+    )
+    season = raw.join(F.broadcast(center), "_k").select(
+        "_k", "_hod", (F.col("_raw") - F.col("_m")).alias("_seasonal")
+    )
+    out = b.join(F.broadcast(season), ["_k", "_hod"])
+    return out.select(
+        F.col("_k").alias(by),
+        F.col("t").alias("bucket_ts"),
+        "n_obs",
+        F.round(F.col("observed"), round_digits).alias("observed"),
+        F.round(F.col("_trend"), round_digits).alias("trend"),
+        F.round(F.col("_seasonal"), round_digits).alias("seasonal"),
+        F.round(
+            F.col("observed") - F.col("_trend") - F.col("_seasonal"), round_digits
+        ).alias("remainder"),
+    )

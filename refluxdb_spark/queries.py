@@ -14691,3 +14691,70 @@ def sample_neyman_allocation(spark, sf_dir):
     return Smpl.neyman_allocation(
         load(spark, sf_dir, "documents"), "n_chars", by="source", total_n=1000
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    """
+    WITH b0 AS (
+        SELECT event_type AS k,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS t,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+        FROM events GROUP BY k, t
+    ),
+    framed AS (
+        SELECT k, t, n_obs,
+               CAST(sc AS DOUBLE) / (100.0 * CAST(n_obs AS DOUBLE)) AS observed,
+               count(*) OVER w AS fb,
+               CAST(sum(sc) OVER w AS BIGINT) AS fsc,
+               CAST(sum(n_obs) OVER w AS BIGINT) AS fn
+        FROM b0
+        WINDOW w AS (PARTITION BY k ORDER BY t
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    trended AS (
+        SELECT k, t, n_obs, observed,
+               CAST(fsc AS DOUBLE) / (100.0 * CAST(fn AS DOUBLE)) AS trend,
+               extract(hour FROM t) AS hod
+        FROM framed WHERE fb = 25
+    ),
+    det AS (
+        SELECT *, observed - trend AS d FROM trended
+    ),
+    raw AS (
+        SELECT k, hod,
+               CAST(sum(CAST(d AS DECIMAL(28,18))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS raw
+        FROM det GROUP BY k, hod
+    ),
+    ctr AS (
+        SELECT k,
+               CAST(sum(CAST(raw AS DECIMAL(28,18))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS m
+        FROM raw GROUP BY k
+    ),
+    season AS (
+        SELECT raw.k, raw.hod, raw.raw - ctr.m AS seasonal
+        FROM raw JOIN ctr ON ctr.k = raw.k
+    )
+    SELECT d.k AS event_type, d.t AS bucket_ts, d.n_obs,
+           round(d.observed, 6) AS observed,
+           round(d.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(d.observed - d.trend - s.seasonal, 6) AS remainder
+    FROM det d JOIN season s ON s.k = d.k AND s.hod = d.hod
+    """,
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition
+    (operators.timeseries.seasonal_decompose; Macaulay 1931): hourly
+    observed = centered-25h pooled moving-mean trend + centered
+    hour-of-day seasonal + remainder — the structural companion of
+    ts_seasonality_strength's single R². Frame sums are exact integer
+    cents (order-free), both seasonal means are DECIMAL-routed, and
+    edges without a full 25-bucket frame are dropped identically on
+    both engines."""
+    from refluxdb_spark.operators import timeseries as T
+
+    return T.seasonal_decompose(load(spark, sf_dir, "events"))
