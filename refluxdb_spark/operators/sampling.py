@@ -586,3 +586,39 @@ def neyman_allocation(
             .alias("alloc_n"),
         )
     )
+
+
+def neyman_execute(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    by: str = "source",
+    total_n: int = 1000,
+) -> DataFrame:
+    """Execute a Neyman allocation: draw EXACTLY ``alloc_n`` rows per
+    stratum (the ``neyman_allocation`` seats) by deterministic
+    md5-order — rank rows inside each stratum by md5(id) (id
+    tiebreak) and keep the first alloc_n. The hash order is a fixed
+    pseudo-random permutation of the stratum (the module's
+    content-hash membership discipline), so the draw is uniform-like,
+    retry-stable, and layout-invariant, and the composed output is a
+    ready stratified sample whose per-stratum counts sum exactly to
+    the budget.
+
+    Scale: the allocation side is strata-dimension work (see
+    neyman_allocation); the draw is one per-stratum rank window over
+    the corpus with the strata-sized seat table broadcast on. Returns
+    (by, id, value_col, rn).
+    """
+    alloc = neyman_allocation(df, value_col, by=by, total_n=total_n).select(
+        F.col(by), "alloc_n"
+    )
+    w = Window.partitionBy(by).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(by, id_col, value_col).withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    )
+    return ranked.join(F.broadcast(alloc), by).filter(
+        F.col("rn") <= F.col("alloc_n")
+    ).select(by, id_col, value_col, "rn")

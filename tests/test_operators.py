@@ -4371,3 +4371,59 @@ def test_neyman_allocation_seats_and_proportions(spark):
     assert sum(r.alloc_n for r in out.values()) == 7
     assert out["flat"].sd == 0.0 and out["flat"].alloc_n == 0
     assert out["spread"].alloc_n > out["mid"].alloc_n > 0
+
+
+def test_seasonal_decompose_reconstructs_observed(spark):
+    """observed must equal trend + seasonal + remainder (up to the
+    display rounding), the per-series seasonal indices must sum to ~0
+    (centered), and edge buckets without a full frame are dropped."""
+    import datetime
+
+    from refluxdb_spark.operators.timeseries import seasonal_decompose
+
+    rows = [
+        ("s", datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h),
+         float(10 + (h % 24)))
+        for h in range(24 * 4)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    out = seasonal_decompose(df).collect()
+    # 96 hourly buckets, 12 trimmed each side
+    assert len(out) == 96 - 24
+    for r in out:
+        assert abs(r.observed - (r.trend + r.seasonal + r.remainder)) < 5e-6
+    ssum = sum(r.seasonal for r in out[:24])
+    # one full season of centered indices sums to ~0
+    assert abs(sum(set(r.seasonal for r in out))) < 1e-3
+    again = seasonal_decompose(df.repartition(7)).collect()
+    assert sorted((r.bucket_ts, r.trend, r.seasonal) for r in again) == sorted(
+        (r.bucket_ts, r.trend, r.seasonal) for r in out
+    )
+
+
+def test_neyman_execute_draws_exact_seats(spark):
+    """The drawn sample must contain exactly alloc_n rows per stratum
+    and be layout/retry-stable (md5 order)."""
+    from refluxdb_spark.operators.sampling import (
+        neyman_allocation,
+        neyman_execute,
+    )
+
+    rows = [("a", i, 100 + (i * 37) % 50) for i in range(40)] + [
+        ("b", 100 + i, (i * 91) % 400) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_chars"])
+    alloc = {r.source: r.alloc_n for r in neyman_allocation(
+        df, "n_chars", by="source", total_n=20
+    ).collect()}
+    got = neyman_execute(df, "n_chars", id_col="doc_id", by="source",
+                         total_n=20).collect()
+    from collections import Counter
+    counts = Counter(r.source for r in got)
+    assert dict(counts) == {k: v for k, v in alloc.items() if v > 0}
+    assert sum(counts.values()) == 20
+    again = neyman_execute(df.repartition(9), "n_chars", id_col="doc_id",
+                           by="source", total_n=20).collect()
+    assert sorted((r.source, r.doc_id) for r in again) == sorted(
+        (r.source, r.doc_id) for r in got
+    )
