@@ -2102,3 +2102,88 @@ def load_nsw_topk(
     g = spark.read.parquet(f"{path}/edges")
     entries = spark.read.parquet(f"{path}/entries")
     return _nsw_search(q, c, g, entries, k, beam, hops)
+
+
+def binary_signs(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Binary (sign) quantization of an embedding column: bit i is set
+    iff component i is positive, packed into two 32-bit halves
+    (``b_lo`` = dims 1-32, ``b_hi`` = dims 33-64) so both engines stay
+    inside non-negative BIGINT arithmetic (a single 64-bit pack would
+    need the sign bit). 64 floats (256 B) become 8 B — the most
+    aggressive member of the module's quantization tiers (int8 scalar,
+    PQ, binary), and the sign of a zero-mean random projection
+    preserves angle (Charikar STOC'02), which is why Hamming distance
+    on these codes ranks like cosine.
+
+    Appends (b_lo, b_hi) as BIGINT columns; packing is an exact
+    integer fold (sum of distinct powers of two — order-free)."""
+    def pack(offset: int) -> Column:
+        return F.expr(
+            f"aggregate(transform(slice({vec_col}, {offset + 1}, 32),"
+            f" (x, i) -> IF(x > 0, shiftleft(1L, i), 0L)),"
+            f" 0L, (a, b) -> a + b)"
+        )
+
+    return df.withColumn("b_lo", pack(0)).withColumn("b_hi", pack(32))
+
+
+def hamming_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized top-k retrieval: Hamming distance between
+    sign-quantized codes (``binary_signs``), ranked ascending with an
+    id tiebreak — the candidate-generation stage of a
+    binary-quantize-then-rerank pipeline (the 32× smaller scan makes
+    it the cheapest first cut; rerank survivors with exact cosine).
+    The exact cosine of each returned pair rides along for quality
+    triage.
+
+    Determinism: distances are INTEGER popcounts (bit_count over the
+    xor of the packed halves) — no float enters the ranking; cosine is
+    the usual round-6 diagnostic only. Scale: queries broadcast onto
+    one corpus scan of the 16-byte code columns; distance is two xors
+    and two popcounts inside whole-stage codegen. Returns (query_id,
+    neighbor_id, hamming, cosine, rank)."""
+    c = binary_signs(df, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("b_lo").alias("c_lo"),
+        F.col("b_hi").alias("c_hi"),
+    )
+    q = binary_signs(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("b_lo").alias("q_lo"),
+        F.col("b_hi").alias("q_hi"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "hamming",
+            (
+                F.expr("bit_count(c_lo ^ q_lo)")
+                + F.expr("bit_count(c_hi ^ q_hi)")
+            ).cast("int"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias(
+                "cosine"
+            ),
+            "rank",
+        )
+    )

@@ -14797,3 +14797,59 @@ def sample_neyman_execute(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     out = Smpl.neyman_execute(d, "n_chars", id_col="doc_id", by="source", total_n=200)
     return out.withColumn("n_chars", F.col("n_chars").cast("int"))
+
+
+_PACK_SQL = (
+    "CAST(list_sum(list_transform(embedding[{a}:{b}], (x, i) -> "
+    "CASE WHEN x > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) "
+    "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+
+@register(
+    "sim_binary_hamming_topk",
+    f"""
+    WITH packed AS (
+        SELECT vec_id, embedding,
+               {_PACK_SQL.format(a=1, b=32)} AS b_lo,
+               {_PACK_SQL.format(a=33, b=64)} AS b_hi
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+               b_lo AS q_lo, b_hi AS q_hi
+        FROM packed WHERE vec_id < 3
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(c.b_lo, q.q_lo))
+                    + bit_count(xor(c.b_hi, q.q_hi)) AS INT) AS hamming,
+               round(list_dot_product(qv, CAST(c.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])))),
+                     6) AS cosine
+        FROM packed c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, hamming, cosine, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_binary_hamming_topk(spark, sf_dir):
+    """Binary-quantization retrieval (operators.similarity.
+    binary_signs + hamming_topk; Charikar STOC'02 sign-projection):
+    64 floats packed to two 32-bit sign halves, top-5 by integer
+    popcount Hamming distance with the exact cosine riding along —
+    the 32×-smaller candidate-generation tier that completes the
+    quantization taxonomy (int8 scalar / PQ / binary). Distances are
+    integers (no float in the ranking); queries broadcast onto one
+    code-column corpus scan inside whole-stage codegen."""
+    from refluxdb_spark.operators import similarity as S2
+
+    emb = load(spark, sf_dir, "embeddings")
+    return S2.hamming_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)

@@ -4427,3 +4427,36 @@ def test_neyman_execute_draws_exact_seats(spark):
     assert sorted((r.source, r.doc_id) for r in again) == sorted(
         (r.source, r.doc_id) for r in got
     )
+
+
+def test_hamming_topk_matches_python_popcount(spark):
+    """Packing + popcount must equal a driver-side replay; ranking is
+    (hamming, id) with integer distances only."""
+    import itertools
+
+    from refluxdb_spark.operators.similarity import hamming_topk
+
+    vecs = {
+        0: [1.0] * 64,
+        1: [1.0] * 32 + [-1.0] * 32,
+        2: [-1.0] * 64,
+        3: [1.0] * 60 + [-1.0] * 4,
+        4: [0.0] * 64,  # zeros pack to no bits (x > 0 strict)
+    }
+    rows = [(i, v) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter("vec_id = 0")
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.hamming)
+           for r in hamming_topk(df, q, k=4).collect()}
+
+    def ham(a, b):
+        return sum((x > 0) != (y > 0) for x, y in zip(a, b))
+
+    exp = sorted(
+        ((ham(vecs[0], vecs[i]), i) for i in vecs if i != 0)
+    )
+    for rank, (h, i) in enumerate(exp[:4], start=1):
+        assert got[(0, rank)] == (i, h)
+    again = {(r.query_id, r.rank): (r.neighbor_id, r.hamming)
+             for r in hamming_topk(df.repartition(3), q, k=4).collect()}
+    assert again == got
