@@ -2181,9 +2181,12 @@ def hamming_topk(
             "query_id",
             "neighbor_id",
             "hamming",
-            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias(
-                "cosine"
-            ),
+            # guarded: a zero vector has no direction — its cosine is
+            # null, not a divide-by-zero (ANSI mode errors eagerly)
+            F.when(
+                (_norm("qv") > 0) & (_norm("cv") > 0),
+                F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6),
+            ).alias("cosine"),
             "rank",
         )
     )

@@ -14824,11 +14824,14 @@ _PACK_SQL = (
         SELECT q.query_id, c.vec_id AS neighbor_id,
                CAST(bit_count(xor(c.b_lo, q.q_lo))
                     + bit_count(xor(c.b_hi, q.q_hi)) AS INT) AS hamming,
-               round(list_dot_product(qv, CAST(c.embedding AS DOUBLE[]))
+               CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+                     AND sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[]))) > 0
+               THEN round(list_dot_product(qv, CAST(c.embedding AS DOUBLE[]))
                      / (sqrt(list_dot_product(qv, qv))
                         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
                                                 CAST(c.embedding AS DOUBLE[])))),
-                     6) AS cosine
+                     6) END AS cosine
         FROM packed c CROSS JOIN q
         WHERE c.vec_id <> q.query_id
     )
