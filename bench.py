@@ -200,6 +200,9 @@ HEADLINE = [
     "ts_sax_symbols",
     "sketch_kmv_difference",
     "sample_neyman_allocation",
+    "sample_neyman_execute",
+    "ts_seasonal_decompose",
+    "sim_binary_hamming_topk",
 ]
 
 

@@ -794,3 +794,26 @@ def test_kmv_difference_presalted_state(spark, sf_dir):
     )
     plan = explain_str(out, "formatted")
     assert "pmod" in plan  # the salt-bucket window partitioning survived
+
+
+def test_seasonal_decompose_broadcasts_seasonal_indices(spark, sf_dir):
+    """The hour-of-day seasonal table (and its centering) joins back
+    by broadcast — the bucket relation is the largest thing shuffled."""
+    from refluxdb_spark.operators.timeseries import seasonal_decompose
+
+    e = load(spark, sf_dir, "events")
+    plan = explain_str(seasonal_decompose(e), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hamming_topk_broadcasts_queries(spark, sf_dir):
+    """Binary retrieval: the query codes broadcast onto one corpus
+    scan; no shuffle of the corpus for scoring."""
+    from refluxdb_spark.operators.similarity import hamming_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = hamming_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    plan = explain_str(out, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
