@@ -561,13 +561,21 @@ def neyman_allocation(
         F.sum(F.col("w").cast("decimal(28,6)")).cast("double").alias("tw")
     )
     j = weighted.crossJoin(F.broadcast(tot))
-    ideal = F.lit(float(total_n)) * F.col("w") / F.col("tw")
+    # tw = 0 means every stratum is constant (all S_h = 0): Neyman is
+    # undefined, so degrade to zero shares/fracs — the remainder pass
+    # then deals one seat per stratum in name order, deterministic on
+    # both engines (and no ANSI divide-by-zero on the way there)
+    ideal = F.when(
+        F.col("tw") > 0, F.lit(float(total_n)) * F.col("w") / F.col("tw")
+    ).otherwise(F.lit(0.0))
     base = F.floor(ideal).cast("bigint")
     j = j.select(
         "_grp",
         "n_rows",
         F.round(sd, 6).alias("sd"),
-        F.round(F.col("w") / F.col("tw"), 6).alias("weight_share"),
+        F.when(
+            F.col("tw") > 0, F.round(F.col("w") / F.col("tw"), 6)
+        ).otherwise(F.lit(0.0)).alias("weight_share"),
         base.alias("_base"),
         F.round(ideal - base.cast("double"), 6).alias("_frac"),
     )

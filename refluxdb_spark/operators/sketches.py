@@ -999,10 +999,14 @@ def kmv_difference(
         .join(df_b.select(F.col(col).alias("_v")).distinct(), "_v", "left_anti")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_diff"))
     )
-    est = (
+    # theta is a positive hash with probability 1 - 2^-60; the guard
+    # keeps the pathological zero-hash draw an empty estimate instead
+    # of an ANSI divide-by-zero
+    est = F.when(
+        F.col("theta") > 0,
         F.col("n_kept").cast("double")
         * F.lit(float(space))
-        / F.col("theta").cast("double")
+        / F.col("theta").cast("double"),
     )
     return (
         th.crossJoin(kept)

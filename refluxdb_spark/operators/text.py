@@ -1525,13 +1525,16 @@ def zipf_fit(
         F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
     )
     n = F.col("n_types").cast("double")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # denom = 0 iff every rank is identical (a single-type vocabulary):
+    # no line exists — emit nulls rather than an ANSI divide-by-zero
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
     return stats.select(
         F.col("_grp").alias(by),
         "n_types",
         "n_tokens",
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("intercept"),
+        F.when(denom != 0, F.round(slope, 6)).alias("slope"),
+        F.when(
+            denom != 0, F.round((F.col("sy") - slope * F.col("sx")) / n, 6)
+        ).alias("intercept"),
     )

@@ -14408,13 +14408,19 @@ def text_keyness_llr(spark, sf_dir):
         FROM ranked GROUP BY grp
     )
     SELECT grp AS source, n_types, n_tokens,
-           round(slope, 6) AS slope,
-           round((sy - slope * sx) / CAST(n_types AS DOUBLE), 6) AS intercept
+           CASE WHEN denom <> 0 THEN round(slope, 6) END AS slope,
+           CASE WHEN denom <> 0
+                THEN round((sy - slope * sx) / CAST(n_types AS DOUBLE), 6)
+           END AS intercept
     FROM (
-        SELECT grp, n_types, n_tokens, sx, sy,
-               (CAST(n_types AS DOUBLE) * sxy - sx * sy)
-               / (CAST(n_types AS DOUBLE) * sxx - sx * sx) AS slope
-        FROM stats
+        SELECT grp, n_types, n_tokens, sx, sy, denom,
+               CASE WHEN denom <> 0
+                    THEN (CAST(n_types AS DOUBLE) * sxy - sx * sy) / denom
+               END AS slope
+        FROM (
+            SELECT *, CAST(n_types AS DOUBLE) * sxx - sx * sx AS denom
+            FROM stats
+        )
     )
     """,
 )
@@ -14653,10 +14659,17 @@ _NEYMAN_CTES = """per AS (
     j AS (
         SELECT grp, n_rows,
                round(sd_raw, 6) AS sd,
-               round(w / tw.tw, 6) AS weight_share,
-               CAST(floor(CAST({budget} AS DOUBLE) * w / tw.tw) AS BIGINT) AS base,
-               round(CAST({budget} AS DOUBLE) * w / tw.tw
-                     - CAST(CAST(floor(CAST({budget} AS DOUBLE) * w / tw.tw)
+               CASE WHEN tw.tw > 0 THEN round(w / tw.tw, 6)
+                    ELSE 0.0 END AS weight_share,
+               CAST(floor(CASE WHEN tw.tw > 0
+                               THEN CAST({budget} AS DOUBLE) * w / tw.tw
+                               ELSE 0.0 END) AS BIGINT) AS base,
+               round(CASE WHEN tw.tw > 0
+                          THEN CAST({budget} AS DOUBLE) * w / tw.tw
+                          ELSE 0.0 END
+                     - CAST(CAST(floor(CASE WHEN tw.tw > 0
+                                            THEN CAST({budget} AS DOUBLE) * w / tw.tw
+                                            ELSE 0.0 END)
                                  AS BIGINT) AS DOUBLE), 6) AS frac
         FROM wtab CROSS JOIN tw
     ),

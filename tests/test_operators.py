@@ -4460,3 +4460,28 @@ def test_hamming_topk_matches_python_popcount(spark):
     again = {(r.query_id, r.rank): (r.neighbor_id, r.hamming)
              for r in hamming_topk(df.repartition(3), q, k=4).collect()}
     assert again == got
+
+
+def test_zipf_fit_single_type_yields_null_fit(spark):
+    """A one-word vocabulary has no rank spread: slope/intercept must
+    be null, not an ANSI divide-by-zero."""
+    from refluxdb_spark.operators.text import zipf_fit
+
+    df = spark.createDataFrame([("s", "word word word")], ["source", "text"])
+    out = zipf_fit(df, by="source").collect()[0]
+    assert out.n_types == 1 and out.n_tokens == 3
+    assert out.slope is None and out.intercept is None
+
+
+def test_neyman_all_constant_degrades_to_name_order_seats(spark):
+    """All-zero variance strata: Neyman undefined, so shares go to 0
+    and the remainder pass deals one seat per stratum in name order
+    (no divide-by-zero)."""
+    from refluxdb_spark.operators.sampling import neyman_allocation
+
+    rows = [("a", 5)] * 3 + [("b", 7)] * 3 + [("c", 9)] * 3
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    out = {r.source: r.alloc_n for r in neyman_allocation(
+        df, "n_chars", by="source", total_n=2
+    ).collect()}
+    assert out == {"a": 1, "b": 1, "c": 0}
