@@ -420,10 +420,10 @@ def resource_allocation_link_prediction(
 
     Determinism: the 1/deg terms are summed as SCALED INTEGERS
     (``scale div deg``, BIGINT) — order-free exact addition, so the
-    score (and its tiebroken top-k) is engine-identical. This is why
-    RA is used here rather than Adamic-Adar: 1/ln(deg) needs a
-    transcendental whose final ulp differs between engines, 1/deg is
-    rational.
+    score (and its tiebroken top-k) is engine-identical without any
+    transcendental (1/deg is rational). The Adamic-Adar member of the
+    trio lives in ``adamic_adar_link_prediction``, where the 1/ln(deg)
+    terms go through the DECIMAL-routed-ln discipline instead.
 
     Same wedge shape and hub discipline as
     ``common_neighbor_link_prediction``: per-center fan-out d², capped
@@ -1000,3 +1000,77 @@ def hits(
         out = out.localCheckpoint(eager=True)
         edges.unpersist()
     return out
+
+
+def adamic_adar_link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 20,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by the Adamic–Adar index (Adamic & Adar 2003,
+    "Friends and neighbors on the Web"): AA(x,y) = Σ_{z ∈ N(x)∩N(y)}
+    1/ln(deg(z)) — the log-damped middle ground between raw
+    common-neighbor counts and resource allocation's 1/deg, and the
+    third member of the classic CN/AA/RA trio (the
+    ``resource_allocation_link_prediction`` docstring originally
+    deferred AA over ln's cross-engine ulp; the DECIMAL-routed-ln
+    discipline built since for tfidf/JSD/keyness closes that: each
+    1/ln(d) term is ONE identical double per center, cast to
+    DECIMAL(28,18) so the per-pair sums are order-free, and the
+    ranking rounds to 6 with pair tiebreaks).
+
+    Wedge shape and hub discipline identical to the RA twin
+    (per-center fan-out d², ``max_degree`` cap, degree riding the
+    wedge join by broadcast). Degree-1 centers generate no wedges, so
+    ln(1) = 0 never reaches a division. Returns top-k
+    (node_a, node_b, aa_score, common_neighbors)."""
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nbrs = und.select(F.col("a").alias("u"), F.col("b").alias("n")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("n"))
+    )
+    deg = nbrs.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    if max_degree is not None:
+        nbrs = nbrs.join(
+            F.broadcast(deg.filter(F.col("d") > max_degree).select("u")),
+            "u",
+            "left_anti",
+        )
+    w = F.when(
+        F.col("d") > 1, F.lit(1.0) / F.log(F.col("d").cast("double"))
+    ).otherwise(F.lit(0.0))
+    nbrs = nbrs.join(F.broadcast(deg), "u").withColumn(
+        "w", w.cast("decimal(28,18)")
+    )
+    w1 = nbrs.select("u", "w", F.col("n").alias("x"))
+    w2 = nbrs.select("u", F.col("n").alias("y"))
+    cand = (
+        w1.join(w2, "u")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.round(F.sum("w").cast("double"), 6).alias("aa_score"),
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+        )
+        .join(
+            und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+    )
+    return (
+        cand.orderBy(F.desc("aa_score"), "x", "y")
+        .limit(k)
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            "aa_score",
+            "common_neighbors",
+        )
+    )

@@ -14869,3 +14869,81 @@ def sim_binary_hamming_topk(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return S2.hamming_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+
+
+@register(
+    "graph_link_aa_nations",
+    """
+    WITH edges AS (
+        SELECT DISTINCT ns.n_name AS src, nc.n_name AS dst
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ns.n_name <> nc.n_name
+          AND l.l_quantity >= 49
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+    ),
+    nbrs AS (
+        SELECT a AS u, b AS n FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT u, count(*) AS d FROM nbrs GROUP BY u),
+    wn AS (
+        SELECT nbrs.u, nbrs.n,
+               CAST(CASE WHEN d > 1 THEN 1.0 / ln(CAST(d AS DOUBLE))
+                         ELSE 0.0 END AS DECIMAL(28,18)) AS w
+        FROM nbrs JOIN deg ON deg.u = nbrs.u
+    ),
+    cand AS (
+        SELECT w1.n AS x, w2.n AS y,
+               round(CAST(SUM(w1.w) AS DOUBLE), 6) AS aa_score,
+               CAST(count(*) AS BIGINT) AS common_neighbors
+        FROM wn w1 JOIN nbrs w2 ON w2.u = w1.u AND w1.n < w2.n
+        GROUP BY 1, 2
+    ),
+    nonedge AS (
+        SELECT c.x, c.y, c.aa_score, c.common_neighbors
+        FROM cand c
+        LEFT JOIN und e ON e.a = c.x AND e.b = c.y
+        WHERE e.a IS NULL
+    )
+    SELECT x AS node_a, y AS node_b, aa_score, common_neighbors
+    FROM nonedge
+    ORDER BY aa_score DESC, node_a, node_b
+    LIMIT 20
+    """,
+)
+def graph_link_aa_nations(spark, sf_dir):
+    """Adamic–Adar link prediction
+    (operators.graph.adamic_adar_link_prediction; Adamic & Adar 2003)
+    on the same high-quantity nation co-trade graph as the RA twin —
+    completing the classic CN/AA/RA trio. Each 1/ln(deg) term is one
+    identical double per wedge center DECIMAL-routed before the
+    order-free pair sums (the tfidf/JSD ln discipline that unblocks
+    the transcendental the RA docstring originally avoided); ranking
+    rounds to 6 with pair tiebreaks."""
+    from refluxdb_spark.operators import graph as G
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.filter(F.col("l_quantity") >= 49)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return G.adamic_adar_link_prediction(edges, k=20)

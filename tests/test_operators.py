@@ -4485,3 +4485,38 @@ def test_neyman_all_constant_degrades_to_name_order_seats(spark):
         df, "n_chars", by="source", total_n=2
     ).collect()}
     assert out == {"a": 1, "b": 1, "c": 0}
+
+
+def test_adamic_adar_matches_python_replay(spark):
+    """AA scores must equal the driver-side replay (1/ln(deg) over
+    shared neighbors, non-edges only) and be layout-invariant."""
+    import math
+    from collections import defaultdict
+
+    from refluxdb_spark.operators.graph import adamic_adar_link_prediction
+
+    edges = [("a", "h"), ("b", "h"), ("c", "h"), ("a", "z"), ("b", "z"),
+             ("a", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.node_a, r.node_b): (r.aa_score, r.common_neighbors)
+           for r in adamic_adar_link_prediction(df, k=20).collect()}
+    und = {tuple(sorted(e)) for e in edges}
+    nbr = defaultdict(set)
+    for u, v in und:
+        nbr[u].add(v); nbr[v].add(u)
+    exp = {}
+    nodes = sorted(nbr)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            if (x, y) in und:
+                continue
+            common = nbr[x] & nbr[y]
+            if not common:
+                continue
+            score = sum(1.0 / math.log(len(nbr[z])) for z in common
+                        if len(nbr[z]) > 1)
+            exp[(x, y)] = (round(score, 6), len(common))
+    assert got == exp
+    again = {(r.node_a, r.node_b): (r.aa_score, r.common_neighbors)
+             for r in adamic_adar_link_prediction(df.repartition(5), k=20).collect()}
+    assert again == got
