@@ -630,3 +630,115 @@ def neyman_execute(
     return ranked.join(F.broadcast(alloc), by).filter(
         F.col("rn") <= F.col("alloc_n")
     ).select(by, id_col, value_col, "rn")
+
+
+# Poisson(1) inverse-CDF thresholds (e^-1 * partial sums of 1/j!),
+# embedded as identical full-precision literals on both engines; draws
+# are truncated at 6 (P[X > 6] ~ 8e-5, documented).
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726562,
+    0.9994058151824182,
+]
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    by: str,
+    replicates: int = 32,
+    q_lo: float = 0.025,
+    q_hi: float = 0.975,
+    seed: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group mean
+    (the streaming/MapReduce bootstrap: Poisson(1) replicate weights
+    per row instead of resampling — Chamandy et al. 2012, "Estimating
+    Uncertainty for Massive Data Streams", the Google large-scale
+    bootstrap): every row gets a DETERMINISTIC md5-derived Poisson(1)
+    weight per replicate, each replicate's weighted mean is an exact
+    integer ratio (integer weights × integer cents, BIGINT sums), and
+    the CI is the nearest-rank [q_lo, q_hi] band of the replicate
+    means — retry-stable, layout-invariant uncertainty for dashboard
+    aggregates with ONE extra map-side-combined shuffle of
+    groups × replicates rows.
+
+    The inverse-CDF thresholds are full-precision literals identical
+    on both engines (``POISSON1_CDF``); draws truncate at 6 (the tail
+    beyond holds ~8e-5 of the mass). Empty replicates (all weights 0 —
+    only possible for tiny groups) drop out of the band. Returns
+    (by, n_rows, mean, ci_lo, ci_hi, n_replicates).
+    """
+    cents = F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b")
+    base = df.select(
+        F.col(by).alias("_k"), F.col(id_col).alias("_id"), cents.alias("c")
+    ).select("_k", "_id", "c", b)
+    u = (
+        F.expr(
+            f"CAST(conv(substring(md5(concat('{seed}', '|', CAST(_id AS STRING),"
+            f" '|', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    rep = (
+        base.withColumn("w", w.cast("bigint"))
+        .groupBy("_k", "b")
+        .agg(
+            F.sum("w").cast("bigint").alias("sw"),
+            F.sum(F.col("w") * F.col("c")).cast("bigint").alias("swc"),
+        )
+        .filter(F.col("sw") > 0)
+        .withColumn(
+            "m", F.col("swc").cast("double") / (F.lit(100.0) * F.col("sw").cast("double"))
+        )
+    )
+    wr = Window.partitionBy("_k").orderBy(F.col("m").asc(), F.col("b").asc())
+    cw = Window.partitionBy("_k")
+    ranked = rep.withColumn("_r", F.row_number().over(wr)).withColumn(
+        "_nb", F.count(F.lit(1)).over(cw)
+    )
+    pick = lambda q: F.greatest(  # noqa: E731
+        F.lit(1).cast("bigint"),
+        F.ceil(F.lit(float(q)) * F.col("_nb")).cast("bigint"),
+    )
+    bands = (
+        ranked.select(
+            "_k",
+            "_nb",
+            F.when(F.col("_r") == pick(q_lo), F.col("m")).alias("_lo"),
+            F.when(F.col("_r") == pick(q_hi), F.col("m")).alias("_hi"),
+        )
+        .groupBy("_k")
+        .agg(
+            F.max("_nb").cast("bigint").alias("n_replicates"),
+            F.round(F.max("_lo"), 6).alias("ci_lo"),
+            F.round(F.max("_hi"), 6).alias("ci_hi"),
+        )
+    )
+    overall = df.groupBy(F.col(by).alias("_k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(cents).cast("bigint").alias("_sc"),
+    )
+    return (
+        overall.join(F.broadcast(bands), "_k")
+        .select(
+            F.col("_k").alias(by),
+            "n_rows",
+            F.round(
+                F.col("_sc").cast("double")
+                / (F.lit(100.0) * F.col("n_rows").cast("double")),
+                6,
+            ).alias("mean"),
+            "ci_lo",
+            "ci_hi",
+            "n_replicates",
+        )
+    )

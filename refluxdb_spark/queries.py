@@ -14947,3 +14947,89 @@ def graph_link_aa_nations(spark, sf_dir):
         .distinct()
     )
     return G.adamic_adar_link_prediction(edges, k=20)
+
+
+@register(
+    "sample_bootstrap_ci",
+    """
+    WITH reps AS (SELECT unnest(range(0, 32)) AS b),
+    base AS (
+        SELECT event_type AS k, event_id AS id,
+               CAST(round(value * 100) AS BIGINT) AS c, b
+        FROM events CROSS JOIN reps
+    ),
+    weighted AS (
+        SELECT k, b, c,
+               CASE
+                 WHEN u < 0.36787944117144233 THEN 0
+                 WHEN u < 0.7357588823428847 THEN 1
+                 WHEN u < 0.9196986029286058 THEN 2
+                 WHEN u < 0.9810118431238462 THEN 3
+                 WHEN u < 0.9963401531726562 THEN 4
+                 WHEN u < 0.9994058151824182 THEN 5
+                 ELSE 6
+               END AS w
+        FROM (
+            SELECT k, b, c,
+                   CAST(CAST(concat('0x',
+                        substr(md5(concat('boot', '|', CAST(id AS VARCHAR),
+                                          '|', CAST(b AS VARCHAR))), 1, 15))
+                        AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+            FROM base
+        )
+    ),
+    rep AS (
+        SELECT k, b,
+               CAST(sum(w) AS BIGINT) AS sw,
+               CAST(sum(w * c) AS BIGINT) AS swc
+        FROM weighted GROUP BY k, b
+    ),
+    means AS (
+        SELECT k, b,
+               CAST(swc AS DOUBLE) / (100.0 * CAST(sw AS DOUBLE)) AS m
+        FROM rep WHERE sw > 0
+    ),
+    ranked AS (
+        SELECT k, b, m,
+               row_number() OVER (PARTITION BY k ORDER BY m, b) AS r,
+               count(*) OVER (PARTITION BY k) AS nb
+        FROM means
+    ),
+    bands AS (
+        SELECT k,
+               CAST(max(nb) AS BIGINT) AS n_replicates,
+               round(max(CASE WHEN r = greatest(1, CAST(ceil(0.025 * nb)
+                                                       AS BIGINT))
+                              THEN m END), 6) AS ci_lo,
+               round(max(CASE WHEN r = greatest(1, CAST(ceil(0.975 * nb)
+                                                       AS BIGINT))
+                              THEN m END), 6) AS ci_hi
+        FROM ranked GROUP BY k
+    ),
+    overall AS (
+        SELECT event_type AS k,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+        FROM events GROUP BY event_type
+    )
+    SELECT o.k AS event_type, o.n_rows,
+           round(CAST(o.sc AS DOUBLE) / (100.0 * CAST(o.n_rows AS DOUBLE)), 6)
+               AS mean,
+           bd.ci_lo, bd.ci_hi, bd.n_replicates
+    FROM overall o JOIN bands bd ON bd.k = o.k
+    """,
+)
+def sample_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap CI of the per-series mean
+    (operators.sampling.bootstrap_ci; Chamandy et al. 2012, the
+    MapReduce bootstrap): 32 deterministic md5-derived Poisson(1)
+    replicate weights per event, replicate means as exact integer
+    ratios, nearest-rank 95% band — uncertainty for dashboard
+    aggregates with one extra groups×replicates shuffle (map-side
+    combined; the 32× explode collapses before moving). Inverse-CDF
+    thresholds are identical full-precision literals on both
+    engines."""
+    from refluxdb_spark.operators import sampling as Smpl
+
+    e = load(spark, sf_dir, "events")
+    return Smpl.bootstrap_ci(e, "value", id_col="event_id", by="event_type")

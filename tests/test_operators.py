@@ -4520,3 +4520,21 @@ def test_adamic_adar_matches_python_replay(spark):
     again = {(r.node_a, r.node_b): (r.aa_score, r.common_neighbors)
              for r in adamic_adar_link_prediction(df.repartition(5), k=20).collect()}
     assert again == got
+
+
+def test_bootstrap_ci_brackets_mean_and_is_stable(spark):
+    """The 95% band must bracket the exact mean on well-behaved data,
+    replicate means must be exact integer ratios (layout-invariant),
+    and weights must follow the embedded Poisson(1) thresholds."""
+    from refluxdb_spark.operators.sampling import bootstrap_ci
+
+    rows = [("s", i, float(10 + (i * 7) % 20)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["event_type", "event_id", "value"])
+    out = bootstrap_ci(df, "value", id_col="event_id", by="event_type").collect()[0]
+    assert out.n_rows == 400 and out.n_replicates == 32
+    assert out.ci_lo <= out.mean <= out.ci_hi
+    assert out.ci_hi - out.ci_lo < 5.0  # sane width for sd~6, n=400
+    again = bootstrap_ci(
+        df.repartition(11), "value", id_col="event_id", by="event_type"
+    ).collect()[0]
+    assert (again.ci_lo, again.ci_hi) == (out.ci_lo, out.ci_hi)
