@@ -203,6 +203,9 @@ HEADLINE = [
     "sample_neyman_execute",
     "ts_seasonal_decompose",
     "sim_binary_hamming_topk",
+    # graph_link_aa_nations stays correctness-only (tiny-graph, like
+    # its RA twin); the bootstrap is the heavy new exchange shape
+    "sample_bootstrap_ci",
 ]
 
 
