@@ -1538,3 +1538,91 @@ def zipf_fit(
             denom != 0, F.round((F.col("sy") - slope * F.col("sx")) / n, 6)
         ).alias("intercept"),
     )
+
+
+def bm25_ndcg(
+    df: DataFrame,
+    queries: list[tuple[str, list[str]]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k of the BM25 ranking against graded term-frequency
+    relevance (Järvelin & Kekäläinen TOIS 2002) — the retrieval-
+    quality gate for the text side, the same discipline
+    ``sim_ivf_recall``/``sim_pq_recall`` apply to ANN: score the
+    ranker, don't just run it. Relevance is deterministic by
+    construction: rel(doc) = min(3, total tf of the query's terms) —
+    graded, engine-independent, and defined on exactly the matched
+    set BM25 ranks (every unmatched doc has rel 0 and appears in
+    neither ranking).
+
+    DCG@k = Σ over the top-k BM25 ranks (round-6, id tiebreak) of
+    (2^rel − 1)/log2(rank+1); IDCG@k is the same sum over the ideal
+    (rel desc, id) order; both are ≤k fixed-rank terms, each a single
+    identical double, DECIMAL(28,18)-routed so the tiny sums are
+    order-free. Returns one row per query:
+    (query, n_matched, dcg, idcg, ndcg).
+
+    Scale: per query, the bm25_scores pass (one token-stream
+    aggregation) plus a doc-dimension rank window cut to k rows —
+    the eval harness runs on a sample at 100 TB, like every recall
+    gate here."""
+    from refluxdb_spark.operators.dedup import normalize_text
+
+    gain = (
+        F.when(F.col("rel") == 1, F.lit(1.0))
+        .when(F.col("rel") == 2, F.lit(3.0))
+        .otherwise(F.lit(7.0))
+    )
+    dec = "decimal(28,18)"
+    outs = []
+    for qname, terms in queries:
+        scores = bm25_scores(df, terms, text_col=text_col, id_col=id_col)
+        arr = F.array(*[F.lit(t) for t in sorted(terms)])
+        tft = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+                ).alias("tok"),
+            )
+            .filter(F.array_contains(arr, F.col("tok")))
+            .groupBy("id")
+            .agg(F.least(F.lit(3), F.count(F.lit(1))).cast("int").alias("rel"))
+        )
+        j = scores.join(tft, "id")
+        wb = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())
+        wi = Window.orderBy(F.col("rel").desc(), F.col("id").asc())
+        ranked = j.select(
+            "id",
+            "rel",
+            F.row_number().over(wb).alias("rb"),
+            F.row_number().over(wi).alias("ri"),
+        )
+        # LN2 as a shared literal (not ln(2.0) at runtime) so both
+        # engines divide by the identical double
+        term = lambda r: (  # noqa: E731
+            gain
+            / (F.log((r + F.lit(1)).cast("double")) / F.lit(0.6931471805599453))
+        ).cast(dec)
+        agg = ranked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum(F.when(F.col("rb") <= k, term(F.col("rb")))).cast("double").alias("dcg"),
+            F.sum(F.when(F.col("ri") <= k, term(F.col("ri")))).cast("double").alias("idcg"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(qname).alias("query"),
+                "n_matched",
+                F.round(F.col("dcg"), 6).alias("dcg"),
+                F.round(F.col("idcg"), 6).alias("idcg"),
+                F.when(
+                    F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), 6)
+                ).alias("ndcg"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

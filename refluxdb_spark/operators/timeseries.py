@@ -1669,3 +1669,147 @@ def seasonal_decompose(
             F.col("observed") - F.col("_trend") - F.col("_seasonal"), round_digits
         ).alias("remainder"),
     )
+
+
+def kalman_smooth(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: list[str],
+    q: float = 0.01,
+    r: float = 1.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Scalar Kalman filter per series under the local-level
+    (random-walk + observation-noise) model — the optimal recursive
+    smoother the EMA approximates with a fixed gain (Kalman 1960;
+    the steady-state gain of THIS filter is exactly the EMA's α, but
+    the early-sample gains adapt while variance converges)::
+
+        predict:  x⁻ = x,  P⁻ = P + q
+        update:   K  = P⁻/(P⁻ + r)
+                  x  = x + K·(v − x⁻),  P = (1 − K)·P⁻
+
+    initialized x₁ = v₁, P₁ = 1. Emits one row per series: final
+    level, posterior variance, steady gain, and n_obs.
+
+    Execution and determinism: the ``holt_linear`` contract — one
+    shuffle on the series key, a plain-loop Arrow walk per group in
+    (ts, tiebreak) order with FIXED IEEE op order, and the DuckDB
+    oracle replays the identical recurrence as a recursive CTE
+    (every subexpression written the same way on both sides, so the
+    trajectory is bit-exact).
+    """
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    key_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.select(*by).schema.fields
+    )
+    out_schema = (
+        key_schema
+        + ", `n_obs` bigint, `level` double, `p_var` double, `gain` double"
+    )
+    qf, rf = float(q), float(r)
+
+    def walk(pdf):
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy().tolist()
+        x = vals[0]
+        p = 1.0
+        k = p / (p + rf)
+        for v in vals[1:]:
+            pp = p + qf
+            k = pp / (pp + rf)
+            x = x + k * (v - x)
+            p = (1.0 - k) * pp
+        out = pdf.iloc[[0]][by].copy()
+        out["n_obs"] = len(vals)
+        out["level"] = x
+        out["p_var"] = p
+        out["gain"] = k
+        return out
+
+    return df.groupBy(*by).applyInPandas(walk, schema=out_schema)
+
+
+def _zigzag(col: Column) -> Column:
+    """Signed → unsigned zigzag (protobuf/Gorilla convention):
+    0,-1,1,-2,2 → 0,1,2,3,4 — exact BIGINT arithmetic."""
+    return F.when(col >= 0, col * 2).otherwise(-col * 2 - 1)
+
+
+def _varint_bytes(col: Column) -> Column:
+    """LEB128 varint byte count for an unsigned BIGINT — an integer
+    CASE ladder (exact on both engines; no float log near power-of-two
+    boundaries)."""
+    # top rung: 2^63 is not a BIGINT literal, so the 9-byte test uses
+    # Long.MAX (identical in the SQL oracle's ladder)
+    out = F.when(col < F.lit((1 << 63) - 1), F.lit(9)).otherwise(F.lit(10))
+    for nbytes in range(8, 0, -1):
+        out = F.when(col < F.lit(1 << (7 * nbytes)), F.lit(nbytes)).otherwise(out)
+    return out
+
+
+def compression_estimate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Time-series compression planning: per series, the encoded size
+    under the Gorilla/Prometheus scheme family — delta-of-delta
+    timestamps + zigzag-varint value deltas (Pelkonen et al. VLDB'15
+    for the timestamp scheme; integer cent deltas replace Gorilla's
+    float-XOR stage so the whole estimate is exact BIGINT arithmetic)
+    — versus the raw 16 B/row columnar cost. This is the sizing pass a
+    TSDB runs before choosing chunk encodings, and a direct measure of
+    how regular each series' cadence is (the reference's ecosystem
+    stores exactly this kind of series).
+
+    Charging model: row 1 costs 16 B (full timestamp + value); row 2
+    charges varint(zigzag(Δt)) + varint(zigzag(Δv)); rows 3+ charge
+    varint(zigzag(Δ²t)) + varint(zigzag(Δv)). All deltas are exact
+    integers (micros / cents), the varint ladder is integer CASE
+    comparisons — no float anywhere until the final ratio (int/int
+    double, round-6).
+
+    One key-window shuffle (both lags ride one sort). Returns
+    (by, n_obs, raw_bytes, enc_bytes, ratio).
+    """
+    w = Window.partitionBy(by).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+    us = F.unix_micros(F.col(ts_col))
+    cents = F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+    d = (
+        df.select(F.col(by), F.col(ts_col), F.col(tiebreak), cents.alias("c"))
+        .withColumn("_t", us)
+        .withColumn("_dt", F.col("_t") - F.lag("_t").over(w))
+        .withColumn("_dod", F.col("_dt") - F.lag("_dt").over(w))
+        .withColumn("_dv", F.col("c") - F.lag("c").over(w))
+    )
+    row_cost = (
+        F.when(F.col("_dt").isNull(), F.lit(16))
+        .when(
+            F.col("_dod").isNull(),
+            _varint_bytes(_zigzag(F.col("_dt"))) + _varint_bytes(_zigzag(F.col("_dv"))),
+        )
+        .otherwise(
+            _varint_bytes(_zigzag(F.col("_dod"))) + _varint_bytes(_zigzag(F.col("_dv")))
+        )
+    )
+    return (
+        d.withColumn("_cost", row_cost.cast("bigint"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            (F.count(F.lit(1)) * 16).cast("bigint").alias("raw_bytes"),
+            F.sum("_cost").cast("bigint").alias("enc_bytes"),
+        )
+        .withColumn(
+            "ratio",
+            F.round(
+                F.col("enc_bytes").cast("double") / F.col("raw_bytes").cast("double"),
+                6,
+            ),
+        )
+    )

@@ -15033,3 +15033,211 @@ def sample_bootstrap_ci(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return Smpl.bootstrap_ci(e, "value", id_col="event_id", by="event_type")
+
+
+@register(
+    "ts_kalman_level",
+    """
+    WITH RECURSIVE ev AS (
+        SELECT event_type AS series, value, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n_total
+        FROM events
+    ),
+    r(series, rn, n_total, x, p, k) AS (
+        SELECT series, rn, n_total, value, CAST(1.0 AS DOUBLE),
+               CAST(1.0 / (1.0 + 1.0) AS DOUBLE)
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.series, e.rn, e.n_total,
+               r.x + ((r.p + 0.01) / ((r.p + 0.01) + 1.0))
+                   * (e.value - r.x),
+               (1.0 - ((r.p + 0.01) / ((r.p + 0.01) + 1.0)))
+                   * (r.p + 0.01),
+               (r.p + 0.01) / ((r.p + 0.01) + 1.0)
+        FROM ev e JOIN r ON e.series = r.series AND e.rn = r.rn + 1
+    )
+    SELECT series AS event_type, CAST(n_total AS BIGINT) AS n_obs,
+           x AS level, p AS p_var, k AS gain
+    FROM r WHERE rn = n_total
+    """,
+)
+def ts_kalman_level(spark, sf_dir):
+    """Scalar Kalman local-level filter per series
+    (operators.timeseries.kalman_smooth; Kalman 1960): the optimal
+    adaptive-gain smoother the EMA approximates — q=0.01, r=1,
+    x₁=v₁, P₁=1. One key shuffle + a fixed-IEEE-order Arrow walk
+    (the holt_linear contract); the oracle replays the identical
+    recurrence as a recursive CTE, bit-exact."""
+    from refluxdb_spark.operators import timeseries as T
+
+    e = load(spark, sf_dir, "events")
+    return T.kalman_smooth(
+        e, ts_col="ts", value_col="value", by=["event_type"],
+        tiebreak="event_id",
+    )
+
+
+_VARINT_SQL = """CASE
+    WHEN {z} < 128 THEN 1 WHEN {z} < 16384 THEN 2
+    WHEN {z} < 2097152 THEN 3 WHEN {z} < 268435456 THEN 4
+    WHEN {z} < 34359738368 THEN 5 WHEN {z} < 4398046511104 THEN 6
+    WHEN {z} < 562949953421312 THEN 7
+    WHEN {z} < 72057594037927936 THEN 8
+    WHEN {z} < 9223372036854775807 THEN 9 ELSE 10 END"""
+
+_ZIGZAG_SQL = "CASE WHEN {n} >= 0 THEN {n} * 2 ELSE -{n} * 2 - 1 END"
+
+
+@register(
+    "ts_compression_estimate",
+    f"""
+    WITH base AS (
+        SELECT event_type AS k,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               event_id
+        FROM events
+    ),
+    firstlag AS (
+        SELECT k, t, event_id,
+               t - lag(t) OVER w AS dt,
+               c - lag(c) OVER w AS dv
+        FROM base
+        WINDOW w AS (PARTITION BY k ORDER BY t, event_id)
+    ),
+    lagged AS (
+        SELECT k, dt, dv,
+               dt - lag(dt) OVER w AS dod
+        FROM firstlag
+        WINDOW w AS (PARTITION BY k ORDER BY t, event_id)
+    ),
+    costed AS (
+        SELECT k,
+               CAST(CASE
+                 WHEN dt IS NULL THEN 16
+                 WHEN dod IS NULL THEN
+                      ({_VARINT_SQL.format(z=_ZIGZAG_SQL.format(n='dt'))})
+                    + ({_VARINT_SQL.format(z=_ZIGZAG_SQL.format(n='dv'))})
+                 ELSE ({_VARINT_SQL.format(z=_ZIGZAG_SQL.format(n='dod'))})
+                    + ({_VARINT_SQL.format(z=_ZIGZAG_SQL.format(n='dv'))})
+               END AS BIGINT) AS cost
+        FROM lagged
+    )
+    SELECT k AS event_type,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(count(*) * 16 AS BIGINT) AS raw_bytes,
+           CAST(sum(cost) AS BIGINT) AS enc_bytes,
+           round(CAST(sum(cost) AS DOUBLE) / CAST(count(*) * 16 AS DOUBLE), 6)
+               AS ratio
+    FROM costed GROUP BY k
+    """,
+)
+def ts_compression_estimate(spark, sf_dir):
+    """Gorilla/Prometheus chunk-encoding size planning
+    (operators.timeseries.compression_estimate; Pelkonen VLDB'15):
+    per-series encoded bytes under delta-of-delta timestamps +
+    zigzag-varint cent deltas vs the raw 16 B/row cost — the sizing
+    pass a TSDB runs before choosing encodings, and a cadence-
+    regularity measure for the series the reference's ecosystem
+    stores. Exact BIGINT deltas, integer varint CASE ladder, one
+    key-window shuffle; the only float is the final int/int ratio."""
+    from refluxdb_spark.operators import timeseries as T
+
+    return T.compression_estimate(load(spark, sf_dir, "events"))
+
+
+def _ndcg_block_sql(i: int, terms: list[str]) -> str:
+    """Per-query NDCG CTE chain (suffix-named) mirroring
+    operators.text.bm25_ndcg — the bm25 scoring is the
+    text_bm25_scores oracle parameterized by term list."""
+    tl = ", ".join(f"'{t}'" for t in sorted(terms))
+    g = "CASE WHEN rel = 1 THEN 1.0 WHEN rel = 2 THEN 3.0 ELSE 7.0 END"
+    t_rb = (f"CAST(({g}) / (ln(CAST(rb + 1 AS DOUBLE)) / 0.6931471805599453)"
+            f" AS DECIMAL(28,18))")
+    t_ri = (f"CAST(({g}) / (ln(CAST(ri + 1 AS DOUBLE)) / 0.6931471805599453)"
+            f" AS DECIMAL(28,18))")
+    return f"""
+    toks{i} AS (
+        SELECT doc_id AS id,
+               unnest(list_filter({_TOKENS_SQL}, t -> t != '')) AS tok
+        FROM documents
+    ),
+    dl{i} AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM toks{i} GROUP BY id),
+    stats{i} AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM dl{i}
+    ),
+    tf{i} AS (
+        SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks{i}
+        WHERE tok IN ({tl})
+        GROUP BY id, tok
+    ),
+    dft{i} AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf{i} GROUP BY tok),
+    scored{i} AS (
+        SELECT tf{i}.id,
+               CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_t AS DOUBLE) + 0.5)
+                             / (CAST(df_t AS DOUBLE) + 0.5))
+                    * (CAST(tf AS DOUBLE) * 2.2)
+                    / (CAST(tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+                                / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+                    AS DECIMAL(28,18)) AS s
+        FROM tf{i} JOIN dft{i} USING (tok) JOIN dl{i} USING (id) CROSS JOIN stats{i}
+    ),
+    bm{i} AS (
+        SELECT id, round(CAST(sum(s) AS DOUBLE), 6) AS bm25
+        FROM scored{i} GROUP BY id
+    ),
+    rel{i} AS (
+        SELECT id, CAST(least(3, count(*)) AS INT) AS rel
+        FROM toks{i} WHERE tok IN ({tl}) GROUP BY id
+    ),
+    ranked{i} AS (
+        SELECT b.id, r.rel,
+               row_number() OVER (ORDER BY b.bm25 DESC, b.id) AS rb,
+               row_number() OVER (ORDER BY r.rel DESC, b.id) AS ri
+        FROM bm{i} b JOIN rel{i} r ON r.id = b.id
+    ),
+    out{i} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN rb <= 10 THEN {t_rb} END) AS DOUBLE) AS dcg,
+               CAST(sum(CASE WHEN ri <= 10 THEN {t_ri} END) AS DOUBLE) AS idcg
+        FROM ranked{i}
+    )"""
+
+
+_NDCG_QUERIES = [
+    ("hash_join", ["hash", "join"]),
+    ("vector", ["vector"]),
+    ("stream_window", ["stream", "window"]),
+]
+
+
+@register(
+    "text_bm25_ndcg",
+    "WITH "
+    + ",".join(_ndcg_block_sql(i, t) for i, (_, t) in enumerate(_NDCG_QUERIES))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS query, n_matched,
+           round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+           CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg
+    FROM out{i}"""
+        for i, (name, _) in enumerate(_NDCG_QUERIES)
+    ),
+)
+def text_bm25_ndcg(spark, sf_dir):
+    """NDCG@10 of the BM25 ranking against graded tf relevance
+    (operators.text.bm25_ndcg; Järvelin & Kekäläinen TOIS 2002) for
+    three fixed queries — the retrieval-quality gate for the text
+    side, the sim_ivf_recall discipline applied to BM25. Relevance is
+    min(3, query-term tf): deterministic, engine-independent, defined
+    on exactly the matched set. DCG/IDCG are ≤10 fixed-rank identical
+    doubles DECIMAL-routed (shared LN2 literal); the ideal and actual
+    rankings are both round-6 + id tiebroken."""
+    return X.bm25_ndcg(
+        load(spark, sf_dir, "documents"), _NDCG_QUERIES
+    )

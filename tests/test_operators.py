@@ -4538,3 +4538,78 @@ def test_bootstrap_ci_brackets_mean_and_is_stable(spark):
         df.repartition(11), "value", id_col="event_id", by="event_type"
     ).collect()[0]
     assert (again.ci_lo, again.ci_hi) == (out.ci_lo, out.ci_hi)
+
+
+def test_kalman_smooth_matches_python_recurrence(spark):
+    """The filter trajectory must equal a driver-side replay with the
+    identical IEEE op order, and converge toward the steady gain."""
+    import datetime
+
+    from refluxdb_spark.operators.timeseries import kalman_smooth
+
+    vals = [10.0, 12.0, 11.0, 14.0, 13.0, 12.5, 11.8, 13.2]
+    rows = [
+        ("s", datetime.datetime(2024, 1, 1, 0, i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "event_id", "value"])
+    out = kalman_smooth(
+        df, ts_col="ts", value_col="value", by=["event_type"],
+        tiebreak="event_id",
+    ).collect()[0]
+    x, p = vals[0], 1.0
+    k = p / (p + 1.0)
+    for v in vals[1:]:
+        pp = p + 0.01
+        k = pp / (pp + 1.0)
+        x = x + k * (v - x)
+        p = (1.0 - k) * pp
+    assert (out.n_obs, out.level, out.p_var, out.gain) == (len(vals), x, p, k)
+    again = kalman_smooth(
+        df.repartition(3), ts_col="ts", value_col="value",
+        by=["event_type"], tiebreak="event_id",
+    ).collect()[0]
+    assert (again.level, again.p_var) == (out.level, out.p_var)
+
+
+def test_compression_estimate_regular_cadence_compresses(spark):
+    """A constant-cadence constant-delta series must collapse to
+    ~2 B/row (dod = 0, dv constant small); the estimate must match a
+    hand-computed byte count."""
+    import datetime
+
+    from refluxdb_spark.operators.timeseries import compression_estimate
+
+    rows = [
+        ("s", datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i),
+         i, 10.0 + i * 0.01)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "event_id", "value"])
+    out = compression_estimate(df).collect()[0]
+    # row 1: 16; row 2: varint(zz(1e6 us)) = zz=2e6 -> 3 bytes, dv=1 -> zz=2 -> 1
+    # rows 3..100: dod=0 -> 1 byte, dv=1 -> 1 byte
+    exp = 16 + (3 + 1) + 98 * 2
+    assert out.n_obs == 100 and out.raw_bytes == 1600
+    assert out.enc_bytes == exp
+    assert out.ratio == round(exp / 1600.0, 6)
+
+
+def test_bm25_ndcg_perfect_ranking_is_one(spark):
+    """When BM25 order equals the relevance order NDCG must be 1.0;
+    an inverted tail must push it below 1."""
+    from refluxdb_spark.operators.text import bm25_ndcg
+
+    docs = [
+        (0, "zebra zebra zebra filler"),
+        (1, "zebra zebra filler filler"),
+        (2, "zebra filler filler filler"),
+        (3, "plain filler words only"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.query: r for r in bm25_ndcg(df, [("z", ["zebra"])]).collect()}
+    r = out["z"]
+    # tf-graded relevance and single-term bm25 rank identically here
+    assert r.n_matched == 3
+    assert r.ndcg == 1.0
+    assert r.dcg == r.idcg > 0
