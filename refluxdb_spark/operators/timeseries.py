@@ -1813,3 +1813,75 @@ def compression_estimate(
             ),
         )
     )
+
+
+def ks_two_sample(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic D = sup|F₁−F₂|
+    between two value distributions (Smirnov 1939) — the
+    distribution-drift gate beside ``events_psi_drift``'s binned PSI
+    and ``text_jsd_source_drift``'s token JSD: binless, sensitive to
+    any distributional difference, and here EXACT, not approximated.
+
+    Integer-exact construction: values go to cents; at every point of
+    the pooled sample the ECDF gap is |i·n₂ − j·n₁| / (n₁·n₂) with
+    i, j the cumulative counts — the numerator is an exact BIGINT, so
+    D is max_int/(n₁·n₂), one int/int double division at the end.
+    Ties are handled by evaluating the gap only at complete value
+    boundaries (cumulative counts over the per-value aggregate, which
+    is how the sup of a càdlàg step function is attained). Returns one
+    row: (n_a, n_b, d_num, d_den, ks_d).
+
+    Scale: two map-side-combined per-value aggregates (value-
+    cardinality-sized, cents are naturally bounded), one merged sort
+    window over the pooled value dimension, a 1-row max. Nothing
+    row-sized past the first aggregates; the cumulative window is over
+    distinct VALUES, not rows.
+    """
+    cents = F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
+    a = df_a.select(cents.alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    b = df_b.select(cents.alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    m = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = m.select(
+        F.sum("ca").over(w).cast("bigint").alias("i"),
+        F.sum("cb").over(w).cast("bigint").alias("j"),
+    )
+    tot = cum.agg(
+        F.max("i").cast("bigint").alias("n_a"),
+        F.max("j").cast("bigint").alias("n_b"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.max(
+                F.abs(F.col("i") * F.col("n_b") - F.col("j") * F.col("n_a"))
+            ).cast("bigint").alias("d_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (F.col("n_a") * F.col("n_b")).cast("bigint").alias("d_den"),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("ks_d"),
+        )
+    )

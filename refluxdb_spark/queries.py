@@ -15241,3 +15241,58 @@ def text_bm25_ndcg(spark, sf_dir):
     return X.bm25_ndcg(
         load(spark, sf_dir, "documents"), _NDCG_QUERIES
     )
+
+
+@register(
+    "ts_ks_two_sample",
+    """
+    WITH a AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS ca
+        FROM events WHERE event_type = 'click' GROUP BY v
+    ),
+    b AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cb
+        FROM events WHERE event_type = 'error' GROUP BY v
+    ),
+    m AS (
+        SELECT COALESCE(a.v, b.v) AS v,
+               COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM a FULL OUTER JOIN b ON b.v = a.v
+    ),
+    cum AS (
+        SELECT CAST(sum(ca) OVER w AS BIGINT) AS i,
+               CAST(sum(cb) OVER w AS BIGINT) AS j
+        FROM m
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    tot AS (
+        SELECT CAST(max(i) AS BIGINT) AS n_a,
+               CAST(max(j) AS BIGINT) AS n_b
+        FROM cum
+    )
+    SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(max(abs(i * n_b - j * n_a)) AS BIGINT) AS d_num,
+           CAST(max(n_a) * max(n_b) AS BIGINT) AS d_den,
+           round(CAST(max(abs(i * n_b - j * n_a)) AS DOUBLE)
+                 / CAST(max(n_a) * max(n_b) AS DOUBLE), 6) AS ks_d
+    FROM cum CROSS JOIN tot
+    """,
+)
+def ts_ks_two_sample(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov D between the click and
+    error value distributions (operators.timeseries.ks_two_sample;
+    Smirnov 1939) — the binless drift gate beside PSI and JSD. ECDF
+    gaps are exact BIGINT numerators |i·n₂ − j·n₁| evaluated at value
+    boundaries of the pooled per-value aggregate (value-cardinality-
+    sized, not row-sized); D is one int/int division at the end."""
+    from refluxdb_spark.operators import timeseries as T
+
+    e = load(spark, sf_dir, "events")
+    return T.ks_two_sample(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "error"),
+    )

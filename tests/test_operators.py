@@ -4613,3 +4613,30 @@ def test_bm25_ndcg_perfect_ranking_is_one(spark):
     assert r.n_matched == 3
     assert r.ndcg == 1.0
     assert r.dcg == r.idcg > 0
+
+
+def test_ks_two_sample_matches_scipy_free_replay(spark):
+    """D must equal the hand ECDF sup-gap (exact rational), be 0 for
+    identical samples, and approach 1 for disjoint supports."""
+    from refluxdb_spark.operators.timeseries import ks_two_sample
+
+    a = spark.createDataFrame([(float(v),) for v in (1, 2, 2, 3, 5)], ["value"])
+    b = spark.createDataFrame([(float(v),) for v in (2, 3, 3, 4)], ["value"])
+    out = ks_two_sample(a, b).collect()[0]
+    av = [100, 200, 200, 300, 500]
+    bv = [200, 300, 300, 400]
+    pts = sorted(set(av) | set(bv))
+    gaps = []
+    for p in pts:
+        i = sum(1 for x in av if x <= p)
+        j = sum(1 for x in bv if x <= p)
+        gaps.append(abs(i * len(bv) - j * len(av)))
+    assert out.n_a == 5 and out.n_b == 4
+    assert out.d_num == max(gaps) and out.d_den == 20
+    assert out.ks_d == round(max(gaps) / 20.0, 6)
+    same = ks_two_sample(a, a).collect()[0]
+    assert same.d_num == 0 and same.ks_d == 0.0
+    lo = spark.createDataFrame([(1.0,), (2.0,)], ["value"])
+    hi = spark.createDataFrame([(9.0,), (8.0,)], ["value"])
+    far = ks_two_sample(lo, hi).collect()[0]
+    assert far.ks_d == 1.0
