@@ -206,6 +206,11 @@ HEADLINE = [
     # graph_link_aa_nations stays correctness-only (tiny-graph, like
     # its RA twin); the bootstrap is the heavy new exchange shape
     "sample_bootstrap_ci",
+    # ts_kalman_level stays correctness-only (the holt/cusum walk
+    # precedent); the three below are the measurable new shapes
+    "ts_compression_estimate",
+    "text_bm25_ndcg",
+    "ts_ks_two_sample",
 ]
 
 
