@@ -694,8 +694,17 @@ def emit_lines(
         # per-query rep counts ride the SAME decodable line (extra key,
         # decoder unaffected): the adaptive sub-second policy means 3
         # and 7 coexist, and a reader adjudicating a flagged regression
-        # needs to know which cohort the number came from
-        compact["reps_values"] = [rep_counts.get(n, reps) for n in names]
+        # needs to know which cohort the number came from. Encoded as
+        # one digit per query (HEADLINE order) — the JSON int array
+        # form cost ~3 chars/query and pushed the compact+summary pair
+        # past the driver's tail-window headroom once HEADLINE crossed
+        # ~130 queries; a digit string costs 1. Falls back to the array
+        # iff a count ever needs two digits.
+        rv = [rep_counts.get(n, reps) for n in names]
+        if all(0 <= v <= 9 for v in rv):
+            compact["reps_digits"] = "".join(str(v) for v in rv)
+        else:
+            compact["reps_values"] = rv
     summary = {
         k: v
         for k, v in head.items()

@@ -49,7 +49,7 @@ def test_compact_line_carries_every_timing_within_tail_window():
     lines = emit_lines(timings, reps=3, calibration=0.28, sf=0.1, rep_counts=rep_counts)
     compact = json.loads(lines[1])
     assert compact["names_md5"] == names_digest(list(HEADLINE))
-    assert compact["reps_values"] == [7] * len(HEADLINE)
+    assert compact["reps_digits"] == "7" * len(HEADLINE)
     assert json.loads(lines[0])["rep_counts"] == rep_counts
     assert len(lines[1]) + len(lines[2]) < 1500, (
         "compact+summary must leave tail-window headroom"

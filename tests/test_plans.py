@@ -305,6 +305,19 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "sim_hnsw_topk": 1,     # graph + beams checkpointed; final rank
         "sim_hnsw_persisted_topk": 1,  # same search core off parquet
         "sim_hnsw_recall": 7,   # + exact brute-force side + hits agg
+        # r19 additions (budget = measured shape):
+        "text_keyness_llr": 9,          # sv/ns/g/tot aggs + broadcast partials + top-k window
+        "text_zipf_fit": 2,             # vocab agg + rank window/stats share
+        "ts_sax_symbols": 2,            # frame + moment aggs, broadcast join
+        "sketch_kmv_difference": 15,    # two presalted sketch states + exact anti-join gate (all sketch-sized)
+        "sample_neyman_allocation": 4,  # stratum agg + totals + seat window
+        "sample_neyman_execute": 5,     # allocation + per-stratum rank window
+        "ts_seasonal_decompose": 6,     # bucket agg + trend window + seasonal aggs
+        "sim_binary_hamming_topk": 1,   # top-k window; queries broadcast onto the code scan
+        "sample_bootstrap_ci": 3,       # replicate agg + band window + overall agg
+        "ts_compression_estimate": 1,   # one series key window + rollup share
+        "text_bm25_ndcg": 21,           # 3 queries x (bm25 pass + rel agg + two rank windows)
+        "ts_ks_two_sample": 6,          # two per-value aggs + full-outer merge + cum window + totals
     }
     for name, budget in budgets.items():
         n = count_exchanges(QUERIES[name](spark, sf_dir))
