@@ -988,7 +988,13 @@ def connected_components(
             .agg(F.min("component").alias("_nbr_min"))
         )
         # localCheckpoint: materialize + cut lineage each round (the
-        # iterative plan would otherwise grow by two joins per round)
+        # iterative plan would otherwise grow by two joins per round).
+        # eager=False + a FULL-aggregate probe = ONE job per round: the
+        # changed-count scan computes every partition, so the same job
+        # that decides convergence also persists the round's labels
+        # (the eager shape paid a checkpoint job AND a limit-probe job
+        # per round — plus limit(1).count() can launch incremental
+        # partial-partition jobs of its own)
         updated = (
             labels.join(neighbor_min, "id", "left")
             .select(
@@ -999,9 +1005,11 @@ def connected_components(
                 ).alias("component"),
                 (F.col("_nbr_min") < F.col("component")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = updated.filter(F.col("_changed")).limit(1).count()
+        changed = updated.agg(
+            F.count(F.when(F.col("_changed"), 1)).alias("_c")
+        ).collect()[0]["_c"]
         labels = updated.select("id", "component")
         if pointer_jumping:
             # path doubling: component <- component's component. One
@@ -1125,18 +1133,25 @@ def simhash(
     )
     field = 21  # bits per packed counter; 3 fields fit a positive BIGINT
     per = 3
+    # the vote-pack and fingerprint expressions are built as SQL STRINGS
+    # parsed by ONE F.expr each, not as nested Column operations: the
+    # Column form made ~10,800 py4j round-trips constructing the tree
+    # (~2.5 s of driver socket latency per query BUILD, measured with
+    # cProfile at sf0.1 — dedup_simhash_pairs_capped spent more wall
+    # building its DataFrame than executing it). The parsed expressions
+    # are identical operator for operator (shiftright/&/CASE), so the
+    # fingerprints are bit-identical.
     groups = []
     for g in range(-(-bits // per)):
-        addend = None
+        terms = []
         for j in range(per):
             i = g * per + j
             if i >= bits:
                 break
-            src = F.col("_lo" if i < 32 else "_hi")
-            bit = F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
-            term = F.shiftleft(bit, field * j) if j else bit
-            addend = term if addend is None else addend + term
-        groups.append(F.sum(addend).alias(f"_g{g}"))
+            src = "_lo" if i < 32 else "_hi"
+            bit = f"(shiftright({src}, {i % 32}) & 1)"
+            terms.append(f"shiftleft({bit}, {field * j})" if j else bit)
+        groups.append(F.sum(F.expr(" + ".join(terms))).alias(f"_g{g}"))
     agged = toks.groupBy("id").agg(F.count(F.lit(1)).alias("_t"), *groups)
     agged = agged.withColumn(
         "_t",
@@ -1152,17 +1167,20 @@ def simhash(
     # bits <= 62 packs into a BIGINT (portable across engines); a full
     # 64-bit fingerprint needs decimal to hold the sign bit.
     num_t = "bigint" if bits <= 62 else "decimal(38,0)"
-    fingerprint = None
+    fp_terms = []
     for i in range(bits):
-        cnt = F.shiftright(F.col(f"_g{i // per}"), field * (i % per)).bitwiseAND(
-            F.lit((1 << field) - 1)
+        cnt = (
+            f"(shiftright(_g{i // per}, {field * (i % per)})"
+            f" & {(1 << field) - 1})"
         )
-        bit = F.when(cnt * 2 > F.col("_t"), F.lit(2 ** i).cast(num_t)).otherwise(
-            F.lit(0).cast(num_t)
+        fp_terms.append(
+            f"(CASE WHEN {cnt} * 2 > _t THEN CAST({2 ** i} AS {num_t})"
+            f" ELSE CAST(0 AS {num_t}) END)"
         )
-        fingerprint = bit if fingerprint is None else fingerprint + bit
     out_t = "bigint" if bits <= 62 else "decimal(20,0)"
-    return agged.select("id", fingerprint.cast(out_t).alias("simhash"))
+    return agged.select(
+        "id", F.expr(" + ".join(fp_terms)).cast(out_t).alias("simhash")
+    )
 
 
 def shared_chunk_stats(
@@ -1409,22 +1427,31 @@ def duplicated_spans(
     if scope not in ("corpus", "doc"):
         raise ValueError(f"scope must be 'corpus' or 'doc', got {scope!r}")
     g = position_grams(df, text_col=text_col, id_col=id_col, k=k)
+    # duplication is decided by ONE window over the gram digest, not an
+    # aggregate + join back: the old agg-then-join shape referenced the
+    # position-gram relation twice, and Spark recomputes the (tokens-
+    # sized, md5-per-position) subtree per reference — 2 full
+    # tokenize+digest passes and 2 gram-keyed exchanges where one of
+    # each suffices (dedup_exact_substr_spans measured 5.4 s CPU at
+    # sf0.1 under the two-pass shape). "appears in >= 2 distinct docs"
+    # is exactly min(id) != max(id) over the h-partition — no
+    # count_distinct needed, and windowed min/max keep the map-side
+    # row untouched so every (id, pos) survives with its gram verdict.
     if scope == "corpus":
-        dup = (
-            g.groupBy("h")
-            .agg(F.count_distinct("id").alias("_docs"))
-            .filter(F.col("_docs") >= 2)
-            .select("h")
+        wh = Window.partitionBy("h")
+        hits = (
+            g.withColumn("_min_id", F.min("id").over(wh))
+            .withColumn("_max_id", F.max("id").over(wh))
+            .filter(F.col("_min_id") != F.col("_max_id"))
+            .select("id", "pos")
         )
-        hits = g.join(dup, "h").select("id", "pos")
     else:
-        dup = (
-            g.groupBy("id", "h")
-            .agg(F.count(F.lit(1)).alias("_n"))
+        wh = Window.partitionBy("id", "h")
+        hits = (
+            g.withColumn("_n", F.count(F.lit(1)).over(wh))
             .filter(F.col("_n") >= 2)
-            .select("id", "h")
+            .select("id", "pos")
         )
-        hits = g.join(dup, ["id", "h"]).select("id", "pos")
     return merge_position_islands(hits, k)
 
 

@@ -685,6 +685,14 @@ def harmonic_centrality(
         .localCheckpoint(eager=True)
     )
     frontier = visited.select("root", "node")
+    # ONE driver-synchronized job per depth (was three: an eager
+    # checkpoint of the frontier, an isEmpty probe, and an eager
+    # checkpoint of the union): the frontier is checkpoint-marked
+    # lazily and the full count() probe materializes it — every
+    # partition, so LocalRDDCheckpointData needs no second fill job —
+    # while the visited relation stays a LAZY union of already-
+    # materialized frontier checkpoints (nothing recomputes; the union
+    # is <= max_depth scans of stored blocks, never re-derived)
     for d in range(1, max_depth + 1):
         nxt = (
             edges.join(
@@ -698,11 +706,11 @@ def harmonic_centrality(
                 "left_anti",
             )
             .select("root", "node", F.lit(d).cast("bigint").alias("depth"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited = visited.union(nxt)
         frontier = nxt.select("root", "node")
     edges.unpersist()
     reached = visited.filter(F.col("depth") >= 1)
@@ -801,8 +809,15 @@ def _hyperball_ball_ests(
         hll_registers,
     )
 
+    # eager=False everywhere in this loop: the convergence probe
+    # (_sig's collect) is the materializing action, so ONE job per
+    # round both answers "did a register move?" and persists +
+    # lineage-truncates the state (LocalRDDCheckpointData stores
+    # partitions as the probe computes them) — the eager=True shape
+    # paid a separate checkpoint job before every probe, doubling the
+    # driver round-trips of the whole register-growth loop
     state = hll_registers(nodes, "node", p=p, by=["node"]).localCheckpoint(
-        eager=True
+        eager=False
     )
 
     def _sig(s: DataFrame) -> tuple:
@@ -827,7 +842,7 @@ def _hyperball_ball_ests(
             state.union(prop)
             .groupBy("node", "bucket")
             .agg(F.max("rho_max").alias("rho_max"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sig = _sig(new_state)
         if new_sig == sig:

@@ -383,9 +383,25 @@ def dsir_weights(
     bucketed = feats.select(
         "id", "_t", (h % num_buckets).cast("int").alias("bucket")
     )
-    dict_df = bucketed.groupBy("bucket").agg(
-        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("bigint").alias("t_b"),
-        F.count(F.lit(1)).cast("bigint").alias("r_b"),
+    # ONE pass over the feature stream: the raw (id, _t, bucket) rows
+    # fed BOTH the dictionary aggregation and the scoring join, and
+    # Spark recomputes the (scan + normalize + explode + md5) subtree
+    # per reference — two full feature passes (measured 3.2 s CPU at
+    # sf0.1). Collapsing to per-(id, bucket) counts first loses
+    # nothing (both consumers are count-shaped) and the materialized
+    # relation is bounded by docs x min(feats/doc, num_buckets) rows —
+    # the per-doc count profile a 100 TB run would stage anyway,
+    # far smaller than re-scanning the corpus.
+    feat_counts = (
+        bucketed.groupBy("id", "_t", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    dict_df = feat_counts.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), F.col("_cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("t_b"),
+        F.sum("_cnt").cast("bigint").alias("r_b"),
     )
     totals = dict_df.agg(
         F.sum("t_b").cast("bigint").alias("_T"),
@@ -400,11 +416,26 @@ def dsir_weights(
         "bucket", lr.alias("_lr")
     )
     scored = (
-        bucketed.join(F.broadcast(ratio_table), "bucket")
+        feat_counts.join(F.broadcast(ratio_table), "bucket")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
-            F.round(F.sum("_lr").cast("double"), 6).alias("log_weight"),
+            F.sum("_cnt").cast("bigint").alias("n_feats"),
+            # sum of _cnt identical decimal terms == _cnt * term,
+            # exactly, in decimal arithmetic — the one-pass rollup
+            # keeps the old per-instance decimal sum bit-for-bit.
+            # _cnt is cast to DECIMAL(9,0) first: bigint x dec(28,18)
+            # would exceed precision 38 and Spark's precision-loss
+            # rule truncates the product to scale 7 (measured: round-6
+            # values drifting in the last digit); dec(9,0) x dec(28,18)
+            # is dec(38,18) — full scale, exact (bounds per-doc
+            # occurrences of one feature at 1e9 - 1, far above any
+            # real document)
+            F.round(
+                F.sum(
+                    F.col("_cnt").cast("decimal(9,0)") * F.col("_lr")
+                ).cast("double"),
+                6,
+            ).alias("log_weight"),
         )
     )
     keep_num, keep_den = keep_ratio
@@ -675,13 +706,21 @@ def bootstrap_ci(
     """
     cents = F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
     b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b")
+    # the per-row part of the md5 input ("seed|id|") is built BEFORE
+    # the replicate explode — one cast+concat per row instead of one
+    # per (row x replicate); the concatenated digest input (and so
+    # every draw) is byte-identical
     base = df.select(
-        F.col(by).alias("_k"), F.col(id_col).alias("_id"), cents.alias("c")
-    ).select("_k", "_id", "c", b)
+        F.col(by).alias("_k"),
+        F.concat(
+            F.lit(f"{seed}|"), F.col(id_col).cast("string"), F.lit("|")
+        ).alias("_pre"),
+        cents.alias("c"),
+    ).select("_k", "_pre", "c", b)
     u = (
         F.expr(
-            f"CAST(conv(substring(md5(concat('{seed}', '|', CAST(_id AS STRING),"
-            f" '|', CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+            "CAST(conv(substring(md5(concat(_pre, CAST(b AS STRING))),"
+            " 1, 15), 16, 10) AS BIGINT)"
         ).cast("double")
         / F.lit(float(1 << 60))
     )

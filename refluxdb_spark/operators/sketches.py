@@ -821,20 +821,51 @@ def kll_state(
 
 
 def _kll_compact_to_fixpoint(
-    st: DataFrame, k: int, by: list[str], max_rounds: int
+    st: DataFrame, k: int, by: list[str], max_rounds: int, block: int = 8
 ) -> DataFrame:
+    """Run compaction rounds to the no-overflow fixpoint.
+
+    Rounds are unrolled in BLOCKS of ``block`` inside one lazy plan
+    between driver synchronizations. A compaction round at or past the
+    fixpoint is a pure pass-through (every cell holds <= k items, so
+    the filter keeps every row and the level expression is the
+    identity), so overshooting the fixpoint inside a block cannot
+    change the state — the result is bit-identical to the one-round-
+    at-a-time loop, which paid TWO driver-synchronized jobs per round
+    (a convergence probe + an eager localCheckpoint: ~2·rounds
+    scheduler round-trips; sketch_kll_merged_days measured 15.8 s wall
+    vs 2.6 s CPU at sf0.1 under that shape). Per block there is now
+    exactly ONE action: the overflow probe runs over the lazily
+    checkpoint-marked state, so the same job that answers "converged?"
+    also materializes the block's output and truncates lineage
+    (LocalRDDCheckpointData persists partitions as the probe computes
+    them)."""
+
     def _overflowing(s: DataFrame) -> bool:
-        return not (
+        # a SCALAR aggregate, not filter().isEmpty(): isEmpty is a
+        # limit(1), which Spark executes as incremental partial-
+        # partition jobs (1, then 4x more, ...) — several driver
+        # round-trips to conclude "empty" on a converged state — and a
+        # partial evaluation would also leave the lazy checkpoint's
+        # remaining partitions to a separate fill job. The max-cell
+        # aggregate computes every partition in exactly ONE job.
+        mx = (
             s.groupBy(*by, "level")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > k)
-            .isEmpty()
+            .agg(F.max("_n").alias("_m"))
+            .collect()[0]["_m"]
         )
+        return (mx or 0) > k
 
     rounds = 0
-    while rounds < max_rounds and _overflowing(st):
-        st = _kll_compact_round(st, k, by).localCheckpoint(eager=True)
-        rounds += 1
+    while rounds < max_rounds:
+        n = min(block, max_rounds - rounds)
+        for _ in range(n):
+            st = _kll_compact_round(st, k, by)
+        st = st.localCheckpoint(eager=False)
+        rounds += n
+        if not _overflowing(st):
+            break
     return st
 
 

@@ -1183,8 +1183,6 @@ def top_ngram_stats(
     a per-document window over the per-doc distinct-gram relation.
     Long output (id, n, top_gram, top_count, top_frac); documents
     shorter than n words contribute no row for that n."""
-    from functools import reduce
-
     from refluxdb_spark.operators.dedup import normalize_text
 
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
@@ -1193,29 +1191,44 @@ def top_ngram_stats(
         toks.alias("_toks"),
         F.length(F.array_join(toks, " ")).cast("bigint").alias("total_chars"),
     )
-    def _grams_for(n: int) -> Column:
+    def _tagged_grams_for(n: int) -> Column:
         # factory closure, NOT a defaulted lambda parameter: pyspark's
         # transform() treats a second lambda parameter as the array
         # index, so `lambda i, n=n:` would bind n to the index
-        return F.transform(
-            F.sequence(F.lit(0), F.size("_toks") - n),
-            lambda i: F.array_join(F.slice("_toks", i + 1, n), " "),
-        )
+        return F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                lambda i: F.struct(
+                    F.lit(n).cast("int").alias("n"),
+                    F.array_join(F.slice("_toks", i + 1, n), " ").alias(
+                        "gram"
+                    ),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
 
-    # union the per-n gram streams FIRST so the count is ONE
-    # map-side-combined aggregation and the winner ONE (id, n) window —
-    # two exchanges total, independent of |ns| (per-n pipelines would
-    # pay both exchanges per n)
-    per_n = [
-        base.filter(F.size("_toks") >= n).select(
-            "id",
-            "total_chars",
-            F.lit(n).cast("int").alias("n"),
-            F.explode(_grams_for(n)).alias("gram"),
-        )
-        for n in ns
-    ]
-    g = reduce(lambda a, b: a.unionByName(b), per_n)
+    # ONE scan, ONE explode: the per-n gram streams are built as
+    # n-tagged struct arrays beside each other and flattened, so the
+    # corpus is scanned and tokenized once for all of ns — the old
+    # union-of-branches shape re-scanned and re-normalized the corpus
+    # per n (3 scans for the default (2,3,4); measured 9.0 s CPU at
+    # sf0.1, the heaviest CPU in the bench). The exploded (id, n,
+    # gram) multiset is row-identical to the union's, so the count
+    # stays ONE map-side-combined aggregation and the winner ONE
+    # (id, n) window with byte-identical exchanges
+    g = base.select(
+        "id",
+        "total_chars",
+        F.explode(
+            F.flatten(F.array(*[_tagged_grams_for(n) for n in ns]))
+        ).alias("_g"),
+    ).select(
+        "id",
+        "total_chars",
+        F.col("_g.n").alias("n"),
+        F.col("_g.gram").alias("gram"),
+    )
     counted = g.groupBy("id", "total_chars", "n", "gram").agg(
         F.count(F.lit(1)).cast("bigint").alias("top_count")
     )

@@ -14169,10 +14169,27 @@ def sim_ivf_nprobe_sweep(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10)
-    exact = S.cosine_topk(emb, qs, k=5, round_digits=6)
+    # build the shared inputs ONCE and materialize them: the exact
+    # ranking and the (deterministic, train_iters=0) IVF assignment
+    # are identical across all four configurations, but leaving them
+    # inline re-walks their lineage per branch — the final plan held
+    # 48 static exchanges whose ~50 AQE stages were nearly all
+    # scheduler latency (5.0 s wall vs 2.4 s CPU at sf0.1).
+    # Checkpointing exact/centroids/assigned leaves each branch only
+    # its probe windows; same deterministic inputs, same rows out.
+    exact = S.cosine_topk(emb, qs, k=5, round_digits=6).localCheckpoint(
+        eager=True
+    )
+    centroids, assigned = S.build_ivf_index(
+        emb, 16, "vec_id", "embedding", train_iters=0
+    )
+    centroids = centroids.localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=True)
     parts = []
     for p in (1, 2, 4, 8):
-        approx = S.ivf_topk(emb, qs, k=5, num_centroids=16, nprobe=p)
+        approx = S._probe_topk(
+            centroids, assigned, qs, 5, p, "vec_id", "embedding"
+        )
         rec = S.topk_recall(exact, approx, k=5)
         parts.append(
             rec.agg(

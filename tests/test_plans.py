@@ -302,9 +302,16 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # per-day cells + merged cells checkpointed per round; static
         # plan = estimator window + exact twin + rank joins
         "sketch_kll_merged_days": 11,
-        "sim_hnsw_topk": 1,     # graph + beams checkpointed; final rank
-        "sim_hnsw_persisted_topk": 1,  # same search core off parquet
-        "sim_hnsw_recall": 7,   # + exact brute-force side + hits agg
+        # r18 optimization: the beam traversal is ONE lazy plan (self-
+        # loop edges make each hop reference the beam once), so the
+        # per-hop distinct + rank-window exchanges are now STATICALLY
+        # visible instead of hidden behind 5 sequential eager
+        # localCheckpoints — 2 per hop + the entry cut, all on
+        # queries x beam rows (trivially small); the graph build
+        # stays checkpointed in the inline form
+        "sim_hnsw_topk": 10,
+        "sim_hnsw_persisted_topk": 9,  # same search core off parquet
+        "sim_hnsw_recall": 25,  # + exact brute-force side + hits agg
         # r19 additions (budget = measured shape):
         "text_keyness_llr": 9,          # sv/ns/g/tot aggs + broadcast partials + top-k window
         "text_zipf_fit": 2,             # vocab agg + rank window/stats share
