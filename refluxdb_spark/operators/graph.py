@@ -502,8 +502,6 @@ def label_propagation(
     otherwise re-execute per consumer. Rounds are O(1) by design (2-3
     rounds give the useful coarse communities; more rounds just bleed
     labels across weak bridges). Returns (node, community)."""
-    from pyspark.sql import Window
-
     und = edges.select(
         F.col(a_col).alias("n"), F.col(b_col).alias("m")
     ).unionByName(
@@ -519,13 +517,21 @@ def label_propagation(
         counts = nbr.groupBy("n", "community").agg(
             F.count(F.lit(1)).alias("_c")
         )
-        w = Window.partitionBy("n").orderBy(
-            F.col("_c").desc(), F.col("community").asc()
-        )
+        # winner as a MIN-STRUCT aggregation, not a row_number window
+        # (r18): min(struct(-count, community)) == (count desc,
+        # community asc) rn==1 — exact for integer counts — and the
+        # per-node exchange partial-combines map-side instead of
+        # sorting the whole (node, community) frequency relation
         labels = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("n").alias("node"), "community")
+            counts.groupBy("n")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_c")).alias("_negc"), F.col("community"))
+                ).alias("_b")
+            )
+            .select(
+                F.col("n").alias("node"), F.col("_b.community").alias("community")
+            )
             .localCheckpoint(eager=True)
         )
     # the final round's labels are eagerly checkpointed above, so

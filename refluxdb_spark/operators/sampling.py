@@ -364,7 +364,12 @@ def dsir_weights(
     Returns (id, n_feats, log_weight, selected) for every document
     with at least one token."""
     from refluxdb_spark.operators.dedup import _H32, normalize_text
+    from refluxdb_spark.operators.skew import spread_input
 
+    # tokenize + bigram build + per-feature md5 all chain onto the
+    # scan; spread a narrow (single-row-group) input across cores
+    # before that serial fan-out (guide §2.5, see spread_input)
+    df = spread_input(df, id_col)
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
     base = df.select(
         F.col(id_col).alias("id"), target.alias("_t"), toks.alias("_toks")
@@ -704,13 +709,24 @@ def bootstrap_ci(
     only possible for tiny groups) drop out of the band. Returns
     (by, n_rows, mean, ci_lo, ci_hi, n_replicates).
     """
+    from refluxdb_spark.operators.skew import spread_input
+
     cents = F.expr(f"CAST(round({value_col} * 100) AS BIGINT)")
     b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b")
+    # the replicate explode multiplies every row by ``replicates`` and
+    # each (row, b) pays an md5 — all chained onto the scan, so a
+    # single-row-group input runs the whole draw serially (5.6 s wall
+    # on 5.0 s CPU at sf0.1/local[32]); spread the narrow input rows
+    # across cores BEFORE the explode multiplies them (guide §2.5).
+    # Only the replicate branch is spread — ``overall`` below is a
+    # plain map-side-combined aggregation with no fan-out, so routing
+    # it through the repartition would add an exchange for nothing.
+    spread = spread_input(df, id_col)
     # the per-row part of the md5 input ("seed|id|") is built BEFORE
     # the replicate explode — one cast+concat per row instead of one
     # per (row x replicate); the concatenated digest input (and so
     # every draw) is byte-identical
-    base = df.select(
+    base = spread.select(
         F.col(by).alias("_k"),
         F.concat(
             F.lit(f"{seed}|"), F.col(id_col).cast("string"), F.lit("|")

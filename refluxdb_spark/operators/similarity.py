@@ -332,11 +332,28 @@ def _assign_to_centroids(
             F.round(_dot("_v", "_centvec") / (_norm("_v") * _norm("_centvec")), 6),
         )
     )
-    w = Window.partitionBy("cid").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("cid").alias(id_col), F.col("_v").alias(vec_col), "centroid_id")
+    # argmax as a MIN-STRUCT aggregation, not a row_number window:
+    # min(struct(-sim, centroid_id, v)) orders sim desc then
+    # centroid_id asc — exactly the rn==1 row the window picked (sim is
+    # rounded-6 and finite, so negation is exact; centroid_id is unique
+    # within a vector's group, so the comparator never reaches v) — but
+    # aggregations partial-combine map-side, so the exchange carries
+    # ~1 row per vector instead of num_centroids rows per vector
+    # (guide §2.3 "aggregate before you shuffle": at C centroids this
+    # is a C-fold cut of the index build's only data-sized shuffle)
+    best = scored.groupBy("cid").agg(
+        F.min(
+            F.struct(
+                (-F.col("_sim")).alias("_negs"),
+                F.col("centroid_id"),
+                F.col("_v"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        F.col("cid").alias(id_col),
+        F.col("_b._v").alias(vec_col),
+        F.col("_b.centroid_id").alias("centroid_id"),
     )
 
 
@@ -1166,17 +1183,24 @@ def nearest_centroid_classify(
             ),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("predicted"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            id_col,
-            label_col,
-            "predicted",
-            "sim",
-            (F.col(label_col) == F.col("predicted")).alias("correct"),
-        )
+    # argmax as a MIN-STRUCT aggregation (the _assign_to_centroids
+    # rewrite, r18): min(struct(-sim, predicted)) == the window's
+    # (sim desc, predicted asc) rn==1 row — sim is rounded-6/finite so
+    # negation is exact — and the aggregation partial-combines
+    # map-side, so the exchange carries 1 row per vector instead of
+    # one per (vector, label). label_col is constant per id and rides
+    # the grouping key.
+    best = scored.groupBy(id_col, label_col).agg(
+        F.min(
+            F.struct((-F.col("sim")).alias("_negs"), F.col("predicted"))
+        ).alias("_b")
+    )
+    return best.select(
+        id_col,
+        label_col,
+        F.col("_b.predicted").alias("predicted"),
+        (-F.col("_b._negs")).alias("sim"),
+        (F.col(label_col) == F.col("_b.predicted")).alias("correct"),
     )
 
 
@@ -1316,13 +1340,16 @@ def pq_encode(
         "_dist",
         F.round(_l2sq(F.col("sv"), F.col("cw")) * F.lit(1_000_000.0)).cast("long"),
     )
-    w = Window.partitionBy("id", "subspace").orderBy(
-        F.col("_dist").asc(), F.col("code").asc()
-    )
+    # argmin as a MIN-STRUCT aggregation (the _assign_to_centroids
+    # rewrite, r18): min(struct(_dist, code)) == the window's
+    # (_dist asc, code asc) rn==1 row — integer micro-distances, no
+    # float caveats — and partial aggregation cuts the exchange from
+    # one row per (vector, subspace, codeword) to one per (vector,
+    # subspace): a num_codewords-fold shuffle cut for every PQ encode
     best = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "subspace", "code")
+        scored.groupBy("id", "subspace")
+        .agg(F.min(F.struct("_dist", "code")).alias("_b"))
+        .select("id", "subspace", F.col("_b.code").alias("code"))
     )
     return (
         best.groupBy("id")
@@ -1475,14 +1502,25 @@ def _ivfpq_build(
         "_dus",
         F.round(_l2sq(F.col("v"), F.col("cv")) * F.lit(1_000_000.0)).cast("long"),
     )
-    wa = Window.partitionBy("id").orderBy(F.col("_dus").asc(), F.col("centroid_id").asc())
+    # argmin as a MIN-STRUCT aggregation (the _assign_to_centroids
+    # rewrite, r18): min(struct(_dus, centroid_id, cv, v)) == the
+    # window's (_dus asc, centroid_id asc) rn==1 row (integer
+    # micro-distances; centroid_id unique per group so the comparator
+    # never reaches the carried arrays); partial aggregation cuts the
+    # exchange from one row per (vector, centroid) to one per vector
     assigned = (
-        ascore.withColumn("_rn", F.row_number().over(wa))
-        .filter(F.col("_rn") == 1)
+        ascore.groupBy("id")
+        .agg(
+            F.min(F.struct("_dus", "centroid_id", "cv", "v")).alias("_b")
+        )
         .select(
-            "id", "centroid_id",
-            F.zip_with("v", "cv", lambda x, y: (x.cast("double") - y.cast("double"))
-                       .cast("float")).alias("res"),
+            "id",
+            F.col("_b.centroid_id").alias("centroid_id"),
+            F.zip_with(
+                "_b.v",
+                "_b.cv",
+                lambda x, y: (x.cast("double") - y.cast("double")).cast("float"),
+            ).alias("res"),
         )
     )
     # PQ codebooks from the lowest-id NON-CENTROID vectors' residual

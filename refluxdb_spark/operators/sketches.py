@@ -18,6 +18,8 @@ HLL merge property), so rollups compose without rescanning.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -821,11 +823,11 @@ def kll_state(
 
 
 def _kll_compact_to_fixpoint(
-    st: DataFrame, k: int, by: list[str], max_rounds: int, block: int = 8
+    st: DataFrame, k: int, by: list[str], max_rounds: int
 ) -> DataFrame:
     """Run compaction rounds to the no-overflow fixpoint.
 
-    Rounds are unrolled in BLOCKS of ``block`` inside one lazy plan
+    Rounds are unrolled in ADAPTIVELY-SIZED blocks inside one lazy plan
     between driver synchronizations. A compaction round at or past the
     fixpoint is a pure pass-through (every cell holds <= k items, so
     the filter keeps every row and the level expression is the
@@ -834,14 +836,28 @@ def _kll_compact_to_fixpoint(
     at-a-time loop, which paid TWO driver-synchronized jobs per round
     (a convergence probe + an eager localCheckpoint: ~2·rounds
     scheduler round-trips; sketch_kll_merged_days measured 15.8 s wall
-    vs 2.6 s CPU at sf0.1 under that shape). Per block there is now
-    exactly ONE action: the overflow probe runs over the lazily
-    checkpoint-marked state, so the same job that answers "converged?"
-    also materializes the block's output and truncates lineage
-    (LocalRDDCheckpointData persists partitions as the probe computes
-    them)."""
+    vs 2.6 s CPU at sf0.1 under that shape).
 
-    def _overflowing(s: DataFrame) -> bool:
+    Block sizing: the max-cell probe that answers "converged?" also
+    returns HOW overloaded the worst cell is, and a cell of n items
+    shrinks ~2x per compaction, so ceil(log2(n/k)) rounds is the
+    expected distance to the fixpoint — the r18-interim fixed block of
+    8 unrolled 16 window passes for states that needed 3 (each round
+    is an exchange + sort even when it passes through). Promotions
+    cascading into already-occupied levels can exceed the estimate;
+    the probe loop supplies the shortfall (undershoot = one more
+    block, overshoot = pass-through rounds — both result-identical).
+    Per block there is exactly ONE action: the probe runs over the
+    lazily checkpoint-marked state, so the same job that answers
+    "converged?" also materializes the block's output and truncates
+    lineage (LocalRDDCheckpointData persists partitions as the probe
+    computes them). The extra up-front probe on the raw state is one
+    map-side-combined count aggregation per group — and for an
+    already-converged state (merges of few small sketches) it is the
+    ONLY job, where the fixed block paid 16 window passes to learn
+    there was nothing to do."""
+
+    def _max_cell(s: DataFrame) -> int:
         # a SCALAR aggregate, not filter().isEmpty(): isEmpty is a
         # limit(1), which Spark executes as incremental partial-
         # partition jobs (1, then 4x more, ...) — several driver
@@ -855,17 +871,17 @@ def _kll_compact_to_fixpoint(
             .agg(F.max("_n").alias("_m"))
             .collect()[0]["_m"]
         )
-        return (mx or 0) > k
+        return mx or 0
 
     rounds = 0
-    while rounds < max_rounds:
-        n = min(block, max_rounds - rounds)
+    mx = _max_cell(st)
+    while mx > k and rounds < max_rounds:
+        n = min(max(1, math.ceil(math.log2(mx / k))), max_rounds - rounds)
         for _ in range(n):
             st = _kll_compact_round(st, k, by)
         st = st.localCheckpoint(eager=False)
         rounds += n
-        if not _overflowing(st):
-            break
+        mx = _max_cell(st)
     return st
 
 

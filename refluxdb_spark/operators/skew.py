@@ -16,6 +16,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_input(
+    df: DataFrame, key_col: str, min_tasks: int | None = None
+) -> DataFrame:
+    """Fan a narrow scan out across the cluster BEFORE per-row-expensive
+    work — the guide §2.5 "input skew: one huge unsplittable file →
+    repartition immediately after the read" case.
+
+    A parquet file splits only at row-group boundaries, so a small or
+    single-row-group input scans as ONE task and every pre-exchange
+    expression chained onto the scan (tokenize + gram explode,
+    per-replicate md5 draws, feature hashing) runs serially no matter
+    how many cores the session has — sample_bootstrap_ci measured
+    5.6 s wall on 5.0 s CPU at sf0.1/local[32]: a serial stage on a
+    32-core box. When the scan's planned parallelism is below the
+    session's default parallelism, hash-repartition on ``key_col``
+    (deterministic under retry, unlike a rand()-derived key — guide
+    §2.5; round-robin would pay a defensive local sort) so the heavy
+    expressions run on every core. When the input already has at least
+    that many partitions — any real multi-file table, 100 TB included —
+    this adds NOTHING (no exchange). The shuffled bytes are the narrow
+    input relation itself, paid once, before any fan-out multiplies
+    row counts.
+
+    Callers must be layout-invariant (true of every operator in this
+    repo — md5-keyed determinism is the module-wide discipline), since
+    a repartition changes partition contents and order."""
+    sc = df.sparkSession.sparkContext
+    target = min_tasks or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
+
+
 def heavy_hitters(df: DataFrame, key_cols: list[str], min_count: int) -> DataFrame:
     """Keys whose row count >= min_count — the skew report used to
     decide salting/bucket caps. One aggregation, map-side combined."""

@@ -1184,7 +1184,12 @@ def top_ngram_stats(
     Long output (id, n, top_gram, top_count, top_frac); documents
     shorter than n words contribute no row for that n."""
     from refluxdb_spark.operators.dedup import normalize_text
+    from refluxdb_spark.operators.skew import spread_input
 
+    # tokenize + the 3-way gram explode chain onto the scan; spread a
+    # narrow (single-row-group) input across cores before that serial
+    # fan-out (guide §2.5, see spread_input)
+    df = spread_input(df, id_col)
     toks = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
     base = df.select(
         F.col(id_col).alias("id"),
@@ -1232,22 +1237,32 @@ def top_ngram_stats(
     counted = g.groupBy("id", "total_chars", "n", "gram").agg(
         F.count(F.lit(1)).cast("bigint").alias("top_count")
     )
-    w = Window.partitionBy("id", "n").orderBy(
-        F.col("top_count").desc(), F.col("gram")
+    # winner per (id, n) as a MIN-STRUCT aggregation, not a window:
+    # min(struct(-count, gram)) orders count desc then gram asc —
+    # exactly the row_number()==1 row the previous window picked — but
+    # aggregations partial-combine map-side, so the second exchange
+    # carries <= 1 row per (id, n) per map task instead of the whole
+    # per-doc distinct-gram relation, and the WindowExec sort of that
+    # relation disappears (guide §2.3 "aggregate before you shuffle").
+    winner = counted.groupBy("id", "total_chars", "n").agg(
+        F.min(
+            F.struct(
+                (-F.col("top_count")).cast("bigint").alias("negc"),
+                F.col("gram"),
+            )
+        ).alias("_w")
     )
-    return (
-        counted.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "id",
-            "n",
-            F.col("gram").alias("top_gram"),
-            "top_count",
-            (
-                (F.col("top_count") * F.length("gram")).cast("double")
-                / F.col("total_chars").cast("double")
-            ).alias("top_frac"),
-        )
+    return winner.select(
+        "id",
+        "n",
+        F.col("_w.gram").alias("top_gram"),
+        (-F.col("_w.negc")).cast("bigint").alias("top_count"),
+        (
+            ((-F.col("_w.negc")).cast("bigint") * F.length("_w.gram")).cast(
+                "double"
+            )
+            / F.col("total_chars").cast("double")
+        ).alias("top_frac"),
     )
 
 

@@ -251,7 +251,9 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # r16 additions (budget = measured shape):
         "dedup_exact_substr_spans": 3,  # gram agg + hit join + island window
         "text_dup_ngram_chars": 3,      # within-doc gram agg + island + rollup
-        "text_top_ngram_fraction": 2,   # ONE union-first count + (id,n) window
+        # input spread (serial-scan fan-out, r18) + ONE tagged-union
+        # count + the (id,n) min-struct winner agg
+        "text_top_ngram_fraction": 3,
         # bucket agg + per-doc agg + single-partition rank window; the
         # static count re-walks the shared bucket lineage for dict+scored
         # (ReusedExchange at runtime)
@@ -321,7 +323,9 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         "sample_neyman_execute": 5,     # allocation + per-stratum rank window
         "ts_seasonal_decompose": 6,     # bucket agg + trend window + seasonal aggs
         "sim_binary_hamming_topk": 1,   # top-k window; queries broadcast onto the code scan
-        "sample_bootstrap_ci": 3,       # replicate agg + band window + overall agg
+        # input spread (serial-scan fan-out, r18) + replicate agg +
+        # band window + overall agg
+        "sample_bootstrap_ci": 4,
         "ts_compression_estimate": 1,   # one series key window + rollup share
         "text_bm25_ndcg": 21,           # 3 queries x (bm25 pass + rel agg + two rank windows)
         "ts_ks_two_sample": 6,          # two per-value aggs + full-outer merge + cum window + totals
