@@ -357,24 +357,23 @@ def _assign_to_centroids(
     )
 
 
-def _probe_topk(
+def _probe_scored(
     centroids: DataFrame,
     assigned: DataFrame,
     queries: DataFrame,
-    k: int,
     nprobe: int,
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Probe pipeline — the SINGLE source of the query path shared by
-    the inline (``ivf_topk``) and persisted (``load_ivf_topk``) index
-    forms: broadcast query x centroid scores pick ``nprobe`` buckets
-    (rounded-6, centroid-id tiebreak — the same rule assignment uses,
-    so probes and placements can never disagree), exact cosine within
-    candidates only, rank per query. When ``assigned`` is a
-    centroid_id-partitioned parquet table the broadcast probe join
-    dynamic-partition-prunes the scan (fenced by
-    ``test_ivf_persisted_probe_partition_pruned``)."""
+    """Candidate scoring — the SINGLE source of the probe/score rule
+    shared by every IVF query path: broadcast query x centroid scores
+    pick ``nprobe`` buckets (rounded-6, centroid-id tiebreak — the same
+    rule assignment uses, so probes and placements can never disagree),
+    exact cosine within candidates only. Returns one row per (query,
+    candidate) with ``_probe_rn`` = the rank of the candidate's bucket
+    in the query's centroid ordering — which lets ``probe_topk_sweep``
+    derive every smaller-nprobe configuration from one scoring pass
+    (the nprobe=p candidate set is exactly ``_probe_rn <= p``)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
     qc = (
         F.broadcast(q)
@@ -386,19 +385,85 @@ def _probe_topk(
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
     probes = (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "_qvec", "centroid_id")
+        qc.withColumn("_probe_rn", F.row_number().over(wq))
+        .filter(F.col("_probe_rn") <= nprobe)
+        .select("query_id", "_qvec", "centroid_id", "_probe_rn")
     )
     cand = F.broadcast(probes).join(assigned, "centroid_id")
-    sim = cand.filter(F.col("query_id") != F.col(id_col)).withColumn(
+    return cand.filter(F.col("query_id") != F.col(id_col)).withColumn(
         "cosine", F.round(_dot("_qvec", vec_col) / (_norm("_qvec") * _norm(vec_col)), 6)
     )
+
+
+def _probe_topk(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe pipeline shared by the inline (``ivf_topk``) and persisted
+    (``load_ivf_topk``) index forms: score candidates in the ``nprobe``
+    nearest buckets (``_probe_scored`` — the single source of the
+    probe/score rule), rank per query. When ``assigned`` is a
+    centroid_id-partitioned parquet table the broadcast probe join
+    dynamic-partition-prunes the scan (fenced by
+    ``test_ivf_persisted_probe_partition_pruned``)."""
+    sim = _probe_scored(centroids, assigned, queries, nprobe, id_col, vec_col)
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         sim.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def probe_topk_sweep(
+    centroids: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobes: list[int],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Every nprobe configuration's top-k from ONE scoring pass.
+
+    The candidate sets of an nprobe sweep are NESTED: the buckets
+    probed at nprobe=p are exactly the first p of the buckets probed at
+    nprobe=max — so scoring once at max(nprobes) and ranking each
+    configuration's ``_probe_rn <= p`` subset returns row-for-row what
+    ``_probe_topk(..., nprobe=p)`` returns (same scores: a candidate's
+    cosine does not depend on p; same rank rule over the same subset).
+    The fused form replaces len(nprobes) probe joins + scoring passes
+    with one of each (guide §2.4: shared work computed once) — at
+    sf0.1 the 4-branch sweep ran 29 driver-synchronized jobs for
+    1.7 s of CPU; the fused plan collapses the per-branch broadcast
+    and scoring jobs.
+
+    Returns (nprobe, query_id, neighbor_id, cosine, rank) with
+    rank <= k within each (nprobe, query_id)."""
+    sim = _probe_scored(
+        centroids, assigned, queries, max(nprobes), id_col, vec_col
+    )
+    lv = sim.select(
+        F.explode(F.array(*[F.lit(int(p)) for p in sorted(nprobes)])).alias(
+            "nprobe"
+        ),
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        "cosine",
+        "_probe_rn",
+    ).filter(F.col("_probe_rn") <= F.col("nprobe"))
+    wr = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        lv.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", "neighbor_id", "cosine", "rank")
     )
 
 def ivf_topk(

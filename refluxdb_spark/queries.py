@@ -14165,8 +14165,6 @@ def sim_ivf_nprobe_sweep(spark, sf_dir):
     shares the same deterministic assignment; the exact side is ranked
     once per block on rounded cosines, so the whole curve is
     hash-reproducible."""
-    from functools import reduce
-
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10)
     # build the shared inputs ONCE and materialize them: the exact
@@ -14185,27 +14183,49 @@ def sim_ivf_nprobe_sweep(spark, sf_dir):
     )
     centroids = centroids.localCheckpoint(eager=True)
     assigned = assigned.localCheckpoint(eager=True)
-    parts = []
-    for p in (1, 2, 4, 8):
-        approx = S._probe_topk(
-            centroids, assigned, qs, 5, p, "vec_id", "embedding"
-        )
-        rec = S.topk_recall(exact, approx, k=5)
-        parts.append(
-            rec.agg(
-                F.sum("hits").cast("bigint").alias("total_hits"),
-                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-            ).select(
-                F.lit(p).cast("int").alias("nprobe"),
-                "n_queries",
-                "total_hits",
-                (
-                    F.col("total_hits").cast("double")
-                    / (F.col("n_queries") * 5).cast("double")
-                ).alias("mean_recall"),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    # all four configurations from ONE scoring pass (r18): the probed
+    # bucket sets are nested, so probe_topk_sweep ranks each nprobe's
+    # _probe_rn <= p subset of the nprobe=8 candidates — row-identical
+    # to the previous four _probe_topk branches (proof in its
+    # docstring), but the plan pays one probe join + one scoring pass
+    # instead of four (29 driver jobs -> single-digit).
+    approx = S.probe_topk_sweep(
+        centroids, assigned, qs, 5, [1, 2, 4, 8], "vec_id", "embedding"
+    )
+    e5 = exact.filter(F.col("rank") <= 5).select("query_id", "neighbor_id")
+    # per-configuration totals, replayed from topk_recall's semantics:
+    # total_hits = |approx-top-5 ∩ exact-top-5| summed over queries
+    # (zero-hit queries add 0, so the join-then-count needs no
+    # per-query left join); n_queries = the recall frame's row count =
+    # |exact qids ∪ approx qids| = |exact qids| (every query has >= 1
+    # exact neighbor whenever the corpus has >= 2 vectors, and approx
+    # qids are a subset of query ids). The static explode anchors all
+    # four nprobe rows even when a configuration lands zero hits.
+    tot = (
+        approx.select("nprobe", "query_id", "neighbor_id")
+        .join(F.broadcast(e5), ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("total_hits"))
+    )
+    base = e5.agg(
+        F.count_distinct(F.col("query_id")).cast("bigint").alias("n_queries")
+    ).select(
+        F.explode(
+            F.array(*[F.lit(p).cast("int") for p in (1, 2, 4, 8)])
+        ).alias("nprobe"),
+        "n_queries",
+    )
+    return base.join(tot, "nprobe", "left").select(
+        "nprobe",
+        "n_queries",
+        F.coalesce(F.col("total_hits"), F.lit(0)).cast("bigint").alias(
+            "total_hits"
+        ),
+        (
+            F.coalesce(F.col("total_hits"), F.lit(0)).cast("double")
+            / (F.col("n_queries") * 5).cast("double")
+        ).alias("mean_recall"),
+    )
 
 
 def _kcenter_oracle(k: int = 8) -> str:

@@ -291,10 +291,12 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # salt-level window + global k*fanin window + exact-twin
         # window + the est/exact join
         "sketch_quantile_sample": 5,
-        # eval harness: 4 nprobe configs re-walk the shared assignment
-        # and exact-ranking lineage statically; identical exchanges
-        # dedupe at runtime (same class as sim_ivfpq_recall)
-        "sim_ivf_nprobe_sweep": 48,
+        # eval harness fused to ONE scoring pass (probe_topk_sweep,
+        # r18): the nested candidate sets rank as _probe_rn <= p
+        # subsets, so the 4-branch 48-exchange shape collapsed to the
+        # shared build + one probe/score + one (nprobe, query) window
+        # + the recall join/agg
+        "sim_ivf_nprobe_sweep": 9,
         "sample_kcenter_coreset": 0,    # rounds checkpointed; broadcast sel
         "orders_abc_classification": 2, # part agg + part-dim running sum
         # r18 additions (budget = measured shape):
