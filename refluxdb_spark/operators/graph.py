@@ -834,7 +834,7 @@ def _hyperball_ball_ests(
 
     def _est(s: DataFrame, t: int) -> DataFrame:
         return hll_estimate_corrected_from_registers(s, p=p, by=["node"]).select(
-            "node", F.col("hll_estimate").alias(f"_e{t}")
+            "node", F.lit(t).cast("int").alias("_t"), F.col("hll_estimate").alias("_est")
         )
 
     ests = [_est(state, 0)]
@@ -856,9 +856,22 @@ def _hyperball_ball_ests(
         state, sig = new_state, new_sig
         ests.append(_est(state, t))
     edges.unpersist()
-    wide = ests[0]
-    for t in range(1, len(ests)):
-        wide = wide.join(ests[t], "node")
+    # wide assembly as ONE conditional aggregation over the tagged
+    # union of per-depth estimate frames (r18) — the previous chain of
+    # T node-keyed joins planned ~4 AQE stage jobs per join (the
+    # T-join assembly alone was ~40 of graph_harmonic_hyperball's 64
+    # driver jobs at sf0.1). Every node appears in every depth's frame
+    # (registers only grow), so max(when(_t = t)) picks exactly the
+    # value the join carried — same wide row, one exchange on node.
+    tagged = ests[0]
+    for e in ests[1:]:
+        tagged = tagged.union(e)
+    wide = tagged.groupBy("node").agg(
+        *[
+            F.max(F.when(F.col("_t") == t, F.col("_est"))).alias(f"_e{t}")
+            for t in range(len(ests))
+        ]
+    )
     return wide, len(ests)
 
 
