@@ -226,17 +226,31 @@ def train_kmeans_centroids(
     centroids = seed_centroids(corpus, num_centroids, id_col, vec_col)
     vecs = corpus.select(F.col(id_col).alias("_kid"), F.col(vec_col).alias("_kv"))
     for _ in range(iters):
-        scored = (
-            vecs.crossJoin(F.broadcast(centroids))
-            .withColumn("_sim", _dot("_kv", "_centvec") / (_norm("_kv") * _norm("_centvec")))
+        # zero-shuffle per-round assignment (r18 wave 4, the
+        # _assign_to_centroids shape): one broadcast row of centroid
+        # structs, row-local array_min argmax — same (sim desc,
+        # centroid_id asc) total order the old per-round window ranked
+        # by (raw double sims; negation is exact for every finite
+        # double), with no exchange of the corpus per round
+        cent_arr = centroids.agg(
+            F.collect_list(F.struct("centroid_id", "_centvec")).alias("_cents")
         )
-        w = Window.partitionBy("_kid").orderBy(
-            F.col("_sim").desc(), F.col("centroid_id").asc()
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    (
+                        -(
+                            _dot(F.col("_kv"), c["_centvec"])
+                            / (_norm(F.col("_kv")) * _norm(c["_centvec"]))
+                        )
+                    ).alias("_negs"),
+                    c["centroid_id"].alias("centroid_id"),
+                ),
+            )
         )
-        assigned = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("centroid_id", "_kv")
+        assigned = vecs.crossJoin(F.broadcast(cent_arr)).select(
+            best["centroid_id"].alias("centroid_id"), "_kv"
         )
         # element-wise mean: explode to (centroid, pos, val), avg, re-pack
         means = (
@@ -324,36 +338,52 @@ def _assign_to_centroids(
     docstring claim used to be enforced by two parallel copies of this
     code; now it is the same code (the MinHash r10 lesson applied to
     the ANN side). Returns (id_col, vec_col, centroid_id)."""
-    scored = (
-        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "_sim",
-            F.round(_dot("_v", "_centvec") / (_norm("_v") * _norm("_centvec")), 6),
+    # Zero-shuffle argmax (r18 wave 4): the centroid relation collapses
+    # to ONE broadcast row holding array<struct<centroid_id,_centvec>>,
+    # and the nearest-centroid pick is a row-local array_min over
+    # per-centroid rounded-6 scores (guide §2.4 "remove shuffles
+    # outright" + §4.1 higher-order functions). min(struct(-sim,
+    # centroid_id)) is the same total order the old groupBy min-struct
+    # (and the window before it) ranked by — sim is rounded-6, negation
+    # exact, centroid_id unique — but no data-sized exchange exists at
+    # all: assignment is now a map over the corpus scan, and the vector
+    # payload never crosses the wire to learn its bucket.
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("centroid_id", "_centvec")).alias("_cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (
+                    -F.round(
+                        _dot(F.col("_v"), c["_centvec"])
+                        / (_norm(F.col("_v")) * _norm(c["_centvec"])),
+                        6,
+                    )
+                ).alias("_negs"),
+                c["centroid_id"].alias("centroid_id"),
+            ),
         )
     )
-    # argmax as a MIN-STRUCT aggregation, not a row_number window:
-    # min(struct(-sim, centroid_id, v)) orders sim desc then
-    # centroid_id asc — exactly the rn==1 row the window picked (sim is
-    # rounded-6 and finite, so negation is exact; centroid_id is unique
-    # within a vector's group, so the comparator never reaches v) — but
-    # aggregations partial-combine map-side, so the exchange carries
-    # ~1 row per vector instead of num_centroids rows per vector
-    # (guide §2.3 "aggregate before you shuffle": at C centroids this
-    # is a C-fold cut of the index build's only data-sized shuffle)
-    best = scored.groupBy("cid").agg(
-        F.min(
-            F.struct(
-                (-F.col("_sim")).alias("_negs"),
-                F.col("centroid_id"),
-                F.col("_v"),
-            )
-        ).alias("_b")
-    )
-    return best.select(
-        F.col("cid").alias(id_col),
-        F.col("_b._v").alias(vec_col),
-        F.col("_b.centroid_id").alias("centroid_id"),
+    return (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            F.col("cid").alias(id_col),
+            F.col("_v").alias(vec_col),
+            # coalesce with a non-nullable literal so centroid_id is
+            # provably NON-NULL: an equi-join on a nullable expensive
+            # expression makes the optimizer push an isnotnull(...)
+            # filter below this Project, inlining (= re-evaluating) the
+            # whole argmax fold per row in the join condition (measured
+            # 2x assignment CPU on every probe path). -1 is unreachable
+            # (array_min is null only for an empty centroid relation,
+            # which yields no assignment rows at all upstream).
+            F.coalesce(
+                best["centroid_id"], F.lit(-1).cast("long")
+            ).alias("centroid_id"),
+        )
     )
 
 
@@ -503,8 +533,15 @@ def cosine_dup_pairs(
     # norms computed once per VECTOR before the self-join (O(N·dim)),
     # not once per PAIR (O(P·dim)) — same IEEE ops, ~3x less work in
     # the block product; sqrt(dot(v,v)) here is bit-identical to the
-    # oracle's per-pair sqrt of the same value
-    withn = assigned.withColumn("_nv", _norm(vec_col))
+    # oracle's per-pair sqrt of the same value. repartition on the
+    # join key + lazy localCheckpoint barrier (see semantic_prune —
+    # same materialize-once anchor for the r18 zero-shuffle
+    # assignment).
+    withn = (
+        assigned.withColumn("_nv", _norm(vec_col))
+        .repartition("centroid_id")
+        .localCheckpoint(eager=False)
+    )
     a = withn.select(
         F.col("centroid_id"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"), F.col("_nv").alias("_na"),
@@ -1002,8 +1039,19 @@ def semantic_prune(
             .filter(F.col("_ncell") <= max_cell)
             .drop("_ncell")
         )
-    # per-vector norms before the self-join — see cosine_dup_pairs
-    withn = assigned.withColumn("_nv", _norm(vec_col))
+    # per-vector norms before the self-join — see cosine_dup_pairs.
+    # repartition on the join key (the clustering the self-join needs
+    # anyway) + a lazy localCheckpoint barrier: with the r18
+    # zero-shuffle assignment there is no upstream exchange left to
+    # anchor ReuseExchange, and without the barrier the scan + argmax
+    # fold would execute once per join side (measured 2.3x assignment
+    # CPU). The barrier restores exactly the materialize-once behavior
+    # the old aggregation exchange provided implicitly.
+    withn = (
+        assigned.withColumn("_nv", _norm(vec_col))
+        .repartition("centroid_id")
+        .localCheckpoint(eager=False)
+    )
     a = withn.select(
         "centroid_id", F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"), F.col("_nv").alias("_na"),
@@ -1235,37 +1283,45 @@ def nearest_centroid_classify(
     cents = centroids if centroids is not None else label_centroids(
         df, vec_col=vec_col, label_col=label_col
     )
-    c2 = cents.select(
-        F.col(label_col).alias("predicted"), F.col("centroid").alias("_cent")
+    # Zero-shuffle argmax (r18 wave 4, the _assign_to_centroids shape):
+    # label centroids collapse to ONE broadcast row of structs and the
+    # per-vector pick is a row-local array_min over rounded-6 scores —
+    # min(struct(-sim, predicted)) is the same (sim desc, predicted
+    # asc) total order the old groupBy min-struct aggregated, with no
+    # exchange of the corpus at all (guide §2.4 + §4.1).
+    cent_arr = cents.agg(
+        F.collect_list(
+            F.struct(
+                F.col(label_col).alias("predicted"),
+                F.col("centroid").alias("_cent"),
+            )
+        ).alias("_lcents")
     )
-    scored = (
-        df.select(id_col, label_col, vec_col)
-        .crossJoin(F.broadcast(c2))
-        .withColumn(
-            "sim",
-            F.round(
-                _dot(vec_col, "_cent") / (_norm(vec_col) * _norm("_cent")), 6
+    best = F.array_min(
+        F.transform(
+            F.col("_lcents"),
+            lambda c: F.struct(
+                (
+                    -F.round(
+                        _dot(F.col(vec_col), c["_cent"])
+                        / (_norm(F.col(vec_col)) * _norm(c["_cent"])),
+                        6,
+                    )
+                ).alias("_negs"),
+                c["predicted"].alias("predicted"),
             ),
         )
     )
-    # argmax as a MIN-STRUCT aggregation (the _assign_to_centroids
-    # rewrite, r18): min(struct(-sim, predicted)) == the window's
-    # (sim desc, predicted asc) rn==1 row — sim is rounded-6/finite so
-    # negation is exact — and the aggregation partial-combines
-    # map-side, so the exchange carries 1 row per vector instead of
-    # one per (vector, label). label_col is constant per id and rides
-    # the grouping key.
-    best = scored.groupBy(id_col, label_col).agg(
-        F.min(
-            F.struct((-F.col("sim")).alias("_negs"), F.col("predicted"))
-        ).alias("_b")
-    )
-    return best.select(
-        id_col,
-        label_col,
-        F.col("_b.predicted").alias("predicted"),
-        (-F.col("_b._negs")).alias("sim"),
-        (F.col(label_col) == F.col("_b.predicted")).alias("correct"),
+    return (
+        df.select(id_col, label_col, vec_col)
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            id_col,
+            label_col,
+            best["predicted"].alias("predicted"),
+            (-best["_negs"]).alias("sim"),
+            (F.col(label_col) == best["predicted"]).alias("correct"),
+        )
     )
 
 
@@ -1385,44 +1441,56 @@ def pq_encode(
     subspaces x codewords rows); argmin via one window on
     (vector, subspace). Returns (id, codes array<int> in subspace
     order)."""
-    dim_expr = F.size(F.col(vec_col))
-    sub = F.explode(
-        F.expr(
-            f"transform(sequence(0, {num_subspaces - 1}), s -> struct("
-            f"s as subspace, slice(_v, s * (_d div {num_subspaces}) + 1,"
-            f" _d div {num_subspaces}) as sv))"
-        )
-    ).alias("_e")
-    pieces = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), dim_expr.alias("_d")
-    ).select("id", sub).select(
-        "id", F.col("_e.subspace").alias("subspace"), F.col("_e.sv").alias("sv")
-    )
-    # integer micro-distances (round(d * 1e6) as bigint): per-subspace
+    # Zero-shuffle encode (r18 wave 4, the _assign_to_centroids shape):
+    # the broadcast-tiny codebook relation collapses to ONE row holding
+    # map<subspace, array<struct<code, cw>>>, and the whole encode is a
+    # row-local expression — per subspace s (ascending, the same order
+    # array_sort(collect_list) produced), slice the subvector and
+    # array_min over struct(_dist, code), the identical integer
+    # micro-distance total order the old per-(vector, subspace)
+    # min-struct aggregated. The explode + two groupBy exchanges the
+    # old shape paid are gone: encoding is a map over the corpus scan
+    # (guide §2.4 + §4.1).
+    # Integer micro-distances (round(d * 1e6) as bigint): per-subspace
     # comparisons AND the ADC sum downstream stay order-free exact —
-    # a float sum of 8 table entries would be summation-order-sensitive
-    scored = pieces.join(F.broadcast(codebooks), "subspace").withColumn(
-        "_dist",
-        F.round(_l2sq(F.col("sv"), F.col("cw")) * F.lit(1_000_000.0)).cast("long"),
+    # a float sum of 8 table entries would be summation-order-sensitive.
+    cb_map = codebooks.groupBy("subspace").agg(
+        F.array_sort(F.collect_list(F.struct("code", "cw"))).alias("_cws")
+    ).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("subspace", "_cws"))
+        ).alias("_cbm")
     )
-    # argmin as a MIN-STRUCT aggregation (the _assign_to_centroids
-    # rewrite, r18): min(struct(_dist, code)) == the window's
-    # (_dist asc, code asc) rn==1 row — integer micro-distances, no
-    # float caveats — and partial aggregation cuts the exchange from
-    # one row per (vector, subspace, codeword) to one per (vector,
-    # subspace): a num_codewords-fold shuffle cut for every PQ encode
-    best = (
-        scored.groupBy("id", "subspace")
-        .agg(F.min(F.struct("_dist", "code")).alias("_b"))
-        .select("id", "subspace", F.col("_b.code").alias("code"))
-    )
-    return (
-        best.groupBy("id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("subspace", "code"))).alias("_sc")
+    def _code_for(s):
+        sv = F.slice(
+            F.col("_v"),
+            (s * (F.col("_d") / num_subspaces).cast("int") + 1).cast("int"),
+            (F.col("_d") / num_subspaces).cast("int"),
         )
+        return F.array_min(
+            F.transform(
+                F.element_at(F.col("_cbm"), s),
+                lambda c: F.struct(
+                    F.round(_l2sq(sv, c["cw"]) * F.lit(1_000_000.0))
+                    .cast("long")
+                    .alias("_dist"),
+                    c["code"].alias("code"),
+                ),
+            )
+        )["code"]
+
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("_v"),
+            F.size(F.col(vec_col)).alias("_d"),
+        )
+        .crossJoin(F.broadcast(cb_map))
         .select(
-            "id", F.expr("transform(_sc, e -> e.code)").alias("codes")
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_subspaces - 1)), _code_for
+            ).alias("codes"),
         )
     )
 
@@ -1562,31 +1630,49 @@ def _ivfpq_build(
         "centroid_id", F.col("_centvec").alias("cv")
     )
     v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # coarse assignment by integer micro L2
-    ascore = v.crossJoin(F.broadcast(cents)).withColumn(
-        "_dus",
-        F.round(_l2sq(F.col("v"), F.col("cv")) * F.lit(1_000_000.0)).cast("long"),
+    # Zero-shuffle coarse assignment by integer micro L2 (r18 wave 4,
+    # the _assign_to_centroids shape): centroids collapse to ONE
+    # broadcast row of structs; min(struct(_dus, centroid_id)) via a
+    # row-local array_min is the identical (dist asc, centroid_id asc)
+    # total order the old groupBy min-struct aggregated — no exchange
+    # of the corpus at all, and the residual is computed in the same
+    # row-local projection (guide §2.4 + §4.1).
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("centroid_id", "cv")).alias("_cents")
     )
-    # argmin as a MIN-STRUCT aggregation (the _assign_to_centroids
-    # rewrite, r18): min(struct(_dus, centroid_id, cv, v)) == the
-    # window's (_dus asc, centroid_id asc) rn==1 row (integer
-    # micro-distances; centroid_id unique per group so the comparator
-    # never reaches the carried arrays); partial aggregation cuts the
-    # exchange from one row per (vector, centroid) to one per vector
-    assigned = (
-        ascore.groupBy("id")
-        .agg(
-            F.min(F.struct("_dus", "centroid_id", "cv", "v")).alias("_b")
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(_l2sq(F.col("v"), c["cv"]) * F.lit(1_000_000.0))
+                .cast("long")
+                .alias("_dus"),
+                c["centroid_id"].alias("centroid_id"),
+                c["cv"].alias("cv"),
+            ),
         )
+    )
+    # localCheckpoint: assigned feeds THREE consumers (codebook seeds,
+    # the encode pass, and the code/cell join) — without a
+    # materialization barrier the zero-shuffle fold would re-execute
+    # per consumer (the exchange it replaced was an implicit barrier
+    # ReuseExchange deduplicated). eager=False: materializes inside
+    # the query's own first action, no extra driver job.
+    assigned = (
+        v.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_b", best)
         .select(
             "id",
-            F.col("_b.centroid_id").alias("centroid_id"),
+            F.coalesce(
+                F.col("_b.centroid_id"), F.lit(-1).cast("long")
+            ).alias("centroid_id"),
             F.zip_with(
-                "_b.v",
+                "v",
                 "_b.cv",
                 lambda x, y: (x.cast("double") - y.cast("double")).cast("float"),
             ).alias("res"),
         )
+        .localCheckpoint(eager=False)
     )
     # PQ codebooks from the lowest-id NON-CENTROID vectors' residual
     # subvectors: the centroid seeds' own residuals are ~zero (each is
