@@ -67,15 +67,23 @@ def cosine_topk(
     with ``ivf_topk``). Ranking uses the rounded score with id tiebreak
     so results are reproducible run-to-run and engine-to-engine.
     Returns (query_id, neighbor_id, cosine, rank)."""
+    # Norms are per-ROW quantities: hoist them below the crossJoin so
+    # each side computes its norm once per row instead of once per
+    # PAIR (the n x m build paths were folding 3 higher-order
+    # aggregates per pair; this leaves only the dot). Bit-identical:
+    # _norm(q) * _norm(c) is the same two sqrt-folds and the same
+    # multiply, just evaluated against materialized per-row columns.
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    ).withColumn("_qn", _norm("_qvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).withColumn("_cn", _norm("_cvec"))
     sim = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot("_qvec", "_cvec") / (_norm("_qvec") * _norm("_cvec")))
+        .withColumn("cosine", _dot("_qvec", "_cvec") / (F.col("_qn") * F.col("_cn")))
     )
     if round_digits is not None:
         sim = sim.withColumn("cosine", F.round("cosine", round_digits))
@@ -2108,7 +2116,18 @@ def nsw_graph(
     directed vs 0.92 symmetric at the registered configuration).
     Returns (src, dst) edges: m per src directed, up to 2m
     symmetric."""
-    g = cosine_topk(corpus, corpus, k=m, id_col=id_col,
+    from refluxdb_spark.operators.skew import spread_input
+
+    # The n x n scoring streams the CORPUS side under a broadcast of
+    # itself-as-queries; a single-row-group parquet input would run the
+    # whole quadratic scoring + per-query rank cut as ONE task (guide
+    # §2.5 — measured 73.6 s CPU on one core at sf0.1 while 31 idled).
+    # Results are partitioning-invariant (rounded-6 scores, id
+    # tiebreak) and the spread is a no-op at >=defaultParallelism
+    # input partitions, i.e. at any real table. Only the streamed side
+    # spreads; the broadcast-as-queries side stays the plain scan.
+    g = cosine_topk(spread_input(corpus, id_col), corpus, k=m,
+                    id_col=id_col,
                     query_id_col=id_col, vec_col=vec_col).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
