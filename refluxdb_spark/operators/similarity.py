@@ -232,7 +232,14 @@ def train_kmeans_centroids(
     cross-engine-oracled queries — use ``seed_centroids`` there.
     """
     centroids = seed_centroids(corpus, num_centroids, id_col, vec_col)
-    vecs = corpus.select(F.col(id_col).alias("_kid"), F.col(vec_col).alias("_kv"))
+    # row norm hoisted out of the argmax fold (r18 wave 6): _norm(_kv)
+    # does not depend on the centroid, so fold it once per row instead
+    # of once per (row, centroid); centroid norms likewise ride the
+    # broadcast struct, computed once per centroid per round. Same
+    # expressions on the same values — bit-identical scores.
+    vecs = corpus.select(
+        F.col(id_col).alias("_kid"), F.col(vec_col).alias("_kv")
+    ).withColumn("_kn", _norm("_kv"))
     for _ in range(iters):
         # zero-shuffle per-round assignment (r18 wave 4, the
         # _assign_to_centroids shape): one broadcast row of centroid
@@ -241,7 +248,9 @@ def train_kmeans_centroids(
         # by (raw double sims; negation is exact for every finite
         # double), with no exchange of the corpus per round
         cent_arr = centroids.agg(
-            F.collect_list(F.struct("centroid_id", "_centvec")).alias("_cents")
+            F.collect_list(
+                F.struct("centroid_id", "_centvec", _norm("_centvec").alias("_cn"))
+            ).alias("_cents")
         )
         best = F.array_min(
             F.transform(
@@ -250,7 +259,7 @@ def train_kmeans_centroids(
                     (
                         -(
                             _dot(F.col("_kv"), c["_centvec"])
-                            / (_norm(F.col("_kv")) * _norm(c["_centvec"]))
+                            / (F.col("_kn") * c["_cn"])
                         )
                     ).alias("_negs"),
                     c["centroid_id"].alias("centroid_id"),
@@ -356,8 +365,15 @@ def _assign_to_centroids(
     # exact, centroid_id unique — but no data-sized exchange exists at
     # all: assignment is now a map over the corpus scan, and the vector
     # payload never crosses the wire to learn its bucket.
+    # norms hoisted out of the fold (r18 wave 6): the row norm folds
+    # once per row (not once per centroid — a num_centroids-fold cut in
+    # the O(d) fold work of every build), and centroid norms ride the
+    # broadcast struct. Same expressions on the same values —
+    # bit-identical rounded scores.
     cent_arr = centroids.agg(
-        F.collect_list(F.struct("centroid_id", "_centvec")).alias("_cents")
+        F.collect_list(
+            F.struct("centroid_id", "_centvec", _norm("_centvec").alias("_cn"))
+        ).alias("_cents")
     )
     best = F.array_min(
         F.transform(
@@ -366,7 +382,7 @@ def _assign_to_centroids(
                 (
                     -F.round(
                         _dot(F.col("_v"), c["_centvec"])
-                        / (_norm(F.col("_v")) * _norm(c["_centvec"])),
+                        / (F.col("_vn") * c["_cn"]),
                         6,
                     )
                 ).alias("_negs"),
@@ -376,6 +392,7 @@ def _assign_to_centroids(
     )
     return (
         df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("_v"))
+        .withColumn("_vn", _norm("_v"))
         .crossJoin(F.broadcast(cent_arr))
         .select(
             F.col("cid").alias(id_col),
@@ -412,24 +429,32 @@ def _probe_scored(
     in the query's centroid ordering — which lets ``probe_topk_sweep``
     derive every smaller-nprobe configuration from one scoring pass
     (the nprobe=p candidate set is exactly ``_probe_rn <= p``)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    # query norm hoisted once per query (r18 wave 6): it rode the
+    # probe rows into the candidate join and re-folded per CANDIDATE —
+    # the data-sized side; candidate norms fold once per assigned row
+    # instead of once per (query, candidate). Bit-identical scores.
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).withColumn("_qn", _norm("_qvec"))
     qc = (
         F.broadcast(q)
         .crossJoin(F.broadcast(centroids))
         .withColumn(
             "_sim",
-            F.round(_dot("_qvec", "_centvec") / (_norm("_qvec") * _norm("_centvec")), 6),
+            F.round(_dot("_qvec", "_centvec") / (F.col("_qn") * _norm("_centvec")), 6),
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("centroid_id").asc())
     probes = (
         qc.withColumn("_probe_rn", F.row_number().over(wq))
         .filter(F.col("_probe_rn") <= nprobe)
-        .select("query_id", "_qvec", "centroid_id", "_probe_rn")
+        .select("query_id", "_qvec", "_qn", "centroid_id", "_probe_rn")
     )
-    cand = F.broadcast(probes).join(assigned, "centroid_id")
+    cand = F.broadcast(probes).join(
+        assigned.withColumn("_cn", _norm(vec_col)), "centroid_id"
+    )
     return cand.filter(F.col("query_id") != F.col(id_col)).withColumn(
-        "cosine", F.round(_dot("_qvec", vec_col) / (_norm("_qvec") * _norm(vec_col)), 6)
+        "cosine", F.round(_dot("_qvec", vec_col) / (F.col("_qn") * F.col("_cn")), 6)
     )
 
 
@@ -584,18 +609,28 @@ def blocked_cosine_pairs(
     self-join that shuffles per block, never globally — pair cost is
     sum(|block|^2), not |corpus|^2. Skewed blocks split under AQE.
     Returns (id_a, id_b, cosine rounded to ``round_digits``)."""
-    a = corpus.select(
-        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    # norms once per vector before the self-join (r18 wave 6, the
+    # cosine_dup_pairs discipline): O(sum|block|·d) fold work instead
+    # of O(sum|block|²·d) — bit-identical, same sqrt of the same dot
+    withn = corpus.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    ).withColumn("_nv", _norm("_v"))
+    a = withn.select(
+        "_blk", F.col("_id").alias("id_a"),
+        F.col("_v").alias("_va"), F.col("_nv").alias("_na"),
     )
-    b = corpus.select(
-        F.col(block_col).alias("_blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    b = withn.select(
+        "_blk", F.col("_id").alias("id_b"),
+        F.col("_v").alias("_vb"), F.col("_nv").alias("_nb"),
     )
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(_dot("_va", "_vb") / (_norm("_va") * _norm("_vb")), round_digits),
+            F.round(_dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), round_digits),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -927,10 +962,18 @@ def rp_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = base.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+    # norms once per vector, not once per candidate pair (r18 wave 6)
+    withn = base.withColumn("_nv", _norm("_v"))
+    va = withn.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_nv").alias("_na"),
+    )
+    vb = withn.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_nv").alias("_nb"),
+    )
     cos = F.round(
-        _dot("_va", "_vb") / (_norm("_va") * _norm("_vb")), round_digits
+        _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")), round_digits
     )
     return (
         cand.join(va, "id_a")
@@ -1138,17 +1181,22 @@ def mmr_topk(
     and DuckDB's round), ties break to the lowest id, and the rank-1
     score is the bare relevance. Returns (query_id, rank, vec_id,
     score)."""
+    # norms once per row below the crossJoin (r18 wave 6) —
+    # bit-identical rounded rel, 2 of 3 O(d) folds off each pair
     q = (
         corpus.filter(F.col(id_col) < n_queries)
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv"))
+        .withColumn("_qn", _norm("_qv"))
     )
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_cv")).withColumn(
+        "_cn", _norm("_cv")
+    )
     rel = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("id") != F.col("qid"))
         .withColumn(
             "rel",
-            F.round(_dot("_cv", "_qv") / (_norm("_cv") * _norm("_qv")), 6),
+            F.round(_dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn")), 6),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("rel").desc(), F.col("id").asc())
@@ -1297,11 +1345,15 @@ def nearest_centroid_classify(
     # min(struct(-sim, predicted)) is the same (sim desc, predicted
     # asc) total order the old groupBy min-struct aggregated, with no
     # exchange of the corpus at all (guide §2.4 + §4.1).
+    # norms hoisted out of the fold (r18 wave 6): row norm once per
+    # row (not per label), centroid norms ride the broadcast struct —
+    # bit-identical rounded scores
     cent_arr = cents.agg(
         F.collect_list(
             F.struct(
                 F.col(label_col).alias("predicted"),
                 F.col("centroid").alias("_cent"),
+                _norm("centroid").alias("_cn"),
             )
         ).alias("_lcents")
     )
@@ -1312,7 +1364,7 @@ def nearest_centroid_classify(
                 (
                     -F.round(
                         _dot(F.col(vec_col), c["_cent"])
-                        / (_norm(F.col(vec_col)) * _norm(c["_cent"])),
+                        / (F.col("_vn") * c["_cn"]),
                         6,
                     )
                 ).alias("_negs"),
@@ -1322,6 +1374,7 @@ def nearest_centroid_classify(
     )
     return (
         df.select(id_col, label_col, vec_col)
+        .withColumn("_vn", _norm(vec_col))
         .crossJoin(F.broadcast(cent_arr))
         .select(
             id_col,
@@ -1886,21 +1939,23 @@ def matryoshka_topk(
     rounded-6 scores with id tiebreaks, so the whole cascade is
     value-oracled. Returns (query_id, neighbor_id, prefix_cosine,
     cosine, rank)."""
+    # prefix norms once per row below the crossJoin (r18 wave 6) —
+    # bit-identical rounded scores, 2 of 3 O(d') folds off each pair
     qp = queries.select(
         F.col(id_col).alias("query_id"),
         F.slice(F.col(vec_col), 1, prefix_dims).alias("_qp"),
-    )
+    ).withColumn("_qpn", _norm("_qp"))
     cp = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.slice(F.col(vec_col), 1, prefix_dims).alias("_cp"),
-    )
+    ).withColumn("_cpn", _norm("_cp"))
     psim = (
         F.broadcast(qp)
         .crossJoin(cp)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "prefix_cosine",
-            F.round(_dot("_qp", "_cp") / (_norm("_qp") * _norm("_cp")), 6),
+            F.round(_dot("_qp", "_cp") / (F.col("_qpn") * F.col("_cpn")), 6),
         )
     )
     wp = Window.partitionBy("query_id").orderBy(
@@ -2019,11 +2074,20 @@ def davies_bouldin(
     cents, assigned = build_ivf_index(
         corpus, num_centroids=num_centroids, id_col=id_col, vec_col=vec_col
     )
+    # norms once per member row / per centroid (r18 wave 6) —
+    # bit-identical rounded similarity
     sim = F.round(
-        _dot(vec_col, "_centvec") / (_norm(vec_col) * _norm("_centvec")), 6
+        _dot(vec_col, "_centvec") / (F.col("_vn") * F.col("_cln")), 6
     )
-    mem = assigned.join(F.broadcast(cents), "centroid_id").select(
-        "centroid_id", (F.lit(1.0) - sim).cast("decimal(18,6)").alias("_d")
+    mem = (
+        assigned.withColumn("_vn", _norm(vec_col))
+        .join(
+            F.broadcast(cents.withColumn("_cln", _norm("_centvec"))),
+            "centroid_id",
+        )
+        .select(
+            "centroid_id", (F.lit(1.0) - sim).cast("decimal(18,6)").alias("_d")
+        )
     )
     scat = mem.groupBy("centroid_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),

@@ -9179,22 +9179,24 @@ def sim_hard_negatives(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
+    # norms once per row below the crossJoin (r18 wave 6) —
+    # bit-identical rounded scores
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
-    )
+    ).withColumn("_qn", _norm("qv"))
     c = emb.select(
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),
         F.col("embedding").alias("cv"),
-    )
+    ).withColumn("_cn", _norm("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neg_label") != F.col("qlabel"))
         .withColumn(
             "cosine",
-            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6),
+            F.round(_dot("qv", "cv") / (F.col("_qn") * F.col("_cn")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
