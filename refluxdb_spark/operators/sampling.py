@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # md5-derived uniform value in [0, 1e6): the first 8 hex chars as an
 # integer, mod 1e6. Identical arithmetic is expressible in any engine
@@ -491,60 +492,96 @@ def kcenter_coreset(
     on any engine or partitioning — which is what lets the greedy
     TRAJECTORY itself carry a full value oracle.
 
-    Scale: each round is one broadcast join of the (<= k)-row selected
-    set onto the corpus scan + one global top-1 — k corpus scans
-    total, never a pairwise matrix. The sequential dependence is
-    inherent to the greedy (each pick conditions the next); k is small
-    by construction. Returns (sel_round, vec_id, min_dist) — the
+    Scale: the min-distance-to-selected is maintained INCREMENTALLY —
+    round r folds the distance to the ONE new pick into a running
+    ``least`` (the same multiset of rounded-6 pair distances the
+    recompute-everything form minimized, so the running min is
+    bit-identical) — and vector norms are computed once per row as a
+    column instead of once per (row, pick) fold (the wave-6 cosine
+    discipline). Each round is therefore MAP-ONLY work beside the
+    checkpointed corpus plus one global top-1 (TakeOrdered — no
+    exchange anywhere in the operator), where the previous shape paid
+    a (corpus x selected) broadcast re-score and a groupBy(_id)
+    exchange per round. The pick row (id, vector, norm — one row,
+    <= dim doubles) is collected per round to seed the next round's
+    distance expression: the same driver-scalar class as the
+    convergence probes of the iterative graph operators; the
+    sequential dependence is inherent to the greedy and k is small by
+    construction. Returns (sel_round, vec_id, min_dist) — the
     selection order and each pick's covering radius at selection time
     (sel_round 0 = the seed, min_dist null)."""
-    from pyspark.sql import Window
-
-    corpus = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    corpus = corpus.localCheckpoint(eager=True)
-    seed = corpus.orderBy(F.col("_id").asc()).limit(1)
-    selected = seed.select(
-        F.lit(0).cast("int").alias("sel_round"),
-        F.col("_id"),
-        F.lit(None).cast("double").alias("min_dist"),
-        "_v",
-    ).localCheckpoint(eager=True)
-    sim = F.round(
+    spark = corpus.sparkSession
+    norm = F.sqrt(
         F.aggregate(
-            F.zip_with("_v", "_sv", lambda a, b: a * b),
+            F.zip_with("_v", "_v", lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        / (
-            F.sqrt(F.aggregate(F.zip_with("_v", "_v", lambda a, b: a * b),
-                               F.lit(0.0), lambda acc, x: acc + x))
-            * F.sqrt(F.aggregate(F.zip_with("_sv", "_sv", lambda a, b: a * b),
-                                 F.lit(0.0), lambda acc, x: acc + x))
-        ),
-        6,
     )
-    for r in range(1, k):
-        sel = selected.select(F.col("_id").alias("_sid"), F.col("_v").alias("_sv"))
-        dists = (
-            corpus.join(F.broadcast(sel.select("_sid")), corpus._id == F.col("_sid"), "left_anti")
-            .crossJoin(F.broadcast(sel))
-            .select("_id", "_v", (F.lit(1.0) - sim).alias("_d"))
-            .groupBy("_id")
-            .agg(F.min("_d").alias("_mind"), F.first("_v").alias("_v"))
+    # corpus + per-row norm materialized ONCE; every round's distance
+    # expression references the stored column instead of re-folding
+    cand = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_nrm", norm).localCheckpoint(eager=True)
+    seed_rows = cand.orderBy(F.col("_id").asc()).limit(1).collect()
+    out: list[tuple[int, object, float | None]] = []
+    if seed_rows:
+        pick_id, pick_v, pick_nrm = (
+            seed_rows[0]["_id"], seed_rows[0]["_v"], seed_rows[0]["_nrm"]
         )
-        pick = (
-            dists.orderBy(F.col("_mind").desc(), F.col("_id").asc())
-            .limit(1)
-            .select(
-                F.lit(r).cast("int").alias("sel_round"),
-                "_id",
-                F.col("_mind").alias("min_dist"),
-                "_v",
+        out.append((0, pick_id, None))
+        cand = cand.filter(F.col("_id") != F.lit(pick_id))
+        mind = None  # running min-dist column, set on the first fold
+        for r in range(1, k):
+            # distance to the newest pick only: one dot-fold per row,
+            # norms from the stored column and the collected pick row
+            # (both produced by the SAME Spark sqrt-fold expression) —
+            # same two sqrt results multiplied, same round-6, as the
+            # all-pairs recompute
+            d_new = F.lit(1.0) - F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "_v",
+                        F.array(*[F.lit(float(x)) for x in pick_v]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("_nrm") * F.lit(float(pick_nrm))),
+                6,
             )
-        )
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
-    return selected.select(
-        "sel_round", F.col("_id").alias(id_col), "min_dist"
+            mind = d_new if mind is None else F.least(F.col("_mind"), d_new)
+            # lazy checkpoint materialized by the top-1 probe itself
+            # (TakeOrdered computes every partition), so each round is
+            # exactly ONE driver-synchronized job and the plan never
+            # accumulates more than one fold of lineage
+            cand = cand.select(
+                "_id", "_v", "_nrm", mind.alias("_mind")
+            ).localCheckpoint(eager=False)
+            mind = F.col("_mind")
+            top = (
+                cand.orderBy(F.col("_mind").desc(), F.col("_id").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pick_id, pick_v, pick_nrm = (
+                top[0]["_id"], top[0]["_v"], top[0]["_nrm"]
+            )
+            out.append((r, pick_id, top[0]["_mind"]))
+            cand = cand.filter(F.col("_id") != F.lit(pick_id))
+    id_field = corpus.select(F.col(id_col)).schema.fields[0]
+    return spark.createDataFrame(
+        out,
+        T.StructType(
+            [
+                T.StructField("sel_round", T.IntegerType(), False),
+                T.StructField(id_col, id_field.dataType, id_field.nullable),
+                T.StructField("min_dist", T.DoubleType(), True),
+            ]
+        ),
     )
 
 
