@@ -3978,6 +3978,36 @@ def test_kcenter_coreset_greedy_trajectory(spark):
     assert got[2].vec_id == 2 and got[2].min_dist == 1.0
 
 
+def test_kcenter_coreset_tiebreak_and_duplicates(spark):
+    """Pins the r18 incremental rewrite's edge behavior: an exact
+    duplicate of a selected vector carries running min-dist 0 and must
+    never be picked while any point is farther; when max min-dist ties,
+    the LOWEST id wins (the argmax id-asc tiebreak); an already-picked
+    id never reappears (the per-round id filter replaying the old
+    anti-join)."""
+    from refluxdb_spark.operators.sampling import kcenter_coreset
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),    # exact duplicate of the seed -> dist 0
+        (4, [0.0, 1.0]),    # orthogonal, ties with id 5
+        (5, [0.0, 1.0]),    # duplicate of id 4
+        (9, [-1.0, 0.0]),   # opposite -> farthest from the seed
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.sel_round: r for r in kcenter_coreset(df, k=5).collect()}
+    order = [got[i].vec_id for i in sorted(got)]
+    # seed 0; then 9 (dist 2); then the 4/5 tie resolves id-asc to 4;
+    # now BOTH duplicates sit at min-dist 0 (id 1 to the seed, id 5 to
+    # the just-picked 4), so the zero tie also resolves id-asc: 1, 5
+    assert order == [0, 9, 4, 1, 5]
+    assert got[1].min_dist == 2.0
+    assert got[2].min_dist == 1.0
+    assert got[3].min_dist == 0.0   # duplicate of the selected seed
+    assert got[4].min_dist == 0.0   # duplicate of selected id 4
+    assert len({r.vec_id for r in got.values()}) == 5  # no re-picks
+
+
 def _kll_rank_errors(state_rows, values, qs):
     """Measured rank error of each estimated quantile: replay the
     weighted estimator on collected state rows (weight 2^level, ranked
@@ -4613,6 +4643,53 @@ def test_bm25_ndcg_perfect_ranking_is_one(spark):
     assert r.n_matched == 3
     assert r.ndcg == 1.0
     assert r.dcg == r.idcg > 0
+
+
+def test_bm25_ndcg_shared_agg_matches_per_query_scores(spark):
+    """Pins the r18 fusion: multiple queries with OVERLAPPING terms,
+    scored off the ONE shared per-doc aggregation, must reproduce the
+    independent bm25_scores ranking and the min(3, Σtf) relevance
+    per query — df/N/dl are per-corpus quantities, so sharing the
+    aggregation across queries cannot change any query's numbers."""
+    from refluxdb_spark.operators.text import bm25_ndcg, bm25_scores
+
+    docs = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana cherry"),
+        (2, "cherry date elderberry"),
+        (3, "apple apple apple apple banana"),
+        (4, "no fruit words here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    queries = [("q1", ["apple", "banana"]), ("q2", ["banana", "cherry"])]
+    out = {r.query: r for r in bm25_ndcg(df, queries).collect()}
+    for qname, terms in queries:
+        # matched set and its size must equal the standalone scorer's
+        standalone = bm25_scores(df, terms).collect()
+        assert out[qname].n_matched == len(standalone)
+        # replay DCG/IDCG from the standalone scores + exact tf rel
+        import math
+
+        toks = {i: t.split() for i, t in docs}
+        rel = {
+            i: min(3, sum(1 for w in toks[i] if w in terms))
+            for i in toks
+            if any(w in terms for w in toks[i])
+        }
+        by_bm25 = sorted(standalone, key=lambda r: (-r.bm25, r.id))
+        by_rel = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))
+        gain = {1: 1.0, 2: 3.0, 3: 7.0}
+        dcg = sum(
+            gain[rel[r.id]] / (math.log(i + 2) / math.log(2))
+            for i, r in enumerate(by_bm25[:10])
+        )
+        idcg = sum(
+            gain[rv] / (math.log(i + 2) / math.log(2))
+            for i, (_, rv) in enumerate(by_rel[:10])
+        )
+        assert out[qname].dcg == round(dcg, 6)
+        assert out[qname].idcg == round(idcg, 6)
+        assert out[qname].ndcg == round(dcg / idcg, 6)
 
 
 def test_ks_two_sample_matches_scipy_free_replay(spark):
