@@ -329,7 +329,11 @@ def test_exchange_budget_of_headline_queries(spark, sf_dir):
         # band window + overall agg
         "sample_bootstrap_ci": 4,
         "ts_compression_estimate": 1,   # one series key window + rollup share
-        "text_bm25_ndcg": 21,           # 3 queries x (bm25 pass + rel agg + two rank windows)
+        # r18 w7: ONE shared per-doc tf aggregation for all 3 queries
+        # (rel rides the same stacked rows — the per-query relevance
+        # re-tokenize is gone); static count is conservative, runtime
+        # ReuseExchange collapses the repeated shared subtree
+        "text_bm25_ndcg": 18,
         "ts_ks_two_sample": 6,          # two per-value aggs + full-outer merge + cum window + totals
     }
     for name, budget in budgets.items():
