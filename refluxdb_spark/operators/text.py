@@ -1196,22 +1196,61 @@ def top_ngram_stats(
         toks.alias("_toks"),
         F.length(F.array_join(toks, " ")).cast("bigint").alias("total_chars"),
     )
-    def _tagged_grams_for(n: int) -> Column:
-        # factory closure, NOT a defaulted lambda parameter: pyspark's
-        # transform() treats a second lambda parameter as the array
-        # index, so `lambda i, n=n:` would bind n to the index
-        return F.when(
-            F.size("_toks") >= n,
-            F.transform(
+    # grams are built INCREMENTALLY: the n-gram at position i is the
+    # (n-1)-gram at i plus one space-joined trailing token — one
+    # concat per position instead of an n-element slice + array_join
+    # (byte-identical strings: both are the single-space join of the
+    # same n tokens; the old per-n form did 2+3+4 element-joins and 3
+    # subarray allocations per position — the gram build was ~half the
+    # query's steady-state CPU)
+    max_n = max(ns)
+    sorted_ns = sorted(ns)
+    gram_cols: dict[int, str] = {}
+    prev: str | None = None
+    for n in range(2, max_n + 1):
+        col_name = f"_g{n}"
+        if prev is None:
+            built = F.transform(
                 F.sequence(F.lit(0), F.size("_toks") - n),
-                lambda i: F.struct(
-                    F.lit(n).cast("int").alias("n"),
-                    F.array_join(F.slice("_toks", i + 1, n), " ").alias(
-                        "gram"
-                    ),
+                lambda i: F.concat(
+                    F.get("_toks", i), F.lit(" "), F.get("_toks", i + 1)
                 ),
+            )
+        else:
+            # factory closure, NOT defaulted lambda parameters:
+            # pyspark counts every parameter of the callable as a
+            # lambda argument, and a second parameter means "array
+            # index" to transform()
+            def _mk_extend(nn: int, prev_col: str):
+                def _extend(i):
+                    return F.concat(
+                        F.get(prev_col, i),
+                        F.lit(" "),
+                        F.get("_toks", i + nn - 1),
+                    )
+
+                return _extend
+
+            built = F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - n),
+                _mk_extend(n, prev),
+            )
+        base = base.withColumn(
+            col_name,
+            F.when(F.size("_toks") >= n, built).otherwise(
+                F.array().cast("array<string>")
             ),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        )
+        gram_cols[n] = col_name
+        prev = col_name
+
+    def _tagged(n: int) -> Column:
+        return F.transform(
+            gram_cols[n],
+            lambda g: F.struct(
+                F.lit(n).cast("int").alias("n"), g.alias("gram")
+            ),
+        )
 
     # ONE scan, ONE explode: the per-n gram streams are built as
     # n-tagged struct arrays beside each other and flattened, so the
@@ -1221,12 +1260,12 @@ def top_ngram_stats(
     # sf0.1, the heaviest CPU in the bench). The exploded (id, n,
     # gram) multiset is row-identical to the union's, so the count
     # stays ONE map-side-combined aggregation and the winner ONE
-    # (id, n) window with byte-identical exchanges
+    # (id, n) min-struct with byte-identical exchanges
     g = base.select(
         "id",
         "total_chars",
         F.explode(
-            F.flatten(F.array(*[_tagged_grams_for(n) for n in ns]))
+            F.flatten(F.array(*[_tagged(n) for n in sorted_ns]))
         ).alias("_g"),
     ).select(
         "id",
