@@ -20,7 +20,7 @@ round-over-round comparison via scripts/bench_compare.py.
 Each query is executed to completion (count() materializes every
 operator in the plan) after a warm-up of the input files' footers.
 
-Since r18 the bench also records an executor-CPU axis: per-query
+Since r18 the bench can also record an executor-CPU axis: per-query
 executorCpuTime scraped from the UI REST API (the same endpoint the
 byte gate uses), per rep. CPU is insensitive to the scheduler stalls
 and box contention that spread same-code WALL totals 50%+ on this
@@ -28,6 +28,22 @@ host, so the round gate cites byte ratio + CPU ratio together;
 per-query CPU rides the full record (bench_latest.json, committed
 per round), cpu_total_sec rides the tail-surviving summary line, and
 diffs run via `scripts/bench_compare.py --cpu`.
+
+Since r19 the CPU axis is OPT-IN via $SPARK_GRAFT_CPU_AXIS=1: the
+scrape requires spark.ui.enabled=true, and the UI listener/status
+store rides INSIDE every timed query — r17 benched UI-off, so the
+r17↔r18 wall comparison silently mixed media (VERDICT r18 item 1).
+The default wall bench now runs UI-off exactly like r17; a CPU-axis
+run is a separate, explicitly-flagged invocation.
+
+Also since r19 the FINAL summary line carries a driver-parseable
+"queries" dict holding the SLOWEST queries that fit the tail window
+(VERDICT r18 item 2: the driver cannot decode the compact line, so
+its per_query view was empty both rounds). 136 full names need
+~3.9 KB — they cannot all fit a 2000-char tail — so the subset is
+slowest-first (the queries that matter for regressions), and the
+omission is explicit: q_omitted / q_omitted_sec say how many
+sub-threshold queries ride only the compact line and the full record.
 """
 
 from __future__ import annotations
@@ -259,15 +275,20 @@ def _settled_new_cpu_ns(spark, before: set, deadline_s: float = 10.0):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    # UI enabled (engine default is off): the bench scrapes per-stage
-    # executorCpuTime as a SECOND, deterministic-leaning axis beside
-    # wall clock — CPU time is insensitive to the scheduler stalls and
-    # box contention that give wall a 50%+ same-code spread on this
-    # host (VERDICT r17 item 4), so round-over-round CPU ratios can
-    # make positive claims wall cannot.
+    # CPU axis (executorCpuTime scraped per query from the UI REST API)
+    # is OPT-IN: it needs spark.ui.enabled=true, whose listener/status
+    # store overhead rides inside every timed query — r17 benched
+    # UI-off, and enabling it unconditionally in r18 broke wall
+    # comparability (VERDICT r18 item 1). Default = UI off, wall-only,
+    # the same measurement medium as r17.
+    cpu_axis = os.environ.get("SPARK_GRAFT_CPU_AXIS", "") == "1"
     spark = get_spark(
         app_name="refluxdb_spark_bench",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4098"},
+        extra_conf=(
+            {"spark.ui.enabled": "true", "spark.ui.port": "4098"}
+            if cpu_axis
+            else {}
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -346,12 +367,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_cpu: dict[str, float] = {}
     rep_counts: dict[str, int] = {}
-    cpu_ok = True
-    try:
-        seen, _, _ = _settled_new_cpu_ns(spark, set())
-    except Exception as e:  # UI scrape unavailable: wall-only bench
-        print(f"# cpu axis disabled (UI scrape failed: {e})", file=sys.stderr)
-        cpu_ok, seen = False, set()
+    cpu_ok = cpu_axis
+    seen: set = set()
+    if cpu_axis:
+        try:
+            seen, _, _ = _settled_new_cpu_ns(spark, set())
+        except Exception as e:  # UI scrape unavailable: wall-only bench
+            print(f"# cpu axis disabled (UI scrape failed: {e})", file=sys.stderr)
+            cpu_ok = False
+    else:
+        print(
+            "# cpu axis off (wall-only, UI disabled; set "
+            "SPARK_GRAFT_CPU_AXIS=1 to enable)",
+            file=sys.stderr,
+        )
     for name in HEADLINE:
         fn = QUERIES[name]
         samples = []
@@ -436,6 +465,12 @@ def names_digest(names: list[str]) -> str:
     return hashlib.md5(",".join(names).encode()).hexdigest()[:12]
 
 
+# Byte budget for the FINAL stdout line: the driver keeps a 2000-char
+# tail (measured exactly on every archived BENCH_r{N}.json) and parses
+# its last complete JSON line; the line must therefore survive whole,
+# with margin for the trailing newline and clock-width drift.
+TAIL_SUMMARY_BUDGET = 1900
+
 NAMES_REGISTRY = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_headline_names.json"
 )
@@ -504,6 +539,7 @@ def decode_prev_artifact(
     except json.JSONDecodeError:
         pass
     timings: dict[str, float] = {}
+    summary_sub: dict[str, float] = {}
     for line in reversed(text.splitlines()):
         try:
             rec = json.loads(line.strip())
@@ -517,6 +553,20 @@ def decode_prev_artifact(
             if names is not None and len(rec.get("values", [])) == len(names):
                 timings = dict(zip(names, (float(v) for v in rec["values"])))
                 break
+        # r19+ tails: the final summary line carries a slowest-first
+        # per-query subset; when the (larger) compact line was pushed
+        # out of the tail window, that subset is the best available
+        # prev-round view — partial but real (common_n says how much).
+        if (
+            not summary_sub
+            and isinstance(rec, dict)
+            and isinstance(rec.get("queries"), dict)
+        ):
+            summary_sub = {
+                str(k): float(v) for k, v in rec["queries"].items()
+            }
+    if not timings:
+        timings = summary_sub
     hits = _re.findall(r'"calibration_sec": ([0-9.]+)', text)
     return timings, (float(hits[-1]) if hits else None)
 
@@ -711,6 +761,28 @@ def emit_lines(
         if k not in ("queries", "rep_counts", "queries_cpu")
     }
     summary["n_queries"] = len(timings)
+    # Driver-parseable per-query subset (VERDICT r18 item 2): the
+    # driver's PERF stage reads `queries` off the last parseable JSON
+    # line of its ~2000-char tail capture. All 136 full names need
+    # ~3.9 KB, so the final line carries the SLOWEST queries that fit
+    # a fixed byte budget — the cohort where a regression is visible —
+    # and declares what it dropped (no silent caps). Full coverage
+    # still rides the compact line and the full head record
+    # (bench_latest.json, committed per round).
+    sub: dict[str, float] = {}
+    summary["queries"] = sub
+    # reserve worst-case width for the omission fields before filling
+    summary["q_omitted"] = len(timings)
+    summary["q_omitted_sec"] = total
+    for name in sorted(timings, key=lambda n: (-timings[n], n)):
+        sub[name] = timings[name]
+        if len(json.dumps(summary)) > TAIL_SUMMARY_BUDGET:
+            del sub[name]
+            break
+    summary["q_omitted"] = len(timings) - len(sub)
+    summary["q_omitted_sec"] = round(
+        sum(t for n, t in timings.items() if n not in sub), 3
+    )
     return [json.dumps(head), json.dumps(compact), json.dumps(summary)]
 
 
