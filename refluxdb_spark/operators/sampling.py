@@ -23,6 +23,21 @@ from pyspark.sql import types as T
 _BUCKETS = 1_000_000
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort explicit release of a localCheckpoint's persisted
+    blocks. A checkpointed Dataset's analyzed plan is a LogicalRDD
+    holding the persisted internal RDD; unpersisting it frees executor
+    storage deterministically instead of waiting for the GC-driven
+    ContextCleaner (ADVICE r18: an iterative operator that checkpoints
+    per round can otherwise hold every round's corpus copy at once).
+    Failures fall back to exactly the old behavior — eventual GC
+    cleanup — so this can never affect results."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _hash_bucket(key_col: str, seed: str) -> F.Column:
     # column functions, not an f-string SQL expr: a quote in the seed or
     # a column needing backticks must not break (or inject into) the
@@ -494,9 +509,11 @@ def kcenter_coreset(
 
     Scale: the min-distance-to-selected is maintained INCREMENTALLY —
     round r folds the distance to the ONE new pick into a running
-    ``least`` (the same multiset of rounded-6 pair distances the
-    recompute-everything form minimized, so the running min is
-    bit-identical) — and vector norms are computed once per row as a
+    ``least`` over the same multiset of rounded-6 pair distances the
+    recompute-everything form minimized (with ``_v`` cast to
+    array<double> up front, every product is double x double — the
+    DuckDB DOUBLE[] oracle's arithmetic — so the pre-rounding values
+    match the oracle exactly) — and vector norms are computed once per row as a
     column instead of once per (row, pick) fold (the wave-6 cosine
     discipline). Each round is therefore MAP-ONLY work beside the
     checkpointed corpus plus one global top-1 (TakeOrdered — no
@@ -519,10 +536,20 @@ def kcenter_coreset(
         )
     )
     # corpus + per-row norm materialized ONCE; every round's distance
-    # expression references the stored column instead of re-folding
+    # expression references the stored column instead of re-folding.
+    # _v is cast to array<double> up front (the similarity.py
+    # discipline): the on-disk embedding is array<float>, and without
+    # the cast the norm fold multiplies float x float while the
+    # numerator (float element x injected double pick literal)
+    # multiplies in double — mixed precision that can diverge from the
+    # certified DuckDB DOUBLE[] oracle within ~1e-8 of a round-6
+    # boundary (ADVICE r18). All-double products match the oracle's
+    # arithmetic exactly.
     cand = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
     ).withColumn("_nrm", norm).localCheckpoint(eager=True)
+    prev_ckpt = cand  # round r-1's checkpoint, released once r lands
     seed_rows = cand.orderBy(F.col("_id").asc()).limit(1).collect()
     out: list[tuple[int, object, float | None]] = []
     if seed_rows:
@@ -530,7 +557,10 @@ def kcenter_coreset(
             seed_rows[0]["_id"], seed_rows[0]["_v"], seed_rows[0]["_nrm"]
         )
         out.append((0, pick_id, None))
-        cand = cand.filter(F.col("_id") != F.lit(pick_id))
+        # null-safe exclusion: plain != silently drops NULL-id rows
+        # from candidacy (null != x is null), which would tighten the
+        # old left-anti-join semantics (ADVICE r18)
+        cand = cand.filter(~F.col("_id").eqNullSafe(F.lit(pick_id)))
         mind = None  # running min-dist column, set on the first fold
         for r in range(1, k):
             # distance to the newest pick only: one dot-fold per row,
@@ -559,19 +589,29 @@ def kcenter_coreset(
             cand = cand.select(
                 "_id", "_v", "_nrm", mind.alias("_mind")
             ).localCheckpoint(eager=False)
+            new_ckpt = cand
             mind = F.col("_mind")
             top = (
                 cand.orderBy(F.col("_mind").desc(), F.col("_id").asc())
                 .limit(1)
                 .collect()
             )
+            # the top-1 collect materialized this round's checkpoint;
+            # the previous round's blocks are now dead — release them
+            # explicitly so executor storage holds ~2 corpus copies,
+            # not one per round (ADVICE r18: GC-driven ContextCleaner
+            # frees them only eventually)
+            _release_local_checkpoint(prev_ckpt)
+            prev_ckpt = new_ckpt
             if not top:
                 break
             pick_id, pick_v, pick_nrm = (
                 top[0]["_id"], top[0]["_v"], top[0]["_nrm"]
             )
             out.append((r, pick_id, top[0]["_mind"]))
-            cand = cand.filter(F.col("_id") != F.lit(pick_id))
+            cand = cand.filter(~F.col("_id").eqNullSafe(F.lit(pick_id)))
+        # nothing reads the final round's checkpoint after the loop
+        _release_local_checkpoint(prev_ckpt)
     id_field = corpus.select(F.col(id_col)).schema.fields[0]
     return spark.createDataFrame(
         out,

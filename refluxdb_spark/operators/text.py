@@ -1183,6 +1183,12 @@ def top_ngram_stats(
     a per-document window over the per-doc distinct-gram relation.
     Long output (id, n, top_gram, top_count, top_frac); documents
     shorter than n words contribute no row for that n."""
+    # the incremental gram chain starts at n=2 (an n-gram extends the
+    # (n-1)-gram by one token); an n below the docstring's 2..4
+    # contract would otherwise surface as an opaque KeyError deep in
+    # the chain (ADVICE r18)
+    if not ns or min(ns) < 2:
+        raise ValueError(f"ns must all be >= 2 (got {sorted(ns)})")
     from refluxdb_spark.operators.dedup import normalize_text
     from refluxdb_spark.operators.skew import spread_input
 
